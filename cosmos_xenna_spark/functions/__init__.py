@@ -1,0 +1,90 @@
+"""Column-expression helpers shared by queries and operators.
+
+The central trick: **decimal-exact aggregation**. Double-precision sums
+depend on partition/accumulation order, so a Spark sum and a DuckDB sum
+of the same doubles can differ in the last bits — fatal for value-hash
+oracle comparison. Casting inputs to DECIMAL first makes every partial
+sum exact and order-independent; casting the exact decimal result back
+to DOUBLE is deterministic (round-to-nearest of the same rational), so
+both engines produce bit-identical doubles. This costs nothing at
+scale — decimal sums still get map-side partial aggregation.
+
+``md5_long63`` gives a cross-engine deterministic 63-bit hash (Spark's
+xxhash64 and DuckDB's hash() are different algorithms; md5 is the
+portable common denominator; use xxhash64 in pure-Spark hot paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def dec(col: Column | str, typ: str = DEC) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def dsum(col: Column | str, typ: str = DEC) -> Column:
+    """Order-independent exact sum, returned as double."""
+    return F.sum(dec(col, typ)).cast("double")
+
+
+def davg(col: Column | str, typ: str = DEC) -> Column:
+    """Deterministic average: exact decimal sum / exact count."""
+    return (F.sum(dec(col, typ)).cast("double") / F.count(dec(col, typ))).cast("double")
+
+
+def dstddev_samp(col: Column | str) -> Column:
+    """Deterministic sample stddev from exact decimal sums.
+
+    stddev = sqrt((sum(x^2) - sum(x)^2/n) / (n-1)), all sums decimal-
+    exact then cast to double; sqrt is IEEE-correctly-rounded so both
+    engines agree bit-for-bit.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    x = c.cast("decimal(18,4)")
+    sx = F.sum(x).cast("double")
+    sxx = F.sum((x * x).cast("decimal(38,8)")).cast("double")
+    n = F.count(x).cast("double")
+    return F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
+
+
+def md5_long63(col: Column | str, prefix: str = "") -> Column:
+    """Deterministic non-negative 63-bit hash reproducible in DuckDB.
+
+    DuckDB equivalent: ``CAST(CONCAT('0x', substr(md5(<expr>), 1, 15))
+    AS BIGINT)`` (15 hex digits = 60 bits, always < 2^63).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if prefix:
+        c = F.concat(F.lit(prefix), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_long63_sql(expr: str, prefix: str = "") -> str:
+    """The DuckDB SQL mirror of :func:`md5_long63`."""
+    inner = f"concat('{prefix}', {expr})" if prefix else expr
+    return f"CAST(CONCAT('0x', substr(md5({inner}), 1, 15)) AS BIGINT)"
+
+
+# SQL-side mirrors (DuckDB dialect) of the decimal-exact helpers.
+def dsum_sql(expr: str, typ: str = "DECIMAL(18,2)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE)"
+
+
+def davg_sql(expr: str, typ: str = "DECIMAL(18,2)") -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE)"
+        f" / COUNT(CAST({expr} AS {typ})) AS DOUBLE)"
+    )
+
+
+def dstddev_samp_sql(expr: str) -> str:
+    x = f"CAST({expr} AS DECIMAL(18,4))"
+    sx = f"CAST(SUM({x}) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST(({x} * {x}) AS DECIMAL(38,8))) AS DOUBLE)"
+    n = f"CAST(COUNT({x}) AS DOUBLE)"
+    return f"sqrt(({sxx} - {sx} * {sx} / {n}) / ({n} - 1.0))"

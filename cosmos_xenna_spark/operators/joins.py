@@ -1,0 +1,112 @@
+"""Composite joins Spark lacks as single built-ins.
+
+``range_join_bucketed``
+    A value-in-[lo,hi) interval join executed as an *equi-join on a
+    bucket key* + residual filter, instead of the broadcast-nested-loop
+    plan Catalyst would pick for a raw theta join. Each interval row is
+    exploded to the buckets it overlaps (``sequence``), each fact row
+    maps to exactly one bucket, and the join is hash-partitioned on the
+    bucket id — O(n + m·buckets_per_interval) work, shuffle-friendly,
+    skew handled by AQE. This is the standard rewrite for 100 TB range
+    joins (SURVEY.md §4.2 item 3).
+
+``asof_join``
+    Backward-inclusive as-of join (latest right row with
+    right_time <= left_time per key), executed as union + ordered
+    window ``last(..., ignorenulls)`` — one shuffle on (key), no
+    per-row probing, no BNL. (SURVEY.md §2.B "as-of join = union +
+    window last(value) ignore nulls pattern".)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def range_join_bucketed(
+    facts: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Join fact rows to interval rows with lo <= value < hi.
+
+    ``bucket_width`` should be chosen near the typical interval width so
+    each interval explodes to ~1-2 buckets.
+    """
+    w = F.lit(bucket_width)
+    bucketed_intervals = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                # hi is exclusive: a hi exactly on a bucket edge does not
+                # reach into the next bucket.
+                F.ceil(F.col(hi_col) / w).cast("long") - 1,
+            )
+        ),
+    )
+    bucketed_facts = facts.withColumn("__bucket", F.floor(F.col(value_col) / w).cast("long"))
+    joined = bucketed_facts.join(bucketed_intervals, on="__bucket", how="inner").filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    )
+    return joined.drop("__bucket")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_tiebreak: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Backward-inclusive as-of join.
+
+    For every left row, attach the right row of the same ``on`` key with
+    the greatest (right_time, right_tiebreak) such that
+    right_time <= left_time; nulls if none (left-join semantics).
+
+    Single shuffle: both sides union into one relation sorted by
+    (key, time, side, tiebreak); right rows sort before left rows at
+    equal time so "at-or-before" is inclusive.
+    """
+    lcols = [c for c in left.columns]
+    vcols = list(value_cols)
+
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__tb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in vcols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.col(right_tiebreak).cast("long").alias("__tb"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *[F.col(c) for c in vcols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*", *[F.last(F.col(c), ignorenulls=True).over(w).alias(f"__v_{c}") for c in vcols]
+    )
+    out = filled.filter(F.col("__is_left") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__v_{c}").alias(c) for c in vcols],
+    )
+    return out

@@ -1,0 +1,300 @@
+"""Core relational queries: scan + filter + aggregate + sort (+ cube/rollup).
+
+Pure Catalyst delegation (SURVEY.md §2.B): filters and projections push
+into the parquet scan, aggregates run as partial+final HashAggregate
+pairs, and sorting is a final exchange. Reference parity note: the
+reference engine has *no* relational operators (SURVEY.md §2.A,
+reference ``cosmos_xenna/pipelines/private/specs.py:285-299`` has only a
+user-defined map) — this module is the declared Spark-native surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.functions import (
+    davg,
+    davg_sql,
+    dec,
+    dstddev_samp,
+    dstddev_samp_sql,
+    dsum,
+    dsum_sql,
+)
+from cosmos_xenna_spark.queries import register
+
+_Q1_CUTOFF = "2000-09-02 00:00:00"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'DECIMAL(38,6)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'DECIMAL(38,8)')} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 shape: scan+filter+8-agg groupBy (flagship)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(38,6)")
+    charge = (
+        dec("l_extendedprice") * (1 - dec("l_discount")) * (1 + dec("l_tax"))
+    ).cast("decimal(38,8)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'DECIMAL(38,6)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    description="TPC-H Q3 shape: 3-way join + agg + deterministic top-10",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(38,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'DECIMAL(38,6)')} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey  = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    description="TPC-H Q5 shape: 6-way snowflake join, broadcast dims",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(38,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_agg_features",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {dstddev_samp_sql('l_quantity')} AS std_qty,
+           {dsum_sql('l_tax', 'DECIMAL(18,2)')} AS sum_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="aggregate feature matrix: count/count-distinct/min/max/avg/stddev",
+)
+def q_agg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        davg("l_quantity").alias("avg_qty"),
+        dstddev_samp("l_quantity").alias("std_qty"),
+        dsum("l_tax").alias("sum_tax"),
+    )
+
+
+@register(
+    "q_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="grouping sets: CUBE over (returnflag, linestatus)",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="grouping sets: ROLLUP over (returnflag, linestatus)",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode
+    FROM (SELECT l_returnflag, l_linestatus,
+                 CASE WHEN l_linenumber % 2 = 0 THEN 'EVEN' ELSE 'ODD' END AS l_shipmode
+          FROM lineitem)
+    """,
+    description="DISTINCT / dropDuplicates over derived low-cardinality columns",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.when(F.col("l_linenumber") % 2 == 0, "EVEN").otherwise("ODD").alias("l_shipmode"),
+        )
+        .dropDuplicates()
+    )
+
+
+@register(
+    "q_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    description="global sort with full tiebreak + limit (top-k)",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q_having_filter",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS total_spend
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5
+    """,
+    description="filter + groupBy + HAVING-style post-aggregation filter",
+)
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@register(
+    "q_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('R', 'A')
+      AND l_linestatus LIKE 'F%'
+      AND l_shipdate IS NOT NULL
+      AND NOT (l_discount > 0.05 AND l_tax > 0.05)
+    """,
+    description="predicate algebra: BETWEEN / IN / LIKE / IS NULL / NOT-AND",
+)
+def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("R", "A")
+        & F.col("l_linestatus").like("F%")
+        & F.col("l_shipdate").isNotNull()
+        & ~((F.col("l_discount") > 0.05) & (F.col("l_tax") > 0.05))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")

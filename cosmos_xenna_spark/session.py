@@ -1,0 +1,78 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (one JVM); the config below is
+written so the same code is correct on a 1000-executor cluster:
+AQE handles runtime re-planning and skew joins, Arrow is on for every
+Python<->JVM boundary, and the session timezone is pinned to UTC so
+timestamps compare bit-for-bit with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Dynamic (session-level) confs that our operators rely on. Applied both
+# when *we* build the session and when an externally-created session is
+# handed to us (the correctness driver builds its own SparkSession).
+RUNTIME_CONFS: dict[str, str] = {
+    # The synthetic events table stores TIMESTAMP(NANOS) parquet, which
+    # Spark 4 rejects unless read as long (we convert ns -> us ourselves
+    # in catalog.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Oracle comparisons require UTC; DuckDB timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for all pandas UDF / toPandas boundaries.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime partition coalescing + skew-join handling. At 100 TB
+    # this is what keeps post-shuffle partitions near the target size
+    # regardless of the static shuffle.partitions setting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine-required dynamic confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be static on exotic deployments; the
+            # operators that need them fail loudly with a clear error.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "cosmos_xenna_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]).
+    ``shuffle_partitions`` defaults to the local core count — the right
+    number for local runs; on a real cluster leave AQE to coalesce.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
