@@ -70,6 +70,28 @@ def md5_long63_sql(expr: str, prefix: str = "") -> str:
     return f"CAST(CONCAT('0x', substr(md5({inner}), 1, 15)) AS BIGINT)"
 
 
+def revenue_col() -> Column:
+    """Exact lineitem revenue: price * (1 - discount), decimal throughout.
+
+    Every factor is cast to decimal *before* multiplying — computing the
+    product in double first and casting the result is NOT exact (the
+    per-op double rounding can land the product off the decimal grid).
+    """
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+REVENUE_SQL = "(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))"
+
+
+def charge_col() -> Column:
+    return revenue_col() * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+
+
+CHARGE_SQL = f"({REVENUE_SQL} * (1 + CAST(l_tax AS DECIMAL(4,2))))"
+
+
 # SQL-side mirrors (DuckDB dialect) of the decimal-exact helpers.
 def dsum_sql(expr: str, typ: str = "DECIMAL(18,2)") -> str:
     return f"CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE)"

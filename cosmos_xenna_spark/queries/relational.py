@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.functions import (
+    CHARGE_SQL,
+    REVENUE_SQL,
+    charge_col,
     davg,
     davg_sql,
     dec,
@@ -22,6 +25,7 @@ from cosmos_xenna_spark.functions import (
     dstddev_samp_sql,
     dsum,
     dsum_sql,
+    revenue_col,
 )
 from cosmos_xenna_spark.queries import register
 
@@ -34,8 +38,8 @@ _Q1_CUTOFF = "2000-09-02 00:00:00"
     SELECT l_returnflag, l_linestatus,
            {dsum_sql('l_quantity')} AS sum_qty,
            {dsum_sql('l_extendedprice')} AS sum_base_price,
-           {dsum_sql('l_extendedprice * (1 - l_discount)', 'DECIMAL(38,6)')} AS sum_disc_price,
-           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'DECIMAL(38,8)')} AS sum_charge,
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({CHARGE_SQL}) AS DOUBLE) AS sum_charge,
            {davg_sql('l_quantity')} AS avg_qty,
            {davg_sql('l_extendedprice')} AS avg_price,
            {davg_sql('l_discount')} AS avg_disc,
@@ -48,18 +52,14 @@ _Q1_CUTOFF = "2000-09-02 00:00:00"
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(38,6)")
-    charge = (
-        dec("l_extendedprice") * (1 - dec("l_discount")) * (1 + dec("l_tax"))
-    ).cast("decimal(38,8)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.sum(revenue_col()).cast("double").alias("sum_disc_price"),
+            F.sum(charge_col()).cast("double").alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
@@ -72,7 +72,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           {dsum_sql('l_extendedprice * (1 - l_discount)', 'DECIMAL(38,6)')} AS revenue,
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -93,12 +93,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
-    revenue = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(38,6)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -109,7 +108,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle=f"""
     SELECT n_name,
-           {dsum_sql('l_extendedprice * (1 - l_discount)', 'DECIMAL(38,6)')} AS revenue
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey  = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -133,7 +132,6 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(38,6)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -144,7 +142,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
     )
 
 
