@@ -1,1 +1,181 @@
-"""(filled in progressively this round)"""
+"""Event-stream queries in batch form (the streaming module runs the
+same shapes as Structured Streaming; DuckDB has no streaming, so the
+oracle checks the batch-equivalent semantics — SURVEY.md §5 port plan).
+
+Windowing parity: Spark ``F.window(ts, size [, slide])`` buckets are
+epoch-aligned, identical to DuckDB ``time_bucket(INTERVAL, ts)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.functions import dec
+from cosmos_xenna_spark.queries import register
+
+
+@register(
+    "q_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="tumbling 5-minute event-time window (batch form of streaming agg)",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("double").alias("v_sum"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "v_sum")
+    )
+
+
+@register(
+    "q_sliding_window",
+    oracle="""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL (o.off) MINUTE AS w_start,
+             user_id, value
+      FROM events, (SELECT UNNEST([0, 5]) AS off) o
+    )
+    SELECT w_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+    FROM expanded
+    GROUP BY w_start
+    """,
+    description="sliding window 10m size / 5m slide (each event in 2 windows)",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("double").alias("v_sum"))
+        .select(F.col("w.start").alias("w_start"), "n", "v_sum")
+    )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTES
+                  THEN 1 ELSE 0 END AS new_s,
+             event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTES AS session_end,
+           COUNT(*) AS n
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    description="session windows (10-minute gap) — Spark session_window vs "
+    "islands-equivalent SQL; session_end = last event + gap",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
+@register(
+    "q_dedup_events",
+    oracle="""
+    SELECT user_id, event_type,
+           time_bucket(INTERVAL '1 minute', ts) AS minute_start,
+           MIN(event_id) AS first_event_id
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    description="event dedup: first event per (user, type, minute) — the batch "
+    "form of streaming dropDuplicates with watermark",
+)
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(F.min("event_id").alias("first_event_id"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("w.start").alias("minute_start"),
+            "first_event_id",
+        )
+    )
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    description="stream-static join: events enriched with a broadcast dimension",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("double").alias("v_sum"))
+    )
+
+
+@register(
+    "q_late_data_watermark",
+    oracle="""
+    WITH watermarked AS (
+      SELECT *,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - INTERVAL 30 MINUTES AS wm
+      FROM events
+    )
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, COUNT(*) AS n
+    FROM watermarked
+    WHERE ts >= wm
+    GROUP BY 1
+    """,
+    description="watermark late-data policy in batch form: drop events older "
+    "than 30min behind the running max event time (arrival order = event_id)",
+)
+def q_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    arrival = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wm = F.max(F.unix_micros("ts")).over(arrival) - F.lit(30 * 60 * 1_000_000)
+    return (
+        ev.withColumn("wm_us", wm)
+        .filter(F.unix_micros("ts") >= F.col("wm_us"))
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
