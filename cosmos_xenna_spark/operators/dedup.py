@@ -1,0 +1,178 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Exact dedup, MinHash+LSH fuzzy dedup, SimHash, and n-gram Jaccard —
+all as DataFrame -> DataFrame functions built from JVM-side built-ins
+(no Python UDFs: shingling is `sequence`+`slice`, hashing is md5-based,
+banding is a groupBy). Scale shape: everything is explode -> hash ->
+groupBy, i.e. one shuffle keyed by doc or by (band, bucket); candidate
+verification joins only within buckets, never all-pairs.
+
+Reference parity: the reference's only dedup is a 2-column hash dedup
+of download requests (reference ``cosmos_xenna/pipelines/private/
+pipelines.py:155-225``); these operators are the north-star additions.
+
+Hashes use the md5-derived 63-bit integers from
+``cosmos_xenna_spark.functions.md5_long63`` so the DuckDB oracle can
+reproduce them; swap to ``xxhash64`` for pure-Spark production speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.functions import md5_long63
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key: the one with the smallest order_col.
+
+    Deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row). One shuffle on key_cols.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(order_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document: (doc_id, sh)."""
+    words = F.split(F.col(text_col), " ")
+    shingles = F.when(
+        F.size(words) >= k,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}),"
+            f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """MinHash signature rows: (doc_id, seed, minhash), n_hashes per doc.
+
+    h_seed(shingle) = md5_long63(seed || ':' || shingle); the signature
+    is the per-seed minimum over the doc's shingle set. Equivalent to
+    n_hashes independent permutations for Jaccard estimation.
+    """
+    sh = word_shingles(docs, text_col, k)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "sh",
+    )
+    hashed = seeded.select(
+        "doc_id",
+        "seed",
+        md5_long63(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_band_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH banding: (doc_id, band, bucket) — docs sharing a bucket in any
+    band are near-duplicate candidates. bucket = md5-hash of the band's
+    minhashes joined in seed order."""
+    sig = minhash_signatures(docs, text_col, n_hashes, k)
+    banded = sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+    per_band = banded.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+            ",",
+        ).alias("band_sig")
+    )
+    return per_band.select("doc_id", "band", F.md5(F.col("band_sig")).alias("bucket"))
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Distinct candidate near-duplicate pairs (doc_a < doc_b) from LSH.
+
+    The join is per (band, bucket) — at 100 TB this is the whole point:
+    candidates come from bucket-local joins, never a cross join.
+    """
+    b = lsh_band_buckets(docs, text_col, n_hashes, band_size, k)
+    left = b.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    right = b.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", n_bits: int = 63) -> DataFrame:
+    """63-bit SimHash over the word multiset: (doc_id, simhash).
+
+    Bit b of the fingerprint is 1 iff the majority of token hashes have
+    bit b set (ties -> 0). Single explode + one groupBy with n_bits
+    conditional sums — no per-bit explosion.
+    """
+    toks = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    hashed = toks.select("doc_id", md5_long63("w").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+            for b in range(n_bits)
+        ]
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(n_bits)
+    )
+    return votes.select("doc_id", F.expr(fingerprint).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    scope_col: str = "source",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard for doc pairs within the same scope group.
+
+    (doc_a, doc_b, n_inter, n_union, jaccard) for jaccard >= threshold.
+    Scoped to a partition column so the pair join is block-local — the
+    pattern for verifying LSH candidates without an all-pairs join.
+    """
+    words = docs.select(
+        F.col("doc_id"), F.col(scope_col).alias("scope"), F.explode(F.split(text_col, " ")).alias("w")
+    ).distinct()
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    a = words.select(F.col("doc_id").alias("doc_a"), "scope", "w")
+    b = words.select(F.col("doc_id").alias("doc_b"), "scope", "w")
+    inter = (
+        a.join(b, ["scope", "w"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")

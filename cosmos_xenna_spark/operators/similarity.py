@@ -1,0 +1,144 @@
+"""Embedding similarity search (ANN) over an array<float> column.
+
+``cosine_topk_bruteforce`` — exact top-k by cosine: broadcast the query
+set against the candidate table. At 100 TB the candidate side stays
+partitioned and only the (small) query side is broadcast, so this is a
+map-side join followed by a per-query top-k window — one shuffle on
+query_id.
+
+``ivf_topk`` — the scale path: an IVF-style coarse quantizer. Centroids
+are per-cluster means (decimal-exact so they are reproducible across
+engines/runs); each query probes only the ``n_probe`` nearest clusters,
+cutting the scanned candidates by ~n_clusters/n_probe. The cluster id
+column here is the existing ``label``; in production it would come from
+k-means (same plumbing).
+
+All dot products are computed left-to-right in double precision
+(``F.aggregate``), which matches DuckDB's ``list_dot_product`` /
+``list_cosine_similarity`` over DOUBLE[] bit-for-bit — so even the
+float scores are oracle-comparable exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> Column:
+    return F.transform(col if isinstance(col, Column) else F.col(col), lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Left-to-right double dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_as_double(a), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query: (query_id, neighbor_id,
+    rank, sim). Excludes self-matches. Queries are broadcast."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", cosine("__qvec", "__cvec").alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def cluster_centroids(
+    candidates: DataFrame,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 12,
+) -> DataFrame:
+    """Per-cluster mean vectors, decimal-exact (order-independent):
+    (cluster, centroid: array<double>).
+
+    Decimal sums make the centroid identical regardless of partitioning
+    — required for reproducible probe selection (and oracle parity).
+    """
+    dim_df = candidates.select(F.size(vec_col).alias("d")).limit(1)
+    dim = dim_df.collect()[0][0]
+    dec_t = f"decimal(28,{scale})"
+    sums = candidates.groupBy(F.col(cluster_col).alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at(F.col(vec_col), i + 1).cast(dec_t)).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    centroid = F.array(*[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(dim)])
+    return sums.select("cluster", centroid.alias("centroid"))
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF approximate top-k: probe the n_probe clusters whose centroids
+    are nearest (by cosine) to each query, then exact top-k within them.
+
+    Output: (query_id, neighbor_id, rank, sim).
+    """
+    cents = cluster_centroids(candidates, cluster_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "__qvec", "cluster", cosine("__qvec", "centroid").alias("c_sim"))
+        .withColumn("c_rank", F.row_number().over(probe_w))
+        .filter(F.col("c_rank") <= n_probe)
+        .select("query_id", "__qvec", "cluster")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cluster_col).alias("cluster"),
+        F.col(vec_col).alias("__cvec"),
+    )
+    scored = c.join(F.broadcast(probes), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", cosine("__qvec", "__cvec").alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -1,0 +1,97 @@
+"""Text-analysis operators: quality stats, language-ID heuristic,
+tokenization counts, document fingerprints.
+
+All column expressions over JVM built-ins (split/regexp/aggregate) —
+zero Python UDFs, so they run inside whole-stage codegen and scale
+linearly with input. Language ID is a marker-word heuristic (the
+container has no langid model — the scoring plumbing is the real
+operator; swap the marker table for a trained profile in production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.functions import md5_long63
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+# marker-word profiles for the language-ID heuristic (deterministic,
+# reproducible in SQL; intentionally tiny).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "la", "et"),
+    "zh": ("de", "le", "shi"),
+}
+
+# BPE-ish tokenizer: letter runs, digit runs, or single non-alnum chars.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def words_col(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def n_tokens_col(text_col: str = "text") -> Column:
+    return F.size(words_col(text_col))
+
+
+def stopword_count_col(text_col: str = "text") -> Column:
+    sw = ",".join(f"'{w}'" for w in STOPWORDS)
+    return F.size(
+        F.expr(f"filter(split({text_col}, ' '), w -> w IN ({sw}))")
+    )
+
+
+def punct_count_col(text_col: str = "text") -> Column:
+    return F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
+    )
+
+
+def digit_count_col(text_col: str = "text") -> Column:
+    return F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "[0-9]", "")
+    )
+
+
+def bpe_token_count_col(text_col: str = "text") -> Column:
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+
+
+def lang_score_col(lang: str, text_col: str = "text") -> Column:
+    """Number of marker-word hits for one language profile."""
+    markers = ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return F.size(F.expr(f"filter(split({text_col}, ' '), w -> w IN ({markers}))"))
+
+
+def langid_col(text_col: str = "text") -> Column:
+    """argmax language by marker hits; ties break by language code."""
+    scored = F.array(
+        *[
+            F.struct(lang_score_col(lang, text_col).alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # array_max on struct compares fieldwise: (score, lang); to break
+    # ties toward the SMALLER lang code we compare on (score, reversed
+    # rank) — simplest portable form: pick via aggregate.
+    return F.aggregate(
+        scored,
+        F.struct(F.lit(-1).alias("score"), F.lit("zz").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )["lang"]
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+    """Winnowing-style fingerprint: min 63-bit hash over word k-grams
+    plus the distinct k-gram count. (doc_id, fingerprint, n_shingles)."""
+    from cosmos_xenna_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(docs, text_col, k)
+    return sh.select("doc_id", md5_long63("sh").alias("h")).groupBy("doc_id").agg(
+        F.min("h").alias("fingerprint"), F.count(F.lit(1)).alias("n_shingles")
+    )

@@ -1,1 +1,173 @@
-"""(filled in progressively this round)"""
+"""Dedup operator queries with DuckDB oracles.
+
+Every md5-derived hash is reproduced verbatim in SQL (see
+``functions.md5_long63_sql``), so even MinHash signatures, LSH buckets
+and SimHash fingerprints hash-match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.dedup import (
+    exact_dedup,
+    lsh_band_buckets,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cosmos_xenna_spark.queries import register
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         UNNEST(range(1, len(ws) - 1)) AS t(i)
+"""
+
+_MINHASH_SQL = f"""
+    SELECT doc_id, seed,
+           MIN(CAST(CONCAT('0x', substr(md5(concat(CAST(seed AS VARCHAR), ':', sh)), 1, 15))
+               AS BIGINT)) AS minhash
+    FROM ({_SHINGLES_SQL}), (SELECT UNNEST(range(0, 16)) AS seed)
+    GROUP BY doc_id, seed
+"""
+
+_BUCKETS_SQL = f"""
+    SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bucket
+    FROM ({_MINHASH_SQL})
+    GROUP BY doc_id, CAST(seed // 4 AS INT)
+"""
+
+
+@register(
+    "q_dedup_exact_text",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    description="exact dedup by content hash, deterministic representative (min doc_id)",
+)
+def q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("__h", F.md5("text"))
+    return exact_dedup(docs, ["__h"], "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "q_dedup_keyed",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    description="keyed dedup: one representative row per (lang, source)",
+)
+def q_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["lang", "source"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "q_minhash_signatures",
+    oracle=_MINHASH_SQL,
+    description="MinHash signatures (16 md5-derived hash functions over word "
+    "3-gram shingles) — (doc_id, seed, minhash)",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "text", n_hashes=16, k=3)
+
+
+@register(
+    "q_lsh_buckets",
+    oracle=_BUCKETS_SQL,
+    description="LSH banding of MinHash signatures: 4 bands x 4 rows -> "
+    "(doc_id, band, bucket)",
+)
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_band_buckets(docs, "text", n_hashes=16, band_size=4, k=3)
+
+
+@register(
+    "q_minhash_pairs",
+    oracle=f"""
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ({_BUCKETS_SQL}) a JOIN ({_BUCKETS_SQL}) b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    description="LSH candidate near-duplicate pairs (bucket-local join, "
+    "never all-pairs)",
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
+
+
+def _simhash_sql(n_bits: int = 63) -> str:
+    votes = ",\n           ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(n_bits)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(n_bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+    ),
+    votes AS (
+      SELECT doc_id, {votes}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {fingerprint} AS simhash FROM votes
+    """
+
+
+@register(
+    "q_simhash",
+    oracle=_simhash_sql(),
+    description="63-bit SimHash fingerprint over the token multiset",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", n_bits=63)
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH words AS (
+      SELECT DISTINCT doc_id, source AS scope, UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM words a JOIN words b ON a.scope = b.scope AND a.w = b.w
+                               AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           sa.n_words + sb.n_words - n_inter AS n_union,
+           CAST(n_inter AS DOUBLE) / (sa.n_words + sb.n_words - n_inter) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_words + sb.n_words - n_inter) >= 0.8
+    """,
+    description="exact word-set Jaccard >= 0.8 for same-source doc pairs "
+    "(the LSH-candidate verification pattern)",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, scope_col="source", text_col="text", threshold=0.8)

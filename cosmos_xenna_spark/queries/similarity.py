@@ -1,1 +1,115 @@
-"""(filled in progressively this round)"""
+"""Similarity-search queries with DuckDB oracles.
+
+Spark computes dot products left-to-right in double (F.aggregate);
+DuckDB's list_cosine_similarity over DOUBLE[] accumulates identically,
+so even the floating-point similarity scores hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
+from cosmos_xenna_spark.queries import register
+
+_DIM = 64
+_N_QUERIES = 10
+_K = 5
+
+
+@register(
+    "q_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings)
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(qv, cv) AS sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                         neighbor_id) AS rank
+      FROM q, c WHERE neighbor_id <> query_id
+    ) WHERE rank <= {_K}
+    """,
+    description="exact brute-force cosine top-5 neighbors for 10 query vectors",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_bruteforce(emb, queries, k=_K)
+
+
+def _ivf_oracle() -> str:
+    cent_sums = ",\n             ".join(
+        f"CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m{i}"
+        for i in range(_DIM)
+    )
+    cent_array = ", ".join(f"m{i}" for i in range(_DIM))
+    return f"""
+    WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT label AS cluster, {cent_sums} FROM c GROUP BY label),
+    cent2 AS (SELECT cluster, [{cent_array}] AS centroid FROM cent),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+      SELECT query_id, qv, cluster FROM (
+        SELECT q.query_id, q.qv, cent2.cluster,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_cosine_similarity(qv, centroid) DESC,
+                                           cluster) AS cr
+        FROM q, cent2
+      ) WHERE cr <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(p.qv, c.v) AS sim
+      FROM probes p JOIN c ON c.label = p.cluster
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+    """
+
+
+@register(
+    "q_knn_ivf",
+    oracle=_ivf_oracle(),
+    description="IVF approximate top-5: probe the 2 nearest clusters "
+    "(decimal-exact centroids) then exact search within them",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, queries, k=_K, n_probe=2)
+
+
+@register(
+    "q_embedding_stats",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(v[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_d0,
+           MIN(len(v)) AS min_dim, MAX(len(v)) AS max_dim
+    FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    GROUP BY label
+    """,
+    description="embedding-table hygiene stats: per-cluster counts, mean of "
+    "dim-0 (decimal-exact), dimension bounds",
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.element_at("embedding", 1).cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_d0"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+    )

@@ -1,1 +1,150 @@
-"""(filled in progressively this round)"""
+"""Text-analysis queries with DuckDB oracles (quality stats, language
+ID, token counting, fingerprints)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    bpe_token_count_col,
+    digit_count_col,
+    doc_fingerprint,
+    langid_col,
+    n_tokens_col,
+    punct_count_col,
+    stopword_count_col,
+)
+from cosmos_xenna_spark.queries import register
+
+_SW = ",".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS DOUBLE) / length(text) AS digit_ratio,
+           CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_SW})))
+                AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+    description="per-document quality stats: token counts, punct/digit/"
+    "stopword ratios (LLM-data quality scoring)",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = n_tokens_col()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        (F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tok).alias(
+            "avg_token_len"
+        ),
+        (punct_count_col().cast("double") / F.length("text")).alias("punct_ratio"),
+        (digit_count_col().cast("double") / F.length("text")).alias("digit_ratio"),
+        (stopword_count_col().cast("double") / n_tok).alias("stopword_ratio"),
+    )
+
+
+def _langid_sql() -> str:
+    # Same argmax-with-lang-code-tiebreak as operators.text.langid_col:
+    # fold over languages in sorted order, strict > keeps the earlier.
+    expr = "CAST(NULL AS VARCHAR)"
+    score_of = {
+        lang: f"len(list_filter(string_split(text, ' '), w -> w IN ({', '.join(map(repr, ms))})))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    # build nested CASE picking argmax in sorted order with strict >
+    best_score = score_of[langs[0]]
+    best_lang = f"'{langs[0]}'"
+    for lang in langs[1:]:
+        s = score_of[lang]
+        new_best_lang = f"CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best_lang} END"
+        new_best_score = (
+            f"CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END"
+        )
+        best_lang, best_score = new_best_lang, new_best_score
+    return f"""
+    SELECT doc_id, lang AS labeled_lang, {best_lang} AS guessed_lang,
+           CAST(lang = {best_lang} AS BOOLEAN) AS agree
+    FROM documents
+    """
+
+
+@register(
+    "q_langid",
+    oracle=_langid_sql(),
+    description="language-ID heuristic: marker-word argmax with deterministic "
+    "tiebreak (plumbing for an n-gram profile model)",
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    guess = langid_col()
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        guess.alias("guessed_lang"),
+        (F.col("lang") == guess).alias("agree"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS bpe_tokens,
+           CAST(SUM(length(text)) AS DOUBLE)
+             / SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+    description="token counting per language: whitespace vs BPE-ish regex "
+    "tokenizer + chars-per-token",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens_col()).alias("ws_tokens"),
+        F.sum(bpe_token_count_col()).alias("bpe_tokens"),
+        (F.sum(F.length("text")).cast("double") / F.sum(bpe_token_count_col())).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(range(1, len(ws) - 2)) AS t(i)
+    )
+    SELECT doc_id,
+           MIN(CAST(CONCAT('0x', substr(md5(sh), 1, 15)) AS BIGINT)) AS fingerprint,
+           COUNT(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+    description="document fingerprint: min 63-bit hash over word 4-grams "
+    "(winnowing-style rolling fingerprint)",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(docs, "text", k=4)
