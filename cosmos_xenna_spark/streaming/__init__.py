@@ -1,0 +1,137 @@
+"""Structured Streaming surface: reference STREAMING/SERVING mode parity.
+
+Reference parity map (citations into /root/reference):
+
+- STREAMING execution mode — all stages concurrent with backpressure
+  (``cosmos_xenna/pipelines/private/specs.py:49-67``, executor
+  ``streaming.py:871-944``, backpressure ``streaming.py:1033-1062``):
+  Structured Streaming micro-batches run the same stage chain; rate
+  control is ``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` instead of
+  a hand-rolled in-flight cap.
+- SERVING mode — source/sink ``multiprocessing.Queue`` pair polled
+  each tick (``specs.py:511-518``, ``streaming.py:992-1004``,
+  sink push ``:1015-1031``): a streaming source feeding
+  ``foreachBatch`` (the sink callback is the queue push; ``None``
+  termination becomes ``query.stop()``).
+- Continuous stages (A9, ``ray_utils/continuous_stage.py:68-79``):
+  the ``mapInPandas`` stage UDF already receives an iterator of
+  batches — the same Stage chain runs unchanged on a streaming
+  DataFrame; for explicit keyed state use
+  ``stateful_count`` (``applyInPandasWithState``).
+- The reference's autoscaler/backpressure/monitoring driver loop
+  (``streaming.py:947-1122``) is NOT ported: Spark's micro-batch
+  engine + StreamingQueryListener own those jobs.
+
+Event-time semantics (watermarks, tumbling/sliding/session windows)
+are the batch-checked shapes in ``queries/events.py`` — DuckDB has no
+streaming, so correctness is established there and these helpers are
+exercised by streaming tests over a file-replayed events table.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cosmos_xenna_spark.operators.pipeline import PipelineSpec
+from cosmos_xenna_spark.operators.stage import apply_stage
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+# events.parquet stores TIMESTAMP(NANOS): the streaming reader takes it
+# as long (nanosAsLong) and converts, like catalog.load_table.
+EVENTS_RAW_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def events_file_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Replay an events directory as a file stream (the test/bench
+    harness for every streaming operator; TESTDATA events replayed)."""
+    reader = spark.readStream.schema(EVENTS_RAW_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def run_stages_streaming(stream_df: DataFrame, spec: PipelineSpec) -> DataFrame:
+    """Reference STREAMING mode: the same Stage chain over a streaming
+    DataFrame — Spark runs every stage concurrently per micro-batch."""
+    spec.validate()
+    df = stream_df
+    for s in spec.stages:
+        df = apply_stage(df, s.stage_factory, s.output_schema)
+    return df
+
+
+def tumbling_counts(stream_df: DataFrame, window: str = "5 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling event-time aggregation (late data dropped
+    past the watermark — A14/backpressure-era semantics, batch-checked
+    by q_tumbling_window / q_late_data_watermark)."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+def streaming_dedup(stream_df: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming dropDuplicates with watermark-bounded state."""
+    return stream_df.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stateful_count(stream_df: DataFrame) -> DataFrame:
+    """Continuous-stage parity (A9): keyed state across micro-batches
+    via applyInPandasWithState — running per-user event count."""
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def serve(
+    stream_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    query_name: str = "cxs_serving",
+):
+    """SERVING mode: push each micro-batch to a user sink callback
+    (reference sink-queue push, ``streaming.py:1015-1031``). Returns the
+    StreamingQuery; caller stops it (reference ``None`` sentinel)."""
+    return (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Debug/test sink: named in-memory table."""
+    return (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )

@@ -1,0 +1,130 @@
+"""Streaming tests: file-replayed events driving the same operator
+shapes the batch oracle verified (SURVEY.md §5 port plan), plus
+serving-sink and keyed-state parity."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark import cloudpickle
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.pipeline import PipelineSpec, StageSpec
+from cosmos_xenna_spark.operators.stage import Stage
+from cosmos_xenna_spark.streaming import (
+    events_file_stream,
+    run_stages_streaming,
+    serve,
+    stateful_count,
+    streaming_dedup,
+    to_memory_sink,
+    tumbling_counts,
+)
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir):
+    """Stage the single events.parquet into a directory (file-stream
+    sources read directories), split into 3 files for multi-batch."""
+    d = tempfile.mkdtemp(prefix="cxs_events_stream_")
+    yield_dir = os.path.join(d, "events")
+    os.makedirs(yield_dir)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(yield_dir, "events.parquet"))
+    yield yield_dir
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, events_dir):
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(tumbling_counts(stream), "t_tumbling", "complete")
+    _drain(q)
+    got = {
+        (r.w_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.w_start, r.event_type): r.n
+        for r in ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_keeps_unique_ids(spark, sf_dir, events_dir):
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(streaming_dedup(stream).select("event_id"), "t_dedup", "append")
+    _drain(q)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM t_dedup").collect()[0]
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert got.n == got.d == n_src
+
+
+def test_stage_chain_runs_on_stream(spark, events_dir, sf_dir):
+    class ValueScaler(Stage):
+        def setup(self):
+            self.scale = 2.0
+
+        def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"event_id": pdf["event_id"], "v2": pdf["value"] * self.scale}
+            )
+
+    spec = PipelineSpec(stages=[StageSpec(ValueScaler, "event_id long, v2 double")])
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(run_stages_streaming(stream, spec), "t_staged", "append")
+    _drain(q)
+    got = spark.sql("SELECT count(*) AS n, sum(v2) AS s FROM t_staged").collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.select(F.count(F.lit(1)).alias("n"), (F.sum("value") * 2).alias("s")).collect()[0]
+    assert got.n == want.n
+    assert abs(got.s - want.s) < 1e-6
+
+
+def test_serving_foreach_batch_sink(spark, events_dir, sf_dir):
+    """SERVING parity: batches pushed to a collector callback."""
+    received: list[int] = []
+
+    def sink(batch_df, epoch_id: int):
+        received.append(batch_df.count())
+
+    stream = events_file_stream(spark, events_dir).select("event_id", "event_type")
+    q = serve(stream, sink)
+    _drain(q)
+    assert sum(received) == load_table(spark, sf_dir, "events").count()
+
+
+def test_stateful_count_matches_batch(spark, events_dir, sf_dir):
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(stateful_count(stream), "t_state", "update")
+    _drain(q)
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM t_state GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
