@@ -23,6 +23,31 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.functions import md5_long63
 
+# Universal-hash family for MinHash: one md5 per shingle, then
+# h_s = (a_s * hi30 + b_s * lo30 + c_s) mod (2^61 - 1) per seed — all
+# operands < 2^31 so the int64 arithmetic never overflows (DuckDB
+# raises on BIGINT overflow; Spark would silently wrap). 16x fewer md5
+# calls than hashing "seed:shingle" per seed.
+MERSENNE61 = (1 << 61) - 1
+_LO30 = (1 << 30) - 1
+
+
+def minhash_consts(n_hashes: int) -> list[tuple[int, int, int]]:
+    out = []
+    for s in range(n_hashes):
+        a = (2654435761 * (s + 1)) % (1 << 30) | 1
+        b = (2246822519 * (s + 3)) % (1 << 30) | 1
+        c = (3266489917 * (s + 7)) % (1 << 30)
+        out.append((a, b, c))
+    return out
+
+
+def _mh_expr(a: int, b: int, c: int, h: str = "h") -> str:
+    """Engine-portable SQL for one universal hash of base hash ``h``."""
+    return (
+        f"(({a} * ({h} >> 30)) + ({b} * ({h} & {_LO30})) + {c}) % {MERSENNE61}"
+    )
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """Keep exactly one row per key: the one with the smallest order_col.
@@ -55,22 +80,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature rows: (doc_id, seed, minhash), n_hashes per doc.
 
-    h_seed(shingle) = md5_long63(seed || ':' || shingle); the signature
+    h_s(shingle) = universal_hash_s(md5_long63(shingle)); the signature
     is the per-seed minimum over the doc's shingle set. Equivalent to
     n_hashes independent permutations for Jaccard estimation.
+
+    Scale note: the n_hashes minima are computed as parallel aggregate
+    expressions over one shingle row-set (map-side partial min), NOT by
+    exploding a seed dimension — that would multiply shuffle volume by
+    n_hashes. The wide result is unpivoted to (doc_id, seed, minhash)
+    afterwards, when there is only one row per doc.
     """
-    sh = word_shingles(docs, text_col, k)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        "sh",
+    mins = minhash_wide(docs, text_col, n_hashes, k)
+    stack = ", ".join(f"{s}, mh{s}" for s in range(n_hashes))
+    return mins.selectExpr(
+        "doc_id", f"stack({n_hashes}, {stack}) AS (seed, minhash)"
     )
-    hashed = seeded.select(
-        "doc_id",
-        "seed",
-        md5_long63(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+
+
+def minhash_wide(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """Wide MinHash signature: (doc_id, mh0..mh{n-1}) — one row per doc,
+    one shuffle (the shingle groupBy), n_hashes partial-min aggregates
+    over a single md5 base hash per shingle."""
+    sh = word_shingles(docs, text_col, k).withColumn("h", md5_long63("sh"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(_mh_expr(a, b, c))).alias(f"mh{s}")
+            for s, (a, b, c) in enumerate(minhash_consts(n_hashes))
+        ]
     )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
 
 
 def lsh_band_buckets(
@@ -82,19 +121,22 @@ def lsh_band_buckets(
 ) -> DataFrame:
     """LSH banding: (doc_id, band, bucket) — docs sharing a bucket in any
     band are near-duplicate candidates. bucket = md5-hash of the band's
-    minhashes joined in seed order."""
-    sig = minhash_signatures(docs, text_col, n_hashes, k)
-    banded = sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-    per_band = banded.groupBy("doc_id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                lambda s: s["minhash"].cast("string"),
-            ),
-            ",",
-        ).alias("band_sig")
+    minhashes joined in seed order.
+
+    Built from the wide signature, so banding adds no shuffle — the
+    band hashes are row-local expressions over mh0..mhN.
+    """
+    n_bands = n_hashes // band_size
+    mins = minhash_wide(docs, text_col, n_hashes, k)
+    band_exprs = []
+    for b in range(n_bands):
+        cols = ", ".join(
+            f"CAST(mh{s} AS STRING)" for s in range(b * band_size, (b + 1) * band_size)
+        )
+        band_exprs.append(f"{b}, md5(concat_ws(',', {cols}))")
+    return mins.selectExpr(
+        "doc_id", f"stack({n_bands}, {', '.join(band_exprs)}) AS (band, bucket)"
     )
-    return per_band.select("doc_id", "band", F.md5(F.col("band_sig")).alias("bucket"))
 
 
 def minhash_candidate_pairs(

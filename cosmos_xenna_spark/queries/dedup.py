@@ -21,17 +21,28 @@ from cosmos_xenna_spark.operators.dedup import (
 )
 from cosmos_xenna_spark.queries import register
 
+from cosmos_xenna_spark.operators.dedup import MERSENNE61, minhash_consts  # noqa: E402
+
 _SHINGLES_SQL = """
     SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
     FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          UNNEST(range(1, len(ws) - 1)) AS t(i)
 """
 
+_CONSTS_SQL = ", ".join(
+    f"({s}, {a}, {b}, {c})" for s, (a, b, c) in enumerate(minhash_consts(16))
+)
+
 _MINHASH_SQL = f"""
+    WITH consts(seed, ca, cb, cc) AS (VALUES {_CONSTS_SQL}),
+    base AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
+      FROM ({_SHINGLES_SQL})
+    )
     SELECT doc_id, seed,
-           MIN(CAST(CONCAT('0x', substr(md5(concat(CAST(seed AS VARCHAR), ':', sh)), 1, 15))
-               AS BIGINT)) AS minhash
-    FROM ({_SHINGLES_SQL}), (SELECT UNNEST(range(0, 16)) AS seed)
+           MIN((ca * (h >> 30) + cb * (h & 1073741823) + cc) % {MERSENNE61}) AS minhash
+    FROM base, consts
     GROUP BY doc_id, seed
 """
 
