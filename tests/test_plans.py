@@ -1,0 +1,103 @@
+"""Plan-quality regression tests: the physical plans behind the
+headline queries must stay the plans you'd want at 100 TB —
+pushdown at the scan, broadcast for dims, codegen on the hot path.
+(The build brief's rule: iterate on .explain until it's the right
+plan, then pin it.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.plans import (
+    count_broadcast_exchanges,
+    count_broadcast_joins,
+    count_shuffles,
+    count_sort_merge_joins,
+    has_pushed_filters,
+    physical_plan,
+    scan_read_schema,
+    uses_whole_stage_codegen,
+)
+from cosmos_xenna_spark.queries import load_registry
+
+REGISTRY = load_registry()
+
+
+def test_q1_pushdown_pruning_codegen(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].builder(spark, sf_dir)
+    assert has_pushed_filters(df), "shipdate filter must reach the parquet scan"
+    cols = set(scan_read_schema(df))
+    assert "l_extendedprice" in cols
+    assert "l_partkey" not in cols, "unused columns must be pruned from the scan"
+    df.collect()  # execute this exact queryExecution so AQE finalizes
+    assert uses_whole_stage_codegen(df)
+
+
+def test_q5_joins_are_broadcast(spark, sf_dir):
+    df = REGISTRY["q5_region_revenue"].builder(spark, sf_dir)
+    assert count_broadcast_joins(df) >= 4, "all dimension joins must broadcast"
+    assert count_sort_merge_joins(df) <= 1, "only lineitem-orders may shuffle"
+
+
+def test_q3_filters_pushed_on_all_scans(spark, sf_dir):
+    df = REGISTRY["q3_shipping_priority"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    # every scan with a filterable predicate carries pushed filters
+    assert plan.count("PushedFilters: [") >= 2
+    assert count_broadcast_joins(df) >= 1
+
+
+def test_projection_pruning_on_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = scan_read_schema(li)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    df = REGISTRY["q_join_range_bucketed"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "bucketized range join must compile to an equi-join, not BNL"
+    )
+
+
+def test_asof_join_single_shuffle_for_window(spark, sf_dir):
+    df = REGISTRY["q_asof_join"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    # union + window pattern: no join operator at all
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_minhash_has_partial_aggregation(spark, sf_dir):
+    df = REGISTRY["q_minhash_signatures"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    # partial min aggregates before the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_knn_broadcasts_queries_not_candidates(spark, sf_dir):
+    df = REGISTRY["q_knn_bruteforce"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the big (candidate) side must not be broadcast: exactly one
+    # BroadcastExchange, fed by the 10-row query side
+    assert count_broadcast_exchanges(df) == 1
+
+
+def test_shuffle_counts_are_bounded(spark, sf_dir):
+    """Coarse ceiling per headline query — a regression that doubles the
+    exchange count trips this before it trips the cluster."""
+    limits = {
+        "q1_pricing_summary": 2,
+        "q_join_inner": 2,
+        "q_window_topk": 3,
+        "q_tumbling_window": 2,
+        "q_sessionization": 2,
+    }
+    for name, cap in limits.items():
+        df = REGISTRY[name].builder(spark, sf_dir)
+        n = count_shuffles(df)
+        assert n <= cap, f"{name}: {n} exchanges (cap {cap})"
