@@ -132,3 +132,33 @@ def sample_video_frames(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(fn, schema="id long, frame_idx int, frame binary")
+
+def attach_fake_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Test/demo ingestion: derive a deterministic fake image per row —
+    width = id % 16 + 4, height = id % 8 + 4, seeded by id. Output
+    (id, image). Stands in for a binaryFile scan in environments
+    without real payloads."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            imgs = [fake_image(i % 16 + 4, i % 8 + 4, seed=i) for i in ids]
+            yield pd.DataFrame({"id": ids, "image": imgs})
+
+    return df.mapInPandas(fn, schema="id long, image binary")
+
+
+def attach_fake_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Test/demo ingestion: id % 5 + 1 fake frames per row. Output
+    (id, frames array<binary>)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            frames = [
+                [fake_image(4, 4, seed=i * 100 + j) for j in range(i % 5 + 1)]
+                for i in ids
+            ]
+            yield pd.DataFrame({"id": ids, "frames": frames})
+
+    return df.mapInPandas(fn, schema="id long, frames array<binary>")

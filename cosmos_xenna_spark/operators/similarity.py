@@ -142,3 +142,38 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def embedding_near_dup_pairs(
+    candidates: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (keep_id, dup_id, sim)
+    with sim >= threshold, keep_id < dup_id (canonical survivor = the
+    lower id).
+
+    Blocking on ``block_col`` (a cluster/LSH-bucket id) turns the
+    all-pairs O(n^2) comparison into one equi-join shuffle keyed by
+    block — O(sum n_b^2) work, which is the only shape that survives
+    100 TB. In production the block key comes from k-means or LSH over
+    the same column; here it is the table's cluster label.
+    """
+    a = candidates.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("keep_id"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = candidates.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("dup_id"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .select("keep_id", "dup_id", cosine("__va", "__vb").alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

@@ -56,6 +56,7 @@ _MODULES = (
     "similarity",
     "text",
     "stage_queries",
+    "multimodal",
 )
 
 

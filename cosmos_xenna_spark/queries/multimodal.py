@@ -1,0 +1,56 @@
+"""Multimodal-column queries with arithmetic DuckDB oracles.
+
+The binary payloads are deterministic fakes derived from doc_id
+(operators/multimodal.py), so the oracle can recompute the expected
+typed metadata — width/height/byte-length/frame-indices — with pure
+SQL arithmetic over ``documents``. That verifies the whole Spark-side
+path numerically: Arrow binary batching, mapInPandas decode, fan-out
+row multiplication. The payload bytes themselves are covered by
+tests/test_multimodal.py (decode/resize round-trips).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.multimodal import (
+    attach_fake_frames,
+    attach_fake_images,
+    extract_image_metadata,
+    sample_video_frames,
+)
+from cosmos_xenna_spark.queries import register
+
+
+@register(
+    "q_multimodal_image_meta",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST((doc_id % 16) + 4 AS INT) AS width,
+           CAST((doc_id % 8) + 4 AS INT) AS height,
+           16 + ((doc_id % 16) + 4) * ((doc_id % 8) + 4) AS n_bytes
+    FROM documents
+    """,
+    description="binary image column -> typed metadata via mapInPandas decode "
+    "(deterministic fake payloads; oracle recomputes dims arithmetically)",
+)
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    meta = extract_image_metadata(attach_fake_images(docs))
+    return meta.select("id", "width", "height", "n_bytes")
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS id, CAST(UNNEST(range(0, (doc_id % 5) + 1, 2)) AS INT) AS frame_idx
+    FROM documents
+    """,
+    description="video frame sampling: array<binary> frames -> one row per "
+    "kept frame (every 2nd), executor-side fan-out",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sampled = sample_video_frames(attach_fake_frames(docs), every_n=2)
+    return sampled.select("id", "frame_idx")

@@ -290,3 +290,38 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.percentile(q, 0.5) / 100.0).alias("p50"),
         (F.percentile(q, 0.75) / 100.0).alias("p75"),
     )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+    SELECT p_partkey,
+           cardinality(m) AS n_keys,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_csv,
+           (m['size'])[1] AS size_val,
+           list_aggregate(map_values(m), 'sum') AS vals_sum
+    FROM (SELECT p_partkey,
+                 MAP {'size': CAST(p_size AS BIGINT),
+                      'namelen': CAST(length(p_name) AS BIGINT)} AS m
+          FROM part)
+    """,
+    description="map functions: create_map/map_keys/map_values/element_at/"
+    "size over a per-row map column",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("size"),
+        F.col("p_size").cast("bigint"),
+        F.lit("namelen"),
+        F.length("p_name").cast("bigint"),
+    )
+    return part.select(
+        "p_partkey",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "size").alias("size_val"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("vals_sum"),
+    )

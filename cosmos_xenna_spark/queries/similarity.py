@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
-from cosmos_xenna_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
+from cosmos_xenna_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
 from cosmos_xenna_spark.queries import register
 
 _DIM = 64
@@ -113,3 +117,22 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.size("embedding")).alias("min_dim"),
         F.max(F.size("embedding")).alias("max_dim"),
     )
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
+    SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+           list_cosine_similarity(a.v, b.v) AS sim
+    FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    """,
+    description="embedding-cosine near-dup pairs: within-cluster blocking "
+    "(one equi-join shuffle, never all-pairs), survivor = lower id",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 0.3 is "near-dup" at this synthetic table's similarity scale
+    # (within-cluster cosines top out ~0.47); production would use ~0.95.
+    return embedding_near_dup_pairs(emb, threshold=0.3)
