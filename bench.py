@@ -50,13 +50,23 @@ def main() -> None:
     # Warm the JVM/parquet footer caches with one tiny action so the
     # first measured query doesn't pay session startup.
     reg["q_sort_limit"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the Python UDF daemon pool (first mapInPandas otherwise pays
+    # worker fork + import on every executor thread).
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
+    # Median of 3 runs per query: single local[32] runs swing 2-5x on
+    # JIT/GC noise, which would mis-attribute regressions.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = reg[name].builder(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -49,6 +49,23 @@ def _mh_expr(a: int, b: int, c: int, h: str = "h") -> str:
     )
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to the cluster's default parallelism before a
+    row-multiplying explode.
+
+    Catalyst sizes scans by input bytes, so a small file becomes one
+    partition — and an explode that fans rows out 100-1000x right after
+    it runs on a single core while the rest idle. At 100 TB the scan has
+    plenty of splits and this is a no-op; the round-robin shuffle moves
+    only the small pre-explode rows when it does fire.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """Keep exactly one row per key: the one with the smallest order_col.
 
@@ -70,7 +87,8 @@ def word_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+        ensure_parallelism(docs)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
         .distinct()
     )
 
@@ -148,16 +166,33 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate near-duplicate pairs (doc_a < doc_b) from LSH.
 
-    The join is per (band, bucket) — at 100 TB this is the whole point:
-    candidates come from bucket-local joins, never a cross join.
+    Pair generation is bucket-local — at 100 TB this is the whole
+    point: candidates come from within buckets, never a cross join.
+    A groupBy(band, bucket) + sorted collect_list + executor-side
+    combination explode computes the signatures ONCE (a self-join
+    would recompute the whole minhash subplan on both sides — Spark
+    does not dedupe identical subplans) and shuffles only the
+    (doc_id, band, bucket) triples. Bucket member lists are tiny by
+    LSH construction (a bucket only grows when docs truly collide),
+    so the per-bucket quadratic explode is bounded.
     """
     b = lsh_band_buckets(docs, text_col, n_hashes, band_size, k)
-    left = b.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    right = b.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    members = b.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        members.filter(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -169,7 +204,9 @@ def simhash(docs: DataFrame, text_col: str = "text", n_bits: int = 63) -> DataFr
     bit b set (ties -> 0). Single explode + one groupBy with n_bits
     conditional sums — no per-bit explosion.
     """
-    toks = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    toks = ensure_parallelism(docs).select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
     hashed = toks.select("doc_id", md5_long63("w").alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         *[
@@ -196,7 +233,7 @@ def ngram_jaccard_pairs(
     Scoped to a partition column so the pair join is block-local — the
     pattern for verifying LSH candidates without an all-pairs join.
     """
-    words = docs.select(
+    words = ensure_parallelism(docs).select(
         F.col("doc_id"), F.col(scope_col).alias("scope"), F.explode(F.split(text_col, " ")).alias("w")
     ).distinct()
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
