@@ -57,6 +57,7 @@ _MODULES = (
     "text",
     "stage_queries",
     "multimodal",
+    "udfs",
 )
 
 

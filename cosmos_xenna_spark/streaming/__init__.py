@@ -135,3 +135,32 @@ def to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "complete
         .queryName(name)
         .start()
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+    max_lag: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (SURVEY.md §2.B streaming).
+
+    Both sides are watermarked and the join condition carries an
+    event-time bound (right.ts in [left.ts, left.ts + max_lag]) so the
+    state store can evict rows once the watermark passes — unbounded
+    state is the stream-stream join failure mode at scale.
+    """
+    l = left.withWatermark("ts", left_watermark).select(
+        F.col(key).alias("k"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    r = right.withWatermark("ts", right_watermark).select(
+        F.col(key).alias("rk"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    return l.join(
+        r,
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}")),
+    ).select("k", "l_id", "r_id", "l_ts", "r_ts")

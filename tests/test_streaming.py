@@ -128,3 +128,26 @@ def test_stateful_count_matches_batch(spark, events_dir, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
+    from cosmos_xenna_spark.streaming import stream_stream_join
+
+    left = events_file_stream(spark, events_dir)
+    right = events_file_stream(spark, events_dir)
+    q = to_memory_sink(stream_stream_join(left, right), "t_ssj", "append")
+    _drain(q)
+    got = spark.sql("SELECT count(*) AS n FROM t_ssj").collect()[0].n
+
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.select(F.col("user_id").alias("k"), F.col("ts").alias("l_ts"))
+    r = ev.select(F.col("user_id").alias("rk"), F.col("ts").alias("r_ts"))
+    want = (
+        l.join(
+            r,
+            (F.col("k") == F.col("rk"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 minutes")),
+        ).count()
+    )
+    assert got == want
