@@ -94,3 +94,31 @@ def q_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set(F.substring("n_name", 1, 1))).alias("initials"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_udtf_sentences",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, trim(parts[i]) AS sentence
+    FROM (SELECT doc_id, string_split(text, '.') AS parts FROM documents),
+         UNNEST(range(1, len(parts) + 1)) AS t(i)
+    """,
+    description="Python UDTF (Spark 4): split documents into one row per "
+    "sentence — the table-function fan-out shape (reference A5)",
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate(text.split(".")):
+                yield i, s.strip()
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_udtf")
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(
+        "SELECT doc_id, s.sent_idx, s.sentence "
+        "FROM __docs_udtf, LATERAL split_sentences(text) AS s"
+    )

@@ -1,0 +1,73 @@
+"""Monitoring (A23) and artifact-distribution (A21) parity tests."""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+from pyspark import cloudpickle
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.artifacts import artifact_path, distribute_file
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.monitoring import attach_rate_monitor, query_metrics, summarize
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+def test_query_metrics_counts_rows(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count()
+    ms = query_metrics(li)
+    roll = summarize(ms)
+    # the scan produced the input rows; the agg produced one per flag
+    assert roll["output_rows"] > 0
+    nodes = [m.node for m in ms]
+    assert any("Scan" in n for n in nodes)
+    assert any("HashAggregate" in n for n in nodes)
+
+
+def test_streaming_rate_listener(spark, sf_dir, tmp_path):
+    import os
+    import shutil
+
+    from cosmos_xenna_spark.streaming import events_file_stream, to_memory_sink
+
+    events_dir = str(tmp_path / "ev")
+    os.makedirs(events_dir)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(events_dir, "e.parquet"))
+
+    listener = attach_rate_monitor(spark)
+    try:
+        stream = events_file_stream(spark, events_dir)
+        q = to_memory_sink(
+            stream.groupBy("event_type").count(), "t_rates", "complete"
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        spark.streams.resetTerminated()
+        # listener callbacks are delivered on a background thread
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline and not listener.rates:
+            time.sleep(0.2)
+        assert any(r.num_input_rows > 0 for r in listener.rates)
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_artifact_distribution_reaches_executors(spark, tmp_path):
+    art = tmp_path / "weights.txt"
+    art.write_text("W=42")
+    name = distribute_file(spark, str(art))
+
+    def fn(batches):
+        with open(artifact_path(name)) as f:
+            content = f.read()
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"], "w": [content] * len(pdf)})
+
+    df = spark.range(8).repartition(4).mapInPandas(fn, schema="id long, w string")
+    got = {r.w for r in df.collect()}
+    assert got == {"W=42"}
