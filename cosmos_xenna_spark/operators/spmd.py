@@ -48,15 +48,7 @@ def apply_spmd_stage(
     reference keeps rank-0 only, ``actor_pool.py:2081-2110``) simply
     yields nothing.
     """
-    spark = df.sparkSession
-    schema = (
-        output_schema
-        if isinstance(output_schema, StructType)
-        else StructType.fromDDL(output_schema)
-    )
-    in_schema = df.schema
-
-    def runner(iterator):
+    def runner(batches):
         from pyspark import BarrierTaskContext
 
         ctx = BarrierTaskContext.get()
@@ -67,15 +59,11 @@ def apply_spmd_stage(
             master_addr=infos[0].address.split(":")[0],
         )
         ctx.barrier()  # rendezvous: all ranks alive before user code
+        yield from fn(sctx, batches)
 
-        def to_pdf_iter():
-            rows = list(iterator)
-            if rows:
-                yield pd.DataFrame(rows, columns=in_schema.names)
-
-        for out in fn(sctx, to_pdf_iter()):
-            for row in out.itertuples(index=False):
-                yield tuple(row)
-
-    rdd = df.repartition(world_size).rdd.barrier().mapPartitions(runner)
-    return spark.createDataFrame(rdd, schema=schema)
+    # barrier-mode mapInPandas keeps the whole path on Arrow batches
+    # (no row-tuple conversion) while BarrierTaskContext supplies the
+    # rank/world/rendezvous the reference exposes via env vars.
+    return df.repartition(world_size).mapInPandas(
+        runner, schema=output_schema, barrier=True
+    )

@@ -201,11 +201,44 @@ def make_map_in_pandas_fn(stage_factory, run_id: str | None = None):
     return fn
 
 
+def stage_resource_profile(resources: Resources):
+    """Build the Spark ResourceProfile for a stage's worker shape.
+
+    This is the port of the reference's per-stage ``WorkerShape``
+    (reference ``resources.py:408-472``): task-level CPU count and
+    (possibly fractional) GPU amount, bound at the stage boundary via
+    stage-level scheduling instead of a custom bin-packer.
+    """
+    from pyspark.resource import ResourceProfileBuilder, TaskResourceRequests
+
+    treqs = TaskResourceRequests().cpus(max(1, int(resources.cpus)))
+    if resources.gpus > 0:
+        treqs = treqs.resource("gpu", resources.gpus)
+    return ResourceProfileBuilder().require(treqs).build
+
+
+def _profile_for(df: DataFrame, stage: Stage):
+    """ResourceProfile when the stage needs one and the cluster manager
+    supports it (Standalone/YARN/K8s); None on local[*] where Spark
+    rejects task-level profiles — the shape declaration still documents
+    intent and binds the moment the same code runs on a cluster."""
+    r = stage.resources
+    if r.gpus <= 0 and r.cpus <= 1:
+        return None
+    if df.sparkSession.sparkContext.master.startswith("local"):
+        return None
+    return stage_resource_profile(r)
+
+
 def apply_stage(df: DataFrame, stage_factory, output_schema) -> DataFrame:
     """Run one Stage over a DataFrame: the reference's A3 operator.
 
     ``output_schema`` is the declared result schema (DDL string or
     StructType) — the port is schema-first where the reference was
-    schema-free (SURVEY.md §1.3).
+    schema-free (SURVEY.md §1.3). GPU/multi-CPU stages get a
+    stage-level ResourceProfile on cluster deployments.
     """
-    return df.mapInPandas(make_map_in_pandas_fn(stage_factory), schema=output_schema)
+    profile = _profile_for(df, stage_factory())
+    return df.mapInPandas(
+        make_map_in_pandas_fn(stage_factory), schema=output_schema, profile=profile
+    )

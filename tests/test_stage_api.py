@@ -187,3 +187,29 @@ def test_resources_to_confs():
     confs = r.to_spark_confs()
     assert confs["spark.task.cpus"] == "2"
     assert confs["spark.task.resource.gpu.amount"] == "0.5"
+
+
+def test_stage_resource_profile_shape(spark):
+    from cosmos_xenna_spark.operators.stage import Resources, stage_resource_profile
+
+    rp = stage_resource_profile(Resources(cpus=2, gpus=0.5))
+    req = {k: v.amount for k, v in rp.taskResources.items()}
+    assert req["cpus"] == 2.0
+    assert req["gpu"] == 0.5
+
+
+def test_gpu_stage_runs_without_profile_on_local(spark):
+    """On local[*] the profile is skipped (Spark rejects task-level
+    profiles there) but the stage itself must still run."""
+    import pandas as pd
+
+    from cosmos_xenna_spark.operators.stage import Resources, Stage, apply_stage
+
+    class GpuStage(Stage):
+        resources = Resources(cpus=2, gpus=1.0)
+
+        def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf
+
+    out = apply_stage(spark.range(10), GpuStage, "id long")
+    assert out.count() == 10
