@@ -58,6 +58,7 @@ _MODULES = (
     "stage_queries",
     "multimodal",
     "udfs",
+    "skew",
 )
 
 
