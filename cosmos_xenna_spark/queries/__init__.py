@@ -59,6 +59,7 @@ _MODULES = (
     "multimodal",
     "udfs",
     "skew",
+    "subqueries",
 )
 
 
