@@ -164,3 +164,23 @@ def stream_stream_join(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}")),
     ).select("k", "l_id", "r_id", "l_ts", "r_ts")
+
+
+def session_counts(
+    stream_df: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked session windows: per-user sessions closed after
+    ``gap`` of inactivity (the streaming form of q_sessionization's
+    batch lag/cumsum shape). State for a session is dropped once the
+    watermark passes its end — bounded state at any scale."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -151,3 +151,38 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
         ).count()
     )
     assert got == want
+
+
+def test_session_windows_match_batch_sessionization(spark, sf_dir, events_dir):
+    """Streaming session_window sessions == batch lag/cumsum sessions
+    (same gap): identical (user, n_events) multiset and session count."""
+    from cosmos_xenna_spark.streaming import session_counts
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(session_counts(stream, gap="10 minutes"), "t_sessions", "complete")
+    _drain(q)
+    got = sorted(
+        (r.user_id, r.n_events)
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = 600
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap_s)
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .count()
+    )
+    want = sorted((r.user_id, r["count"]) for r in sess.collect())
+    assert got == want
