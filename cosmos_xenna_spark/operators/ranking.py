@@ -1,0 +1,73 @@
+"""Distributed global ranking.
+
+A global window (``Window.orderBy`` with no partitionBy) makes Spark
+move ALL rows to one partition (WindowExec warns loudly) — fine for a
+500-row distribution query, fatal at 100 TB. The scalable form:
+
+1. bucket rows by driver-held quantile cuts of the leading sort key —
+   the cuts are computed ONCE and baked into the plan as literals, so
+   every job that evaluates the bucket expression agrees row-for-row
+   (``repartitionByRange`` would NOT give this: its range sampler runs
+   independently per job, so a counts job and the ranking job can
+   disagree on boundaries — observed, not hypothetical);
+2. per-bucket counts → cumulative offsets (driver holds only
+   n_buckets integers — cluster-sized, not data-sized);
+3. ``row_number`` within each bucket (parallel, hash-shuffled by
+   bucket) + the bucket's offset = the exact global row number.
+
+Requires a total order (include a unique tiebreak column) — the same
+requirement any deterministic global ranking has. Ties on the leading
+key all land in one bucket, preserving the global order across
+buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket_expr(key: str, cuts: list[float]):
+    """0-based bucket id: index of the first cut >= key (deterministic,
+    driver-literal boundaries)."""
+    col = F.col(key).cast("double")
+    expr = F.lit(len(cuts))  # above every cut -> last bucket
+    for i in range(len(cuts) - 1, -1, -1):
+        expr = F.when(col <= F.lit(cuts[i]), F.lit(i)).otherwise(expr)
+    return expr
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Exact global row_number over a total order, never single-partition.
+
+    Equivalent to ``row_number() OVER (ORDER BY order_cols)`` with the
+    window's all-to-one-partition collapse replaced by quantile
+    bucketing + offset arithmetic. ``order_cols[0]`` must be numeric
+    (the bucketing key); the full column list defines the total order.
+    """
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    key = order_cols[0]
+    probs = [i / n for i in range(1, n)]
+    cuts = sorted(set(df.approxQuantile(key, probs, 0.001))) if probs else []
+    bucket = _bucket_expr(key, cuts) if cuts else F.lit(0)
+
+    bucketed = df.withColumn("__b", bucket)
+    counts = {
+        r["__b"]: r["cnt"]
+        for r in bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_col = F.element_at(
+        F.create_map(*[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]),
+        F.col("__b"),
+    )
+    w = Window.partitionBy("__b").orderBy(*[F.asc(c) for c in order_cols])
+    return bucketed.withColumn(out_col, F.row_number().over(w) + offset_col).drop("__b")

@@ -260,3 +260,21 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("session_value"),
         )
     )
+
+
+@register(
+    "q_global_rank_distributed",
+    oracle="""
+    SELECT c_custkey,
+           row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+    FROM customer
+    """,
+    description="exact global row_number via range-partition + offset "
+    "arithmetic — the scale-safe form of a global window (no "
+    "all-rows-to-one-partition collapse)",
+)
+def q_global_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.ranking import global_row_number
+
+    cust = load_table(spark, sf_dir, "customer")
+    return global_row_number(cust, ["c_acctbal", "c_custkey"]).select("c_custkey", "rn")

@@ -101,3 +101,11 @@ def test_shuffle_counts_are_bounded(spark, sf_dir):
         df = REGISTRY[name].builder(spark, sf_dir)
         n = count_shuffles(df)
         assert n <= cap, f"{name}: {n} exchanges (cap {cap})"
+
+
+def test_global_rank_never_single_partition(spark, sf_dir):
+    df = REGISTRY["q_global_rank_distributed"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, (
+        "global ranking must range-partition, not collapse to one partition"
+    )
