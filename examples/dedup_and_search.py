@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""LLM training-data curation in one script: fuzzy dedup, quality
+filtering, and embedding similarity search over the documents table.
+
+Each step is one of the engine's first-class operators (COVERAGE.md
+§2.B rows); the composition here is the 100 TB curation shape — every
+join is bucket-/cluster-local, nothing touches the driver except tiny
+summaries.
+
+Run:  python examples/dedup_and_search.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.clustering import kmeans_fit_assign
+from cosmos_xenna_spark.operators.dedup import exact_dedup, minhash_candidate_pairs
+from cosmos_xenna_spark.operators.similarity import ivf_topk
+from cosmos_xenna_spark.operators.text import n_tokens_col
+from cosmos_xenna_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="dedup_and_search_example")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. exact dedup on content (keep lowest doc_id per text)
+    docs = exact_dedup(docs, key_cols=["text"], order_col="doc_id")
+    n1 = docs.count()
+
+    # 2. fuzzy dedup: drop the higher id of every LSH candidate pair
+    pairs = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
+    dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    docs = docs.join(dupes, "doc_id", "left_anti")
+    n2 = docs.count()
+
+    # 3. quality gate: drop too-short docs
+    docs = (
+        docs.withColumn("n_words", n_tokens_col())
+        .filter(F.col("n_words") >= 20)
+        .select("doc_id", "text")
+    )
+    n3 = docs.count()
+
+    # 4. similarity search over embeddings of the survivors
+    emb = load_table(spark, sf_dir, "embeddings").join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    clustered, _ = kmeans_fit_assign(emb, k=8)
+    queries = clustered.filter(F.col("vec_id") < 5)
+    nn = ivf_topk(clustered, queries, k=3, n_probe=2, cluster_col="cluster")
+
+    print(f"documents: {n0} -> exact {n1} -> fuzzy {n2} -> quality {n3}")
+    print("sample neighbors:")
+    for r in nn.orderBy("query_id", "rank").limit(9).collect():
+        print(f"  q{r.query_id} #{r.rank}: vec {r.neighbor_id} (sim {r.sim:.4f})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
