@@ -325,3 +325,32 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values(m), F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("vals_sum"),
     )
+
+
+@register(
+    "q_predicates_json_extra",
+    oracle="""
+    SELECT event_id,
+           regexp_matches(event_type, '^(cl|pu)') AS rlike_flag,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           (nullif(CAST(json_extract_string(props, '$.k') AS INT), 3)
+              IS NOT DISTINCT FROM 5) AS ns_eq5,
+           (nullif(1, 1) IS NOT DISTINCT FROM CAST(NULL AS INT)) AS ns_null,
+           to_json(struct_pack(k := COALESCE(CAST(json_extract_string(props, '$.k') AS INT), 0)))
+             AS js
+    FROM events
+    """,
+    description="RLIKE, null-safe <=> (incl. NULL<=>NULL), typed from_json "
+    "struct parse, to_json round-trip",
+)
+def q_predicates_json_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return ev.select(
+        "event_id",
+        F.col("event_type").rlike("^(cl|pu)").alias("rlike_flag"),
+        k.alias("k"),
+        F.nullif(k, F.lit(3)).eqNullSafe(F.lit(5)).alias("ns_eq5"),
+        F.nullif(F.lit(1), F.lit(1)).eqNullSafe(F.lit(None).cast("int")).alias("ns_null"),
+        F.to_json(F.struct(F.coalesce(k, F.lit(0)).alias("k"))).alias("js"),
+    )
