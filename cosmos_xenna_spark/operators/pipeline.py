@@ -71,14 +71,53 @@ class PipelineSpec:
             s.validate()
 
 
-def run_pipeline(input_df: DataFrame, spec: PipelineSpec) -> DataFrame:
+def run_pipeline(input_df: DataFrame, spec: PipelineSpec, fuse: bool = True) -> DataFrame:
     """Compose the stage chain over a DataFrame (lazy — the caller picks
     the action/sink, matching ``return_last_stage_outputs`` semantics:
-    write it, collect it, or feed it onward)."""
+    write it, collect it, or feed it onward).
+
+    ``fuse=True`` (default) merges ADJACENT stages with identical
+    resource shapes into one ``mapInPandas`` call: the stage UDF bodies
+    are iterator->iterator functions, so they compose Python-side, and
+    every fused boundary saves a full Arrow JVM<->Python round trip
+    (serialize + IPC + deserialize per batch — the dominant cost of a
+    chained Python pipeline). Stages with different resources stay
+    separate so each keeps its own ResourceProfile.
+    """
     spec.validate()
-    df = input_df
+    if not fuse:
+        df = input_df
+        for s in spec.stages:
+            df = apply_stage(df, s.stage_factory, s.output_schema)
+        return df
+
+    from cosmos_xenna_spark.operators.stage import (
+        _profile_for,
+        make_map_in_pandas_fn,
+    )
+
+    groups: list[list[StageSpec]] = []
     for s in spec.stages:
-        df = apply_stage(df, s.stage_factory, s.output_schema)
+        shape = s.stage_factory().resources
+        if groups and groups[-1][0].stage_factory().resources == shape:
+            groups[-1].append(s)
+        else:
+            groups.append([s])
+
+    df = input_df
+    for group in groups:
+        fns = [make_map_in_pandas_fn(s.stage_factory) for s in group]
+
+        def fused(batches, _fns=fns):
+            stream = batches
+            for fn in _fns:
+                stream = fn(stream)
+            yield from stream
+
+        profile = _profile_for(df, group[0].stage_factory())
+        df = df.mapInPandas(
+            fused, schema=group[-1].output_schema, profile=profile
+        )
     return df
 
 

@@ -213,3 +213,44 @@ def test_gpu_stage_runs_without_profile_on_local(spark):
 
     out = apply_stage(spark.range(10), GpuStage, "id long")
     assert out.count() == 10
+
+
+def test_fused_pipeline_single_python_boundary(spark):
+    """Adjacent same-shape stages fuse into ONE mapInPandas (one Arrow
+    round trip); different shapes keep separate boundaries."""
+    import pandas as pd
+
+    from cosmos_xenna_spark.operators.pipeline import PipelineSpec, StageSpec, run_pipeline
+    from cosmos_xenna_spark.operators.stage import Resources, Stage
+
+    class AddOne(Stage):
+        def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf.assign(x=pdf["x"] + 1)
+
+    class Double(Stage):
+        def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf.assign(x=pdf["x"] * 2)
+
+    class GpuShape(Stage):
+        resources = Resources(cpus=1, gpus=1.0)
+
+        def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf.assign(x=pdf["x"] - 3)
+
+    src = spark.range(100).selectExpr("id AS x")
+    spec = PipelineSpec(
+        stages=[
+            StageSpec(AddOne, "x long", name="a"),
+            StageSpec(Double, "x long", name="b"),
+            StageSpec(GpuShape, "x long", name="c"),
+        ]
+    )
+    fused = run_pipeline(src, spec)
+    # semantics: ((x+1)*2)-3
+    got = sorted(r.x for r in fused.collect())
+    assert got == sorted(((x + 1) * 2) - 3 for x in range(100))
+    # plan: 2 python boundaries (a+b fused; c separate), not 3
+    from cosmos_xenna_spark.plans import plan_nodes
+
+    nodes = plan_nodes(fused)
+    assert nodes.count("MapInPandas") == 2, nodes
