@@ -186,3 +186,60 @@ def test_session_windows_match_batch_sessionization(spark, sf_dir, events_dir):
     )
     want = sorted((r.user_id, r["count"]) for r in sess.collect())
     assert got == want
+
+
+def test_serving_queue_source_round_trip(spark):
+    """Reference SERVING mode end-to-end: client pushes rows into a
+    queue, the stream runs a Stage over them, results land in an output
+    collector, and a None push raises the termination flag."""
+    import time as _time
+
+    from cosmos_xenna_spark.streaming.serving_source import (
+        QueueServingDataSource,
+        ServingQueueServer,
+    )
+
+    server = ServingQueueServer()
+    try:
+        q = server.queue("req")
+        for i in range(10):
+            q.put((i, f"msg-{i}"))
+
+        spark.dataSource.register(QueueServingDataSource)
+        stream = (
+            spark.readStream.format("cxs_serving")
+            .schema("id long, payload string")
+            .options(**server.options("req"))
+            .load()
+        ).selectExpr("id", "upper(payload) AS payload")
+
+        handle = to_memory_sink(stream, "t_serving", "append")
+        try:
+            handle.processAllAvailable()
+            got = {
+                (r.id, r.payload)
+                for r in spark.sql("SELECT * FROM t_serving").collect()
+            }
+            assert got == {(i, f"MSG-{i}") for i in range(10)}
+
+            # second wave: push-based incremental delivery
+            for i in range(10, 15):
+                q.put((i, f"msg-{i}"))
+            handle.processAllAvailable()
+            n = spark.sql("SELECT count(*) AS n FROM t_serving").collect()[0].n
+            assert n == 15
+
+            # reference 'None' sentinel -> termination flag
+            q.put(None)
+            handle.processAllAvailable()
+            deadline = _time.time() + 10
+            while _time.time() < deadline and not server.sentinel_seen("req"):
+                handle.processAllAvailable()
+                _time.sleep(0.2)
+            assert server.sentinel_seen("req")
+        finally:
+            handle.stop()
+            handle.awaitTermination(30)
+            spark.streams.resetTerminated()
+    finally:
+        server.shutdown()
