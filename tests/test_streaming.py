@@ -243,3 +243,73 @@ def test_serving_queue_source_round_trip(spark):
             spark.streams.resetTerminated()
     finally:
         server.shutdown()
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Kill a streaming dedup query mid-input, restart from the same
+    checkpoint with more input: every event_id appears exactly once in
+    the file sink (state recovery + exactly-once file commit)."""
+    import os
+    import shutil
+
+    from cosmos_xenna_spark.streaming import events_file_stream, streaming_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    ev = load_table(spark, sf_dir, "events").limit(2000).cache()
+    # two overlapping waves: second re-delivers half of the first
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(tmp_path / "w1")
+    )
+    shutil.copy(
+        next(
+            str(tmp_path / "w1" / f)
+            for f in os.listdir(tmp_path / "w1")
+            if f.endswith(".parquet")
+        ),
+        os.path.join(in_dir, "wave1.parquet"),
+    )
+
+    def start():
+        # waves are re-written parquet with ts already converted to
+        # timestamp -> read with the converted schema (EVENTS_DDL), not
+        # the raw-nanos schema events_file_stream expects
+        from cosmos_xenna_spark.streaming import EVENTS_DDL
+
+        src = spark.readStream.schema(EVENTS_DDL).parquet(in_dir)
+        stream = streaming_dedup(src, watermark="1 day")
+        return (
+            stream.selectExpr("event_id", "user_id")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination(30)
+
+    # wave 2: ALL events (duplicates of wave 1 + new odd ids)
+    ev.write.mode("overwrite").parquet(str(tmp_path / "w2"))
+    for i, f in enumerate(os.listdir(tmp_path / "w2")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(tmp_path / "w2", f), os.path.join(in_dir, f"wave2_{i}.parquet"))
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(30)
+    spark.streams.resetTerminated()
+
+    got = spark.read.parquet(out_dir)
+    n_total = got.count()
+    n_distinct = got.select("event_id").distinct().count()
+    assert n_total == n_distinct, "restart must not re-emit deduped events"
+    assert n_distinct == ev.select("event_id").distinct().count()
+    ev.unpersist()
