@@ -40,7 +40,9 @@ no driver-side materialization anywhere (the 100 TB rule).
 from __future__ import annotations
 
 import atexit
+import inspect
 import os
+import socket
 import tempfile
 import threading
 import time
@@ -51,6 +53,28 @@ from dataclasses import dataclass, field
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (re-exported convenience)
+
+
+@dataclass(frozen=True)
+class WorkerMetadata:
+    """What the reference hands to ``setup(worker_metadata)``
+    (reference ``specs.py:247-268``, allocation info from the
+    scheduler): a stable worker id, the node it runs on, and the GPUs
+    visible to this process."""
+
+    worker_id: str
+    node: str
+    gpu_ids: tuple[str, ...]
+
+
+def _current_worker_metadata() -> WorkerMetadata:
+    cuda = os.environ.get("CUDA_VISIBLE_DEVICES", "")
+    gpus = tuple(g for g in cuda.split(",") if g) if cuda else ()
+    return WorkerMetadata(
+        worker_id=f"{socket.gethostname()}:{os.getpid()}",
+        node=socket.gethostname(),
+        gpu_ids=gpus,
+    )
 
 
 @dataclass(frozen=True)
@@ -98,6 +122,10 @@ class Stage:
         pass
 
     def setup(self) -> None:  # pragma: no cover - default no-op
+        """Override with either ``setup(self)`` or
+        ``setup(self, worker_metadata: WorkerMetadata)`` — the engine
+        passes metadata when the signature asks for it (reference
+        ``setup(worker_metadata)`` form)."""
         pass
 
     def process_data(self, batch: pd.DataFrame) -> pd.DataFrame | None:
@@ -142,7 +170,10 @@ def _get_stage_instance(stage_factory, run_id: str) -> Stage:
         if inst is None:
             inst = stage_factory()
             _node_setup_once(inst, run_id)
-            inst.setup()
+            if len(inspect.signature(inst.setup).parameters) >= 1:
+                inst.setup(_current_worker_metadata())
+            else:
+                inst.setup()
             _PROCESS_CACHE[run_id] = inst
             atexit.register(inst.destroy)
     return inst

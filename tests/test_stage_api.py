@@ -254,3 +254,25 @@ def test_fused_pipeline_single_python_boundary(spark):
 
     nodes = plan_nodes(fused)
     assert nodes.count("MapInPandas") == 2, nodes
+
+
+def test_setup_receives_worker_metadata(spark):
+    """Reference setup(worker_metadata) form: the engine passes worker
+    id / node / gpu ids when the signature asks for it."""
+    import pandas as pd
+
+    from cosmos_xenna_spark.operators.stage import Stage, WorkerMetadata, apply_stage
+
+    class MetaStage(Stage):
+        def setup(self, worker_metadata: WorkerMetadata) -> None:
+            assert worker_metadata.node
+            assert ":" in worker_metadata.worker_id
+            self.wid = worker_metadata.worker_id
+
+        def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf.assign(wid=self.wid)
+
+    out = apply_stage(spark.range(8), MetaStage, "id long, wid string")
+    rows = out.collect()
+    assert len(rows) == 8
+    assert all(r.wid for r in rows)
