@@ -35,7 +35,7 @@ def kmeans_fit_assign(
     boundary (everything else in the engine stays on plain arrays).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     with_vec = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
     model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="__features").fit(with_vec)

@@ -12,7 +12,7 @@ a single shuffle on (user, time), no per-row probing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table

@@ -117,3 +117,24 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).groupBy("l_orderkey", "l_returnflag").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    SELECT c_custkey AS entity_key, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_key, 'supplier' AS kind FROM supplier
+    """,
+    description="unionByName across differently-ordered projections "
+    "(column alignment by name, not position)",
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS entity_key", "'customer' AS kind"
+    )
+    # deliberately reversed column order: unionByName must align by name
+    supp = load_table(spark, sf_dir, "supplier").selectExpr(
+        "'supplier' AS kind", "s_suppkey AS entity_key"
+    )
+    return cust.unionByName(supp)

@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import random
 
-import pytest
-from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.operators.dedup import (
     minhash_candidate_pairs,

@@ -6,7 +6,6 @@ import sys
 
 import pandas as pd
 from pyspark import cloudpickle
-from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.artifacts import artifact_path, distribute_file
 from cosmos_xenna_spark.catalog import load_table

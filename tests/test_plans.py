@@ -6,8 +6,6 @@ plan, then pin it.)"""
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.plans import (
@@ -109,3 +107,13 @@ def test_global_rank_never_single_partition(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, (
         "global ranking must range-partition, not collapse to one partition"
     )
+
+
+def test_sort_within_partitions_no_exchange(spark, sf_dir):
+    """sortWithinPartitions must produce a local Sort with NO shuffle
+    (the write-side ordering primitive for clustered parquet)."""
+    li = load_table(spark, sf_dir, "lineitem").sortWithinPartitions("l_orderkey")
+    from cosmos_xenna_spark.plans import count_shuffles, plan_nodes
+
+    assert "Sort" in plan_nodes(li)
+    assert count_shuffles(li) == 0
