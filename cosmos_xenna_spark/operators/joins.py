@@ -66,12 +66,16 @@ def asof_join(
     right_time: str,
     right_tiebreak: str,
     value_cols: Sequence[str],
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join.
 
     For every left row, attach the right row of the same ``on`` key with
     the greatest (right_time, right_tiebreak) such that
     right_time <= left_time; nulls if none (left-join semantics).
+    ``tolerance`` (an INTERVAL string, e.g. ``"30 minutes"``) bounds the
+    lookback: a match older than left_time - tolerance is nulled out —
+    pandas ``merge_asof(tolerance=...)`` semantics.
 
     Single shuffle: both sides union into one relation sorted by
     (key, time, side, tiebreak); right rows sort before left rows at
@@ -85,6 +89,7 @@ def asof_join(
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(dict(right.dtypes)[right_time]).alias("__rt"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in vcols],
     )
@@ -93,6 +98,7 @@ def asof_join(
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.col(right_tiebreak).cast("long").alias("__tb"),
+        F.col(right_time).alias("__rt"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         *[F.col(c) for c in vcols],
     )
@@ -102,11 +108,17 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    fill_cols = vcols + ["__rt"]
     filled = unioned.select(
-        "*", *[F.last(F.col(c), ignorenulls=True).over(w).alias(f"__v_{c}") for c in vcols]
+        "*",
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(f"__v_{c}") for c in fill_cols],
     )
-    out = filled.filter(F.col("__is_left") == 1).select(
-        *[F.col(c) for c in lcols],
-        *[F.col(f"__v_{c}").alias(c) for c in vcols],
-    )
-    return out
+    rows = filled.filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        within = F.col("__v___rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        value_exprs = [
+            F.when(within, F.col(f"__v_{c}")).alias(c) for c in vcols
+        ]
+    else:
+        value_exprs = [F.col(f"__v_{c}").alias(c) for c in vcols]
+    return rows.select(*[F.col(c) for c in lcols], *value_exprs)

@@ -285,3 +285,55 @@ def q_broadcast_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "q_asof_join_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS c_id, user_id, ts AS c_ts, value AS c_value FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p_id, user_id, c_id AS last_click_id, c_value AS last_click_value
+    FROM (
+      SELECT p.p_id, p.user_id, c.c_id, c.c_value,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+      FROM purchases p LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+           AND c.c_ts >= p.p_ts - INTERVAL '30 minutes'
+    ) WHERE rn = 1
+    """,
+    description="as-of join with a 30-minute lookback tolerance "
+    "(pandas merge_asof tolerance semantics): stale matches null out",
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    return asof_join(
+        left=purchases,
+        right=clicks,
+        on="user_id",
+        left_time="p_ts",
+        right_time="c_ts",
+        right_tiebreak="c_id",
+        value_cols=("c_id", "c_value"),
+        tolerance="30 minutes",
+    ).select(
+        "p_id",
+        "user_id",
+        F.col("c_id").alias("last_click_id"),
+        F.col("c_value").alias("last_click_value"),
+    )
