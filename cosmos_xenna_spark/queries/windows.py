@@ -278,3 +278,44 @@ def q_global_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return global_row_number(cust, ["c_acctbal", "c_custkey"]).select("c_custkey", "rn")
+
+
+@register(
+    "q_distribution_distributed",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank
+    FROM customer
+    """,
+    description="scale-safe ntile/percent_rank: computed arithmetically "
+    "from the distributed global row number (no single-partition window)",
+)
+def q_distribution_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.ranking import global_row_number
+
+    cust = load_table(spark, sf_dir, "customer")
+    ranked = global_row_number(cust, ["c_acctbal", "c_custkey"])
+    n_df = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    k = 4
+    rn, n = F.col("rn"), F.col("__n")
+    # SQL ntile: the first (n % k) buckets take ceil(n/k) rows, the rest
+    # take floor(n/k) — reproduced arithmetically from the global rank
+    size_small = (n / k).cast("long")
+    n_big = n % k
+    size_big = size_small + 1
+    big_span = n_big * size_big
+    quartile = (
+        F.when(rn <= big_span, ((rn - 1) / size_big).cast("long") + 1)
+        .otherwise(n_big + ((rn - big_span - 1) / size_small).cast("long") + 1)
+        .cast("int")
+    )
+    pct = ((rn - 1).cast("double") / (n - 1).cast("double"))
+    return (
+        ranked.crossJoin(F.broadcast(n_df))
+        .select(
+            "c_custkey",
+            quartile.alias("quartile"),
+            pct.alias("pct_rank"),
+        )
+    )
