@@ -95,3 +95,25 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> Data
     return sh.select("doc_id", md5_long63("sh").alias("h")).groupBy("doc_id").agg(
         F.min("h").alias("fingerprint"), F.count(F.lit(1)).alias("n_shingles")
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (80, 10, 10),
+    salt: str = "split:",
+) -> DataFrame:
+    """Assign train/val/test splits by portable hash — the dataset-
+    curation staple. Hash-based (not rand()) so the assignment is
+    stable across runs, engines, partitionings, and retries; changing
+    ``salt`` re-rolls every assignment at once. Adds a ``split``
+    column; no shuffle (a row-local expression).
+    """
+    train, val, _ = weights
+    bucket = F.pmod(md5_long63(F.col(id_col).cast("string"), prefix=salt), F.lit(100))
+    return df.withColumn(
+        "split",
+        F.when(bucket < train, "train")
+        .when(bucket < train + val, "val")
+        .otherwise("test"),
+    )

@@ -19,6 +19,7 @@ from cosmos_xenna_spark.operators.text import (
     punct_count_col,
     stopword_count_col,
 )
+from cosmos_xenna_spark.functions import md5_long63_sql
 from cosmos_xenna_spark.queries import register
 
 _SW = ",".join(f"'{w}'" for w in STOPWORDS)
@@ -148,3 +149,26 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return doc_fingerprint(docs, "text", k=4)
+
+
+@register(
+    "q_train_val_test_split",
+    oracle=f"""
+    SELECT split, lang, COUNT(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN {md5_long63_sql("CAST(doc_id AS VARCHAR)", "split:")} % 100 < 80 THEN 'train'
+                  WHEN {md5_long63_sql("CAST(doc_id AS VARCHAR)", "split:")} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split, lang
+    """,
+    description="deterministic 80/10/10 train/val/test split by portable "
+    "hash (stable across runs/engines/partitionings; no rand())",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.text import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_split(docs).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
