@@ -145,7 +145,11 @@ def attach_fake_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             imgs = [fake_image(i % 16 + 4, i % 8 + 4, seed=i) for i in ids]
             yield pd.DataFrame({"id": ids, "image": imgs})
 
-    return df.mapInPandas(fn, schema="id long, image binary")
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+    # payload synthesis multiplies bytes ~100x: spread a small id scan
+    # across cores first (no-op when the scan already has splits)
+    return ensure_parallelism(df).mapInPandas(fn, schema="id long, image binary")
 
 
 def attach_fake_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -161,4 +165,6 @@ def attach_fake_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield pd.DataFrame({"id": ids, "frames": frames})
 
-    return df.mapInPandas(fn, schema="id long, frames array<binary>")
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(fn, schema="id long, frames array<binary>")
