@@ -86,10 +86,11 @@ def word_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
             f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        ensure_parallelism(docs)
-        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
-        .distinct()
+    # array_distinct dedupes within the doc BEFORE exploding, so
+    # (doc_id, sh) is already unique — a cross-row .distinct() here
+    # would add a full shuffle of every shingle string for nothing.
+    return ensure_parallelism(docs).select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
     )
 
 
