@@ -198,6 +198,68 @@ def minhash_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters from candidate pairs: (doc_id, cluster_id).
+
+    ``cluster_id`` is the minimum doc_id in each connected component of
+    the near-duplicate graph — the canonical "keep one per cluster" step
+    after LSH pair generation (keep rows where doc_id == cluster_id).
+
+    Algorithm: iterative min-label propagation with pointer jumping.
+    Each round a node takes the min of its own label, its neighbors'
+    labels, AND its current label's label (path halving) — so
+    convergence is O(log(diameter)) rounds, not O(diameter); LSH dup
+    components are near-cliques, so 2-3 rounds in practice. Each round
+    is two shuffle joins on ids — no collect, no driver-side graph.
+    Intermediate label tables are persisted and rotated so each round's
+    lineage is one join deep (without this, iteration k would replay
+    all k-1 prior joins).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.dst == labels.id).select(
+            F.col("src").alias("id"), F.col("label")
+        )
+        lab2 = labels.select(F.col("id").alias("l_id"), F.col("label").alias("l_label"))
+        jump = labels.join(lab2, labels.label == lab2.l_id, "left").select(
+            "id", F.coalesce("l_label", "label").alias("label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .unionByName(jump)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(docs: DataFrame, text_col: str = "text", n_bits: int = 63) -> DataFrame:
     """63-bit SimHash over the word multiset: (doc_id, simhash).
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     lsh_band_buckets,
     minhash_candidate_pairs,
@@ -121,6 +122,35 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_BUCKETS_SQL}) a JOIN ({_BUCKETS_SQL}) b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    description="transitive duplicate clusters from LSH candidate pairs "
+    "via iterative min-label propagation (oracle: recursive-CTE "
+    "transitive closure); keep doc_id == cluster_id for one-per-cluster",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
+    return connected_components(pairs)
 
 
 def _simhash_sql(n_bits: int = 63) -> str:

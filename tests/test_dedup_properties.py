@@ -80,3 +80,36 @@ def test_simhash_near_duplicates_have_small_hamming(spark):
         f"simhash does not separate near-dups: near={sum(near)/len(near)}, "
         f"far={sum(far)/len(far)}"
     )
+
+
+def test_connected_components_chain_and_clique(spark):
+    from cosmos_xenna_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, exercises pointer jumping), clique
+    # 10-11-12, isolated pair (20, 21); nodes not in any pair are absent.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, max_iter=10).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    from cosmos_xenna_spark.operators.dedup import connected_components
+
+    # 40-node path: min-propagation alone needs ~40 rounds; pointer
+    # jumping must converge within the 25-iteration default cap.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 41
+    assert {r.cluster_id for r in rows} == {0}
