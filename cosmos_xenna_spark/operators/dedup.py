@@ -110,7 +110,9 @@ def minhash_signatures(
     afterwards, when there is only one row per doc.
     """
     mins = minhash_wide(docs, text_col, n_hashes, k)
-    stack = ", ".join(f"{s}, mh{s}" for s in range(n_hashes))
+    # `{s}L`: bigint literal — keeps seed int64 on both engines (the
+    # oracle comparator hashes dtypes; avoid int32 anywhere).
+    stack = ", ".join(f"{s}L, mh{s}" for s in range(n_hashes))
     return mins.selectExpr(
         "doc_id", f"stack({n_hashes}, {stack}) AS (seed, minhash)"
     )
@@ -152,7 +154,7 @@ def lsh_band_buckets(
         cols = ", ".join(
             f"CAST(mh{s} AS STRING)" for s in range(b * band_size, (b + 1) * band_size)
         )
-        band_exprs.append(f"{b}, md5(concat_ws(',', {cols}))")
+        band_exprs.append(f"{b}L, md5(concat_ws(',', {cols}))")
     return mins.selectExpr(
         "doc_id", f"stack({n_bands}, {', '.join(band_exprs)}) AS (band, bucket)"
     )
@@ -216,20 +218,23 @@ def connected_components(
     convergence is O(log(diameter)) rounds, not O(diameter); LSH dup
     components are near-cliques, so 2-3 rounds in practice. Each round
     is two shuffle joins on ids — no collect, no driver-side graph.
-    Intermediate label tables are persisted and rotated so each round's
-    lineage is one join deep (without this, iteration k would replay
-    all k-1 prior joins).
+    Each round's label table is ``localCheckpoint``-ed: persist alone
+    caches the DATA but the logical plan still deepens every iteration
+    (join-of-join-of-...), so Catalyst analysis time and driver stack
+    grow until a deep graph (long chains) blows up; checkpointing
+    truncates the lineage so round k plans against a leaf, not k-1
+    replayed joins.
     """
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.dst == labels.id).select(
@@ -244,7 +249,7 @@ def connected_components(
             .unionByName(jump)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "id")
@@ -252,11 +257,9 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -23,6 +23,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -54,7 +55,7 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, bytes]:
 
 
 IMAGE_META_SCHEMA = (
-    "id long, width int, height int, n_bytes long, content_sha256 string"
+    "id long, width long, height long, n_bytes long, content_sha256 string"
 )
 
 
@@ -98,14 +99,15 @@ def resize_images(
             out_ids, out_imgs = [], []
             for i, payload in zip(pdf[id_col], pdf[image_col]):
                 w, h, pixels = decode_image_stub(bytes(payload))
-                resized = bytearray()
-                for y in range(target_h):
-                    sy = min(int(y * h / target_h), h - 1)
-                    for x in range(target_w):
-                        sx = min(int(x * w / target_w), w - 1)
-                        resized.append(pixels[sy * w + sx])
+                # numpy fancy-indexing: one gather per image, no Python
+                # pixel loop (per-pixel loops are catastrophic on real
+                # frames even inside mapInPandas).
+                grid = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+                sy = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+                sx = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+                resized = grid[sy][:, sx].tobytes()
                 out_ids.append(i)
-                out_imgs.append(_MAGIC + struct.pack("<II", target_w, target_h) + bytes(resized))
+                out_imgs.append(_MAGIC + struct.pack("<II", target_w, target_h) + resized)
             yield pd.DataFrame({"id": out_ids, "image": out_imgs})
 
     return df.mapInPandas(fn, schema="id long, image binary")
@@ -131,7 +133,7 @@ def sample_video_frames(
                         frames.append(bytes(frame))
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
-    return df.mapInPandas(fn, schema="id long, frame_idx int, frame binary")
+    return df.mapInPandas(fn, schema="id long, frame_idx long, frame binary")
 
 def attach_fake_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Test/demo ingestion: derive a deterministic fake image per row —

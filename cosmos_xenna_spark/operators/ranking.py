@@ -29,12 +29,15 @@ from pyspark.sql import functions as F
 
 def _bucket_expr(key: str, cuts: list[float]):
     """0-based bucket id: index of the first cut >= key (deterministic,
-    driver-literal boundaries)."""
+    driver-literal boundaries). NULL keys route to bucket -1, which
+    sorts before every data bucket — matching the nulls-first default
+    of ``row_number() OVER (ORDER BY key)`` (approxQuantile ignores
+    nulls, so the cuts say nothing about them)."""
     col = F.col(key).cast("double")
     expr = F.lit(len(cuts))  # above every cut -> last bucket
     for i in range(len(cuts) - 1, -1, -1):
         expr = F.when(col <= F.lit(cuts[i]), F.lit(i)).otherwise(expr)
-    return expr
+    return F.when(F.col(key).isNull(), F.lit(-1)).otherwise(expr)
 
 
 def global_row_number(
@@ -62,12 +65,22 @@ def global_row_number(
         for r in bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     offsets, acc = {}, 0
-    for b in sorted(counts):
+    for b in sorted(counts):  # bucket -1 (nulls) first -> offset 0
         offsets[b] = acc
         acc += counts[b]
+    # Offsets as bigint literals: int32 row numbers overflow past 2^31
+    # rows, which a global rank at scale will exceed.
     offset_col = F.element_at(
-        F.create_map(*[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]),
+        F.create_map(
+            *[
+                c
+                for b in sorted(offsets)
+                for c in (F.lit(b), F.lit(offsets[b]).cast("bigint"))
+            ]
+        ),
         F.col("__b"),
     )
     w = Window.partitionBy("__b").orderBy(*[F.asc(c) for c in order_cols])
-    return bucketed.withColumn(out_col, F.row_number().over(w) + offset_col).drop("__b")
+    return bucketed.withColumn(
+        out_col, F.row_number().over(w).cast("bigint") + offset_col
+    ).drop("__b")

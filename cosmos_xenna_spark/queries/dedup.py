@@ -41,17 +41,17 @@ _MINHASH_SQL = f"""
              CAST(CONCAT('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
       FROM ({_SHINGLES_SQL})
     )
-    SELECT doc_id, seed,
+    SELECT doc_id, CAST(seed AS BIGINT) AS seed,
            MIN((ca * (h >> 30) + cb * (h & 1073741823) + cc) % {MERSENNE61}) AS minhash
     FROM base, consts
     GROUP BY doc_id, seed
 """
 
 _BUCKETS_SQL = f"""
-    SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+    SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
            md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bucket
     FROM ({_MINHASH_SQL})
-    GROUP BY doc_id, CAST(seed // 4 AS INT)
+    GROUP BY doc_id, CAST(seed // 4 AS BIGINT)
 """
 
 

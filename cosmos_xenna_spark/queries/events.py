@@ -243,7 +243,8 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT f.cohort_day,
-           datediff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset,
+           CAST(datediff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
+             AS day_offset,
            COUNT(DISTINCT e.user_id) AS n_active
     FROM events e JOIN first_day f ON e.user_id = f.user_id
     GROUP BY 1, 2
@@ -260,7 +261,9 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(first_day, "user_id")
         .withColumn(
             "day_offset",
-            F.datediff(F.date_trunc("day", "ts").cast("date"), F.col("cohort_day")),
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.col("cohort_day")
+            ).cast("bigint"),
         )
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))

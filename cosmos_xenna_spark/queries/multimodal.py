@@ -27,8 +27,8 @@ from cosmos_xenna_spark.queries import register
     "q_multimodal_image_meta",
     oracle="""
     SELECT doc_id AS id,
-           CAST((doc_id % 16) + 4 AS INT) AS width,
-           CAST((doc_id % 8) + 4 AS INT) AS height,
+           CAST((doc_id % 16) + 4 AS BIGINT) AS width,
+           CAST((doc_id % 8) + 4 AS BIGINT) AS height,
            16 + ((doc_id % 16) + 4) * ((doc_id % 8) + 4) AS n_bytes
     FROM documents
     """,
@@ -44,7 +44,7 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_multimodal_frame_sample",
     oracle="""
-    SELECT doc_id AS id, CAST(UNNEST(range(0, (doc_id % 5) + 1, 2)) AS INT) AS frame_idx
+    SELECT doc_id AS id, CAST(UNNEST(range(0, (doc_id % 5) + 1, 2)) AS BIGINT) AS frame_idx
     FROM documents
     """,
     description="video frame sampling: array<binary> frames -> one row per "

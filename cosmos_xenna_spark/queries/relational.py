@@ -277,7 +277,8 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_predicates",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_quantity, l_returnflag
     FROM lineitem
     WHERE l_quantity BETWEEN 10 AND 20
       AND l_returnflag IN ('R', 'A')
@@ -295,14 +296,20 @@ def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_linestatus").like("F%")
         & F.col("l_shipdate").isNotNull()
         & ~((F.col("l_discount") > 0.05) & (F.col("l_tax") > 0.05))
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    ).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "l_quantity",
+        "l_returnflag",
+    )
 
 
 @register(
     "q_grouping_sets",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
            COUNT(*) AS n, {dsum_sql('l_quantity')} AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -315,8 +322,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(grouping(l_returnflag) AS INT) AS g_rf,
-               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
                COUNT(*) AS n, {dsum_sql('l_quantity')} AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -435,7 +442,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
              / CAST(SUM(rev) AS DOUBLE) AS mkt_share
     FROM (
-      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
              {REVENUE_SQL} AS rev,
              n2.n_name AS supp_nation
       FROM part
@@ -479,7 +486,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             (
                 F.sum(
@@ -659,7 +666,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_dormant_customers",
     oracle="""
-    SELECT c_nationkey, COUNT(*) AS numcust,
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS numcust,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (
@@ -685,7 +692,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy("c_nationkey")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             dsum("c_acctbal", "decimal(14,2)").alias("totacctbal"),
@@ -700,7 +707,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(rev) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             EXTRACT(year FROM l_shipdate) AS l_year,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
              {REVENUE_SQL} AS rev
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
@@ -736,6 +743,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("n1_key") < 3) & (F.col("n2_key") < 3) & (F.col("n1_key") != F.col("n2_key"))
         )
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
         .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
     )

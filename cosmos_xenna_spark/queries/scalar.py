@@ -24,13 +24,13 @@ from cosmos_xenna_spark.queries import register
            substr(p_name, 1, 12) AS name12,
            upper(p_brand) AS brand_up,
            lower(p_type) AS type_lo,
-           length(p_name) AS name_len,
+           CAST(length(p_name) AS BIGINT) AS name_len,
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
            replace(p_type, ' ', '_') AS type_us,
-           strpos(p_name, 'a') AS first_a,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
            reverse(p_brand) AS brand_rev,
-           levenshtein(p_brand, 'Brand#11') AS lev,
-           CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS has_gold,
+           CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS lev,
+           CAST(CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS BIGINT) AS has_gold,
            regexp_extract(p_name, '([a-z]+)', 1) AS first_word
     FROM part
     """,
@@ -44,13 +44,13 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 12).alias("name12"),
         F.upper("p_brand").alias("brand_up"),
         F.lower("p_type").alias("type_lo"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
         F.regexp_replace("p_type", " ", "_").alias("type_us"),
-        F.instr("p_name", "a").alias("first_a"),
+        F.instr("p_name", "a").cast("bigint").alias("first_a"),
         F.reverse("p_brand").alias("brand_rev"),
-        F.levenshtein("p_brand", F.lit("Brand#11")).alias("lev"),
-        F.when(F.col("p_name").like("%gold%"), 1).otherwise(0).alias("has_gold"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).cast("bigint").alias("lev"),
+        F.when(F.col("p_name").like("%gold%"), 1).otherwise(0).cast("bigint").alias("has_gold"),
         F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
     )
 
@@ -59,10 +59,10 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_date_funcs",
     oracle="""
     SELECT o_orderkey,
-           CAST(year(o_orderdate) AS INT) AS yr,
-           CAST(month(o_orderdate) AS INT) AS mo,
-           CAST(day(o_orderdate) AS INT) AS dom,
-           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus3m,
            CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
@@ -77,10 +77,10 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.to_date("o_orderdate")
     return orders.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dom"),
-        F.quarter("o_orderdate").alias("qtr"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         # DuckDB DATE + INTERVAL MONTH yields a timestamp-compatible
         # value; Spark add_months on a date — align types via timestamp.
@@ -94,7 +94,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_math_funcs",
     oracle="""
-    SELECT l_orderkey, l_linenumber,
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            CAST(round(l_extendedprice / 100) AS BIGINT) AS price_h,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_fl,
            CAST(ceil(l_extendedprice) AS BIGINT) AS price_ce,
@@ -113,7 +113,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
-        "l_linenumber",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
         # Round to INTEGER only: .5 ties are exactly representable there,
         # so Spark (shortest-repr HALF_UP) and DuckDB (binary half-away)
         # agree; at fractional digits the two double-rounding algorithms
@@ -223,8 +223,8 @@ def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_contains(string_split(text, ' '), 'data') AS BOOLEAN) AS has_data,
            array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted,
            len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS n_long,
-           list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum')
-             AS total_chars
+           CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)),
+                'sum') AS BIGINT) AS total_chars
     FROM documents
     """,
     description="array functions: split/size/contains/sort/slice/filter/transform/aggregate",
@@ -234,10 +234,10 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split("text", " ")
     return docs.select(
         "doc_id",
-        F.size(words).alias("n_words"),
+        F.size(words).cast("bigint").alias("n_words"),
         F.array_contains(words, "data").alias("has_data"),
         F.array_join(F.slice(F.sort_array(words), 1, 3), ",").alias("first3_sorted"),
-        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).cast("bigint").alias("n_long"),
         F.aggregate(
             F.transform(words, lambda w: F.length(w).cast("bigint")),
             F.lit(0).cast("bigint"),
@@ -296,10 +296,10 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_funcs",
     oracle="""
     SELECT p_partkey,
-           cardinality(m) AS n_keys,
+           CAST(cardinality(m) AS BIGINT) AS n_keys,
            array_to_string(list_sort(map_keys(m)), ',') AS keys_csv,
            (m['size'])[1] AS size_val,
-           list_aggregate(map_values(m), 'sum') AS vals_sum
+           CAST(list_aggregate(map_values(m), 'sum') AS BIGINT) AS vals_sum
     FROM (SELECT p_partkey,
                  MAP {'size': CAST(p_size AS BIGINT),
                       'namelen': CAST(length(p_name) AS BIGINT)} AS m
@@ -318,7 +318,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return part.select(
         "p_partkey",
-        F.size(m).alias("n_keys"),
+        F.size(m).cast("bigint").alias("n_keys"),
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
         F.element_at(m, "size").alias("size_val"),
         F.aggregate(
@@ -332,7 +332,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            regexp_matches(event_type, '^(cl|pu)') AS rlike_flag,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            (nullif(CAST(json_extract_string(props, '$.k') AS INT), 3)
               IS NOT DISTINCT FROM 5) AS ns_eq5,
            (nullif(1, 1) IS NOT DISTINCT FROM CAST(NULL AS INT)) AS ns_null,
@@ -349,7 +349,7 @@ def q_predicates_json_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.col("event_type").rlike("^(cl|pu)").alias("rlike_flag"),
-        k.alias("k"),
+        k.cast("bigint").alias("k"),
         F.nullif(k, F.lit(3)).eqNullSafe(F.lit(5)).alias("ns_eq5"),
         F.nullif(F.lit(1), F.lit(1)).eqNullSafe(F.lit(None).cast("int")).alias("ns_null"),
         F.to_json(F.struct(F.coalesce(k, F.lit(0)).alias("k"))).alias("js"),

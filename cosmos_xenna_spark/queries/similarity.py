@@ -30,7 +30,7 @@ _K = 5
                FROM embeddings WHERE vec_id < {_N_QUERIES}),
          c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings)
-    SELECT query_id, neighbor_id, rank, sim FROM (
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
       SELECT query_id, neighbor_id,
              list_cosine_similarity(qv, cv) AS sim,
              row_number() OVER (PARTITION BY query_id
@@ -73,7 +73,7 @@ def _ivf_oracle() -> str:
       FROM probes p JOIN c ON c.label = p.cluster
       WHERE c.vec_id <> p.query_id
     )
-    SELECT query_id, neighbor_id, rank, sim FROM (
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
       SELECT query_id, neighbor_id, sim,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY sim DESC, neighbor_id) AS rank
@@ -97,7 +97,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_embedding_stats",
     oracle="""
-    SELECT label, COUNT(*) AS n,
+    SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
            CAST(SUM(CAST(v[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_d0,
            MIN(len(v)) AS min_dim, MAX(len(v)) AS max_dim
     FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -108,14 +108,14 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.groupBy("label").agg(
+    return emb.groupBy(F.col("label").cast("bigint").alias("label")).agg(
         F.count(F.lit(1)).alias("n"),
         (
             F.sum(F.element_at("embedding", 1).cast("decimal(28,12)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mean_d0"),
-        F.min(F.size("embedding")).alias("min_dim"),
-        F.max(F.size("embedding")).alias("max_dim"),
+        F.min(F.size("embedding")).cast("bigint").alias("min_dim"),
+        F.max(F.size("embedding")).cast("bigint").alias("max_dim"),
     )
 
 

@@ -47,7 +47,7 @@ class DeriveRevenueBucket(Stage):
         return pd.DataFrame(
             {
                 "l_returnflag": pdf["l_returnflag"],
-                "bucket": bucket.astype("int32"),
+                "bucket": bucket.astype("int64"),
                 "l_quantity": pdf["l_quantity"],
             }
         )
@@ -60,10 +60,10 @@ class DeriveRevenueBucket(Stage):
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM (
       SELECT l_returnflag,
-             CASE WHEN l_extendedprice * (1 - l_discount) >= 60000 THEN 3
+             CAST(CASE WHEN l_extendedprice * (1 - l_discount) >= 60000 THEN 3
                   WHEN l_extendedprice * (1 - l_discount) >= 40000 THEN 2
                   WHEN l_extendedprice * (1 - l_discount) >= 20000 THEN 1
-                  ELSE 0 END AS bucket,
+                  ELSE 0 END AS BIGINT) AS bucket,
              l_quantity
       FROM lineitem WHERE l_quantity >= 25
     )
@@ -85,7 +85,7 @@ def q_stage_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             StageSpec(
                 DeriveRevenueBucket,
-                "l_returnflag string, bucket int, l_quantity double",
+                "l_returnflag string, bucket long, l_quantity double",
                 name="derive",
             ),
         ]

@@ -66,7 +66,7 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_subquery_scalar",
     oracle="""
-    SELECT p_partkey, p_size FROM part
+    SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size FROM part
     WHERE p_size > (SELECT CAST(SUM(p_size) AS DOUBLE) / COUNT(*) FROM part)
     """,
     description="uncorrelated scalar subquery (broadcast single value)",
@@ -75,7 +75,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "part")
     return spark.sql(
         """
-        SELECT p_partkey, p_size FROM part
+        SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size FROM part
         WHERE p_size > (SELECT CAST(SUM(p_size) AS DOUBLE) / COUNT(*) FROM part)
         """
     )
@@ -84,7 +84,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_subquery_correlated",
     oracle="""
-    SELECT c_custkey, c_nationkey FROM customer c1
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer c1
     WHERE CAST(c_acctbal AS DECIMAL(18,2)) * 2 >
           (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
            FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
@@ -96,7 +96,7 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "customer")
     return spark.sql(
         """
-        SELECT c_custkey, c_nationkey FROM customer c1
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer c1
         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * 2 >
               (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
                FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)

@@ -29,7 +29,7 @@ _SW = ",".join(f"'{w}'" for w in STOPWORDS)
     "q_text_stats",
     oracle=f"""
     SELECT doc_id,
-           length(text) AS n_chars_m,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
            len(string_split(text, ' ')) AS n_tokens,
            CAST(length(replace(text, ' ', '')) AS DOUBLE)
              / len(string_split(text, ' ')) AS avg_token_len,
@@ -49,8 +49,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = n_tokens_col()
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars_m"),
-        n_tok.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_m"),
+        n_tok.cast("bigint").alias("n_tokens"),
         (F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tok).alias(
             "avg_token_len"
         ),
@@ -108,8 +108,8 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT) AS bpe_tokens,
            CAST(SUM(length(text)) AS DOUBLE)
              / SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS chars_per_token
     FROM documents

@@ -64,13 +64,15 @@ def q_grouped_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
-    @pandas_udf("int")
+    # bigint, not int: DuckDB len() is BIGINT and the driver's value
+    # hash is dtype-sensitive — every integer output is int64 repo-wide.
+    @pandas_udf("long")
     def n_tokens(text: pd.Series) -> pd.Series:
-        return text.str.split(" ").str.len().astype("int32")
+        return text.str.split(" ").str.len().astype("int64")
 
-    @pandas_udf("int")
+    @pandas_udf("long")
     def n_e(text: pd.Series) -> pd.Series:
-        return text.str.count("e").astype("int32")
+        return text.str.count("e").astype("int64")
 
     return docs.select("doc_id", n_tokens("text").alias("n_tokens"), n_e("text").alias("n_e"))
 
@@ -78,20 +80,23 @@ def q_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_collect_list_set",
     oracle="""
-    SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
-           list_sort(list(DISTINCT substr(n_name, 1, 1))) AS initials,
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           array_to_string(list_sort(list(DISTINCT substr(n_name, 1, 1))), ',') AS initials,
            len(list(n_name)) AS n
     FROM nation GROUP BY n_regionkey
     """,
-    description="collect_list / collect_set aggregation (sorted for "
-    "deterministic cross-engine comparison)",
+    description="collect_list / collect_set aggregation (sorted + string-"
+    "joined: array-typed cells break the driver's canonicalizer, and "
+    "sorting makes the cross-engine comparison deterministic)",
 )
 def q_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
-    return nat.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
-        F.sort_array(F.collect_set(F.substring("n_name", 1, 1))).alias("initials"),
+    return nat.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey")).agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.array_join(
+            F.sort_array(F.collect_set(F.substring("n_name", 1, 1))), ","
+        ).alias("initials"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -99,7 +104,7 @@ def q_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_udtf_sentences",
     oracle="""
-    SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, trim(parts[i]) AS sentence
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, trim(parts[i]) AS sentence
     FROM (SELECT doc_id, string_split(text, '.') AS parts FROM documents),
          UNNEST(range(1, len(parts) + 1)) AS t(i)
     """,
@@ -109,7 +114,7 @@ def q_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="sent_idx int, sentence string")
+    @udtf(returnType="sent_idx bigint, sentence string")
     class SplitSentences:
         def eval(self, text: str):
             for i, s in enumerate(text.split(".")):

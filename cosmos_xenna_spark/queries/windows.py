@@ -21,11 +21,11 @@ from cosmos_xenna_spark.queries import register
 @register(
     "q_window_rank",
     oracle="""
-    SELECT c_custkey, c_nationkey,
-           row_number() OVER (PARTITION BY c_nationkey
-                              ORDER BY c_acctbal DESC, c_custkey) AS rn,
-           rank()       OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS rnk,
-           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS drnk
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn,
+           CAST(rank()       OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS BIGINT) AS drnk
     FROM customer
     """,
     description="ranking: row_number (total order) + rank/dense_rank (with ties)",
@@ -36,10 +36,10 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_seg = Window.partitionBy("c_nationkey").orderBy("c_mktsegment")
     return cust.select(
         "c_custkey",
-        "c_nationkey",
-        F.row_number().over(by_bal).alias("rn"),
-        F.rank().over(by_seg).alias("rnk"),
-        F.dense_rank().over(by_seg).alias("drnk"),
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.row_number().over(by_bal).cast("bigint").alias("rn"),
+        F.rank().over(by_seg).cast("bigint").alias("rnk"),
+        F.dense_rank().over(by_seg).cast("bigint").alias("drnk"),
     )
 
 
@@ -71,7 +71,7 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_window_running",
     oracle=f"""
-    SELECT l_orderkey, l_linenumber,
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
                 OVER (PARTITION BY l_orderkey
                       ORDER BY l_linenumber, l_partkey, l_suppkey
@@ -97,7 +97,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         "l_orderkey",
-        "l_linenumber",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
         F.sum(dec("l_quantity")).over(w).cast("double").alias("running_qty"),
         F.sum(revenue_col()).over(w).cast("double").alias("running_rev"),
     )
@@ -106,7 +106,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_window_topk",
     oracle=f"""
-    SELECT l_suppkey, l_partkey, part_rev, rn FROM (
+    SELECT l_suppkey, l_partkey, part_rev, CAST(rn AS BIGINT) AS rn FROM (
       SELECT l_suppkey, l_partkey,
              CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS part_rev,
              row_number() OVER (PARTITION BY l_suppkey
@@ -123,14 +123,17 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(revenue_col()).cast("double").alias("part_rev")
     )
     w = Window.partitionBy("l_suppkey").orderBy(F.desc("part_rev"), F.asc("l_partkey"))
-    return agg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return (
+        agg.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+    )
 
 
 @register(
     "q_window_ntile_pct",
     oracle="""
     SELECT c_custkey,
-           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
            percent_rank() OVER (ORDER BY c_acctbal) AS pct_rank,
            cume_dist()    OVER (ORDER BY c_acctbal) AS cdist
     FROM customer
@@ -143,7 +146,7 @@ def q_window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_bal = Window.orderBy("c_acctbal")
     return cust.select(
         "c_custkey",
-        F.ntile(4).over(total).alias("quartile"),
+        F.ntile(4).over(total).cast("bigint").alias("quartile"),
         F.percent_rank().over(by_bal).alias("pct_rank"),
         F.cume_dist().over(by_bal).alias("cdist"),
     )
@@ -227,9 +230,9 @@ def q_window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -266,7 +269,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_global_rank_distributed",
     oracle="""
     SELECT c_custkey,
-           row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+           CAST(row_number() OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn
     FROM customer
     """,
     description="exact global row_number via range-partition + offset "
@@ -277,14 +280,16 @@ def q_global_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmos_xenna_spark.operators.ranking import global_row_number
 
     cust = load_table(spark, sf_dir, "customer")
-    return global_row_number(cust, ["c_acctbal", "c_custkey"]).select("c_custkey", "rn")
+    return global_row_number(cust, ["c_acctbal", "c_custkey"]).select(
+        "c_custkey", F.col("rn").cast("bigint").alias("rn")
+    )
 
 
 @register(
     "q_distribution_distributed",
     oracle="""
     SELECT c_custkey,
-           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
            percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank
     FROM customer
     """,
@@ -308,7 +313,7 @@ def q_distribution_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartile = (
         F.when(rn <= big_span, ((rn - 1) / size_big).cast("long") + 1)
         .otherwise(n_big + ((rn - big_span - 1) / size_small).cast("long") + 1)
-        .cast("int")
+        .cast("bigint")
     )
     pct = ((rn - 1).cast("double") / (n - 1).cast("double"))
     return (
