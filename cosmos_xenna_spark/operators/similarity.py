@@ -81,15 +81,35 @@ def cluster_centroids(
     cluster_col: str = "label",
     vec_col: str = "embedding",
     scale: int = 12,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-cluster mean vectors, decimal-exact (order-independent):
     (cluster, centroid: array<double>).
 
     Decimal sums make the centroid identical regardless of partitioning
     — required for reproducible probe selection (and oracle parity).
+
+    ``dim`` may be passed explicitly; otherwise it is inferred from the
+    data with a min==max dimension check — ragged vectors would
+    otherwise silently drop rows from the per-dimension sums (element_at
+    past the end is NULL) and skew the centroids without any error.
     """
-    dim_df = candidates.select(F.size(vec_col).alias("d")).limit(1)
-    dim = dim_df.collect()[0][0]
+    if dim is None:
+        bounds = candidates.agg(
+            F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            raise ValueError(
+                "cluster_centroids: candidates DataFrame is empty — "
+                "cannot infer the embedding dimension (pass dim=...)"
+            )
+        if bounds["lo"] != bounds["hi"]:
+            raise ValueError(
+                f"cluster_centroids: ragged embedding column {vec_col!r} "
+                f"(sizes {bounds['lo']}..{bounds['hi']}); fix the data or "
+                "pass dim= explicitly"
+            )
+        dim = bounds["lo"]
     dec_t = f"decimal(28,{scale})"
     sums = candidates.groupBy(F.col(cluster_col).alias("cluster")).agg(
         F.count(F.lit(1)).alias("n"),

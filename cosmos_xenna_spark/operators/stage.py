@@ -142,25 +142,54 @@ _PROCESS_CACHE: dict[str, Stage] = {}
 _CACHE_LOCK = threading.Lock()
 
 
+_NODE_SETUP_WAIT_S = 300.0
+
+
 def _node_setup_once(stage: Stage, run_id: str) -> None:
     """Exactly-once-per-host ``setup_on_node`` via file lock election.
 
     Reference elects one actor per node and others wait
     (``actor_pool.py:1066-1074``, ``:1330-1388``).
+
+    Failure handling: if the elected process's ``setup_on_node`` raises,
+    it records the error in a failure marker and releases the lock, so
+    waiters (and task retries) fail fast with the original error instead
+    of spinning forever on a 'done' marker that will never appear.
     """
     marker = os.path.join(tempfile.gettempdir(), f"cxs_node_setup_{run_id}")
+    failed = marker + ".failed"
     lock = marker + ".lock"
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
+        deadline = time.monotonic() + _NODE_SETUP_WAIT_S
         while not os.path.exists(marker):  # another process is running it
+            if os.path.exists(failed):
+                with open(failed) as f:
+                    raise RuntimeError(
+                        f"setup_on_node failed on this host: {f.read()}"
+                    )
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"setup_on_node not completed within {_NODE_SETUP_WAIT_S}s "
+                    f"(marker {marker}); elected process may have died"
+                )
             time.sleep(0.05)
         return
     try:
+        if os.path.exists(failed):
+            os.unlink(failed)  # re-election after a failure: clear it
         stage.setup_on_node()
         with open(marker, "w") as m:
             m.write("done")
-    finally:
+    except Exception as e:
+        with open(failed, "w") as f:
+            f.write(repr(e))
+        # release the election so a retried task can attempt setup again
+        os.close(fd)
+        os.unlink(lock)
+        raise
+    else:
         os.close(fd)
 
 

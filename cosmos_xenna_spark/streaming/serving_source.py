@@ -26,16 +26,17 @@ Usage::
 
 The reader keeps only (host, port, authkey, name) strings — picklable
 by construction; the connection is opened lazily inside the worker.
+The authkey is generated per-server (os.urandom) and handed to the
+reader through options(), so co-tenant processes cannot connect.
 """
 
 from __future__ import annotations
 
+import os
 import queue as _q
 from multiprocessing.managers import BaseManager
 
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
-
-_AUTHKEY = b"cxs-serving"
 
 
 class _QueueManager(BaseManager):
@@ -68,7 +69,11 @@ class ServingQueueServer:
     (including Spark's reader worker) connect to by address."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
-        self._mgr = _QueueManager(address=(host, port), authkey=_AUTHKEY)
+        # Random per-server authkey: a constant would let any local
+        # process that reads the public source inject into / drain the
+        # serving stream. The key travels to the reader via options().
+        self.authkey = os.urandom(32)
+        self._mgr = _QueueManager(address=(host, port), authkey=self.authkey)
         self._mgr.start()
         self.host, self.port = self._mgr.address
 
@@ -82,7 +87,12 @@ class ServingQueueServer:
         return bool(self._mgr.get_flag(name)._getvalue())
 
     def options(self, name: str) -> dict[str, str]:
-        return {"host": self.host, "port": str(self.port), "name": name}
+        return {
+            "host": self.host,
+            "port": str(self.port),
+            "name": name,
+            "authkey": self.authkey.hex(),
+        }
 
     def shutdown(self) -> None:
         self._mgr.shutdown()
@@ -93,12 +103,15 @@ class _ServingReader(SimpleDataSourceStreamReader):
         self.host = options.get("host", "127.0.0.1")
         self.port = int(options["port"])
         self.qname = options.get("name", "default")
+        self.authkey = bytes.fromhex(options["authkey"])
         self.max_rows = int(options.get("maxrowsperbatch", "10000"))
         self._mgr = None
 
     def _connect(self):
         if self._mgr is None:
-            self._mgr = _QueueManager(address=(self.host, self.port), authkey=_AUTHKEY)
+            self._mgr = _QueueManager(
+                address=(self.host, self.port), authkey=self.authkey
+            )
             self._mgr.connect()
         return self._mgr
 
