@@ -287,21 +287,100 @@ def simhash(docs: DataFrame, text_col: str = "text", n_bits: int = 63) -> DataFr
     return votes.select("doc_id", F.expr(fingerprint).alias("simhash"))
 
 
+def _guard_block_cardinality(
+    keyed: DataFrame, key_cols: list[str], max_block_size: int, what: str
+) -> None:
+    """Eagerly assert no block exceeds ``max_block_size`` members.
+
+    Block-scoped pair generation is O(sum n_block^2): correct when the
+    key is an LSH bucket / cluster id (small blocks by construction),
+    quadratic-blowup when a caller passes a low-cardinality column. The
+    check is one tiny agg job over the group keys — worth it before
+    kicking off a join that could explode 10^10x at scale.
+    """
+    top = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if top is not None and top > max_block_size:
+        raise ValueError(
+            f"{what}: largest block has {top} members (> max_block_size="
+            f"{max_block_size}); pair generation is quadratic per block — "
+            "use an LSH bucket / cluster id as the block key, or raise "
+            "max_block_size explicitly if the blowup is intended"
+        )
+
+
+def jaccard_verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard for an explicit candidate-pair list —
+    the LSH verification step: candidates come from ``minhash_candidate_
+    pairs``; this joins each (doc_a, doc_b) to its word sets and
+    computes exact overlap.
+
+    (doc_a, doc_b, n_inter, n_union, jaccard) for jaccard >= threshold.
+    Scale shape: two equi-joins keyed by doc id + one join keyed by
+    (doc_b, word) — work is O(candidate pairs x doc length), never
+    all-pairs.
+    """
+    words = (
+        ensure_parallelism(docs)
+        .select("doc_id", F.explode(F.split(text_col, " ")).alias("w"))
+        .distinct()
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    wa = words.select(F.col("doc_id").alias("doc_a"), "w")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "w")
+    inter = (
+        pairs.join(wa, "doc_a")
+        .join(wb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     scope_col: str = "source",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_block_size: int = 10_000,
 ) -> DataFrame:
     """Exact word-set Jaccard for doc pairs within the same scope group.
 
     (doc_a, doc_b, n_inter, n_union, jaccard) for jaccard >= threshold.
     Scoped to a partition column so the pair join is block-local — the
     pattern for verifying LSH candidates without an all-pairs join.
+    ``scope_col`` must be fine-grained (an LSH bucket or cluster id):
+    blocks larger than ``max_block_size`` raise (see
+    :func:`_guard_block_cardinality`). For an explicit candidate list,
+    use :func:`jaccard_verify_pairs` instead.
     """
     words = ensure_parallelism(docs).select(
         F.col("doc_id"), F.col(scope_col).alias("scope"), F.explode(F.split(text_col, " ")).alias("w")
     ).distinct()
+    _guard_block_cardinality(
+        docs.select("doc_id", F.col(scope_col).alias("scope")),
+        ["scope"],
+        max_block_size,
+        "ngram_jaccard_pairs",
+    )
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
     a = words.select(F.col("doc_id").alias("doc_a"), "scope", "w")
     b = words.select(F.col("doc_id").alias("doc_b"), "scope", "w")

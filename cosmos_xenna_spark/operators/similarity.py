@@ -170,6 +170,7 @@ def embedding_near_dup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_size: int = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (keep_id, dup_id, sim)
     with sim >= threshold, keep_id < dup_id (canonical survivor = the
@@ -178,9 +179,19 @@ def embedding_near_dup_pairs(
     Blocking on ``block_col`` (a cluster/LSH-bucket id) turns the
     all-pairs O(n^2) comparison into one equi-join shuffle keyed by
     block — O(sum n_b^2) work, which is the only shape that survives
-    100 TB. In production the block key comes from k-means or LSH over
-    the same column; here it is the table's cluster label.
+    100 TB. In production the block key comes from k-means
+    (``operators.clustering.kmeans_fit_assign``) or LSH over the same
+    column; here it is the table's cluster label. Blocks larger than
+    ``max_block_size`` raise before launching the quadratic join.
     """
+    from cosmos_xenna_spark.operators.dedup import _guard_block_cardinality
+
+    _guard_block_cardinality(
+        candidates.select(F.col(block_col).alias("__blk")),
+        ["__blk"],
+        max_block_size,
+        "embedding_near_dup_pairs",
+    )
     a = candidates.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("keep_id"),

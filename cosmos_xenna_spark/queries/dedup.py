@@ -187,16 +187,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ngram_jaccard",
-    oracle="""
-    WITH words AS (
-      SELECT DISTINCT doc_id, source AS scope, UNNEST(string_split(text, ' ')) AS w
-      FROM documents
+    oracle=f"""
+    WITH lsh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_BUCKETS_SQL}) a JOIN ({_BUCKETS_SQL}) b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    words AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM words a JOIN words b ON a.scope = b.scope AND a.w = b.w
-                               AND a.doc_id < b.doc_id
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM lsh_pairs p JOIN words a ON a.doc_id = p.doc_a
+                       JOIN words b ON b.doc_id = p.doc_b AND b.w = a.w
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_inter,
@@ -204,11 +208,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_inter AS DOUBLE) / (sa.n_words + sb.n_words - n_inter) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = doc_a
                JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n_words + sb.n_words - n_inter) >= 0.8
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_words + sb.n_words - n_inter) >= 0.5
     """,
-    description="exact word-set Jaccard >= 0.8 for same-source doc pairs "
-    "(the LSH-candidate verification pattern)",
+    description="LSH candidate verification: exact word-set Jaccard >= 0.5 "
+    "computed only for MinHash/LSH candidate pairs — the end-to-end fuzzy-"
+    "dedup verify step (work is O(candidates), never all-pairs)",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        minhash_candidate_pairs,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, scope_col="source", text_col="text", threshold=0.8)
+    pairs = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
+    return jaccard_verify_pairs(pairs, docs, text_col="text", threshold=0.5)

@@ -95,6 +95,26 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_knn_ivf_kmeans",
+    oracle=None,  # k-means|| init is seed-deterministic only per
+    # partitioning — not SQL-reproducible; correctness is pinned by the
+    # recall property test (tests/test_clustering.py) instead.
+    description="full production ANN pipeline: k-means over raw vectors "
+    "(MLlib, distributed Lloyd) -> IVF probe search over the learned "
+    "clusters — embed -> kmeans_fit_assign -> ivf_topk end-to-end",
+)
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.clustering import kmeans_fit_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit_assign(emb, k=8, vec_col="embedding")
+    queries = assigned.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(
+        assigned, queries, k=_K, n_probe=2, cluster_col="cluster"
+    )
+
+
+@register(
     "q_embedding_stats",
     oracle="""
     SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,

@@ -27,6 +27,49 @@ def test_kmeans_assigns_nearest_centroid(spark, sf_dir):
         )
 
 
+def test_ivf_kmeans_recall_vs_bruteforce(spark):
+    """IVF over k-means clusters must recover >= 0.9 of the exact
+    brute-force top-k on planted neighbors (VERDICT r1 #7: the
+    end-to-end ANN quality gate).
+
+    Planted structure: 8 well-separated gaussian clusters; each point's
+    true cosine neighbors live in its own cluster, so a correct
+    kmeans -> IVF pipeline finds them with n_probe=2. (The synthetic
+    ``embeddings`` table is near-isotropic — cosine neighbors spread
+    across any coarse quantizer there, which tests the data, not the
+    operator.)
+    """
+    import numpy as np
+
+    from cosmos_xenna_spark.operators.similarity import cosine_topk_bruteforce
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16)) * 10.0
+    vecs = []
+    for i in range(400):
+        c = centers[i % 8]
+        vecs.append((i, (c + rng.normal(size=16)).tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    assigned, _ = kmeans_fit_assign(emb, k=8)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            assigned,
+            assigned.filter(F.col("vec_id") < 20),
+            k=5,
+            n_probe=2,
+            cluster_col="cluster",
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.2f} < 0.9 ({len(exact)} truths)"
+
+
 def test_ivf_over_kmeans_clusters(spark, sf_dir):
     """The production path: clusters from k-means (not the synthetic
     label) feeding IVF search. Top-1 self-similarity sanity included."""
