@@ -36,6 +36,13 @@ HEADLINE = [
     "q_minhash_pairs",
     "q_knn_bruteforce",
     "q_text_stats",
+    # r2 additions (VERDICT #8): the heaviest previously-unbenched
+    # operators, so per-operator regressions are visible round-over-round
+    "q_dedup_clusters",
+    "q_minhash_signatures",
+    "q_subquery_correlated",
+    "q_pivot",
+    "q_ngram_jaccard",
 ]
 
 
@@ -60,10 +67,14 @@ def main() -> None:
     # JIT/GC noise, which would mis-attribute regressions.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = reg[name].builder(spark, sf_dir)
         runs = []
         for _ in range(3):
+            # Time builder + execution together: operators with eager
+            # internal actions (iterative connected_components check-
+            # points, kmeans fit, approxQuantile cuts) do real work at
+            # build time, and timing only the final write would hide it.
             t0 = time.perf_counter()
+            df = reg[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)

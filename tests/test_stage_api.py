@@ -125,6 +125,68 @@ def test_empty_return_ok(spark):
     assert out == []
 
 
+class FanOut2000(Stage):
+    """1 row in -> 2000 rows out (reference test_batch_size_hang.py:
+    FirstFanOutStage fans 1 -> 2000)."""
+
+    batch_size = 1
+
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": range(2000)})
+
+
+class WantsFullBatch2000(Stage):
+    """batch_size larger than any upstream batch; must still drain the
+    final partial batch instead of waiting forever (reference
+    test_batch_size_hang.py: BatchStage with stage_batch_size=2000)."""
+
+    batch_size = 2000
+
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        out["bs"] = len(pdf)
+        return out
+
+
+def test_batch_size_larger_than_stream_no_hang(spark):
+    """Reference test_batch_size_hang.py:109 — a downstream stage whose
+    batch_size exceeds what upstream ever produces must complete with
+    every row, not hang on an eternally-unfilled batch buffer."""
+    spec = PipelineSpec(
+        stages=[
+            StageSpec(FanOut2000, "id long", name="fanout"),
+            StageSpec(WantsFullBatch2000, "id long, bs long", name="batcher"),
+        ]
+    )
+    out = run_pipeline_on_rows(spark, [(0,)], "id long", spec).collect()
+    assert len(out) == 2000
+    assert sorted(r.id for r in out) == list(range(2000))
+    # the single input partition yields one 2000-row rebatch; a smaller
+    # tail batch is fine on multi-partition inputs, zero rows is not
+    assert all(r.bs >= 1 for r in out)
+
+
+def test_empty_return_mid_pipeline(spark):
+    """Reference test_empty_return.py:68 — an all-dropping stage in the
+    MIDDLE of a pipeline must produce a clean empty result downstream
+    (not error on empty Arrow batches)."""
+
+    spec = PipelineSpec(
+        stages=[
+            StageSpec(FanOut10, "id long", name="fan"),
+            StageSpec(DropAll, "id long", name="dropall"),
+            StageSpec(Doubler, "id long", name="double"),
+        ]
+    )
+    out = run_pipeline_on_rows(spark, [(1,), (3,)], "id long", spec).collect()
+    assert out == []
+
+
+class DropAll(Stage):
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame | None:
+        return None
+
+
 def test_ignore_failures_drops_batch(spark):
     df = _ids(spark, 40).coalesce(1)
     out = apply_stage(df, Poison, "id long").collect()
