@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None, description: str = ""):
 
 _MODULES = (
     "relational",
+    "tpch_extra",
     "joins",
     "windows",
     "setops",
