@@ -137,3 +137,97 @@ def attach_rate_monitor(spark: SparkSession, keep_last: int = 1000) -> StageRate
     listener = StageRateListener(keep_last)
     spark.streams.addListener(listener)
     return listener
+
+
+# ---------------------------------------------------------------------------
+# Formatted snapshot report (reference monitoring.py:352-634 prints
+# per-stage tables each tick, sample output README.md:153-216). The
+# Spark-native analogue: cluster resources from the status tracker,
+# per-operator rows/shuffle/spill from SQL metrics — rendered as the
+# same kind of aligned table.
+# ---------------------------------------------------------------------------
+
+
+def _render_table(headers: list[str], rows: list[list[str]]) -> str:
+    widths = [len(h) for h in headers]
+    for r in rows:
+        for i, cell in enumerate(r):
+            widths[i] = max(widths[i], len(cell))
+
+    def line(cells, pad=" "):
+        return "| " + " | ".join(c.ljust(w, pad) for c, w in zip(cells, widths)) + " |"
+
+    sep = "|-" + "-|-".join("-" * w for w in widths) + "-|"
+    return "\n".join([line(headers), sep] + [line(r) for r in rows])
+
+
+def cluster_resources(spark: SparkSession) -> dict[str, float]:
+    """Cluster totals the way the reference's 'Cluster Resources' table
+    shows them: executor count, total cores, total storage memory."""
+    sc = spark.sparkContext
+    jsc = sc._jsc.sc()  # type: ignore[attr-defined]
+    mem_status = jsc.getExecutorMemoryStatus()
+    n_exec = mem_status.size()
+    total_mem = 0
+    free_mem = 0
+    it = mem_status.iterator()
+    while it.hasNext():
+        kv = it.next()
+        total_mem += kv._2()._1()
+        free_mem += kv._2()._2()
+    return {
+        "executors": float(n_exec),
+        "cores_total": float(sc.defaultParallelism),
+        "storage_memory_gb": round(total_mem / 1e9, 2),
+        "storage_memory_free_gb": round(free_mem / 1e9, 2),
+    }
+
+
+_SNAPSHOT_METRIC_KEYS = (
+    ("numOutputRows", "rows out"),
+    ("shuffleBytesWritten", "shuffle written"),
+    ("shuffleTotalBytesRead", "shuffle read"),
+    ("spillSize", "spill"),
+    ("peakMemory", "peak mem"),
+)
+
+
+def format_pipeline_snapshot(
+    spark: SparkSession, metrics: list[OperatorMetrics]
+) -> str:
+    """Render the reference-style monitoring report for one executed
+    query: a cluster-resources table plus a per-operator (per-stage)
+    state table. Pure formatting over :func:`query_metrics` output."""
+    res = cluster_resources(spark)
+    resource_tbl = _render_table(
+        ["Resource", "Value"],
+        [[k, f"{v:g}"] for k, v in res.items()],
+    )
+    rows = []
+    for i, om in enumerate(metrics):
+        cells = [f"{i:02d}", om.node]
+        for key, _label in _SNAPSHOT_METRIC_KEYS:
+            v = om.metrics.get(key)
+            cells.append("-" if v is None else f"{v:,}")
+        rows.append(cells)
+    stage_tbl = _render_table(
+        ["#", "Operator"] + [label for _k, label in _SNAPSHOT_METRIC_KEYS], rows
+    )
+    total = summarize(metrics)
+    head = (
+        "Pipeline Snapshot:\n"
+        f"  operators: {len(metrics)}  rows produced: {total['output_rows']:,}  "
+        f"shuffle written: {total['shuffle_bytes_written']:,} B  "
+        f"spill: {total['spill_bytes']:,} B\n"
+    )
+    return f"{head}\nCluster Resources:\n{resource_tbl}\n\nOperator state:\n{stage_tbl}"
+
+
+def print_pipeline_report(df: DataFrame) -> str:
+    """Execute ``df`` and print + return the formatted snapshot — the
+    one-call equivalent of the reference's periodic monitor tick for a
+    batch pipeline."""
+    metrics = query_metrics(df)
+    report = format_pipeline_snapshot(df.sparkSession, metrics)
+    print(report)
+    return report

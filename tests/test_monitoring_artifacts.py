@@ -25,6 +25,30 @@ def test_query_metrics_counts_rows(spark, sf_dir):
     assert any("HashAggregate" in n for n in nodes)
 
 
+def test_pipeline_snapshot_report(spark, sf_dir):
+    """Reference monitoring-table parity (README.md:153-216): the
+    formatted snapshot shows cluster resources and per-operator rows/
+    shuffle state for an executed query."""
+    from pyspark.sql import functions as F
+
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.monitoring import (
+        format_pipeline_snapshot,
+        query_metrics,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    metrics = query_metrics(df)
+    report = format_pipeline_snapshot(spark, metrics)
+    assert "Cluster Resources:" in report
+    assert "Operator state:" in report
+    assert "Scan parquet" in report
+    assert "Exchange" in report
+    # the scan row count appears formatted with separators
+    assert any("rows out" in line for line in report.splitlines())
+
+
 def test_streaming_rate_listener(spark, sf_dir, tmp_path):
     import os
     import shutil
