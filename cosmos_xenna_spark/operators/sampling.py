@@ -1,0 +1,130 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``df.sample()`` is seed-deterministic only for a FIXED partitioning —
+re-reading the same table with different split sizes (or after a
+repartition) changes which rows survive, which poisons reproducibility
+and makes cross-engine verification impossible. Every operator here
+derives the sampling decision from a row-local portable hash
+(``md5_long63``) of a stable key column, so:
+
+- the sample is identical across runs, partitionings, and engines
+  (the DuckDB oracle reproduces it bit-for-bit);
+- sampling is a narrow operation — a filter on a row-local expression,
+  zero shuffles, fully pushdown-friendly;
+- at 100 TB the decision never needs a global pass (except the
+  fixed-size variant, which does one distributed top-k by hash rank).
+
+Reference parity: the reference has no sampling operators (its
+pipelines sample by slicing input task lists driver-side, e.g.
+``pipelines.py``'s input truncation); these are north-star additions
+a data curation pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.functions import md5_long63
+
+# hash buckets for rate arithmetic: rate 0.2 keeps h % DENOM < 0.2*DENOM
+_DENOM = 1_000_000
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str, salt: str = "sample:"
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction: rows whose salted key
+    hash lands below the rate cutoff. Row-local filter, no shuffle."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    cut = int(rate * _DENOM)
+    h = md5_long63(F.col(key_col).cast("string"), salt) % _DENOM
+    return df.filter(h < cut)
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], strata_col: str, key_col: str,
+    salt: str = "strata:",
+) -> DataFrame:
+    """Per-stratum deterministic rates (``sampleBy`` made reproducible).
+
+    ``rates`` maps stratum value -> keep fraction; unlisted strata are
+    dropped (matching ``DataFrame.sampleBy`` semantics). Still a pure
+    row-local filter: the stratum's cutoff is looked up from a literal
+    map, the hash decides.
+    """
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for stratum {k!r} must be in [0,1], got {v}")
+    cut_map = F.create_map(
+        *[
+            c
+            for k, v in sorted(rates.items())
+            for c in (F.lit(k), F.lit(int(v * _DENOM)).cast("bigint"))
+        ]
+    )
+    h = md5_long63(F.col(key_col).cast("string"), salt) % _DENOM
+    cut = F.element_at(cut_map, F.col(strata_col).cast("string"))
+    return df.filter(cut.isNotNull() & (h < cut))
+
+
+def fixed_size_sample(
+    df: DataFrame, n: int, key_col: str, salt: str = "fixed:"
+) -> DataFrame:
+    """Exactly ``min(n, count)`` rows, chosen as the n smallest salted
+    key hashes — the deterministic replacement for reservoir sampling.
+
+    Distributed shape: per-partition top-n (map-side, via sort within
+    partitions + limit pushdown in TakeOrderedAndProject), then a
+    single reduced top-n — Spark compiles the orderBy+limit to exactly
+    that; no full sort, no single-partition shuffle of the data.
+    """
+    h = md5_long63(F.col(key_col).cast("string"), salt)
+    return (
+        df.withColumn("__h", h)
+        .orderBy(F.asc("__h"), F.asc(key_col))
+        .limit(n)
+        .drop("__h")
+    )
+
+
+def split_weighted(
+    df: DataFrame, weights: dict[str, float], key_col: str, salt: str = "split:",
+    out_col: str = "split",
+) -> DataFrame:
+    """Label every row with a split name by weighted deterministic hash
+    (generalizes the 80/10/10 ``deterministic_split`` in operators.text
+    to arbitrary named weights; weights must sum to ~1)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    h = md5_long63(F.col(key_col).cast("string"), salt) % _DENOM
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = h < int(acc * _DENOM)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def sample_anti_join(
+    df: DataFrame, sampled: DataFrame, key_col: str
+) -> DataFrame:
+    """The held-out complement of a sample (rows NOT in ``sampled``),
+    via broadcast-able anti-join on the sampling key."""
+    keys = sampled.select(F.col(key_col).alias("__k")).distinct()
+    return df.join(keys, df[key_col] == F.col("__k"), "left_anti")
+
+
+__all__ = [
+    "deterministic_sample",
+    "stratified_sample",
+    "fixed_size_sample",
+    "split_weighted",
+    "sample_anti_join",
+]

@@ -60,6 +60,7 @@ _MODULES = (
     "multimodal",
     "udfs",
     "skew",
+    "sampling",
     "subqueries",
 )
 

@@ -1,0 +1,119 @@
+"""Sampling-operator queries with DuckDB oracles.
+
+Every sample decision is a portable md5-derived hash of the key, so the
+oracle reproduces the exact row set — the whole point of deterministic
+sampling (``operators/sampling.py`` docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.functions import md5_long63_sql
+from cosmos_xenna_spark.operators.sampling import (
+    deterministic_sample,
+    fixed_size_sample,
+    sample_anti_join,
+    split_weighted,
+    stratified_sample,
+)
+from cosmos_xenna_spark.queries import register
+
+_H_DOC = md5_long63_sql("CAST(doc_id AS VARCHAR)", "sample:")
+_H_STRATA = md5_long63_sql("CAST(doc_id AS VARCHAR)", "strata:")
+_H_FIXED = md5_long63_sql("CAST(doc_id AS VARCHAR)", "fixed:")
+_H_SPLIT = md5_long63_sql("CAST(doc_id AS VARCHAR)", "split:")
+
+
+@register(
+    "q_sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {_H_DOC} % 1000000 < 200000
+    """,
+    description="deterministic ~20% Bernoulli sample by portable key hash "
+    "— identical rows across runs/partitionings/engines, zero shuffles",
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.2, "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n FROM documents
+    WHERE {_H_STRATA} % 1000000 <
+          CASE lang WHEN 'en' THEN 100000 WHEN 'de' THEN 500000
+                    WHEN 'fr' THEN 900000 END
+      AND lang IN ('en', 'de', 'fr')
+    GROUP BY lang
+    """,
+    description="stratified sample with per-language rates (10%/50%/90%) "
+    "— reproducible sampleBy; unlisted strata dropped",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, {"en": 0.1, "de": 0.5, "fr": 0.9}, strata_col="lang", key_col="doc_id"
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_sample_fixed_size",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    ORDER BY {_H_FIXED} ASC, doc_id ASC
+    LIMIT 50
+    """,
+    description="fixed-size deterministic sample: the 50 smallest key "
+    "hashes (distributed top-k, the reservoir-sampling replacement)",
+)
+def q_sample_fixed_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fixed_size_sample(docs, 50, "doc_id").select("doc_id", "lang")
+
+
+@register(
+    "q_sample_split_weighted",
+    oracle=f"""
+    SELECT split, COUNT(*) AS n FROM (
+      SELECT CASE WHEN {_H_SPLIT} % 1000000 < 50000 THEN 'calib'
+                  WHEN {_H_SPLIT} % 1000000 < 200000 THEN 'eval'
+                  ELSE 'train' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+    description="weighted named splits (5% calib / 15% eval / 80% train) "
+    "by deterministic hash — arbitrary-weight generalization of "
+    "train/val/test splitting",
+)
+def q_sample_split_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = split_weighted(docs, {"calib": 0.05, "eval": 0.15, "train": 0.8}, "doc_id")
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_sample_holdout",
+    oracle=f"""
+    SELECT COUNT(*) AS n_holdout, CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM documents
+    WHERE doc_id NOT IN (
+      SELECT doc_id FROM documents WHERE {_H_DOC} % 1000000 < 200000
+    )
+    """,
+    description="held-out complement of a deterministic sample via "
+    "anti-join on the sampling key",
+)
+def q_sample_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = deterministic_sample(docs, 0.2, "doc_id")
+    held = sample_anti_join(docs, sampled, "doc_id")
+    return held.agg(
+        F.count(F.lit(1)).alias("n_holdout"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+    )
