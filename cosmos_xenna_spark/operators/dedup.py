@@ -77,21 +77,27 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 
 
 def word_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles per document: (doc_id, sh)."""
-    words = F.split(F.col(text_col), " ")
+    """Distinct word k-gram shingles per document: (doc_id, sh).
+
+    The words array is projected ONCE before the shingle transform:
+    higher-order-function lambdas are interpreted per element, so a
+    ``split(text)`` inside the lambda would re-split the document at
+    every shingle position — O(words^2) string work per doc.
+    """
+    base = ensure_parallelism(docs).select(
+        "doc_id", F.split(F.col(text_col), " ").alias("__ws")
+    )
     shingles = F.when(
-        F.size(words) >= k,
+        F.size("__ws") >= k,
         F.expr(
-            f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}),"
-            f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
+            f"transform(sequence(1, size(__ws) - {k - 1}),"
+            f" i -> array_join(slice(__ws, i, {k}), ' '))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     # array_distinct dedupes within the doc BEFORE exploding, so
     # (doc_id, sh) is already unique — a cross-row .distinct() here
     # would add a full shuffle of every shingle string for nothing.
-    return ensure_parallelism(docs).select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
-    )
+    return base.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
 
 
 def minhash_signatures(

@@ -59,14 +59,24 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query: (query_id, neighbor_id,
     rank, sim). Excludes self-matches. Queries are broadcast."""
+    # Norms are precomputed per side BEFORE the pair join: cosine()
+    # inline would recompute each query's norm once per candidate and
+    # each candidate's norm once per query — redundant O(dim) work per
+    # pair. Same arithmetic, so scores stay bit-identical.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(vec_col).alias("__cnorm"),
     )
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id", cosine("__qvec", "__cvec").alias("sim")
+        "query_id",
+        "neighbor_id",
+        (dot("__qvec", "__cvec") / (F.col("__qnorm") * F.col("__cnorm"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -137,27 +147,45 @@ def ivf_topk(
     Output: (query_id, neighbor_id, rank, sim).
     """
     cents = cluster_centroids(candidates, cluster_col, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
+    )
 
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cluster"))
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("query_id", "__qvec", "cluster", cosine("__qvec", "centroid").alias("c_sim"))
+        .select(
+            "query_id",
+            "__qvec",
+            "__qnorm",
+            "cluster",
+            cosine("__qvec", "centroid").alias("c_sim"),
+        )
         .withColumn("c_rank", F.row_number().over(probe_w))
         .filter(F.col("c_rank") <= n_probe)
-        .select("query_id", "__qvec", "cluster")
+        .select("query_id", "__qvec", "__qnorm", "cluster")
     )
+    # candidate norms precomputed once per row, not once per probe pair
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(cluster_col).alias("cluster"),
         F.col(vec_col).alias("__cvec"),
+        norm(vec_col).alias("__cnorm"),
     )
     scored = c.join(F.broadcast(probes), "cluster").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.select("query_id", "neighbor_id", cosine("__qvec", "__cvec").alias("sim"))
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            (dot("__qvec", "__cvec") / (F.col("__qnorm") * F.col("__cnorm"))).alias(
+                "sim"
+            ),
+        )
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
@@ -196,15 +224,21 @@ def embedding_near_dup_pairs(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("keep_id"),
         F.col(vec_col).alias("__va"),
+        norm(vec_col).alias("__na"),
     )
     b = candidates.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("dup_id"),
         F.col(vec_col).alias("__vb"),
+        norm(vec_col).alias("__nb"),
     )
     return (
         a.join(b, "__blk")
         .filter(F.col("keep_id") < F.col("dup_id"))
-        .select("keep_id", "dup_id", cosine("__va", "__vb").alias("sim"))
+        .select(
+            "keep_id",
+            "dup_id",
+            (dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
