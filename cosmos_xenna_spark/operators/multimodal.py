@@ -135,6 +135,120 @@ def sample_video_frames(
 
     return df.mapInPandas(fn, schema="id long, frame_idx long, frame binary")
 
+# --- audio ------------------------------------------------------------------
+# Same stub discipline as images: a deterministic fake payload carries a
+# real header (magic + sample rate + sample count) and pseudo-PCM bytes;
+# decode raises on anything that isn't the fake format (no libsndfile /
+# torchaudio in this container). The Spark-side plumbing — binary column,
+# Arrow batching, typed metadata extraction, windowed energy — is real.
+
+_AUDIO_MAGIC = b"FAKEAUD1"
+
+
+def fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
+    """Deterministic stand-in audio payload: header + pseudo-PCM (u8)."""
+    body = hashlib.sha256(f"{sample_rate}:{n_samples}:{seed}".encode()).digest()
+    pcm = (body * (n_samples // len(body) + 1))[:n_samples]
+    return _AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples) + pcm
+
+
+def decode_audio_stub(payload: bytes) -> tuple[int, int, bytes]:
+    """'Decode' audio -> (sample_rate, n_samples, pcm bytes)."""
+    if payload[: len(_AUDIO_MAGIC)] != _AUDIO_MAGIC:
+        raise NotImplementedError(
+            "real audio decoding requires libsndfile/ffmpeg — not available "
+            "in this environment; payload is not a FAKEAUD1 test clip"
+        )
+    sr, n = struct.unpack("<II", payload[len(_AUDIO_MAGIC) : len(_AUDIO_MAGIC) + 8])
+    return sr, n, payload[len(_AUDIO_MAGIC) + 8 :]
+
+
+AUDIO_META_SCHEMA = (
+    "id long, sample_rate long, n_samples long, duration_s double, "
+    "mean_amp double, peak_amp long"
+)
+
+
+def extract_audio_metadata(
+    df: DataFrame, id_col: str = "id", audio_col: str = "audio"
+) -> DataFrame:
+    """Decode-and-describe for audio: duration + amplitude stats.
+
+    Amplitude stats are numpy-vectorized over the PCM buffer (never a
+    per-sample Python loop); integer mean (sum/len in exact int then
+    one double division) keeps the value engine-reproducible.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[audio_col]):
+                sr, n, pcm = decode_audio_stub(bytes(payload))
+                arr = np.frombuffer(pcm, dtype=np.uint8)
+                rows.append(
+                    (
+                        i,
+                        sr,
+                        n,
+                        n / sr,
+                        float(int(arr.sum(dtype=np.int64))) / n if n else 0.0,
+                        int(arr.max()) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "sample_rate", "n_samples", "duration_s",
+                    "mean_amp", "peak_amp",
+                ],
+            )
+
+    return df.mapInPandas(fn, schema=AUDIO_META_SCHEMA)
+
+
+def audio_window_energy(
+    df: DataFrame, window_samples: int, id_col: str = "id", audio_col: str = "audio"
+) -> DataFrame:
+    """Windowed energy fan-out: one row per fixed-size PCM window —
+    (id, win_idx, n_in_win, energy). The audio analogue of video frame
+    sampling: executor-side row multiplication, numpy-vectorized sums."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, energies = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[audio_col]):
+                _, n, pcm = decode_audio_stub(bytes(payload))
+                arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
+                for w in range(0, n, window_samples):
+                    chunk = arr[w : w + window_samples]
+                    ids.append(i)
+                    idxs.append(w // window_samples)
+                    ns.append(len(chunk))
+                    energies.append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(
+                {"id": ids, "win_idx": idxs, "n_in_win": ns, "energy": energies}
+            )
+
+    return df.mapInPandas(
+        fn, schema="id long, win_idx long, n_in_win long, energy long"
+    )
+
+
+def attach_fake_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Test/demo ingestion: sample_rate = 8000, n_samples = (id % 50 + 10)
+    * 100, seeded by id. Output (id, audio)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            clips = [fake_audio(8000, (i % 50 + 10) * 100, seed=i) for i in ids]
+            yield pd.DataFrame({"id": ids, "audio": clips})
+
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(fn, schema="id long, audio binary")
+
+
 def attach_fake_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Test/demo ingestion: derive a deterministic fake image per row —
     width = id % 16 + 4, height = id % 8 + 4, seeded by id. Output

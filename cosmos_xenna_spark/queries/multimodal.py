@@ -15,8 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.multimodal import (
+    attach_fake_audio,
     attach_fake_frames,
     attach_fake_images,
+    audio_window_energy,
+    extract_audio_metadata,
     extract_image_metadata,
     sample_video_frames,
 )
@@ -54,3 +57,41 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     sampled = sample_video_frames(attach_fake_frames(docs), every_n=2)
     return sampled.select("id", "frame_idx")
+
+
+@register(
+    "q_multimodal_audio_meta",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST((doc_id % 50 + 10) * 100 AS BIGINT) AS n_samples,
+           CAST((doc_id % 50 + 10) * 100 AS DOUBLE) / 8000 AS duration_s
+    FROM documents
+    """,
+    description="binary audio column -> typed metadata (sample rate / "
+    "sample count / duration) via mapInPandas decode; oracle recomputes "
+    "the header fields arithmetically (amplitude stats are payload-"
+    "dependent, covered by tests/test_multimodal.py)",
+)
+def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    meta = extract_audio_metadata(attach_fake_audio(docs))
+    return meta.select("id", "sample_rate", "n_samples", "duration_s")
+
+
+@register(
+    "q_multimodal_audio_windows",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(UNNEST(range(0, CAST(ceil(((doc_id % 50 + 10) * 100) / 4000.0) AS BIGINT)))
+                AS BIGINT) AS win_idx
+    FROM documents
+    """,
+    description="audio window fan-out: one row per 4000-sample PCM window "
+    "(the audio analogue of video frame sampling); oracle recomputes the "
+    "window count arithmetically",
+)
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wins = audio_window_energy(attach_fake_audio(docs), window_samples=4000)
+    return wins.select("id", "win_idx")
