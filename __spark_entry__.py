@@ -21,7 +21,7 @@ from cosmos_xenna_spark.queries import load_registry  # noqa: E402
 from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 
 # The correctness driver verifies the alphabetically-first ~50 registry
-# entries. With 119 queries, an uncurated ordering spends the whole
+# entries. With 124 queries, an uncurated ordering spends the whole
 # budget on TPC-H/joins and leaves entire operator families (windows,
 # subqueries, MinHash/LSH, kNN, text, multimodal, streaming shapes,
 # salting, sampling) without a hard verdict. The mapping below exposes
@@ -29,20 +29,21 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 # sorts before both the TPC-H `q1*..q9*` names and every `q_*` name —
 # so the checked window spans every family. Internal names (tests,
 # bench, COVERAGE.md) are unchanged; this is a driver-surface alias
-# only. 45 promotions, chosen as: the round-1 VERDICT's three
+# only. 50 promotions, chosen as: the round-1 VERDICT's three
 # must-verify fixes (dedup_clusters, collect_list_set, array_funcs),
 # then one representative per family that has never had a driver row
 # (subqueries, sampling, simhash, ngram-Jaccard, percentile, rollup,
 # math/map funcs, langid/token-count, union, window frames/ntile,
 # sort-limit, train/val/test split, UDTF, unpivot, predicates, audio
-# multimodal, minhash pairs, stream-static join, kmeans-IVF). The 5
-# remaining window slots land on TPC-H q10..q14 — q11/q12 are new r2
-# shapes, so the TPC-H family also gains fresh verification. Families
-# verified green in round 1 (basic joins, set-op intersect/except,
-# date/hash funcs, event funnel/cohort, global rank, exact dedup,
-# embedding cosine) deliberately yield their slots to never-checked
-# families; the full local sf0.01 + sf0.1 oracle sweeps remain the
-# backstop for them.
+# multimodal, minhash pairs, stream-static join, kmeans-IVF), plus the
+# five corpus-quality queries (Gopher signals, PII redaction, C4 line
+# dedup, decontamination, top n-grams) which are new in round 2 and
+# have never been driver-checked. With 50 promotions the window is
+# exactly the q0_ block. Families verified green in round 1 (TPC-H,
+# basic joins, set-op intersect/except, date/hash funcs, event
+# funnel/cohort, global rank, exact dedup, embedding cosine)
+# deliberately yield their slots to never-checked families; the full
+# local sf0.01 + sf0.1 oracle sweeps remain the backstop for them.
 DRIVER_PRIORITY: dict[str, str] = {
     name: f"q0_{name[2:]}"
     for name in (
@@ -92,6 +93,12 @@ DRIVER_PRIORITY: dict[str, str] = {
         "q_minhash_pairs",
         "q_stream_static_join",
         "q_knn_ivf_kmeans",
+        # round-2 corpus-quality family (new, never driver-verified)
+        "q_quality_signals",
+        "q_pii_redact",
+        "q_line_dedup",
+        "q_decontaminate",
+        "q_top_ngrams",
     )
 }
 

@@ -1,0 +1,230 @@
+"""Corpus-quality operators for LLM training-data curation.
+
+Gopher-style per-document quality signals, C4-style line-level corpus
+dedup, PII redaction, and eval-set n-gram decontamination — the
+filtering stages a 100 TB text pipeline runs between raw scrape and
+tokenization. All JVM built-ins (split/explode/regexp/window); zero
+Python UDFs, so every stage stays inside whole-stage codegen.
+
+Scale shapes:
+- quality_signals: one explode + two groupBys keyed by doc_id (word
+  counts partially aggregate map-side before the shuffle).
+- line_dedup: one shuffle keyed by the line (hash the line with
+  ``md5_long63`` for the partition key at scale; the demo keys on the
+  line string itself so the DuckDB oracle can mirror it exactly).
+- decontaminate: the eval-shingle side of the semi-join is broadcast —
+  eval suites are KBs-to-MBs against a TB-scale training corpus.
+- top_ngrams: groupBy(ngram) with map-side combine, then a global
+  top-k (Spark TakeOrdered — no single-partition sort of the counts).
+
+Reference parity: the reference ships no corpus-quality stages (its
+pipelines defer this to user stages, reference
+``examples/simple_data_processing.py``); these mirror the published
+C4 (Raffel et al. 2020) and Gopher (Rae et al. 2021) filter suites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.operators.text import STOPWORDS
+
+# Gopher-ish acceptance thresholds, tuned for the synthetic corpus
+# (docs are 10-99 space-separated words over a small vocabulary):
+# real-world values are 50..100_000 words, mean word length 3..10,
+# >=2 stopword hits, >=20% unique words.
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MIN_STOPWORD_HITS = 2
+MIN_FRAC_UNIQUE = 0.2
+
+# PII patterns — RE2-safe (no lookarounds) so Spark's Java regex and
+# DuckDB's RE2 agree. Redaction order matters: emails first (their
+# domains contain dots that the IP pattern must not see), then IPs,
+# then phones.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality signals per document.
+
+    Returns (doc_id, n_words, n_unique, frac_unique, top_word_frac,
+    mean_word_len, stopword_hits, passes). Every ratio divides two
+    exact integer sums, so the doubles are bit-deterministic across
+    engines and partitionings.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    sw = F.col("word").isin(*STOPWORDS)
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.max("cnt").alias("__top_n"),
+        F.sum(F.when(sw, F.col("cnt")).otherwise(F.lit(0))).alias("stopword_hits"),
+        F.sum(F.length("word") * F.col("cnt")).alias("__chars"),
+    )
+    frac_unique = F.col("n_unique").cast("double") / F.col("n_words")
+    top_word_frac = F.col("__top_n").cast("double") / F.col("n_words")
+    mean_word_len = F.col("__chars").cast("double") / F.col("n_words")
+    passes = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & mean_word_len.between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+        & (F.col("stopword_hits") >= MIN_STOPWORD_HITS)
+        & (frac_unique >= MIN_FRAC_UNIQUE)
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_unique",
+        frac_unique.alias("frac_unique"),
+        top_word_frac.alias("top_word_frac"),
+        mean_word_len.alias("mean_word_len"),
+        "stopword_hits",
+        passes.alias("passes"),
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone numbers; count each per row.
+
+    Adds ``n_emails`` / ``n_ips`` / ``n_phones`` (BIGINT) and replaces
+    ``text_col`` with the redacted text. Row-local — no shuffle.
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).cast("bigint"),
+            "n_ips": F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), 0)).cast("bigint"),
+            "n_phones": F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0)).cast("bigint"),
+            text_col: redacted,
+        }
+    )
+
+
+def _line_col(text_col: str, line_words: int) -> Column:
+    """Chunk the word array into fixed-width ``line_words`` 'lines'.
+
+    The corpus has no newlines, so lines are synthesized as word
+    chunks; with real scraped text pass a pre-split lines array
+    instead (`split(text, '\\n')`).
+    """
+    return F.expr(
+        f"transform(sequence(0, CAST(ceil(size(split({text_col}, ' ')) / {line_words}.0) AS INT) - 1),"
+        f" i -> array_join(slice(split({text_col}, ' '), i * {line_words} + 1, {line_words}), ' '))"
+    )
+
+
+def line_dedup(
+    docs: DataFrame, text_col: str = "text", line_words: int = 12
+) -> DataFrame:
+    """C4-style line-level corpus dedup: keep only the FIRST occurrence
+    of each line corpus-wide (ordered by doc_id, then position).
+
+    Returns (doc_id, n_lines, n_kept, kept_text). One shuffle keyed by
+    the line; at 100 TB key the window on ``md5_long63(line)`` so the
+    shuffle moves 8-byte keys instead of line strings.
+    """
+    lines = docs.select(
+        "doc_id", F.posexplode(_line_col(text_col, line_words)).alias("line_no", "line")
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    ranked = lines.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct(F.col("line_no"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Flag training docs sharing any word n-gram with an eval set.
+
+    Returns (doc_id, n_overlap, contaminated) for every training doc.
+    The eval shingle set is broadcast — eval suites are tiny next to
+    the training corpus, so the training side never shuffles.
+    """
+    from cosmos_xenna_spark.operators.dedup import word_shingles
+
+    train_sh = word_shingles(train, text_col, k=n)
+    eval_sh = word_shingles(eval_df, text_col, k=n).select("sh").distinct()
+    overlap = (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def top_ngrams(
+    docs: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams: (ngram, n_occurrences), ordered
+    by count desc then ngram asc (fully deterministic).
+
+    Counts ALL occurrences (unlike ``word_shingles``, which dedupes
+    within a doc for MinHash). groupBy(ngram) partially aggregates
+    map-side; the final top-k is a TakeOrdered, not a global sort.
+    """
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(F.split(F.col(text_col), " ").alias("__ws"))
+    grams = base.select(
+        F.explode(
+            F.when(
+                F.size("__ws") >= n,
+                F.expr(
+                    f"transform(sequence(1, size(__ws) - {n - 1}),"
+                    f" i -> array_join(slice(__ws, i, {n}), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -62,6 +62,7 @@ _MODULES = (
     "skew",
     "sampling",
     "subqueries",
+    "quality",
 )
 
 

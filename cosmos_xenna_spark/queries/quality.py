@@ -1,0 +1,191 @@
+"""Corpus-quality queries with DuckDB oracles: Gopher-style quality
+signals, PII redaction, C4-style line dedup, eval-set n-gram
+decontamination, corpus top n-grams."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.quality import (
+    EMAIL_RE,
+    IPV4_RE,
+    MAX_MEAN_WORD_LEN,
+    MAX_WORDS,
+    MIN_FRAC_UNIQUE,
+    MIN_MEAN_WORD_LEN,
+    MIN_STOPWORD_HITS,
+    MIN_WORDS,
+    PHONE_RE,
+    decontaminate,
+    line_dedup,
+    quality_signals,
+    redact_pii,
+    top_ngrams,
+)
+from cosmos_xenna_spark.operators.text import STOPWORDS
+from cosmos_xenna_spark.queries import register
+
+_SW = ",".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "q_quality_signals",
+    oracle=f"""
+    WITH wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY doc_id, word
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_words,
+             COUNT(*) AS n_unique,
+             CAST(MAX(cnt) AS BIGINT) AS top_n,
+             CAST(SUM(CASE WHEN word IN ({_SW}) THEN cnt ELSE 0 END) AS BIGINT)
+               AS stopword_hits,
+             CAST(SUM(length(word) * cnt) AS BIGINT) AS chars
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_unique,
+           CAST(n_unique AS DOUBLE) / n_words AS frac_unique,
+           CAST(top_n AS DOUBLE) / n_words AS top_word_frac,
+           CAST(chars AS DOUBLE) / n_words AS mean_word_len,
+           stopword_hits,
+           (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+             AND (CAST(chars AS DOUBLE) / n_words
+                  BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})
+             AND stopword_hits >= {MIN_STOPWORD_HITS}
+             AND CAST(n_unique AS DOUBLE) / n_words >= {MIN_FRAC_UNIQUE} AS passes
+    FROM agg
+    """,
+    description="Gopher-style per-doc quality signals: word counts, unique/"
+    "top-word fractions, mean word length, stopword hits, pass/fail gate",
+)
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_signals(load_table(spark, sf_dir, "documents"))
+
+
+# Inject deterministic synthetic PII into 2/3 of the docs (the corpus
+# itself contains none) so the redaction patterns are genuinely
+# exercised; doc_id % 3 == 0 rows stay clean as negative controls.
+def _inject_pii_col():
+    d = F.col("doc_id")
+    return F.when(d % 3 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com from 10.2."),
+            (d % 256).cast("string"),
+            F.lit(".9 call 415-555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        )
+    )
+
+
+_INJECT_SQL = """
+      CASE WHEN doc_id % 3 = 0 THEN text ELSE
+        text || ' contact user' || doc_id || '@example.com from 10.2.'
+             || (doc_id % 256) || '.9 call 415-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      END
+"""
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+    WITH inj AS (SELECT doc_id, {_INJECT_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(
+             text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{IPV4_RE}', '<IP>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g') AS text
+    FROM inj
+    """,
+    description="PII redaction: email/IPv4/phone regex redaction with "
+    "per-row match counts (row-local, no shuffle)",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _inject_pii_col().alias("text")
+    )
+    return redact_pii(docs).select("doc_id", "n_emails", "n_ips", "n_phones", "text")
+
+
+@register(
+    "q_line_dedup",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id, i AS line_no,
+             array_to_string(ws[(i*3+1):(i*3+3)], ' ') AS line
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(range(0, CAST(ceil(len(ws) / 3.0) AS INT))) AS t(i)
+    ), ranked AS (
+      SELECT doc_id, line_no, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM lines
+    )
+    SELECT doc_id, COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_no), '')
+             AS kept_text
+    FROM ranked GROUP BY doc_id
+    """,
+    description="C4-style line-level corpus dedup: keep first occurrence "
+    "of each line corpus-wide (3-word synthetic lines)",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup(load_table(spark, sf_dir, "documents"), line_words=3)
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS sh
+      FROM ws, UNNEST(range(1, len(ws) - 2)) AS t(i)
+    ),
+    eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 53 = 0),
+    overlap AS (
+      SELECT s.doc_id, COUNT(*) AS n_overlap
+      FROM sh s JOIN eval_sh e USING (sh)
+      WHERE s.doc_id % 53 <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(o.n_overlap, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN overlap o USING (doc_id)
+    WHERE d.doc_id % 53 <> 0
+    """,
+    description="eval-set decontamination: flag training docs sharing any "
+    "word 4-gram with the (broadcast) eval split",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 53 == 0
+    return decontaminate(docs.filter(~is_eval), docs.filter(is_eval), n=4)
+
+
+@register(
+    "q_top_ngrams",
+    oracle="""
+    WITH g AS (
+      SELECT array_to_string(ws[i:i+1], ' ') AS ngram
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+           UNNEST(range(1, len(ws))) AS t(i)
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM g GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram LIMIT 20
+    """,
+    description="corpus-wide top-20 word bigrams (map-side combined counts "
+    "+ TakeOrdered top-k, no global sort)",
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_ngrams(load_table(spark, sf_dir, "documents"), n=2, k=20)
