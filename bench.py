@@ -43,6 +43,10 @@ HEADLINE = [
     "q_subquery_correlated",
     "q_pivot",
     "q_ngram_jaccard",
+    # r2 corpus-quality family (heaviest two: corpus-wide line window,
+    # per-doc word aggregation)
+    "q_line_dedup",
+    "q_quality_signals",
 ]
 
 
