@@ -166,6 +166,101 @@ def line_dedup(
     )
 
 
+def repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    line_words: int = 12,
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    Returns per doc:
+      - ``n_lines``, ``dup_line_frac``: occurrences beyond the first of
+        any repeated line / total lines,
+      - ``dup_line_char_frac``: characters in those repeat occurrences
+        / total characters,
+      - ``top_ngram_char_frac``: characters covered by the single
+        highest-coverage ``top_n``-gram (count x gram length; coverage
+        max is deterministic where "most frequent" would tie-break
+        ambiguously across engines),
+      - ``dup_ngram_char_frac``: characters covered by all duplicated
+        ``dup_n``-grams (overlapping occurrences double-count — the
+        standard proxy; Rae et al. 2021 table A1).
+
+    Denominator is ``length(text)``. Shapes: one explode per signal
+    family, groupBys keyed by doc_id (map-side partial aggregation),
+    and doc_id-partitioned joins — no shuffle wider than the doc key.
+    """
+    tlen = F.length(F.col(text_col)).alias("__tlen")
+    base = docs.select("doc_id", tlen, F.split(F.col(text_col), " ").alias("__ws"))
+
+    lines = base.select(
+        "doc_id",
+        "__tlen",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(__ws) / {line_words}.0) AS INT) - 1),"
+                f" i -> array_join(slice(__ws, i * {line_words} + 1, {line_words}), ' '))"
+            )
+        ).alias("line"),
+    )
+    line_cnt = lines.groupBy("doc_id", "line").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("__tlen").alias("__tlen")
+    )
+    line_agg = line_cnt.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("cnt") - 1).alias("__dup_lines"),
+        F.sum((F.col("cnt") - 1) * F.length("line")).alias("__dup_line_chars"),
+        F.min("__tlen").alias("__tlen"),
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        grams = base.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("__ws") >= n,
+                    F.expr(
+                        f"transform(sequence(1, size(__ws) - {n - 1}),"
+                        f" i -> array_join(slice(__ws, i, {n}), ' '))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        return grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+
+    top_agg = (
+        gram_counts(top_n)
+        .groupBy("doc_id")
+        .agg(F.max(F.col("cnt") * F.length("gram")).alias("__top_chars"))
+    )
+    dup_agg = (
+        gram_counts(dup_n)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(0)
+            ).alias("__dup_gram_chars")
+        )
+    )
+
+    joined = line_agg.join(top_agg, "doc_id", "left").join(dup_agg, "doc_id", "left")
+    denom = F.col("__tlen").cast("double")
+    return joined.select(
+        "doc_id",
+        "n_lines",
+        (F.col("__dup_lines").cast("double") / F.col("n_lines")).alias("dup_line_frac"),
+        (F.col("__dup_line_chars").cast("double") / denom).alias("dup_line_char_frac"),
+        (F.coalesce("__top_chars", F.lit(0)).cast("double") / denom).alias(
+            "top_ngram_char_frac"
+        ),
+        (F.coalesce("__dup_gram_chars", F.lit(0)).cast("double") / denom).alias(
+            "dup_ngram_char_frac"
+        ),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

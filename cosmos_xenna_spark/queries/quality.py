@@ -22,6 +22,7 @@ from cosmos_xenna_spark.operators.quality import (
     line_dedup,
     quality_signals,
     redact_pii,
+    repetition_signals,
     top_ngrams,
 )
 from cosmos_xenna_spark.operators.text import STOPWORDS
@@ -170,6 +171,61 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 53 == 0
     return decontaminate(docs.filter(~is_eval), docs.filter(is_eval), n=4)
+
+
+@register(
+    "q_repetition_signals",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, length(text) AS tlen, string_split(text, ' ') AS ws
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, tlen, array_to_string(ws[(i*3+1):(i*3+3)], ' ') AS line
+      FROM base, UNNEST(range(0, CAST(ceil(len(ws) / 3.0) AS INT))) AS t(i)
+    ), line_cnt AS (
+      SELECT doc_id, line, COUNT(*) AS cnt, MIN(tlen) AS tlen
+      FROM lines GROUP BY doc_id, line
+    ), line_agg AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+             CAST(SUM(cnt - 1) AS BIGINT) AS dup_lines,
+             CAST(SUM((cnt - 1) * length(line)) AS BIGINT) AS dup_line_chars,
+             MIN(tlen) AS tlen
+      FROM line_cnt GROUP BY doc_id
+    ), g2c AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+        SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+        FROM base, UNNEST(range(1, len(ws))) AS t(i)
+      ) GROUP BY doc_id, gram
+    ), top_agg AS (
+      SELECT doc_id, CAST(MAX(cnt * length(gram)) AS BIGINT) AS top_chars
+      FROM g2c GROUP BY doc_id
+    ), g3c AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+        SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        FROM base, UNNEST(range(1, len(ws) - 1)) AS t(i)
+      ) GROUP BY doc_id, gram
+    ), dup_agg AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+                  AS BIGINT) AS dup_gram_chars
+      FROM g3c GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_lines,
+           CAST(l.dup_lines AS DOUBLE) / l.n_lines AS dup_line_frac,
+           CAST(l.dup_line_chars AS DOUBLE) / l.tlen AS dup_line_char_frac,
+           CAST(COALESCE(t.top_chars, 0) AS DOUBLE) / l.tlen AS top_ngram_char_frac,
+           CAST(COALESCE(d.dup_gram_chars, 0) AS DOUBLE) / l.tlen AS dup_ngram_char_frac
+    FROM line_agg l
+    LEFT JOIN top_agg t USING (doc_id)
+    LEFT JOIN dup_agg d USING (doc_id)
+    """,
+    description="Gopher-style within-doc repetition: duplicate-line fraction/"
+    "chars, highest-coverage bigram chars, duplicated-trigram chars",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_signals(
+        load_table(spark, sf_dir, "documents"), line_words=3, top_n=2, dup_n=3
+    )
 
 
 @register(

@@ -10,6 +10,7 @@ from cosmos_xenna_spark.operators.quality import (
     line_dedup,
     quality_signals,
     redact_pii,
+    repetition_signals,
     top_ngrams,
 )
 
@@ -88,6 +89,31 @@ def test_decontaminate_flags_shared_ngrams(spark):
     out = {r["doc_id"]: r for r in decontaminate(train, ev, n=4).collect()}
     assert out[1]["contaminated"] and out[1]["n_overlap"] >= 1
     assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+
+
+def test_repetition_signals_hand_computed(spark):
+    # doc 1: "a b c a b c a b d" -> lines(3): {a b c: 2, a b d: 1};
+    # tlen=17; dup lines = 1 of 3; dup line chars = 5.
+    # bigrams: 'a b' x3 (len 3) -> top coverage 9; duplicated trigrams
+    # 'a b c'/'b c a'/'c a b' each x2, len 5 -> 30 chars (overlaps
+    # double-count by design).
+    df = repetition_signals(
+        _docs(spark, [(1, "a b c a b c a b d"), (2, "x y z")]),
+        line_words=3,
+        top_n=2,
+        dup_n=3,
+    )
+    rows = {r["doc_id"]: r for r in df.collect()}
+    r1 = rows[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == 1 / 3
+    assert r1["dup_line_char_frac"] == 5 / 17
+    assert r1["top_ngram_char_frac"] == 9 / 17
+    assert r1["dup_ngram_char_frac"] == 30 / 17
+    r2 = rows[2]
+    assert r2["n_lines"] == 1 and r2["dup_line_frac"] == 0.0
+    assert r2["top_ngram_char_frac"] == 3 / 5  # 'x y' once, len 3, tlen 5
+    assert r2["dup_ngram_char_frac"] == 0.0
 
 
 def test_top_ngrams_deterministic_order(spark):
