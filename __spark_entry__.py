@@ -38,7 +38,8 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 # multimodal, minhash pairs, stream-static join, kmeans-IVF), plus the
 # five corpus-quality queries (Gopher signals, PII redaction, C4 line
 # dedup, decontamination, top n-grams) which are new in round 2 and
-# have never been driver-checked. With 50 promotions the window is
+# have never been driver-checked, and the two CDC queries (MERGE
+# upsert, SCD2 history — new family). With 50 promotions the window is
 # exactly the q0_ block. Families verified green in round 1 (TPC-H,
 # basic joins, set-op intersect/except, date/hash funcs, event
 # funnel/cohort, global rank, exact dedup, embedding cosine)
@@ -93,12 +94,15 @@ DRIVER_PRIORITY: dict[str, str] = {
         "q_minhash_pairs",
         "q_stream_static_join",
         "q_knn_ivf_kmeans",
-        # round-2 corpus-quality family (new, never driver-verified)
+        # round-2 corpus-quality family (new, never driver-verified;
+        # line-dedup/top-ngrams yield their slots to the CDC family —
+        # three in-window reps keep quality hard-verified)
         "q_quality_signals",
         "q_pii_redact",
-        "q_line_dedup",
         "q_decontaminate",
-        "q_top_ngrams",
+        # round-2 CDC family (new, never driver-verified)
+        "q_merge_upsert",
+        "q_scd2_history",
     )
 }
 

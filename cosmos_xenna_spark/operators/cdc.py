@@ -1,0 +1,75 @@
+"""Change-data-capture operators: snapshot merge (MERGE INTO semantics
+without a table format) and SCD2 history construction.
+
+``merge_upsert`` is the copy-on-write strategy Delta/Iceberg MERGE
+compiles to, expressed directly on DataFrames: the (small) change
+batch is broadcast for both the anti-join (drop replaced/deleted rows)
+and the union of new versions, so the 100 TB snapshot side never
+shuffles. With a partitioned snapshot, partition pruning on the change
+keys' partitions bounds the rewrite the same way file skipping does in
+a lakehouse MERGE.
+
+``scd2_from_changelog`` builds type-2 slowly-changing-dimension
+history (valid_from / valid_to / is_current) from an ordered change
+log with one window over the entity key — the standard warehouse
+pattern, one shuffle on the key.
+
+Reference parity: the reference ships no relational merge (its
+pipelines are append-only object flows, reference
+``cosmos_xenna/pipelines/private/pipelines.py``); this covers the
+lakehouse-style upsert surface a Spark-native engine is expected to
+have.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OP_COL = "__op"
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Apply a change batch to a snapshot: MERGE INTO semantics.
+
+    ``changes`` carries ``op_col`` with values ``'upsert'`` (replace the
+    matching snapshot row, or insert if the key is new) or ``'delete'``
+    (drop the matching snapshot row). Exactly one change per key.
+
+    Shape: one broadcast anti-join (snapshot never shuffles) + union
+    with the upsert rows.
+    """
+    keys = list(keys)
+    touched = changes.select(*keys).distinct()
+    kept = snapshot.join(F.broadcast(touched), keys, "left_anti")
+    upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    return kept.unionByName(upserts)
+
+
+def scd2_from_changelog(
+    changelog: DataFrame,
+    key: str,
+    ts_col: str,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 SCD history from an ordered change log.
+
+    Each change row becomes a version with ``valid_from`` = its
+    timestamp, ``valid_to`` = the next change's timestamp for the same
+    key (NULL while current), and ``is_current``. One window shuffle on
+    ``key``.
+    """
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in order_tiebreak]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    return (
+        changelog.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -1,0 +1,74 @@
+"""Tests for CDC operators: merge_upsert (MERGE INTO semantics) and
+scd2_from_changelog (type-2 history)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.operators.cdc import OP_COL, merge_upsert, scd2_from_changelog
+
+
+def test_merge_upsert_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "upsert"), (3, None, "delete"), (4, "d", "upsert")],
+        f"k bigint, v string, {OP_COL} string",
+    )
+    out = {r["k"]: r["v"] for r in merge_upsert(snap, changes, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}  # 2 replaced, 3 deleted, 4 inserted
+
+
+def test_merge_upsert_plan_broadcasts_changes(spark):
+    snap = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    changes = spark.createDataFrame(
+        [(1, "A", "upsert")], f"k bigint, v string, {OP_COL} string"
+    )
+    plan = (
+        merge_upsert(snap, changes, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_scd2_versions_and_current_flag(spark):
+    t = datetime
+    log = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1), "v1"),
+            (1, t(2024, 2, 1), "v2"),
+            (1, t(2024, 3, 1), "v3"),
+            (2, t(2024, 1, 15), "only"),
+        ],
+        "k bigint, ts timestamp, v string",
+    )
+    hist = scd2_from_changelog(log, key="k", ts_col="ts").orderBy("k", "valid_from")
+    rows = hist.collect()
+    k1 = [r for r in rows if r["k"] == 1]
+    assert [r["v"] for r in k1] == ["v1", "v2", "v3"]
+    assert k1[0]["valid_to"] == t(2024, 2, 1) and not k1[0]["is_current"]
+    assert k1[1]["valid_to"] == t(2024, 3, 1) and not k1[1]["is_current"]
+    assert k1[2]["valid_to"] is None and k1[2]["is_current"]
+    (k2,) = [r for r in rows if r["k"] == 2]
+    assert k2["is_current"] and k2["valid_from"] == t(2024, 1, 15)
+
+
+def test_scd2_intervals_partition_time(spark):
+    # versions tile the timeline: each valid_from equals the previous
+    # version's valid_to, so point-in-time lookups are unambiguous.
+    log = spark.createDataFrame(
+        [(1, datetime(2024, 1, d), f"v{d}") for d in (3, 1, 2)],
+        "k bigint, ts timestamp, v string",
+    )
+    hist = scd2_from_changelog(log, key="k", ts_col="ts")
+    asof = hist.filter(
+        (F.col("valid_from") <= datetime(2024, 1, 2, 12))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") > datetime(2024, 1, 2, 12))
+        )
+    ).collect()
+    assert len(asof) == 1 and asof[0]["v"] == "v2"
