@@ -84,3 +84,58 @@ def global_row_number(
     return bucketed.withColumn(
         out_col, F.row_number().over(w).cast("bigint") + offset_col
     ).drop("__b")
+
+
+def global_cumsum(
+    df: DataFrame,
+    val_col: str,
+    order_cols: list[str],
+    out_col: str = "cumsum",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Exact inclusive prefix sum of ``val_col`` over a total order,
+    never single-partition.
+
+    Equivalent to ``SUM(val) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` with the same quantile-bucket + driver-offset scheme
+    as :func:`global_row_number`: per-bucket totals (n_buckets bigints
+    on the driver) become literal offsets added to a within-bucket
+    running sum. ``val_col`` must be integral (bigint accumulation);
+    ``order_cols[0]`` must be numeric and, with the tiebreak columns,
+    define a total order.
+    """
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    key = order_cols[0]
+    probs = [i / n for i in range(1, n)]
+    cuts = sorted(set(df.approxQuantile(key, probs, 0.001))) if probs else []
+    bucket = _bucket_expr(key, cuts) if cuts else F.lit(0)
+
+    bucketed = df.withColumn("__b", bucket)
+    totals = {
+        r["__b"]: r["tot"]
+        for r in bucketed.groupBy("__b")
+        .agg(F.sum(F.col(val_col).cast("bigint")).alias("tot"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(totals):  # bucket -1 (nulls) first -> offset 0
+        offsets[b] = acc
+        acc += totals[b]
+    offset_col = F.element_at(
+        F.create_map(
+            *[
+                c
+                for b in sorted(offsets)
+                for c in (F.lit(b), F.lit(offsets[b]).cast("bigint"))
+            ]
+        ),
+        F.col("__b"),
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bucketed.withColumn(
+        out_col, F.sum(F.col(val_col).cast("bigint")).over(w) + offset_col
+    ).drop("__b")

@@ -1,0 +1,179 @@
+"""Text retrieval operators: inverted index construction, TF-IDF
+weighting, BM25 query scoring.
+
+All JVM built-ins (split/explode/groupBy/window) — no Python UDFs.
+Shapes at 100 TB: term statistics are one explode + one hash shuffle
+on (doc, term) then term; corpus scalars (N docs, average doc length)
+ride along as a broadcast single-row frame, never a driver literal
+recomputed per job; BM25 scoring touches only postings of the query's
+terms (filter pushed below the explode's shuffle).
+
+Cross-engine determinism note: scores use the *log-free* BM25 idf
+odds ``(N - df + 0.5) / (df + 0.5)`` rather than ``ln`` of it.
+Rationale: `+ - * /` are IEEE-exact in both Spark and DuckDB so
+results hash-match bit-for-bit, while ``ln`` is correctly-rounded in
+neither and may differ in the last ulp; per term the odds are a
+monotone transform of classic BM25 idf, and the final sum is a fixed
+explicit expression (term-pivoted), not an order-dependent float
+aggregation. Swap ``_idf_odds`` for ``F.log`` of it when bit-parity
+with another engine is not required.
+
+Reference parity: the reference has no retrieval operators (it is a
+pipeline orchestrator); this implements the standard index/scoring
+surface a corpus-curation engine needs (quality-by-query, dedup
+candidate mining, contamination lookups).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.operators.text import TOKEN_REGEX
+
+
+def doc_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per (doc, term) with term frequency ``tf``.
+
+    Terms are lowercased BPE-ish tokens (letter runs / digit runs /
+    single punctuation — same regex as token counting). One explode,
+    one hash shuffle on (doc_id, term).
+    """
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)")
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Term -> posting list (sorted doc ids, string-joined) + df.
+
+    ``max_postings`` caps the materialized list per term (stop-word
+    protection: at corpus scale the 'the' posting list is the whole
+    corpus — cap it and keep the exact ``df`` count alongside).
+    """
+    postings = doc_terms(docs, id_col, text_col)
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list(id_col)), 1, max_postings),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("posting_list"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def _corpus_stats(terms: DataFrame, id_col: str) -> DataFrame:
+    """Single-row frame (n_docs, avg_dl) for broadcast."""
+    dl = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+
+
+def _idf_odds(n_docs, df_col):
+    return (n_docs.cast("double") - df_col + F.lit(0.5)) / (
+        df_col.cast("double") + F.lit(0.5)
+    )
+
+
+def tf_idf(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF weight: ``tf * idf_odds`` (log-free, see
+    module docstring). Term df computed once; corpus size broadcast."""
+    terms = doc_terms(docs, id_col, text_col)
+    df_tab = terms.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    stats = _corpus_stats(terms, id_col)
+    return (
+        terms.join(df_tab, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * _idf_odds(F.col("n_docs"), F.col("df"))
+            ).alias("weight"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under (log-free) BM25.
+
+    Per matched term: ``idf_odds * tf*(k1+1) / (tf + k1*(1-b+b*dl/avg_dl))``.
+    The per-document score is the sum over the query's terms in a FIXED
+    pivoted expression (one column per term, summed left-to-right in
+    ``sorted(query_terms)`` order) — deterministic across engines and
+    partitionings, unlike a float SUM aggregation. Ties break by doc id.
+
+    Only postings of the query terms survive the first filter, so the
+    (doc, term) shuffle carries |query| * matching docs rows, not the
+    whole index.
+    """
+    qts = sorted(set(query_terms))
+    terms = doc_terms(docs, id_col, text_col)
+    dl_tab = terms.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = _corpus_stats(terms, id_col)
+    hits = terms.filter(F.col("term").isin(list(qts)))
+    df_tab = hits.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+
+    scored = (
+        hits.join(df_tab, "term")
+        .join(dl_tab, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    per_term = _idf_odds(F.col("n_docs"), F.col("df")) * (
+        F.col("tf").cast("double") * (k1 + 1.0)
+    ) / (
+        F.col("tf").cast("double")
+        + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avg_dl"))
+    )
+    pivoted = scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, per_term)).alias(f"__s_{i}")
+            for i, t in enumerate(qts)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(qts)):
+        score = score + F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
+    return (
+        pivoted.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
