@@ -47,6 +47,9 @@ HEADLINE = [
     # per-doc word aggregation)
     "q_line_dedup",
     "q_quality_signals",
+    # r4 additions (VERDICT r3 #3): CDC family, never benched
+    "q_merge_upsert",
+    "q_scd2_history",
 ]
 
 
@@ -60,41 +63,51 @@ def main() -> None:
 
     # Warm the JVM/parquet footer caches with one tiny action so the
     # first measured query doesn't pay session startup.
-    reg["q_sort_limit"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # Warm the Python UDF daemon pool (first mapInPandas otherwise pays
-    # worker fork + import on every executor thread).
-    spark.range(32).repartition(32).mapInPandas(
-        lambda it: it, schema="id long"
-    ).write.format("noop").mode("overwrite").save()
+    try:
+        reg["q_sort_limit"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # Warm the Python UDF daemon pool (first mapInPandas otherwise
+        # pays worker fork + import on every executor thread).
+        spark.range(32).repartition(32).mapInPandas(
+            lambda it: it, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — warm-up is best-effort
+        pass
 
     # Median of 3 runs per query: single local[32] runs swing 2-5x on
     # JIT/GC noise, which would mis-attribute regressions.
+    # Each query is fault-isolated: one broken query reports an "err"
+    # entry instead of killing the whole bench (round-3 lost its entire
+    # benchmark to a single AnalysisException at build time).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(3):
-            # Time builder + execution together: operators with eager
-            # internal actions (iterative connected_components check-
-            # points, kmeans fit, approxQuantile cuts) do real work at
-            # build time, and timing only the final write would hide it.
-            t0 = time.perf_counter()
-            df = reg[name].builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(3):
+                # Time builder + execution together: operators with eager
+                # internal actions (iterative connected_components check-
+                # points, kmeans fit, approxQuantile cuts) do real work at
+                # build time, and timing only the final write would hide it.
+                t0 = time.perf_counter()
+                df = reg[name].builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — report, keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.operators.text import TOKEN_REGEX
@@ -67,21 +67,37 @@ def inverted_index(
     ``max_postings`` caps the materialized list per term (stop-word
     protection: at corpus scale the 'the' posting list is the whole
     corpus — cap it and keep the exact ``df`` count alongside).
+
+    The cap is applied *before* ``collect_list`` via a per-term
+    ``row_number`` window, so the aggregation buffer holds at most
+    ``max_postings`` ids per term. Capping after collect (the obvious
+    ``slice(sort_array(collect_list(..)))``) would buffer the entire
+    'the' posting list — the whole corpus — in one aggregation state.
+    The exact ``df`` is still counted over the uncapped postings
+    (map-side partial count, constant state).
     """
     postings = doc_terms(docs, id_col, text_col)
+    df_tab = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    w = Window.partitionBy("term").orderBy(id_col)
+    capped = (
+        postings.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_postings)
+    )
+    lists = capped.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(id_col)),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("posting_list"),
+    )
     return (
-        postings.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("df"),
-            F.array_join(
-                F.transform(
-                    F.slice(F.sort_array(F.collect_list(id_col)), 1, max_postings),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("posting_list"),
-        )
+        df_tab.join(lists, "term")
         .filter(F.col("df") >= min_df)
+        .select("term", "df", "posting_list")
     )
 
 

@@ -64,6 +64,7 @@ _MODULES = (
     "subqueries",
     "quality",
     "cdc",
+    "retrieval",
 )
 
 

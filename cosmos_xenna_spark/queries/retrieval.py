@@ -1,0 +1,200 @@
+"""Retrieval + training-sequence queries with DuckDB oracles.
+
+Wires ``operators/retrieval.py`` (inverted index, TF-IDF, BM25) and
+``operators/packing.py`` (concat-and-chunk packing, RAG chunking) into
+the registry — every float constant in the oracles is injected via
+``repr()`` of the exact Python double the Spark builder uses, so the
+arithmetic is bit-identical between engines (the log-free BM25 idf
+exists for exactly this — see the operator module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.packing import chunk_text, pack_sequences
+from cosmos_xenna_spark.operators.retrieval import (
+    bm25_topk,
+    inverted_index,
+    tf_idf,
+)
+from cosmos_xenna_spark.operators.text import TOKEN_REGEX
+from cosmos_xenna_spark.queries import register
+
+# One shared tokenization CTE: (doc_id, term, tf) — mirrors
+# operators.retrieval.doc_terms exactly.
+_TERMS_CTE = f"""
+    terms AS (
+      SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM documents, UNNEST(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS t(term)
+      GROUP BY doc_id, t.term
+    )
+"""
+
+_BM25_TERMS = ("merge", "spark", "window")
+_BM25_K = 20
+_K1, _B = 1.2, 0.75
+# Python-evaluated constants, repr-injected so DuckDB parses the exact
+# same doubles the Spark expression tree holds.
+_K1P1 = repr(_K1 + 1.0)
+_OMB = repr(1.0 - _B)
+
+
+def _bm25_oracle() -> str:
+    qts = sorted(set(_BM25_TERMS))
+    in_list = ", ".join(f"'{t}'" for t in qts)
+    pivots = ",\n           ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS __s_{i}"
+        for i, t in enumerate(qts)
+    )
+    score = "0.0"
+    for i in range(len(qts)):
+        score = f"{score} + COALESCE(__s_{i}, 0.0)"
+    return f"""
+    WITH {_TERMS_CTE},
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM terms GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avg_dl
+      FROM dl
+    ),
+    hits AS (SELECT * FROM terms WHERE term IN ({in_list})),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id, h.term,
+             ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * {_K1P1})
+               / (CAST(tf AS DOUBLE)
+                  + {_K1!r} * ({_OMB} + {_B!r} * CAST(dl AS DOUBLE) / avg_dl)) AS s
+      FROM hits h JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    piv AS (
+      SELECT doc_id,
+           {pivots}
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, {score} AS score
+    FROM piv ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+    """
+
+
+@register(
+    "q_bm25_topk",
+    oracle=_bm25_oracle(),
+    description="BM25 top-k retrieval over the documents corpus "
+    "(log-free idf odds for cross-engine bit-parity; postings of the "
+    "query terms only cross the shuffle)",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_BM25_TERMS), k=_BM25_K, k1=_K1, b=_B)
+
+
+_IDX_MIN_DF = 2
+_IDX_MAX_POSTINGS = 10
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH {_TERMS_CTE}
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(
+             list_transform(list_sort(array_agg(doc_id))[1:{_IDX_MAX_POSTINGS}],
+                            x -> CAST(x AS VARCHAR)), ',') AS posting_list
+    FROM terms GROUP BY term HAVING COUNT(*) >= {_IDX_MIN_DF}
+    """,
+    description="inverted index: term -> capped sorted posting list + "
+    "exact df (cap applied pre-aggregation: bounded agg state per term)",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(
+        docs, min_df=_IDX_MIN_DF, max_postings=_IDX_MAX_POSTINGS
+    )
+
+
+@register(
+    "q_tfidf",
+    oracle=f"""
+    WITH {_TERMS_CTE},
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY term),
+    stats AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM terms
+    )
+    SELECT doc_id, term, tf, df,
+           CAST(tf AS DOUBLE)
+             * ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             AS weight
+    FROM terms JOIN dfs USING (term) CROSS JOIN stats
+    """,
+    description="per-(doc, term) TF-IDF weights (log-free idf odds; "
+    "corpus scalars ride as a broadcast single-row frame)",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf(docs)
+
+
+_SEQ_LEN = 128
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    laid AS (
+      SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS BIGINT) AS strt
+      FROM toks
+    )
+    SELECT CAST(g.seq_id AS BIGINT) AS seq_id,
+           doc_id,
+           CAST(greatest(0, g.seq_id * {_SEQ_LEN} - strt) AS BIGINT) AS doc_tok_start,
+           CAST(least(n_tok, g.seq_id * {_SEQ_LEN} + {_SEQ_LEN} - strt) AS BIGINT)
+             AS doc_tok_end,
+           CAST(greatest(0, strt - g.seq_id * {_SEQ_LEN}) AS BIGINT) AS seq_offset
+    FROM laid, UNNEST(range(strt // {_SEQ_LEN},
+                            (strt + n_tok - 1) // {_SEQ_LEN} + 1)) AS g(seq_id)
+    """,
+    description="GPT-style concat-and-chunk sequence packing: exact "
+    "distributed prefix sum (quantile buckets, no global window) + "
+    "row-local sequence fan-out",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=_SEQ_LEN)
+
+
+_CHUNK_W, _CHUNK_OVL = 16, 4
+_STRIDE = _CHUNK_W - _CHUNK_OVL
+
+
+@register(
+    "q_chunk_text",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id, CAST(g.chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(ws[g.chunk_id * {_STRIDE} + 1 :
+                              g.chunk_id * {_STRIDE} + {_CHUNK_W}], ' ') AS chunk_text,
+           CAST(len(ws[g.chunk_id * {_STRIDE} + 1 :
+                       g.chunk_id * {_STRIDE} + {_CHUNK_W}]) AS BIGINT) AS n_words
+    FROM base,
+         UNNEST(range(
+           0,
+           CAST(ceil(greatest(0, len(ws) - {_CHUNK_W}) / {_STRIDE}.0) AS BIGINT) + 1
+         )) AS g(chunk_id)
+    """,
+    description="RAG chunking: overlapping word windows, row-local "
+    "explode — no shuffle",
+)
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_text(docs, chunk_words=_CHUNK_W, overlap=_CHUNK_OVL)

@@ -37,17 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from cosmos_xenna_spark.catalog import normalize_ts
 from cosmos_xenna_spark.operators.pipeline import PipelineSpec
 from cosmos_xenna_spark.operators.stage import apply_stage
 
 EVENTS_DDL = (
     "event_id long, ts timestamp, user_id long, event_type string, "
-    "value double, props string"
-)
-# events.parquet stores TIMESTAMP(NANOS): the streaming reader takes it
-# as long (nanosAsLong) and converts, like catalog.load_table.
-EVENTS_RAW_DDL = (
-    "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -56,12 +51,20 @@ def events_file_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Replay an events directory as a file stream (the test/bench
-    harness for every streaming operator; TESTDATA events replayed)."""
-    reader = spark.readStream.schema(EVENTS_RAW_DDL)
+    harness for every streaming operator; TESTDATA events replayed).
+
+    ``readStream`` needs an explicit schema, so we probe the directory
+    once with a static read (footer-only, no data scan) and reuse the
+    physical schema as-is; the same dtype-dispatching normalizer as
+    ``catalog.load_table`` then maps any of the three historical ``ts``
+    encodings (ns-as-bigint / timestamp_ntz / timestamp) to session-UTC
+    ``timestamp`` — the streaming and batch paths share one contract.
+    """
+    physical = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(physical)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(events_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return normalize_ts(reader.parquet(events_dir))
 
 
 def run_stages_streaming(stream_df: DataFrame, spec: PipelineSpec) -> DataFrame:
