@@ -36,6 +36,7 @@ def merge_upsert(
     changes: DataFrame,
     keys: Sequence[str],
     op_col: str = OP_COL,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Apply a change batch to a snapshot: MERGE INTO semantics.
 
@@ -43,12 +44,20 @@ def merge_upsert(
     matching snapshot row, or insert if the key is new) or ``'delete'``
     (drop the matching snapshot row). Exactly one change per key.
 
-    Shape: one broadcast anti-join (snapshot never shuffles) + union
-    with the upsert rows.
+    ``broadcast=True`` (default — the streaming-CDC case): one
+    broadcast anti-join, the 100 TB snapshot side never shuffles.
+    ``broadcast=False`` (the BACKFILL case — a change set too large for
+    executor memory, e.g. a reprocessed month): plain shuffled anti-join
+    on the keys; both sides hash-partition, results identical. The
+    caller picks — a driver-side count of the change set would cost a
+    job, and the caller (CDC ingestion loop vs backfill job) already
+    knows which regime it is in.
     """
     keys = list(keys)
     touched = changes.select(*keys).distinct()
-    kept = snapshot.join(F.broadcast(touched), keys, "left_anti")
+    if broadcast:
+        touched = F.broadcast(touched)
+    kept = snapshot.join(touched, keys, "left_anti")
     upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
     return kept.unionByName(upserts)
 

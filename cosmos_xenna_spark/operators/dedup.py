@@ -58,10 +58,23 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     it runs on a single core while the rest idle. At 100 TB the scan has
     plenty of splits and this is a no-op; the round-robin shuffle moves
     only the small pre-explode rows when it does fire.
+
+    The split estimate is ``inputFiles()`` — scan metadata only. The
+    previous ``df.rdd.getNumPartitions()`` probe converted the plan to
+    an RDD (a full analyzer round-trip on the driver) on EVERY call,
+    a planning tax every shingle/token operator paid. File count
+    under-estimates splits (maxPartitionBytes splits big files
+    further), so this only errs toward repartitioning small inputs —
+    the case the shuffle is cheap for. Non-file-backed frames report 0
+    files and always repartition.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits >= target:
         return df
     return df.repartition(target)
 

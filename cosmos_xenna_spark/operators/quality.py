@@ -96,20 +96,28 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Adds ``n_emails`` / ``n_ips`` / ``n_phones`` (BIGINT) and replaces
     ``text_col`` with the redacted text. Row-local — no shuffle.
+
+    Counts are computed SEQUENTIALLY, each on the text as left by the
+    previous redaction pass (emails first, then IPs on email-redacted
+    text, then phones on email+IP-redacted text), so every count equals
+    the number of replacements that pass actually made. Counting all
+    three patterns independently on the original text overstates
+    overlapping matches — e.g. a digit run inside an already-redacted
+    email would be counted as a phone but never replaced.
     """
     c = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-        ),
-        PHONE_RE,
-        "<PHONE>",
-    )
+    after_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")
     return df.withColumns(
         {
             "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).cast("bigint"),
-            "n_ips": F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), 0)).cast("bigint"),
-            "n_phones": F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0)).cast("bigint"),
+            "n_ips": F.size(
+                F.regexp_extract_all(after_email, F.lit(IPV4_RE), 0)
+            ).cast("bigint"),
+            "n_phones": F.size(
+                F.regexp_extract_all(after_ip, F.lit(PHONE_RE), 0)
+            ).cast("bigint"),
             text_col: redacted,
         }
     )

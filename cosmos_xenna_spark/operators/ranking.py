@@ -111,8 +111,10 @@ def global_cumsum(
     bucket = _bucket_expr(key, cuts) if cuts else F.lit(0)
 
     bucketed = df.withColumn("__b", bucket)
+    # SUM over an all-NULL bucket returns NULL -> Python None; coalesce
+    # to 0 or the offset accumulation TypeErrors on the driver.
     totals = {
-        r["__b"]: r["tot"]
+        r["__b"]: r["tot"] or 0
         for r in bucketed.groupBy("__b")
         .agg(F.sum(F.col(val_col).cast("bigint")).alias("tot"))
         .collect()
@@ -138,4 +140,60 @@ def global_cumsum(
     )
     return bucketed.withColumn(
         out_col, F.sum(F.col(val_col).cast("bigint")).over(w) + offset_col
+    ).drop("__b")
+
+
+def global_running_max(
+    df: DataFrame,
+    val_col: str,
+    order_cols: list[str],
+    out_col: str = "runmax",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Exact inclusive prefix MAX of ``val_col`` over a total order,
+    never single-partition.
+
+    Equivalent to ``MAX(val) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` with the quantile-bucket scheme of
+    :func:`global_cumsum`: per-bucket maxes collect to the driver
+    (n_buckets values), each bucket's literal prefix = max over all
+    earlier buckets, and the result is ``greatest(within-bucket running
+    max, prefix)``. ``val_col`` must be integral; NULL values are
+    skipped like SQL MAX.
+    """
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    key = order_cols[0]
+    probs = [i / n for i in range(1, n)]
+    cuts = sorted(set(df.approxQuantile(key, probs, 0.001))) if probs else []
+    bucket = _bucket_expr(key, cuts) if cuts else F.lit(0)
+
+    bucketed = df.withColumn("__b", bucket)
+    maxes = {
+        r["__b"]: r["mx"]
+        for r in bucketed.groupBy("__b")
+        .agg(F.max(F.col(val_col).cast("bigint")).alias("mx"))
+        .collect()
+    }
+    prefix: dict[int, int | None] = {}
+    best: int | None = None
+    for b in sorted(maxes):
+        prefix[b] = best  # max over strictly-earlier buckets
+        if maxes[b] is not None and (best is None or maxes[b] > best):
+            best = maxes[b]
+    # CASE chain, not a map literal: prefix can be NULL (first bucket)
+    # and greatest() skips NULLs, giving pure within-bucket semantics
+    # there — exactly the unbounded-preceding frame.
+    prefix_col = F.lit(None).cast("bigint")
+    for b in sorted(prefix):
+        prefix_col = F.when(
+            F.col("__b") == b, F.lit(prefix[b]).cast("bigint")
+        ).otherwise(prefix_col)
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.max(F.col(val_col).cast("bigint")).over(w)
+    return bucketed.withColumn(
+        out_col, F.greatest(running, prefix_col)
     ).drop("__b")

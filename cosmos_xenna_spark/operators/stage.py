@@ -145,6 +145,28 @@ _CACHE_LOCK = threading.Lock()
 _NODE_SETUP_WAIT_S = 300.0
 
 
+def _read_lock_pid(lock: str) -> int | None:
+    """The PID recorded in the lock file; None if missing/unreadable.
+
+    An unreadable lock (a foreign writer — our protocol always links
+    the PID in atomically) reads as None and is treated as not-alive:
+    waiters then treat a recorded failure as final rather than waiting
+    on a holder that may never finish."""
+    try:
+        with open(lock) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False
+
+
 def _node_setup_once(stage: Stage, run_id: str) -> None:
     """Exactly-once-per-host ``setup_on_node`` via file lock election.
 
@@ -155,27 +177,67 @@ def _node_setup_once(stage: Stage, run_id: str) -> None:
     it records the error in a failure marker and releases the lock, so
     waiters (and task retries) fail fast with the original error instead
     of spinning forever on a 'done' marker that will never appear.
+
+    Liveness handling (round-2 advisory): the lock file records the
+    holder's PID.
+
+    - A waiter that sees a failure marker raises only if no LIVE holder
+      currently owns the lock — a live holder is a re-election in
+      progress that is about to clear the stale marker, and raising on
+      it would fail a retry that was going to succeed (TOCTOU).
+    - A waiter that finds a DEAD holder (process crashed between
+      acquiring the lock and writing the done/failed marker) steals the
+      lock and re-runs the election itself instead of burning the full
+      timeout on a marker that can never appear (stale-lock deadlock).
     """
     marker = os.path.join(tempfile.gettempdir(), f"cxs_node_setup_{run_id}")
     failed = marker + ".failed"
     lock = marker + ".lock"
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        deadline = time.monotonic() + _NODE_SETUP_WAIT_S
-        while not os.path.exists(marker):  # another process is running it
-            if os.path.exists(failed):
-                with open(failed) as f:
-                    raise RuntimeError(
-                        f"setup_on_node failed on this host: {f.read()}"
-                    )
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"setup_on_node not completed within {_NODE_SETUP_WAIT_S}s "
-                    f"(marker {marker}); elected process may have died"
+
+    def try_acquire() -> bool:
+        # Atomic acquire-with-PID: the PID is IN the file before the
+        # lock name exists (hard link), so no observer ever sees an
+        # empty lock from this protocol — stealers can't misjudge a
+        # just-elected live holder as dead.
+        tmp = f"{lock}.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(os.getpid()))
+        try:
+            os.link(tmp, lock)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    deadline = time.monotonic() + _NODE_SETUP_WAIT_S
+    while not try_acquire():
+        if os.path.exists(marker):
+            return
+        holder_pid = _read_lock_pid(lock)
+        holder_alive = holder_pid is not None and _pid_alive(holder_pid)
+        if os.path.exists(failed) and not holder_alive:
+            with open(failed) as f:
+                raise RuntimeError(
+                    f"setup_on_node failed on this host: {f.read()}"
                 )
-            time.sleep(0.05)
-        return
+        if not holder_alive and not os.path.exists(marker):
+            # Holder died mid-setup: break its lock and re-elect. Verify
+            # the lock still names the dead holder right before unlink —
+            # otherwise a second stealer could remove the lock the first
+            # stealer just re-acquired (double-elect).
+            if _read_lock_pid(lock) == holder_pid:
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+            continue
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"setup_on_node not completed within {_NODE_SETUP_WAIT_S}s "
+                f"(marker {marker}); elected process may have died"
+            )
+        time.sleep(0.05)
     try:
         if os.path.exists(failed):
             os.unlink(failed)  # re-election after a failure: clear it
@@ -186,11 +248,8 @@ def _node_setup_once(stage: Stage, run_id: str) -> None:
         with open(failed, "w") as f:
             f.write(repr(e))
         # release the election so a retried task can attempt setup again
-        os.close(fd)
         os.unlink(lock)
         raise
-    else:
-        os.close(fd)
 
 
 def _get_stage_instance(stage_factory, run_id: str) -> Stage:

@@ -164,17 +164,25 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     description="watermark late-data policy in batch form: drop events older "
-    "than 30min behind the running max event time (arrival order = event_id)",
+    "than 30min behind the running max event time (arrival order = event_id); "
+    "running max computed scale-safe via quantile buckets, no global window",
 )
 def q_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from cosmos_xenna_spark.operators.ranking import global_running_max
 
     ev = load_table(spark, sf_dir, "events")
-    arrival = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wm = F.max(F.unix_micros("ts")).over(arrival) - F.lit(30 * 60 * 1_000_000)
+    # Arrival-order running max of event time without an unpartitioned
+    # window (which funnels every row through ONE task — fatal at
+    # scale): the bucketed prefix-max machinery keeps it parallel.
+    with_max = global_running_max(
+        ev.withColumn("ts_us", F.unix_micros("ts")),
+        "ts_us",
+        ["event_id"],
+        out_col="run_max_us",
+    )
+    wm = F.col("run_max_us") - F.lit(30 * 60 * 1_000_000)
     return (
-        ev.withColumn("wm_us", wm)
-        .filter(F.unix_micros("ts") >= F.col("wm_us"))
+        with_max.filter(F.col("ts_us") >= wm)
         .groupBy(F.window("ts", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("w_start"), "n")

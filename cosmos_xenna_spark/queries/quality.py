@@ -97,16 +97,25 @@ _INJECT_SQL = """
 @register(
     "q_pii_redact",
     oracle=f"""
-    WITH inj AS (SELECT doc_id, {_INJECT_SQL} AS text FROM documents)
+    WITH inj AS (SELECT doc_id, {_INJECT_SQL} AS text FROM documents),
+    -- counts mirror the engine's SEQUENTIAL semantics: each pattern is
+    -- counted on the text as left by the previous redaction pass, so
+    -- every count equals the replacements that pass actually made
+    st AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS after_email
+      FROM inj
+    ),
+    st2 AS (
+      SELECT *, regexp_replace(after_email, '{IPV4_RE}', '<IP>', 'g') AS after_ip
+      FROM st
+    )
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
-           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
-           regexp_replace(regexp_replace(regexp_replace(
-             text, '{EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{IPV4_RE}', '<IP>', 'g'),
-                   '{PHONE_RE}', '<PHONE>', 'g') AS text
-    FROM inj
+           CAST(len(regexp_extract_all(after_email, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(after_ip, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(after_ip, '{PHONE_RE}', '<PHONE>', 'g') AS text
+    FROM st2
     """,
     description="PII redaction: email/IPv4/phone regex redaction with "
     "per-row match counts (row-local, no shuffle)",

@@ -138,7 +138,9 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            cume_dist()    OVER (ORDER BY c_acctbal) AS cdist
     FROM customer
     """,
-    description="distribution functions: ntile / percent_rank / cume_dist",
+    description="distribution functions: ntile / percent_rank / cume_dist "
+    "[oracle-shape: global window, single-partition by construction; the "
+    "scale-safe equivalent is q_distribution_distributed]",
 )
 def q_window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
@@ -200,7 +202,10 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS last_k
     FROM orders
     """,
-    description="sliding rows frame: centered moving average + first/last_value",
+    description="sliding rows frame: centered moving average + "
+    "first/last_value [oracle-shape: global window, single-partition by "
+    "construction; partition-keyed frames (q_window_range_frame, "
+    "q_window_running) are the scale path]",
 )
 def q_window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

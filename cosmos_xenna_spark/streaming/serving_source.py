@@ -24,16 +24,21 @@ Usage::
     # reference 'None' sentinel: the client pushes None; poll
     # server.sentinel_seen("requests") and stop the query.
 
-The reader keeps only (host, port, authkey, name) strings — picklable
-by construction; the connection is opened lazily inside the worker.
-The authkey is generated per-server (os.urandom) and handed to the
-reader through options(), so co-tenant processes cannot connect.
+The reader keeps only (host, port, keyfile-path, name) strings —
+picklable by construction; the connection is opened lazily inside the
+worker. The authkey is generated per-server (os.urandom) and written
+to a mode-0600 key file whose PATH (never the key itself) travels
+through options(): reader options are embedded in the logical plan and
+surface in ``explain()``, the Spark UI and event logs, so a literal
+key in options would leak to anything that can read plans. Co-tenant
+processes can see the path but not read the file.
 """
 
 from __future__ import annotations
 
 import os
 import queue as _q
+import tempfile
 from multiprocessing.managers import BaseManager
 
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
@@ -71,8 +76,15 @@ class ServingQueueServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         # Random per-server authkey: a constant would let any local
         # process that reads the public source inject into / drain the
-        # serving stream. The key travels to the reader via options().
+        # serving stream. Only the key FILE's path travels via
+        # options() (plans/UI/event logs would expose a literal key).
         self.authkey = os.urandom(32)
+        fd, self.authkey_path = tempfile.mkstemp(prefix="cxs_serving_key_")
+        try:
+            os.fchmod(fd, 0o600)
+            os.write(fd, self.authkey.hex().encode())
+        finally:
+            os.close(fd)
         self._mgr = _QueueManager(address=(host, port), authkey=self.authkey)
         self._mgr.start()
         self.host, self.port = self._mgr.address
@@ -91,11 +103,15 @@ class ServingQueueServer:
             "host": self.host,
             "port": str(self.port),
             "name": name,
-            "authkey": self.authkey.hex(),
+            "authkey_file": self.authkey_path,
         }
 
     def shutdown(self) -> None:
         self._mgr.shutdown()
+        try:
+            os.unlink(self.authkey_path)
+        except FileNotFoundError:
+            pass
 
 
 class _ServingReader(SimpleDataSourceStreamReader):
@@ -103,7 +119,10 @@ class _ServingReader(SimpleDataSourceStreamReader):
         self.host = options.get("host", "127.0.0.1")
         self.port = int(options["port"])
         self.qname = options.get("name", "default")
-        self.authkey = bytes.fromhex(options["authkey"])
+        # Key arrives as a 0600-file path, never a literal in options
+        # (options are visible in plans / Spark UI / event logs).
+        with open(options["authkey_file"]) as f:
+            self.authkey = bytes.fromhex(f.read().strip())
         self.max_rows = int(options.get("maxrowsperbatch", "10000"))
         self._mgr = None
 

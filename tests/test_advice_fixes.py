@@ -1,20 +1,32 @@
-"""Regression tests for round-1 advisor findings.
+"""Regression tests for round-1 and round-2 advisor findings.
 
+Round 1:
 - node-setup failure must not wedge waiters (failure marker + re-election)
 - global_row_number must match nulls-first window semantics on NULL keys
 - cluster_centroids must fail loudly on empty / ragged inputs
+
+Round 2 (fixed in round 4):
+- stale node-setup lock (holder died mid-setup) is stolen, not waited out
+- a live re-electing holder suppresses a stale failure marker (TOCTOU)
+- global_cumsum must not TypeError when a bucket sums to NULL
+- PII counts match the sequential redaction (no counting inside spans an
+  earlier pass already redacted)
+- serving authkey travels as a 0600-file path, never a literal option
 """
 
 from __future__ import annotations
 
 import os
+import subprocess
+import sys
 import uuid
 
 import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from cosmos_xenna_spark.operators.ranking import global_row_number
+from cosmos_xenna_spark.operators.quality import redact_pii
+from cosmos_xenna_spark.operators.ranking import global_cumsum, global_row_number
 from cosmos_xenna_spark.operators.similarity import cluster_centroids
 from cosmos_xenna_spark.operators.stage import Stage, _node_setup_once
 
@@ -86,6 +98,108 @@ def test_global_row_number_null_keys_rank_first(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_node_setup_stale_lock_is_stolen():
+    """Holder died between acquiring the lock and writing any marker:
+    a retried task must steal the lock and run setup itself instead of
+    burning the 300 s timeout."""
+    import tempfile
+
+    run_id = uuid.uuid4().hex
+    marker = os.path.join(tempfile.gettempdir(), f"cxs_node_setup_{run_id}")
+    # a real PID that is guaranteed dead: a finished child process
+    child = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    dead_pid = child.stdout.strip()
+    with open(marker + ".lock", "w") as f:
+        f.write(dead_pid)
+    _node_setup_once(_OkSetup(), run_id)  # must not TimeoutError
+    assert os.path.exists(marker)
+    for suffix in ("", ".failed", ".lock"):
+        if os.path.exists(marker + suffix):
+            os.unlink(marker + suffix)
+
+
+def test_node_setup_live_holder_suppresses_stale_failure(monkeypatch):
+    """failure marker + lock held by a LIVE process = re-election in
+    progress; the waiter must keep waiting (here: until the shortened
+    timeout) instead of raising the stale failure (TOCTOU)."""
+    import tempfile
+
+    import cosmos_xenna_spark.operators.stage as stage_mod
+
+    run_id = uuid.uuid4().hex
+    marker = os.path.join(tempfile.gettempdir(), f"cxs_node_setup_{run_id}")
+    with open(marker + ".lock", "w") as f:
+        f.write(str(os.getpid()))  # ourselves: definitely alive
+    with open(marker + ".failed", "w") as f:
+        f.write("RuntimeError('stale')")
+    monkeypatch.setattr(stage_mod, "_NODE_SETUP_WAIT_S", 0.3)
+    with pytest.raises(TimeoutError):
+        _node_setup_once(_OkSetup(), run_id)
+    for suffix in (".failed", ".lock"):
+        os.unlink(marker + suffix)
+
+
+def test_global_cumsum_null_values_no_typeerror(spark):
+    """An all-NULL bucket sums to NULL; the driver-side offset
+    accumulation must coalesce it to 0, and NULL values contribute 0
+    to the running sum (SQL SUM semantics)."""
+    rows = [(1.0, 1, None), (2.0, 2, None), (3.0, 3, 10), (4.0, 4, 20)]
+    df = spark.createDataFrame(rows, "key double, id long, val long")
+    got = {
+        r["id"]: r["cs"]
+        for r in global_cumsum(df, "val", ["key", "id"], out_col="cs",
+                               num_buckets=2).collect()
+    }
+    w = (
+        Window.orderBy("key", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["cs"]
+        for r in df.withColumn("cs", F.sum("val").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_pii_counts_match_sequential_redaction(spark):
+    """Digits consumed by the email pass must not be counted as
+    IPs/phones: counts equal the replacements each pass makes."""
+    rows = [
+        (1, "mail user@1.2.3.4.com now"),       # IP-lookalike inside email
+        (2, "call 555-123-4567@host.org ok"),   # phone-lookalike inside email
+        (3, "ip 10.0.0.1 and phone 555-123-4567"),  # genuine standalone hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 0, 0)
+    assert got[1]["text"] == "mail <EMAIL> now"
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (1, 0, 0)
+    assert got[2]["text"] == "call <EMAIL> ok"
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 1, 1)
+    assert got[3]["text"] == "ip <IP> and phone <PHONE>"
+
+
+def test_serving_authkey_not_in_options():
+    from cosmos_xenna_spark.streaming.serving_source import ServingQueueServer
+
+    server = ServingQueueServer()
+    try:
+        opts = server.options("req")
+        assert "authkey" not in opts
+        path = opts["authkey_file"]
+        assert os.stat(path).st_mode & 0o077 == 0  # owner-only
+        with open(path) as f:
+            assert bytes.fromhex(f.read().strip()) == server.authkey
+    finally:
+        server.shutdown()
+    assert not os.path.exists(path)  # key file removed on shutdown
 
 
 def test_cluster_centroids_empty_raises(spark):

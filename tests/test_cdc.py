@@ -34,6 +34,34 @@ def test_merge_upsert_plan_broadcasts_changes(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_merge_upsert_backfill_no_broadcast_identical(spark):
+    """broadcast=False (backfill regime: change set too big for executor
+    memory) must produce identical results through a shuffled anti-join,
+    with no BroadcastExchange in the plan."""
+    snap = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k bigint, v string"
+    )
+    changes = spark.createDataFrame(
+        [(i, f"V{i}", "upsert" if i % 3 else "delete") for i in range(0, 100, 2)],
+        f"k bigint, v string, {OP_COL} string",
+    )
+    via_broadcast = {
+        r["k"]: r["v"]
+        for r in merge_upsert(snap, changes, ["k"], broadcast=True).collect()
+    }
+    shuffled = merge_upsert(snap, changes, ["k"], broadcast=False)
+    # AQE may still choose a broadcast for tiny test data; disable its
+    # join conversion so the assertion reflects the plan at scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        via_shuffle = {r["k"]: r["v"] for r in shuffled.collect()}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert via_shuffle == via_broadcast
+
+
 def test_scd2_versions_and_current_flag(spark):
     t = datetime
     log = spark.createDataFrame(

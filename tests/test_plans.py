@@ -109,6 +109,62 @@ def test_global_rank_never_single_partition(spark, sf_dir):
     )
 
 
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    """All ``windowspecdefinition(...)`` occurrences whose FIRST
+    top-level argument is an ordering spec (``... ASC``/``... DESC``) —
+    i.e. windows with an empty partitionBy, which Spark executes on a
+    single partition."""
+    out = []
+    i = 0
+    needle = "windowspecdefinition("
+    while True:
+        i = plan.find(needle, i)
+        if i < 0:
+            return out
+        j = i + len(needle)
+        depth, start = 0, j
+        while j < len(plan):
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")" and depth > 0:
+                depth -= 1
+            elif (ch == "," or ch == ")") and depth == 0:
+                break
+            j += 1
+        first_arg = plan[start:j]
+        if " ASC" in first_arg or " DESC" in first_arg:
+            out.append(first_arg)
+        i = j
+
+
+# Documented oracle-shape queries: global windows by construction,
+# kept as semantic references; their scale-safe equivalents are
+# q_distribution_distributed / partition-keyed frames.
+_GLOBAL_WINDOW_ALLOWED = {"q_window_ntile_pct", "q_window_rows_frame"}
+
+
+def test_no_unpartitioned_windows_in_registry(spark, sf_dir):
+    """Lint: no registered query may plan a window with an empty
+    partitionBy (single-task execution at any scale) unless explicitly
+    allowlisted as an oracle shape. q_late_data_watermark regressed on
+    this in round 3 — it now uses the bucketed prefix-max machinery."""
+    offenders = {}
+    for name, spec in load_registry().items():
+        if name in _GLOBAL_WINDOW_ALLOWED:
+            continue
+        try:
+            df = spec.builder(spark, sf_dir)
+        except Exception:
+            continue  # other tests own build failures
+        specs = _unpartitioned_window_specs(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        if specs:
+            offenders[name] = specs[0]
+    assert not offenders, f"unpartitioned windows: {offenders}"
+
+
 def test_sort_within_partitions_no_exchange(spark, sf_dir):
     """sortWithinPartitions must produce a local Sort with NO shuffle
     (the write-side ordering primitive for clustered parquet)."""
