@@ -50,6 +50,9 @@ HEADLINE = [
     # r4 additions (VERDICT r3 #3): CDC family, never benched
     "q_merge_upsert",
     "q_scd2_history",
+    # r4 retrieval/packing family (corpus-scan shapes)
+    "q_bm25_topk",
+    "q_pack_sequences",
 ]
 
 

@@ -27,6 +27,8 @@ candidate mining, contamination lookups).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
+from operator import or_
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -152,44 +154,70 @@ def bm25_topk(
     """Top-k documents for a bag-of-terms query under (log-free) BM25.
 
     Per matched term: ``idf_odds * tf*(k1+1) / (tf + k1*(1-b+b*dl/avg_dl))``.
-    The per-document score is the sum over the query's terms in a FIXED
-    pivoted expression (one column per term, summed left-to-right in
-    ``sorted(query_terms)`` order) — deterministic across engines and
+    The per-document score is a FIXED expression summed left-to-right in
+    ``sorted(query_terms)`` order — deterministic across engines and
     partitionings, unlike a float SUM aggregation. Ties break by doc id.
 
-    Only postings of the query terms survive the first filter, so the
-    (doc, term) shuffle carries |query| * matching docs rows, not the
-    whole index.
+    Shuffle-free by construction: for a known bag of query terms,
+    ``tf_i`` and ``dl`` are row-local array expressions (no (doc, term)
+    explode or groupBy), the corpus globals (``n_docs``, ``avg_dl``,
+    per-term ``df_i``) are ONE single-row aggregate (map-side partial,
+    broadcast back), and the final top-k compiles to
+    TakeOrderedAndProject. Two corpus scans, zero wide exchanges — at
+    100 TB the earlier index-shaped formulation shuffled the full
+    (doc, term) table three times and tokenized the corpus four times.
     """
     qts = sorted(set(query_terms))
-    terms = doc_terms(docs, id_col, text_col)
-    dl_tab = terms.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
-    stats = _corpus_stats(terms, id_col)
-    hits = terms.filter(F.col("term").isin(list(qts)))
-    df_tab = hits.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-
-    scored = (
-        hits.join(df_tab, "term")
-        .join(dl_tab, id_col)
-        .crossJoin(F.broadcast(stats))
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)"
+        ).alias("__toks"),
     )
-    per_term = _idf_odds(F.col("n_docs"), F.col("df")) * (
-        F.col("tf").cast("double") * (k1 + 1.0)
-    ) / (
-        F.col("tf").cast("double")
-        + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avg_dl"))
-    )
-    pivoted = scored.groupBy(id_col).agg(
+    # dl + one tf column per query term, all row-local
+    per_doc = toks.select(
+        id_col,
+        F.size("__toks").cast("bigint").alias("dl"),
         *[
-            F.max(F.when(F.col("term") == t, per_term)).alias(f"__s_{i}")
+            F.expr(f"CAST(size(filter(__toks, x -> x = '{t}')) AS BIGINT)").alias(
+                f"__tf_{i}"
+            )
             for i, t in enumerate(qts)
-        ]
+        ],
     )
+    # Corpus scalars in one single-row job. Docs with zero tokens are
+    # excluded from n_docs/avg_dl — identical to the (doc, term)-table
+    # formulation, where an empty doc contributes no rows.
+    gl = per_doc.filter(F.col("dl") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias(f"__df_{i}")
+            for i in range(len(qts))
+        ],
+    )
+    matched = per_doc.filter(
+        reduce(or_, [F.col(f"__tf_{i}") > 0 for i in range(len(qts))])
+    )
+    scored = matched.crossJoin(F.broadcast(gl))
     score = F.lit(0.0)
     for i in range(len(qts)):
-        score = score + F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
+        tf = F.col(f"__tf_{i}").cast("double")
+        per_term = _idf_odds(F.col("n_docs"), F.col(f"__df_{i}")) * (
+            tf * (k1 + 1.0)
+        ) / (
+            tf
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avg_dl"))
+        )
+        # term absent -> contribute exactly 0.0 (the COALESCE of the
+        # pivoted form), keeping the sum order-fixed and engine-exact
+        score = score + F.when(F.col(f"__tf_{i}") > 0, per_term).otherwise(
+            F.lit(0.0)
+        )
     return (
-        pivoted.select(F.col(id_col), score.alias("score"))
+        scored.select(F.col(id_col), score.alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
