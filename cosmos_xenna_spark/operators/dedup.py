@@ -224,6 +224,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Duplicate clusters from candidate pairs: (doc_id, cluster_id).
 
@@ -237,23 +238,34 @@ def connected_components(
     convergence is O(log(diameter)) rounds, not O(diameter); LSH dup
     components are near-cliques, so 2-3 rounds in practice. Each round
     is two shuffle joins on ids — no collect, no driver-side graph.
-    Each round's label table is ``localCheckpoint``-ed: persist alone
-    caches the DATA but the logical plan still deepens every iteration
+    Each round's label table is checkpointed: persist alone caches the
+    DATA but the logical plan still deepens every iteration
     (join-of-join-of-...), so Catalyst analysis time and driver stack
     grow until a deep graph (long chains) blows up; checkpointing
     truncates the lineage so round k plans against a leaf, not k-1
     replayed joins.
+
+    ``reliable_checkpoint=True`` uses ``df.checkpoint()`` against
+    ``spark.sparkContext.setCheckpointDir(...)`` (the caller must have
+    set one — typically durable storage) instead of ``localCheckpoint``:
+    executor-local checkpoints die with their executor, so on a
+    multi-hour 100 TB run a single lost node (or driver restart with
+    cluster-mode recovery) replays the entire iteration history. Local
+    is the right default for interactive/test runs — no durable-store
+    round-trip per iteration.
     """
-    edges = (
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable_checkpoint else df.localCheckpoint(eager=True)
+
+    edges = ckpt(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = ckpt(
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.dst == labels.id).select(
@@ -263,12 +275,11 @@ def connected_components(
         jump = labels.join(lab2, labels.label == lab2.l_id, "left").select(
             "id", F.coalesce("l_label", "label").alias("label")
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.unionByName(nbr)
             .unionByName(jump)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "id")

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.clustering import kmeans_fit_assign
 from cosmos_xenna_spark.operators.dedup import exact_dedup, minhash_candidate_pairs
+from cosmos_xenna_spark.operators.packing import pack_sequences
 from cosmos_xenna_spark.operators.similarity import ivf_topk
 from cosmos_xenna_spark.operators.text import n_tokens_col
 from cosmos_xenna_spark.session import get_spark
@@ -60,7 +61,13 @@ def main() -> None:
     queries = clustered.filter(F.col("vec_id") < 5)
     nn = ivf_topk(clustered, queries, k=3, n_probe=2, cluster_col="cluster")
 
+    # 5. pack the curated corpus into fixed-length training sequences
+    # (concat-and-chunk; exact distributed prefix sum, no global window)
+    packed = pack_sequences(docs, seq_len=256)
+    n_seqs = packed.agg(F.max("seq_id")).collect()[0][0] + 1
+
     print(f"documents: {n0} -> exact {n1} -> fuzzy {n2} -> quality {n3}")
+    print(f"packed into {n_seqs} training sequences of 256 tokens")
     print("sample neighbors:")
     for r in nn.orderBy("query_id", "rank").limit(9).collect():
         print(f"  q{r.query_id} #{r.rank}: vec {r.neighbor_id} (sim {r.sim:.4f})")

@@ -113,3 +113,29 @@ def test_connected_components_long_chain_converges(spark):
     rows = connected_components(pairs).collect()
     assert len(rows) == 41
     assert {r.cluster_id for r in rows} == {0}
+
+
+def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
+    """reliable_checkpoint=True (durable checkpoint dir — survives
+    executor loss on long 100 TB runs) must produce the same clusters
+    as the local-checkpoint default."""
+    from cosmos_xenna_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    reliable = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, reliable_checkpoint=True).collect()
+    }
+    local = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert reliable == local
+    assert reliable == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
