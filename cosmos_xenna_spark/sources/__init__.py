@@ -84,3 +84,55 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Range-clustered parquet: rows range-partition on ``cluster_cols``
+    (~one output file per range) and sort within each file.
+
+    This is the lakehouse "cluster by" write: downstream scans with a
+    predicate on ``cluster_cols`` skip whole files on parquet min/max
+    row-group stats, the per-file sort maximizes stats selectivity and
+    encoding/compression runs. ``repartitionByRange``'s sampler is only
+    nondeterministic ACROSS jobs — a single write job plans once, so
+    the boundary-disagreement hazard (see ``operators/ranking.py``)
+    does not apply here.
+    """
+    out = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
+        *cluster_cols
+    )
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_rows: int,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_rows``-row files
+    (small-file compaction — the #1 operational chore on a 100 TB lake:
+    streaming/CDC sinks leave thousands of KB-sized files whose
+    open/footer overhead dominates scan time).
+
+    Row-count-based sizing: one cheap count job (parquet footers only),
+    then a round-robin repartition to ``ceil(rows / target)`` files.
+    Returns the number of output files requested. Compacts to a NEW
+    directory — atomic swap is the caller's move (object-store rename
+    semantics differ).
+    """
+    df = spark.read.parquet(src_path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_file_rows))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -73,3 +73,48 @@ def test_bucketed_table_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_write_clustered_files_and_order(spark, tmp_path):
+    """Clustered write: ~n_files range-disjoint files, each sorted —
+    the parquet min/max file-skipping layout."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from cosmos_xenna_spark.sources import write_clustered
+
+    df = from_rows(spark, [(i % 997, i) for i in range(10000)], "k long, v long")
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, ["k"], n_files=4)
+    files = sorted(globmod.glob(os.path.join(out, "*.parquet")))
+    assert 1 <= len(files) <= 8  # range partitioner may emit fewer/AQE-split
+    ranges = []
+    for f in files:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), "each file must be sorted on the cluster key"
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file key ranges must be disjoint (skippable)"
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Compaction: many tiny files -> ceil(rows/target) right-sized files
+    with identical content."""
+    import glob as globmod
+
+    from cosmos_xenna_spark.sources import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    df = from_rows(spark, [(i, f"r{i}") for i in range(1000)], "k long, v string")
+    df.repartition(50).write.parquet(src)  # simulate a streaming sink's litter
+    assert len(globmod.glob(os.path.join(src, "*.parquet"))) == 50
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_rows=500)
+    assert n == 2
+    assert len(globmod.glob(os.path.join(dst, "*.parquet"))) == 2
+    back = spark.read.parquet(dst)
+    assert back.count() == 1000
+    assert {r["k"] for r in back.collect()} == set(range(1000))
