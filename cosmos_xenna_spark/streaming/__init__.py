@@ -30,6 +30,7 @@ exercised by streaming tests over a file-replayed events table.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import pandas as pd
@@ -128,6 +129,36 @@ def serve(
         .queryName(query_name)
         .start()
     )
+
+
+def idempotent_sink(
+    sink: Callable[[DataFrame, int], None], ledger_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a ``foreachBatch`` callback for exactly-once external writes.
+
+    Structured Streaming guarantees at-least-once for ``foreachBatch``:
+    after a failure the restarted query REPLAYS the last uncommitted
+    batch id, so a non-transactional sink (REST call, plain file copy,
+    queue push) double-writes. The standard fix is a (batchId ->
+    committed) ledger keyed by batch id: skip ids already marked,
+    mark AFTER the sink returns. The marker write is a tiny atomic
+    rename in ``ledger_dir`` (driver-side; ``foreachBatch`` callbacks
+    run on the driver) — point it at durable storage in production so
+    the ledger survives driver restarts alongside the checkpoint.
+    """
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def wrapped(df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed batch: already committed downstream
+        sink(df, batch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("committed")
+        os.replace(tmp, marker)
+
+    return wrapped
 
 
 def to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "complete"):

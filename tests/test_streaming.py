@@ -313,3 +313,44 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     assert n_total == n_distinct, "restart must not re-emit deduped events"
     assert n_distinct == ev.select("event_id").distinct().count()
     ev.unpersist()
+
+
+def test_idempotent_sink_skips_replayed_batches(spark, tmp_path):
+    """At-least-once foreachBatch replay must not double-write through
+    the ledger wrapper; fresh batch ids still go through."""
+    from cosmos_xenna_spark.streaming import idempotent_sink
+
+    calls = []
+
+    def sink(df, batch_id):
+        calls.append(batch_id)
+
+    wrapped = idempotent_sink(sink, str(tmp_path / "ledger"))
+    df = spark.range(3)
+    wrapped(df, 0)
+    wrapped(df, 1)
+    wrapped(df, 0)  # replay after simulated restart
+    wrapped(df, 2)
+    assert calls == [0, 1, 2]
+
+
+def test_idempotent_sink_failed_batch_retries(spark, tmp_path):
+    """A sink failure must NOT mark the batch committed — the retry
+    runs the sink again."""
+    import pytest
+
+    from cosmos_xenna_spark.streaming import idempotent_sink
+
+    attempts = []
+
+    def flaky(df, batch_id):
+        attempts.append(batch_id)
+        if len(attempts) == 1:
+            raise RuntimeError("downstream outage")
+
+    wrapped = idempotent_sink(flaky, str(tmp_path / "ledger"))
+    df = spark.range(3)
+    with pytest.raises(RuntimeError):
+        wrapped(df, 7)
+    wrapped(df, 7)  # replay: must execute, not skip
+    assert attempts == [7, 7]
