@@ -111,18 +111,24 @@ def global_cumsum(
     bucket = _bucket_expr(key, cuts) if cuts else F.lit(0)
 
     bucketed = df.withColumn("__b", bucket)
-    # SUM over an all-NULL bucket returns NULL -> Python None; coalesce
-    # to 0 or the offset accumulation TypeErrors on the driver.
-    totals = {
-        r["__b"]: r["tot"] or 0
+    # Per bucket: SUM (NULL for all-NULL buckets -> coalesce to 0, or
+    # the offset accumulation TypeErrors on the driver) and the
+    # non-NULL count, needed for exact SQL NULL semantics below.
+    stats = {
+        r["__b"]: (r["tot"] or 0, r["nn"])
         for r in bucketed.groupBy("__b")
-        .agg(F.sum(F.col(val_col).cast("bigint")).alias("tot"))
+        .agg(
+            F.sum(F.col(val_col).cast("bigint")).alias("tot"),
+            F.count(F.col(val_col)).alias("nn"),
+        )
         .collect()
     }
-    offsets, acc = {}, 0
-    for b in sorted(totals):  # bucket -1 (nulls) first -> offset 0
+    offsets, prior_nonnull, acc, nn_acc = {}, {}, 0, 0
+    for b in sorted(stats):  # bucket -1 (nulls) first -> offset 0
         offsets[b] = acc
-        acc += totals[b]
+        prior_nonnull[b] = nn_acc > 0
+        acc += stats[b][0]
+        nn_acc += stats[b][1]
     offset_col = F.element_at(
         F.create_map(
             *[
@@ -138,8 +144,24 @@ def global_cumsum(
         .orderBy(*[F.asc(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    running = F.sum(F.col(val_col).cast("bigint")).over(w)
+    # SQL SUM over a frame is NULL iff the frame holds no non-NULL
+    # value — and the frame spans all EARLIER buckets too. Where a
+    # bucket's leading rows are all NULL, `running` is NULL but the
+    # true prefix sum is the prior buckets' total (if any of them had
+    # a value). prior_nonnull is cluster-sized driver state baked in
+    # as literals, like the offsets.
+    prior_has = F.lit(False)
+    for b in sorted(prior_nonnull):
+        prior_has = F.when(
+            F.col("__b") == b, F.lit(prior_nonnull[b])
+        ).otherwise(prior_has)
     return bucketed.withColumn(
-        out_col, F.sum(F.col(val_col).cast("bigint")).over(w) + offset_col
+        out_col,
+        # no prior non-NULLs: offset is 0 and a NULL running stays NULL
+        F.when(prior_has, F.coalesce(running, F.lit(0)) + offset_col).otherwise(
+            running
+        ),
     ).drop("__b")
 
 
