@@ -1,0 +1,75 @@
+"""Randomized equivalence for the composite join rewrites: the
+bucketized range join and the union+window as-of join must match a
+brute-force oracle on random data with ties, bucket-edge values, and
+tolerance boundaries — the places an off-by-one hides.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+from cosmos_xenna_spark.operators.joins import asof_join, range_join_bucketed
+
+UTC0 = datetime.datetime(2024, 1, 1)
+
+
+def _ts(seconds: int) -> datetime.datetime:
+    return UTC0 + datetime.timedelta(seconds=seconds)
+
+
+def test_range_join_matches_bruteforce(spark):
+    rng = random.Random(77)
+    # values sit ON bucket edges frequently (multiples of 5, width 5)
+    facts = [(i, float(rng.choice([0, 5, 10, 12, 15, 20, 23, 25]))) for i in range(80)]
+    intervals = [
+        (j, float(lo), float(lo + rng.choice([5, 7, 10])))
+        for j, lo in enumerate(rng.choices(range(0, 25), k=30))
+    ]
+    fdf = spark.createDataFrame(facts, "fact_id long, v double")
+    idf = spark.createDataFrame(intervals, "iv_id long, lo double, hi double")
+    got = {
+        (r["fact_id"], r["iv_id"])
+        for r in range_join_bucketed(fdf, idf, "v", "lo", "hi", bucket_width=5.0).collect()
+    }
+    want = {
+        (fi, ii)
+        for fi, v in facts
+        for ii, lo, hi in intervals
+        if lo <= v < hi
+    }
+    assert got == want
+
+
+def test_asof_join_matches_bruteforce(spark):
+    rng = random.Random(78)
+    lefts = [(i, rng.randrange(4), _ts(rng.randrange(0, 300))) for i in range(120)]
+    rights = [
+        (j, rng.randrange(4), _ts(rng.randrange(0, 300)), float(j))
+        for j in range(90)
+    ]
+    ldf = spark.createDataFrame(lefts, "l_id long, k long, lt timestamp")
+    rdf = spark.createDataFrame(rights, "r_id long, k long, rt timestamp, payload double")
+
+    def brute(tol_s: int | None):
+        out = {}
+        for li, lk, lt in lefts:
+            cand = [
+                (rt, rj, payload)
+                for rj, rk, rt, payload in rights
+                if rk == lk
+                and rt <= lt
+                and (tol_s is None or rt >= lt - datetime.timedelta(seconds=tol_s))
+            ]
+            out[li] = max(cand)[2] if cand else None
+        return out
+
+    for tol, tol_s in ((None, None), ("60 seconds", 60)):
+        got = {
+            r["l_id"]: r["payload"]
+            for r in asof_join(
+                ldf, rdf, on="k", left_time="lt", right_time="rt",
+                right_tiebreak="r_id", value_cols=["payload"], tolerance=tol,
+            ).collect()
+        }
+        assert got == brute(tol_s), f"tolerance={tol}"
