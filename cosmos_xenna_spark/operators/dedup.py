@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from cosmos_xenna_spark.functions import md5_long63
 
@@ -59,24 +60,58 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     plenty of splits and this is a no-op; the round-robin shuffle moves
     only the small pre-explode rows when it does fire.
 
-    The split estimate is ``inputFiles()`` — scan metadata only. The
-    previous ``df.rdd.getNumPartitions()`` probe converted the plan to
-    an RDD (a full analyzer round-trip on the driver) on EVERY call,
-    a planning tax every shingle/token operator paid. File count
-    under-estimates splits (maxPartitionBytes splits big files
-    further), so this only errs toward repartitioning small inputs —
-    the case the shuffle is cheap for. Non-file-backed frames report 0
-    files and always repartition.
+    The split estimate is scan metadata only (``inputFiles()`` plus a
+    driver-side size stat when the file count alone is inconclusive).
+    The previous ``df.rdd.getNumPartitions()`` probe converted the plan
+    to an RDD (a full analyzer round-trip on the driver) on EVERY call,
+    a planning tax every shingle/token operator paid; raw
+    ``len(inputFiles())`` fixed that but under-counts splits for the
+    few-big-files layout (Catalyst splits large files every
+    ``maxPartitionBytes``), forcing a pointless full-corpus round-robin
+    shuffle exactly when the input is large. Now: if the file count
+    already meets the target the stat is skipped entirely (the 100 TB
+    fast path — zero filesystem calls); otherwise the few files are
+    statted through the Hadoop FS API (scheme-agnostic: file/hdfs/s3)
+    and splits are counted as ceil(size / maxPartitionBytes) per file.
+    Non-file-backed frames report 0 files and always repartition.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    try:
-        n_splits = len(df.inputFiles())
-    except Exception:
-        n_splits = 0
-    if n_splits >= target:
+    if _estimated_splits(df, target) >= target:
         return df
     return df.repartition(target)
+
+
+def _estimated_splits(df: DataFrame, target: int) -> int:
+    """Estimate the scan's split count without triggering RDD planning.
+
+    Errs LOW (ignores ``filesMinPartitionNum``'s bytes-per-core
+    shrinking of the split size), so the caller only ever repartitions
+    inputs that are genuinely small — where the shuffle is cheap.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    if len(files) >= target:
+        return len(files)
+    if not files:
+        return 0
+    spark = df.sparkSession
+    try:
+        jvm = spark._jvm
+        max_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+        hconf = spark._jsc.hadoopConfiguration()
+        n = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            n += max(1, -(-size // max_bytes))
+        return n
+    except Exception:
+        return len(files)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
@@ -267,27 +302,32 @@ def connected_components(
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
     )
+    null_label = F.lit(None).cast(dict(edges.dtypes)["src"])
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.dst == labels.id).select(
-            F.col("src").alias("id"), F.col("label")
+            F.col("src").alias("id"), F.col("label"), null_label.alias("old")
         )
         lab2 = labels.select(F.col("id").alias("l_id"), F.col("label").alias("l_label"))
         jump = labels.join(lab2, labels.label == lab2.l_id, "left").select(
-            "id", F.coalesce("l_label", "label").alias("label")
+            "id",
+            F.coalesce("l_label", "label").alias("label"),
+            null_label.alias("old"),
         )
+        # The convergence signal rides along in the SAME aggregation
+        # that builds the new labels: the old-labels branch tags each
+        # id with its previous label (`old`; NULL on the other two
+        # branches, so min() recovers it), and `changed` is then a
+        # single narrow scan of the just-checkpointed result — no extra
+        # join+shuffle job per iteration.
         new_labels = ckpt(
-            labels.unionByName(nbr)
+            labels.withColumn("old", F.col("label"))
+            .unionByName(nbr)
             .unionByName(jump)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
@@ -358,11 +398,18 @@ def jaccard_verify_pairs(
     Scale shape: two equi-joins keyed by doc id + one join keyed by
     (doc_b, word) — work is O(candidate pairs x doc length), never
     all-pairs.
+
+    The exploded-distinct word set feeds THREE plan branches (both join
+    sides + the size aggregate); Spark does not dedupe identical
+    subplans, so without the persist the corpus would be re-scanned and
+    re-tokenized once per branch. MEMORY_AND_DISK so a 100 TB word set
+    spills instead of evicting mid-job.
     """
     words = (
         ensure_parallelism(docs)
         .select("doc_id", F.explode(F.split(text_col, " ")).alias("w"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
     wa = words.select(F.col("doc_id").alias("doc_a"), "w")
@@ -402,9 +449,10 @@ def ngram_jaccard_pairs(
     :func:`_guard_block_cardinality`). For an explicit candidate list,
     use :func:`jaccard_verify_pairs` instead.
     """
+    # Persisted for the same three-branch reuse as jaccard_verify_pairs.
     words = ensure_parallelism(docs).select(
         F.col("doc_id"), F.col(scope_col).alias("scope"), F.explode(F.split(text_col, " ")).alias("w")
-    ).distinct()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     _guard_block_cardinality(
         docs.select("doc_id", F.col(scope_col).alias("scope")),
         ["scope"],

@@ -9,9 +9,8 @@ Python UDFs, so every stage stays inside whole-stage codegen.
 Scale shapes:
 - quality_signals: one explode + two groupBys keyed by doc_id (word
   counts partially aggregate map-side before the shuffle).
-- line_dedup: one shuffle keyed by the line (hash the line with
-  ``md5_long63`` for the partition key at scale; the demo keys on the
-  line string itself so the DuckDB oracle can mirror it exactly).
+- line_dedup: one shuffle keyed by ``md5_long63(line)`` — 8-byte sort
+  keys at any scale; the DuckDB oracle keys on the identical hash.
 - decontaminate: the eval-shingle side of the semi-join is broadcast —
   eval suites are KBs-to-MBs against a TB-scale training corpus.
 - top_ngrams: groupBy(ngram) with map-side combine, then a global
@@ -28,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cosmos_xenna_spark.functions import md5_long63
 from cosmos_xenna_spark.operators.text import STOPWORDS
 
 # Gopher-ish acceptance thresholds, tuned for the synthetic corpus
@@ -142,14 +142,19 @@ def line_dedup(
     """C4-style line-level corpus dedup: keep only the FIRST occurrence
     of each line corpus-wide (ordered by doc_id, then position).
 
-    Returns (doc_id, n_lines, n_kept, kept_text). One shuffle keyed by
-    the line; at 100 TB key the window on ``md5_long63(line)`` so the
-    shuffle moves 8-byte keys instead of line strings.
+    Returns (doc_id, n_lines, n_kept, kept_text). One shuffle, keyed by
+    ``md5_long63(line)`` rather than the line text: the window's
+    sort/partition comparisons touch 8-byte longs instead of arbitrary-
+    length strings (the line string still travels as row payload — it's
+    needed to rebuild kept_text). A 63-bit collision would merge two
+    distinct lines; at ~10^9 distinct lines that's ~1e-4 odds corpus-
+    wide, and the DuckDB oracle keys on the identical hash so the
+    engines stay in lockstep even then.
     """
     lines = docs.select(
         "doc_id", F.posexplode(_line_col(text_col, line_words)).alias("line_no", "line")
-    )
-    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    ).withColumn("__lh", md5_long63("line"))
+    w = Window.partitionBy("__lh").orderBy("doc_id", "line_no")
     ranked = lines.withColumn("__rn", F.row_number().over(w))
     return (
         ranked.groupBy("doc_id")

@@ -136,8 +136,12 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            UNNEST(range(0, CAST(ceil(len(ws) / 3.0) AS INT))) AS t(i)
     ), ranked AS (
+      -- keyed on the same 63-bit md5 hash the Spark side windows on,
+      -- so a (vanishingly unlikely) hash collision hits both engines
       SELECT doc_id, line_no, line,
-             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST(CONCAT('0x', substr(md5(line), 1, 15)) AS BIGINT)
+               ORDER BY doc_id, line_no) AS rn
       FROM lines
     )
     SELECT doc_id, COUNT(*) AS n_lines,

@@ -139,3 +139,60 @@ def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
         (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_connected_components_randomized_vs_bruteforce(spark):
+    """Random graphs vs a driver-side union-find: protects the folded
+    convergence check (the `old`-column aggregation rewrite)."""
+    from cosmos_xenna_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {a for e in edges for a in e}
+        want = {(x, find(x)) for x in touched}
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(pairs, max_iter=15).collect()
+        }
+        assert got == want
+
+
+def test_estimated_splits_accounts_for_max_partition_bytes(spark, tmp_path):
+    """A single large file must count as size/maxPartitionBytes splits
+    (Catalyst splits it), not as 1 — otherwise every shingle operator
+    prepends a pointless full-corpus repartition exactly when the
+    input is big."""
+    from cosmos_xenna_spark.operators.dedup import _estimated_splits
+
+    path = str(tmp_path / "one_file")
+    spark.range(50_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert _estimated_splits(df, 32) == 1  # default 128MB: one split
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        assert _estimated_splits(df, 1_000_000) > 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # non-file-backed frames report 0 (always repartitioned)
+    assert _estimated_splits(spark.range(5).toDF("x"), 32) == 0
