@@ -150,12 +150,20 @@ def global_cumsum(
     # bucket's leading rows are all NULL, `running` is NULL but the
     # true prefix sum is the prior buckets' total (if any of them had
     # a value). prior_nonnull is cluster-sized driver state baked in
-    # as literals, like the offsets.
-    prior_has = F.lit(False)
-    for b in sorted(prior_nonnull):
-        prior_has = F.when(
-            F.col("__b") == b, F.lit(prior_nonnull[b])
-        ).otherwise(prior_has)
+    # as literals, like the offsets — and like the offsets it's a FLAT
+    # create_map lookup, not a num_buckets-deep WHEN chain (thousands
+    # of buckets would inflate Catalyst analysis and risk a driver
+    # StackOverflow on the nested expression tree).
+    prior_has = F.element_at(
+        F.create_map(
+            *[
+                c
+                for b in sorted(prior_nonnull)
+                for c in (F.lit(b), F.lit(prior_nonnull[b]))
+            ]
+        ),
+        F.col("__b"),
+    )
     return bucketed.withColumn(
         out_col,
         # no prior non-NULLs: offset is 0 and a NULL running stays NULL
@@ -202,14 +210,21 @@ def global_running_max(
         prefix[b] = best  # max over strictly-earlier buckets
         if maxes[b] is not None and (best is None or maxes[b] > best):
             best = maxes[b]
-    # CASE chain, not a map literal: prefix can be NULL (first bucket)
-    # and greatest() skips NULLs, giving pure within-bucket semantics
-    # there — exactly the unbounded-preceding frame.
-    prefix_col = F.lit(None).cast("bigint")
-    for b in sorted(prefix):
-        prefix_col = F.when(
-            F.col("__b") == b, F.lit(prefix[b]).cast("bigint")
-        ).otherwise(prefix_col)
+    # Flat map lookup (see global_cumsum): buckets whose prefix is NULL
+    # are simply OMITTED from the map — element_at returns NULL for a
+    # missing key, and greatest() skips NULLs, giving pure within-
+    # bucket semantics there — exactly the unbounded-preceding frame.
+    entries = [
+        c
+        for b in sorted(prefix)
+        if prefix[b] is not None
+        for c in (F.lit(b), F.lit(prefix[b]).cast("bigint"))
+    ]
+    prefix_col = (
+        F.element_at(F.create_map(*entries), F.col("__b"))
+        if entries
+        else F.lit(None).cast("bigint")
+    )
     w = (
         Window.partitionBy("__b")
         .orderBy(*[F.asc(c) for c in order_cols])

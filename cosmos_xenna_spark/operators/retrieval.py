@@ -168,20 +168,31 @@ def bm25_topk(
     (doc, term) table three times and tokenized the corpus four times.
     """
     qts = sorted(set(query_terms))
+    if not qts:
+        # no terms -> nothing can match; empty result, id dtype kept
+        return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     toks = docs.select(
         F.col(id_col),
-        F.expr(
-            f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)"
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), F.lit(0)
         ).alias("__toks"),
     )
-    # dl + one tf column per query term, all row-local
+    # dl + one tf column per query term, all row-local. Terms pass as
+    # Column LITERALS, never interpolated into SQL text — a quote or
+    # regex metacharacter in a caller-supplied term must score 0, not
+    # parse as SQL. (The closure factory matters: F.filter dispatches
+    # on lambda ARITY, so a `lambda x, t=t:` binding would receive the
+    # array index as its second argument.)
+    def _matches(term: str):
+        return lambda x: x == F.lit(term)
+
     per_doc = toks.select(
         id_col,
         F.size("__toks").cast("bigint").alias("dl"),
         *[
-            F.expr(f"CAST(size(filter(__toks, x -> x = '{t}')) AS BIGINT)").alias(
-                f"__tf_{i}"
-            )
+            F.size(F.filter(F.col("__toks"), _matches(t)))
+            .cast("bigint")
+            .alias(f"__tf_{i}")
             for i, t in enumerate(qts)
         ],
     )

@@ -160,11 +160,53 @@ def _read_lock_pid(lock: str) -> int | None:
 
 
 def _pid_alive(pid: int) -> bool:
+    """Signal-0 liveness probe.
+
+    EPERM means the process EXISTS but belongs to another uid — on a
+    shared host that holder is alive and must not have its lock stolen
+    (treating it as dead double-ran ``setup_on_node``).
+    """
     try:
         os.kill(pid, 0)
         return True
+    except PermissionError:
+        return True
     except OSError:
         return False
+
+
+def _steal_stale_lock(lock: str, dead_pid: int | None) -> None:
+    """Unlink ``lock`` iff it still records ``dead_pid``, atomically
+    w.r.t. concurrent stealers.
+
+    The mutex (O_EXCL create) serializes the recheck+unlink so no
+    stealer can act on a read that predates another stealer's
+    re-acquisition. A mutex abandoned by a crashed stealer only guards
+    a microseconds-long section, so one older than 5s is broken — and
+    the caller's overall deadline bounds the pathological cases.
+    """
+    mutex = lock + ".steal"
+    try:
+        fd = os.open(mutex, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            if time.time() - os.path.getmtime(mutex) > 5.0:
+                os.unlink(mutex)
+        except OSError:
+            pass
+        return  # another stealer is in the section; let the loop retry
+    try:
+        os.close(fd)
+        if _read_lock_pid(lock) == dead_pid:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+    finally:
+        try:
+            os.unlink(mutex)
+        except OSError:
+            pass
 
 
 def _node_setup_once(stage: Stage, run_id: str) -> None:
@@ -222,15 +264,19 @@ def _node_setup_once(stage: Stage, run_id: str) -> None:
                     f"setup_on_node failed on this host: {f.read()}"
                 )
         if not holder_alive and not os.path.exists(marker):
-            # Holder died mid-setup: break its lock and re-elect. Verify
-            # the lock still names the dead holder right before unlink —
-            # otherwise a second stealer could remove the lock the first
-            # stealer just re-acquired (double-elect).
-            if _read_lock_pid(lock) == holder_pid:
-                try:
-                    os.unlink(lock)
-                except FileNotFoundError:
-                    pass
+            # Holder died mid-setup: break its lock and re-elect. The
+            # recheck-then-unlink must be ATOMIC w.r.t. other stealers:
+            # without it, waiter B's recheck can pass just before
+            # stealer A unlinks and re-acquires, and B then removes A's
+            # FRESH lock — letting a third process elect concurrently
+            # with A (the exactly-once violation). A rename-capture
+            # steal has the mirror-image flaw (capturing a live
+            # holder's lock leaves the path vacant while it's "put
+            # back"), so instead the check-and-unlink section is
+            # serialized through a steal mutex: inside it, a stealer
+            # sees either the stale dead lock (steal it), a fresh live
+            # lock (back off), or no lock (race already resolved).
+            _steal_stale_lock(lock, holder_pid)
             continue
         if time.monotonic() > deadline:
             raise TimeoutError(

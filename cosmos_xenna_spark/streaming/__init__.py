@@ -49,7 +49,10 @@ EVENTS_DDL = (
 
 
 def events_file_stream(
-    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+    schema=None,
 ) -> DataFrame:
     """Replay an events directory as a file stream (the test/bench
     harness for every streaming operator; TESTDATA events replayed).
@@ -60,8 +63,17 @@ def events_file_stream(
     ``catalog.load_table`` then maps any of the three historical ``ts``
     encodings (ns-as-bigint / timestamp_ntz / timestamp) to session-UTC
     ``timestamp`` — the streaming and batch paths share one contract.
+
+    A directory that is EMPTY at stream start (the common pattern of
+    launching the query before files arrive) can't be probed; pass
+    ``schema`` explicitly, or the known events DDL is assumed.
     """
-    physical = spark.read.parquet(events_dir).schema
+    physical = schema
+    if physical is None:
+        try:
+            physical = spark.read.parquet(events_dir).schema
+        except Exception:
+            physical = EVENTS_DDL
     reader = spark.readStream.schema(physical)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

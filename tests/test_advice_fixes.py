@@ -215,3 +215,143 @@ def test_cluster_centroids_ragged_raises(spark):
     )
     with pytest.raises(ValueError, match="ragged"):
         cluster_centroids(df)
+
+
+def test_pid_alive_treats_eperm_as_alive(monkeypatch):
+    """EPERM from kill(pid, 0) means the process EXISTS (foreign uid);
+    stealing its lock would double-run setup_on_node."""
+    from cosmos_xenna_spark.operators import stage as stage_mod
+
+    def fake_kill(pid, sig):
+        if pid == 111:
+            raise PermissionError(1, "Operation not permitted")
+        if pid == 222:
+            raise ProcessLookupError(3, "No such process")
+
+    monkeypatch.setattr(os, "kill", fake_kill)
+    assert stage_mod._pid_alive(111) is True
+    assert stage_mod._pid_alive(222) is False
+    assert stage_mod._pid_alive(os.getpid()) is True
+
+
+def test_steal_stale_lock_only_removes_dead_holders(tmp_path):
+    from cosmos_xenna_spark.operators.stage import _steal_stale_lock
+
+    lock = str(tmp_path / "x.lock")
+
+    # lock names the dead holder -> stolen
+    with open(lock, "w") as f:
+        f.write("99999")
+    _steal_stale_lock(lock, 99999)
+    assert not os.path.exists(lock)
+    assert not os.path.exists(lock + ".steal")  # mutex released
+
+    # lock was re-acquired by someone else (pid differs) -> untouched
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    _steal_stale_lock(lock, 99999)
+    assert os.path.exists(lock)
+    os.unlink(lock)
+
+
+def test_steal_stale_lock_backs_off_while_mutex_held(tmp_path):
+    """A second stealer must NOT act while another is in the
+    check-and-unlink section — that interleaving is exactly the
+    double-elect race. An abandoned (old) mutex is broken."""
+    import time as _time
+
+    from cosmos_xenna_spark.operators.stage import _steal_stale_lock
+
+    lock = str(tmp_path / "y.lock")
+    mutex = lock + ".steal"
+    with open(lock, "w") as f:
+        f.write("99999")
+    with open(mutex, "w") as f:
+        f.write("")
+    _steal_stale_lock(lock, 99999)
+    assert os.path.exists(lock)  # backed off, fresh mutex respected
+    # age the mutex past the abandonment TTL -> broken, lock still
+    # untouched on THIS call (the steal happens on the next retry)
+    old = _time.time() - 10
+    os.utime(mutex, (old, old))
+    _steal_stale_lock(lock, 99999)
+    assert not os.path.exists(mutex)
+    _steal_stale_lock(lock, 99999)
+    assert not os.path.exists(lock)
+
+
+def test_bm25_quote_and_regex_terms_score_zero(spark):
+    """Caller-supplied terms must pass as literals: a quote or regex
+    metacharacter scores 0 instead of breaking the SQL/regex."""
+    from cosmos_xenna_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, ["beta", "o'brien", ".*"], k=5).collect()
+    assert [r.doc_id for r in got] == [2, 1]  # doc 2 has beta twice
+    clean = bm25_topk(docs, ["beta"], k=5).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in clean
+    ]  # the malformed terms contributed exactly nothing
+
+
+def test_bm25_empty_query_returns_empty(spark):
+    from cosmos_xenna_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = bm25_topk(docs, [], k=5)
+    assert out.columns == ["doc_id", "score"]
+    assert out.count() == 0
+
+
+def test_events_stream_empty_dir_starts(spark, tmp_path):
+    """Starting the stream BEFORE any file arrives must work (known-DDL
+    fallback), and rows written later must flow through."""
+    from cosmos_xenna_spark.streaming import events_file_stream
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    stream = events_file_stream(spark, events_dir)
+    assert "ts" in stream.columns
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("empty_dir_start")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT * FROM empty_dir_start").count() == 0
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.mode("append").parquet(events_dir)
+    q2 = (
+        events_file_stream(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName("empty_dir_catchup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    assert spark.sql("SELECT * FROM empty_dir_catchup").count() == 1
+
+
+def test_global_ranking_many_buckets_flat_expressions(spark):
+    """num_buckets in the thousands must not blow the analyzer (the
+    WHEN-chain regression); results must still be exact."""
+    from cosmos_xenna_spark.operators.ranking import global_running_max
+
+    rows = [(float(i % 97), i, (i * 37) % 1000) for i in range(500)]
+    df = spark.createDataFrame(rows, "k double, tb long, v long")
+    got = global_running_max(df, "v", ["k", "tb"], num_buckets=64).collect()
+    ordered = sorted(got, key=lambda r: (r.k, r.tb))
+    best = None
+    for r in ordered:
+        best = r.v if best is None or r.v > best else best
+        assert r.runmax == best
