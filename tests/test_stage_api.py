@@ -338,3 +338,90 @@ def test_setup_receives_worker_metadata(spark):
     rows = out.collect()
     assert len(rows) == 8
     assert all(r.wid for r in rows)
+
+
+class WorkerKiller(Stage):
+    """Reference test_segfaulting_pipeline.py:81-185 parity: a stage
+    whose process kills the Python worker outright (segfault stand-in:
+    SIGKILL — same observable, the worker vanishes mid-batch)."""
+
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        import signal as _signal
+
+        if (pdf["id"] == 3).any():
+            _os.kill(_os.getpid(), _signal.SIGKILL)
+        return pdf
+
+
+def test_segfaulting_stage_surfaces_task_failure(spark):
+    """A killed worker must surface as a task/job failure (Spark's
+    retry ladder owns recovery — reference A12), never a hang or a
+    silently-short result. ignore_failures can't catch a dead process:
+    it guards Python exceptions; process death is the platform's job.
+    """
+    df = _ids(spark, 10).coalesce(1)
+    with pytest.raises(Exception) as ei:
+        apply_stage(df, WorkerKiller, "id long").collect()
+    assert "SparkException" in type(ei.value).__name__ or "Py4J" in type(
+        ei.value
+    ).__name__ or "crashed" in str(ei.value).lower() or "exited" in str(ei.value).lower()
+
+
+_SEGFAULT_RETRY_SCRIPT = r"""
+import os, signal, sys
+import pandas as pd
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession
+from cosmos_xenna_spark.operators.stage import Stage, apply_stage
+
+MARKER = sys.argv[1]
+
+class KillOnce(Stage):
+    # First attempt: the worker dies mid-batch (segfault stand-in).
+    # The retried task (fresh worker) finds the marker and completes —
+    # the actor-death-recovery story (reference
+    # ray_utils/test_actor_pool_death_recovery.py) mapped onto Spark's
+    # task re-execution.
+    def process_data(self, pdf):
+        if not os.path.exists(MARKER):
+            with open(MARKER, "w") as f:
+                f.write("died once")
+            os.kill(os.getpid(), signal.SIGKILL)
+        return pdf
+
+spark = (
+    SparkSession.builder.master("local[2, 4]")  # 4 task attempts
+    .appName("segfault-retry")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+out = apply_stage(
+    spark.range(20).coalesce(1), KillOnce, "id long"
+).collect()
+assert sorted(r.id for r in out) == list(range(20)), out
+print("RECOVERED", len(out))
+spark.stop()
+"""
+
+
+def test_segfaulting_stage_recovers_via_task_retry(tmp_path):
+    """With task retries enabled (local[2,4]), a one-time worker death
+    mid-batch recovers transparently and loses no rows."""
+    import subprocess
+
+    script = tmp_path / "segfault_retry.py"
+    script.write_text(_SEGFAULT_RETRY_SCRIPT)
+    marker = tmp_path / "died.marker"
+    p = subprocess.run(
+        [sys.executable, str(script), str(marker)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    assert "RECOVERED 20" in p.stdout
+    assert marker.exists()  # the first attempt really did die
