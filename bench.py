@@ -50,6 +50,9 @@ HEADLINE = [
     # r4 additions (VERDICT r3 #3): CDC family, never benched
     "q_merge_upsert",
     "q_scd2_history",
+    # r5: the shuffled backfill regime (broadcast=False, change set
+    # >50% of the snapshot) so the non-broadcast path has a perf row
+    "q_merge_upsert_backfill",
     # r4 retrieval/packing family (corpus-scan shapes)
     "q_bm25_topk",
     "q_pack_sequences",
@@ -110,8 +113,39 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+    vs_prev = _vs_prev(timings)
+    if vs_prev:
+        payload["vs_prev"] = vs_prev
     print(json.dumps(payload))
     spark.stop()
+
+
+def _vs_prev(timings: dict[str, float]) -> dict[str, object] | None:
+    """Per-query ratio vs the newest committed BENCH_r*.json, so a
+    regression is visible in the round it happens instead of via a
+    by-hand diff of two artifacts (VERDICT r4 #9)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        f for f in os.listdir(here)
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
+    )
+    for prev_name in reversed(benches):
+        try:
+            with open(os.path.join(here, prev_name)) as f:
+                doc = json.load(f)
+            # the driver wraps bench.py's line under "parsed"
+            prev = (doc.get("queries") or (doc.get("parsed") or {}).get("queries")) or {}
+        except (OSError, ValueError, AttributeError):
+            continue
+        if not prev:
+            continue  # e.g. the round-3 crash artifact — skip back
+        ratios = {
+            q: round(t / prev[q], 2)
+            for q, t in timings.items()
+            if q in prev and prev[q] > 0
+        }
+        return {"baseline": prev_name, "ratios": ratios}
+    return None
 
 
 if __name__ == "__main__":

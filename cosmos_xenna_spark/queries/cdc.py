@@ -68,6 +68,54 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_merge_upsert_backfill",
+    oracle="""
+    WITH touched AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 5 <> 0 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000 FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey NOT IN (SELECT k FROM touched)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 3,
+           o_orderdate, 'BACKFILL'
+    FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey + 20000000, o_custkey, 'N', o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+    description="MERGE INTO in the backfill regime: a change set >50% "
+    "of the snapshot applied with broadcast=False (shuffled anti-join "
+    "on the key — the path taken when the change batch exceeds "
+    "executor memory); results identical to the broadcast path",
+)
+def q_merge_upsert_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    k = F.col("o_orderkey")
+    deletes = o.filter(k % 5 == 0).withColumn(OP_COL, F.lit("delete"))
+    updates = (
+        o.filter((k % 5 != 0) & (k % 3 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .withColumn("o_orderpriority", F.lit("BACKFILL"))
+        .withColumn(OP_COL, F.lit("upsert"))
+    )
+    inserts = (
+        o.filter(k % 17 == 0)
+        .withColumn("o_orderkey", k + 20000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn(OP_COL, F.lit("upsert"))
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return merge_upsert(o, changes, ["o_orderkey"], broadcast=False)
+
+
+@register(
     "q_scd2_history",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice,
