@@ -4,12 +4,13 @@ reference pipelines caption/embed such payloads via the Stage API,
 e.g. /root/reference/examples/simple_vlm_inference.py:55-61).
 
 The decode kernels (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode step is stubbed: ``decode_image_stub`` raises
-``NotImplementedError`` unless given the deterministic fake header, and
-``fake_image``/``fake_audio`` produce deterministic payloads for tests.
-Everything Spark-side — schema, batching, partition flow, UDF
-signatures — is real and tested; swapping the stub body for a PIL/
-ffmpeg call is a one-function change on the executors.
+so the default decode accepts the deterministic fake format
+(``fake_image``/``fake_audio``), auto-upgrades to PIL when importable,
+and raises ``NotImplementedError`` otherwise. The kernel is a
+pluggable seam: ``set_image_decoder`` registers a replacement that
+every image operator captures at plan-build time — no operator edits
+when a deployment brings its own codec. Everything Spark-side —
+schema, batching, partition flow, UDF signatures — is real and tested.
 
 Design for 100 TB: payloads never hit the driver; feature extraction is
 ``mapInPandas`` (Arrow zero-copy for binary), frame sampling fans out
@@ -41,17 +42,43 @@ def fake_image(width: int, height: int, seed: int = 0) -> bytes:
 def decode_image_stub(payload: bytes) -> tuple[int, int, bytes]:
     """'Decode' an image payload -> (width, height, pixels).
 
-    Real decode (PIL.Image.open) is unavailable in this container; only
-    the deterministic fake format is accepted.
+    Accepts the deterministic fake format; for anything else, tries
+    PIL if importable (grayscale-converted real decode — zero code
+    change the day the container gains it) and otherwise raises.
     """
-    if payload[: len(_MAGIC)] != _MAGIC:
+    if payload[: len(_MAGIC)] == _MAGIC:
+        w, h = struct.unpack("<II", payload[len(_MAGIC) : len(_MAGIC) + 8])
+        pixels = payload[len(_MAGIC) + 8 :]
+        return w, h, pixels
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
         raise NotImplementedError(
             "real image decoding requires PIL/libjpeg — not available in "
             "this environment; payload is not a FAKEIMG1 test image"
-        )
-    w, h = struct.unpack("<II", payload[len(_MAGIC) : len(_MAGIC) + 8])
-    pixels = payload[len(_MAGIC) + 8 :]
-    return w, h, pixels
+        ) from None
+    im = Image.open(io.BytesIO(payload)).convert("L")
+    return im.width, im.height, im.tobytes()
+
+
+# Pluggable decode seam: queries capture the CURRENT decoder at plan-
+# build time (driver side) so the callable ships to executors inside
+# the UDF closure — a deployment with its own codec registers it once
+# and every multimodal operator picks it up, no operator edits.
+_image_decoder = decode_image_stub
+
+
+def set_image_decoder(fn) -> None:
+    """Register a replacement ``payload -> (width, height, pixels)``
+    decode kernel (must be serializable — a top-level function)."""
+    global _image_decoder
+    _image_decoder = fn
+
+
+def get_image_decoder():
+    return _image_decoder
 
 
 IMAGE_META_SCHEMA = (
@@ -65,12 +92,13 @@ def extract_image_metadata(df: DataFrame, id_col: str = "id", image_col: str = "
     The canonical multimodal map stage — Arrow-batched, binary column
     in, typed metadata out.
     """
+    decode = get_image_decoder()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[image_col]):
-                w, h, _ = decode_image_stub(bytes(payload))
+                w, h, _ = decode(bytes(payload))
                 rows.append(
                     (
                         i,
@@ -93,12 +121,13 @@ def resize_images(
     """Resize stage: nearest-neighbor over the fake pixel grid (a real
     deployment swaps the kernel; the batching/schema contract is the
     operator)."""
+    decode = get_image_decoder()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_imgs = [], []
             for i, payload in zip(pdf[id_col], pdf[image_col]):
-                w, h, pixels = decode_image_stub(bytes(payload))
+                w, h, pixels = decode(bytes(payload))
                 # numpy fancy-indexing: one gather per image, no Python
                 # pixel loop (per-pixel loops are catastrophic on real
                 # frames even inside mapInPandas).

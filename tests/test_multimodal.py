@@ -96,3 +96,54 @@ def test_audio_metadata_and_windows(spark, sf_dir):
         expect_n = (r.id % 50 + 10) * 100
         assert r.total == expect_n  # windows tile the clip exactly
         assert r.n_win == -(-expect_n // 1500)
+
+
+def test_image_decoder_is_pluggable(spark):
+    """set_image_decoder must reach the executors through the UDF
+    closure — the day a real codec exists, registration is the only
+    code change."""
+    from cosmos_xenna_spark.operators.multimodal import (
+        decode_image_stub,
+        extract_image_metadata,
+        fake_image,
+        set_image_decoder,
+    )
+
+    def _header_only_decoder(payload: bytes):
+        # swap-in kernel: trusts the FAKEIMG1 header, never touches
+        # pixels; nested so cloudpickle ships it by value
+        import struct as _struct
+
+        from cosmos_xenna_spark.operators.multimodal import _MAGIC
+
+        w, h = _struct.unpack("<II", payload[len(_MAGIC) : len(_MAGIC) + 8])
+        return w + 1000, h + 1000, b""  # offset proves THIS kernel ran
+
+    df = spark.createDataFrame(
+        [(1, fake_image(8, 6, seed=1))], "id long, image binary"
+    )
+    set_image_decoder(_header_only_decoder)
+    try:
+        row = extract_image_metadata(df).collect()[0]
+        assert (row.width, row.height) == (1008, 1006)
+    finally:
+        set_image_decoder(decode_image_stub)
+    row = extract_image_metadata(df).collect()[0]
+    assert (row.width, row.height) == (8, 6)
+
+
+def test_real_codec_decodes_when_available(spark):
+    """Skip-if-absent: with PIL installed the DEFAULT kernel decodes a
+    real PNG with zero configuration."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from cosmos_xenna_spark.operators.multimodal import extract_image_metadata
+
+    buf = io.BytesIO()
+    Image.new("L", (5, 4)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], "id long, image binary")
+    row = extract_image_metadata(df).collect()[0]
+    assert (row.width, row.height) == (5, 4)
