@@ -173,3 +173,45 @@ def test_sort_within_partitions_no_exchange(spark, sf_dir):
 
     assert "Sort" in plan_nodes(li)
     assert count_shuffles(li) == 0
+
+
+# Intentional BroadcastNestedLoopJoin sites — every one broadcasts a
+# side that is tiny BY CONSTRUCTION (a single-row aggregate of corpus
+# globals, or the k-row query set of a kNN search), so the "nested
+# loop" is a constant-width probe per row, not a quadratic join:
+#   q_distribution_distributed / q_funnel — single-row global stats
+#   q_knn_bruteforce / q_knn_ivf / q_knn_ivf_kmeans — broadcast query
+#     vectors (plan test above asserts the broadcast DIRECTION)
+#   q_bm25_topk / q_tfidf — single-row (n_docs, avg_dl, df_i) scalars
+#   q_join_cross — IS the explicit cross-join operator, exercised on
+#     bounded dimension tables (region x nation)
+_BNLJ_ALLOWED = {
+    "q_join_cross",
+    "q_distribution_distributed",
+    "q_funnel",
+    "q_knn_bruteforce",
+    "q_knn_ivf",
+    "q_knn_ivf_kmeans",
+    "q_bm25_topk",
+    "q_tfidf",
+}
+
+
+def test_no_quadratic_joins_in_registry(spark, sf_dir):
+    """Lint: no registered query may plan a CartesianProduct, and a
+    BroadcastNestedLoopJoin is allowed only at the allowlisted
+    tiny-broadcast sites above. A new non-equi join that silently
+    falls back to BNL (the classic 100 TB scale-killer: every pair of
+    partitions crossed) fails here the round it's introduced."""
+    offenders = {}
+    for name, spec in load_registry().items():
+        try:
+            df = spec.builder(spark, sf_dir)
+        except Exception:
+            continue  # other tests own build failures
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not offenders, f"quadratic join plans: {offenders}"
