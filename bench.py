@@ -98,6 +98,11 @@ def main() -> None:
                 df = reg[name].builder(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
+                # Drop the handle NOW: operators scope internal caches
+                # (scoped_persist / tie_local_checkpoint) to the result
+                # DataFrame's lifetime, so holding it across queries
+                # would keep dead blocks pinned in the block manager.
+                df = None
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             continue

@@ -20,9 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from cosmos_xenna_spark.functions import md5_long63
+from cosmos_xenna_spark.operators.cache import (
+    release_local_checkpoint,
+    scoped_persist,
+    tie_local_checkpoint,
+)
 
 # Universal-hash family for MinHash: one md5 per shingle, then
 # h_s = (a_s * hi30 + b_s * lo30 + c_s) mod (2^61 - 1) per seed — all
@@ -303,6 +307,7 @@ def connected_components(
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
     )
     null_label = F.lit(None).cast(dict(edges.dtypes)["src"])
+    holder = labels  # the checkpoint backing the current label table
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.dst == labels.id).select(
             F.col("src").alias("id"), F.col("label"), null_label.alias("old")
@@ -327,10 +332,21 @@ def connected_components(
             .agg(F.min("label").alias("label"), F.min("old").alias("old"))
         )
         changed = new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
+        # Round k's blocks are dead the moment round k+1 has
+        # materialized; release them now instead of waiting for JVM GC
+        # (left to GC, a multi-round run holds every iteration's label
+        # table in the block manager simultaneously).
+        if not reliable_checkpoint:
+            release_local_checkpoint(holder)
+        holder = new_labels
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    if not reliable_checkpoint:
+        release_local_checkpoint(edges)
+        out = tie_local_checkpoint(holder, out)
+    return out
 
 
 def simhash(docs: DataFrame, text_col: str = "text", n_bits: int = 63) -> DataFrame:
@@ -402,14 +418,15 @@ def jaccard_verify_pairs(
     The exploded-distinct word set feeds THREE plan branches (both join
     sides + the size aggregate); Spark does not dedupe identical
     subplans, so without the persist the corpus would be re-scanned and
-    re-tokenized once per branch. MEMORY_AND_DISK so a 100 TB word set
-    spills instead of evicting mid-job.
+    re-tokenized once per branch. The persist's lifetime is scoped to
+    the returned DataFrame (``scoped_persist``): once the caller drops
+    the result handle the blocks are released, so a long-lived session
+    running many queries doesn't accumulate dead cache.
     """
     words = (
         ensure_parallelism(docs)
         .select("doc_id", F.explode(F.split(text_col, " ")).alias("w"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
     wa = words.select(F.col("doc_id").alias("doc_a"), "w")
@@ -422,7 +439,7 @@ def jaccard_verify_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("n_b"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
@@ -430,6 +447,7 @@ def jaccard_verify_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
     )
+    return scoped_persist(words, out)
 
 
 def ngram_jaccard_pairs(
@@ -449,10 +467,11 @@ def ngram_jaccard_pairs(
     :func:`_guard_block_cardinality`). For an explicit candidate list,
     use :func:`jaccard_verify_pairs` instead.
     """
-    # Persisted for the same three-branch reuse as jaccard_verify_pairs.
+    # Persisted (scoped to the returned frame) for the same
+    # three-branch reuse as jaccard_verify_pairs.
     words = ensure_parallelism(docs).select(
         F.col("doc_id"), F.col(scope_col).alias("scope"), F.explode(F.split(text_col, " ")).alias("w")
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    ).distinct()
     _guard_block_cardinality(
         docs.select("doc_id", F.col(scope_col).alias("scope")),
         ["scope"],
@@ -477,4 +496,6 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return out.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+    return scoped_persist(
+        words, out.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+    )
