@@ -19,10 +19,19 @@ DataFrame handed back to the caller:
   exactly as long as someone can still run the query; a caller that
   keeps the handle keeps the speedup, a caller that drops it frees the
   executors' memory without ever knowing the scratch frame existed.
-- :func:`release_local_checkpoint` / :func:`tie_local_checkpoint`
-  deterministically drop the blocks behind an (eager)
-  ``localCheckpoint`` once nothing can plan against it anymore — e.g.
-  iteration k's state after iteration k+1 has materialized.
+  Deriving a new frame from the result and dropping the original fires
+  the release early — that is SAFE (persist is an optimization; the
+  derived plan recomputes), it just loses the reuse, so operators that
+  compose should hold the original handle across any eager step.
+- :func:`release_local_checkpoint` deterministically drops the blocks
+  behind an (eager) ``localCheckpoint`` once nothing can plan against
+  it anymore — e.g. iteration k's state after iteration k+1 has
+  materialized. Unlike a persist, a released checkpoint CANNOT be
+  recomputed (the lineage was truncated), so this must never be driven
+  by a Python-object-lifetime signal: frames derived from a result
+  keep planning against the final checkpoint's blocks after the
+  original handle dies. Only release state that is provably
+  superseded; leave the final checkpoint to the JVM's ContextCleaner.
 
 All releases are best-effort and non-blocking: at interpreter shutdown
 the JVM gateway may already be gone, and a failed unpersist just means
@@ -85,20 +94,3 @@ def release_local_checkpoint(df: DataFrame) -> None:
             rdd.unpersist(False)
         except Exception:  # noqa: BLE001
             pass
-
-
-def tie_local_checkpoint(scratch: DataFrame, result: DataFrame) -> DataFrame:
-    """Release ``scratch``'s localCheckpoint blocks when ``result`` is
-    garbage-collected. Returns ``result``."""
-    rdd = _checkpoint_rdd(scratch)
-    if rdd is None:
-        return result
-
-    def _release() -> None:
-        try:
-            rdd.unpersist(False)
-        except Exception:  # noqa: BLE001
-            pass
-
-    weakref.finalize(result, _release)
-    return result

@@ -25,7 +25,6 @@ from cosmos_xenna_spark.functions import md5_long63
 from cosmos_xenna_spark.operators.cache import (
     release_local_checkpoint,
     scoped_persist,
-    tie_local_checkpoint,
 )
 
 # Universal-hash family for MinHash: one md5 per shingle, then
@@ -344,9 +343,53 @@ def connected_components(
             break
     out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
     if not reliable_checkpoint:
+        # The edge table is dead once the loop exits (the result plans
+        # only against the final label checkpoint). The final checkpoint
+        # itself must NOT be force-released on any Python-side lifetime
+        # signal: frames DERIVED from the result keep planning against
+        # its blocks long after the original handle is gone, so its
+        # cleanup belongs to the JVM's ContextCleaner (one small label
+        # table per call — bounded).
         release_local_checkpoint(edges)
-        out = tie_local_checkpoint(holder, out)
     return out
+
+
+def fuzzy_dedup_keep(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 25,
+) -> DataFrame:
+    """End-to-end fuzzy dedup, returning the KEPT subset of ``docs``.
+
+    The full production chain in one call: MinHash signatures -> LSH
+    band buckets -> bucket-local candidate pairs -> exact word-set
+    Jaccard verification (>= ``threshold``) -> transitive duplicate
+    clusters -> keep exactly the minimum doc_id of every cluster (docs
+    in no verified pair are kept unconditionally). All original columns
+    survive.
+
+    Scale shape: every stage is the already-scale-safe operator it
+    composes (one shingle shuffle, bucket-local pair explode, O(log
+    diameter) pointer-jumping rounds); the final filter is an anti-join
+    of the corpus against only the DROPPED ids — the small side at any
+    realistic duplication rate, so AQE can broadcast it.
+    """
+    cands = minhash_candidate_pairs(docs, text_col, n_hashes, band_size, k)
+    # Keep the UNprojected handle alive across connected_components'
+    # eager edge materialization: the word-set scratch persist is
+    # scoped to it, and dropping it early would re-tokenize the corpus
+    # once per plan branch (see scoped_persist's derived-frame caveat).
+    verified = jaccard_verify_pairs(cands, docs, text_col, threshold)
+    clusters = connected_components(
+        verified.select("doc_a", "doc_b"), max_iter=max_iter
+    )
+    del verified  # edges are checkpointed; scratch no longer needed
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(dropped, "doc_id", "left_anti")
 
 
 def simhash(docs: DataFrame, text_col: str = "text", n_bits: int = 63) -> DataFrame:

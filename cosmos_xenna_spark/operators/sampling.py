@@ -112,6 +112,53 @@ def split_weighted(
     return df.withColumn(out_col, expr)
 
 
+def mixture_rebalance(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    total: float | None = None,
+    salt: str = "mix:",
+) -> DataFrame:
+    """Deterministically downsample each stratum toward a target
+    mixture — the "data mixing" step of a training-data pipeline
+    (e.g. rebalance a source-skewed crawl to uniform-per-source, or to
+    any published mixture of weights).
+
+    ``weights`` maps stratum -> target share (need not sum to 1; shares
+    are relative). ``None`` means uniform over the observed strata.
+    ``total`` is the target output size; by default the largest total
+    achievable WITHOUT upsampling any stratum: min over strata of
+    n_s / w_s. Each stratum then keeps ``min(1, total * w_s / n_s)`` of
+    its rows via the portable hash filter of
+    :func:`stratified_sample` — so the realized sample is deterministic
+    across runs, partitionings, and engines.
+
+    Scale shape: one tiny count aggregation (one row per stratum)
+    collected to the driver — the driver-literal pattern; deriving the
+    cutoffs from a second sampling-dependent job would not be
+    reproducible — then a single row-local filter over the corpus. No
+    shuffle of the data itself.
+    """
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).cast("string").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df
+    if weights is None:
+        weights = {s: 1.0 / len(counts) for s in counts}
+    seen = {s: w for s, w in weights.items() if s in counts and w > 0}
+    if not seen:
+        raise ValueError("mixture_rebalance: no stratum in `weights` exists in the data")
+    if total is None:
+        total = min(counts[s] / seen[s] for s in seen)
+    rates = {s: min(1.0, (total * w) / counts[s]) for s, w in seen.items()}
+    return stratified_sample(df, rates, strata_col, key_col, salt)
+
+
 def sample_anti_join(
     df: DataFrame, sampled: DataFrame, key_col: str
 ) -> DataFrame:
@@ -126,5 +173,6 @@ __all__ = [
     "stratified_sample",
     "fixed_size_sample",
     "split_weighted",
+    "mixture_rebalance",
     "sample_anti_join",
 ]

@@ -242,3 +242,34 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def semantic_dedup_keep(
+    candidates: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: drop every vector whose cosine
+    similarity to a LOWER-id vector in the same block reaches
+    ``threshold``; return the kept subset of ``candidates`` (all
+    original columns).
+
+    "Keep the lowest id of each near-dup star" is the deterministic
+    greedy survivor rule (no iterative clustering needed): a row is
+    dropped iff it appears as ``dup_id`` in any near-dup pair, which is
+    exactly one distinct-project away from
+    :func:`embedding_near_dup_pairs`. The anti-join's right side is
+    only the dropped ids — small at any realistic dup rate, so AQE can
+    broadcast it.
+    """
+    dups = (
+        embedding_near_dup_pairs(
+            candidates, threshold, block_col, id_col, vec_col, max_block_size
+        )
+        .select(F.col("dup_id").alias(id_col))
+        .distinct()
+    )
+    return candidates.join(dups, id_col, "left_anti")

@@ -15,6 +15,7 @@ from cosmos_xenna_spark.functions import md5_long63_sql
 from cosmos_xenna_spark.operators.sampling import (
     deterministic_sample,
     fixed_size_sample,
+    mixture_rebalance,
     sample_anti_join,
     split_weighted,
     stratified_sample,
@@ -25,6 +26,7 @@ _H_DOC = md5_long63_sql("CAST(doc_id AS VARCHAR)", "sample:")
 _H_STRATA = md5_long63_sql("CAST(doc_id AS VARCHAR)", "strata:")
 _H_FIXED = md5_long63_sql("CAST(doc_id AS VARCHAR)", "fixed:")
 _H_SPLIT = md5_long63_sql("CAST(doc_id AS VARCHAR)", "split:")
+_H_MIX = md5_long63_sql("CAST(doc_id AS VARCHAR)", "mix:")
 
 
 @register(
@@ -117,3 +119,40 @@ def q_sample_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_holdout"),
         F.min("doc_id").cast("bigint").alias("min_id"),
     )
+
+
+@register(
+    "q_mixture_rebalance",
+    # The oracle mirrors the operator's driver-side rate arithmetic
+    # step for step in DOUBLE (bare decimals are DECIMAL in DuckDB, so
+    # every constant is cast): uniform target share w = 1/n_strata,
+    # total = min(n_s / w) (largest total with no upsampling), stratum
+    # keep-rate = min(1, total*w/n_s), cutoff = trunc(rate * 1e6) —
+    # int() in Python truncates, CAST in DuckDB rounds, hence FLOOR.
+    oracle=f"""
+    WITH counts AS (
+      SELECT CAST(source AS VARCHAR) AS s, COUNT(*) AS n
+      FROM documents GROUP BY source
+    ),
+    k AS (SELECT CAST(1.0 AS DOUBLE) / COUNT(*) AS w FROM counts),
+    tot AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS total FROM counts, k),
+    cuts AS (
+      SELECT s,
+             CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                              (total * w) / CAST(n AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS cut
+      FROM counts, k, tot
+    )
+    SELECT d.source, COUNT(*) AS n_kept
+    FROM documents d JOIN cuts c ON c.s = d.source
+    WHERE {_H_MIX} % 1000000 < c.cut
+    GROUP BY d.source
+    """,
+    description="mixture rebalance (data mixing): deterministically "
+    "downsample every source toward a uniform target mixture — counts "
+    "job -> driver-literal per-stratum rates -> portable-hash filter",
+)
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_rebalance(docs, strata_col="source", key_col="doc_id")
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

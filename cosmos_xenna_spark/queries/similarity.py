@@ -156,3 +156,29 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.3 is "near-dup" at this synthetic table's similarity scale
     # (within-cluster cosines top out ~0.47); production would use ~0.95.
     return embedding_near_dup_pairs(emb, threshold=0.3)
+
+
+@register(
+    "q_semantic_dedup_keep",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    )
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+    FROM embeddings e LEFT JOIN dups d ON d.vec_id = e.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+    description="SemDeDup-style semantic dedup keep-set: drop any vector "
+    "with cosine >= 0.3 to a lower-id vector in its cluster block; "
+    "returns the kept rows",
+)
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.similarity import semantic_dedup_keep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_keep(emb, threshold=0.3).select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )

@@ -21,19 +21,21 @@ from cosmos_xenna_spark.operators.dedup import (
 )
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _ids(spark) -> set[int]:
+    """Ids of currently-pinned RDD blocks. Tracking ids (not a global
+    count) keeps the tests immune to the JVM ContextCleaner
+    asynchronously collecting blocks left over from OTHER tests."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
 
-def _settle(spark) -> int:
-    """GC until the persistent-RDD count stops dropping (finalizers
-    from earlier tests may still be pending)."""
-    prev = None
-    n = _n_persistent(spark)
-    while n != prev:
+def _released(spark, ids: set[int], rounds: int = 10) -> bool:
+    """GC until none of ``ids`` is pinned anymore (finalizers may be
+    pending)."""
+    for _ in range(rounds):
+        if not (_ids(spark) & ids):
+            return True
         gc.collect()
-        prev, n = n, _n_persistent(spark)
-    return n
+    return not (_ids(spark) & ids)
 
 
 DOCS = [
@@ -43,42 +45,46 @@ DOCS = [
 
 
 def test_jaccard_verify_pairs_releases_scratch_on_gc(spark):
-    base = _settle(spark)
+    base = _ids(spark)
     docs = spark.createDataFrame(DOCS)
     pairs = spark.createDataFrame([Row(doc_a=0, doc_b=1), Row(doc_a=2, doc_b=3)])
     out = jaccard_verify_pairs(pairs, docs, threshold=0.0)
     out.collect()
-    assert _n_persistent(spark) > base, "word set should be cached while the handle lives"
+    new = _ids(spark) - base
+    assert new, "word set should be cached while the handle lives"
     out = None
-    assert _settle(spark) == base
+    assert _released(spark, new)
 
 
 def test_ngram_jaccard_pairs_releases_scratch_on_gc(spark):
-    base = _settle(spark)
+    base = _ids(spark)
     docs = spark.createDataFrame(DOCS)
     out = ngram_jaccard_pairs(docs, scope_col="source", threshold=0.0)
     out.collect()
-    assert _n_persistent(spark) > base
+    new = _ids(spark) - base
+    assert new
     out = None
-    assert _settle(spark) == base
+    assert _released(spark, new)
 
 
 def test_scratch_survives_while_handle_is_held(spark):
     """Two actions on the same handle both see the cache — the release
     must not fire early."""
-    base = _settle(spark)
+    base = _ids(spark)
     docs = spark.createDataFrame(DOCS)
     out = ngram_jaccard_pairs(docs, scope_col="source", threshold=0.0)
     first = out.count()
+    gc.collect()  # any wrongly-scoped finalizer would fire here
     second = out.count()
     assert first == second
-    assert _n_persistent(spark) > base
+    new = _ids(spark) - base
+    assert new, "cache must survive a GC while the handle is held"
     out = None
-    assert _settle(spark) == base
+    assert _released(spark, new)
 
 
 def test_connected_components_releases_iteration_checkpoints(spark):
-    base = _settle(spark)
+    base = _ids(spark)
     # A 16-chain plus a clique: multiple pointer-jumping rounds, so
     # several per-iteration checkpoints are created and must die.
     pairs = spark.createDataFrame(
@@ -88,19 +94,22 @@ def test_connected_components_releases_iteration_checkpoints(spark):
     out = connected_components(pairs, max_iter=15)
     rows = {r.doc_id: r.cluster_id for r in out.collect()}
     assert rows[16] == 0 and rows[103] == 100
-    # While the handle lives, only the final label checkpoint (and
-    # nothing per-iteration) may remain pinned.
-    held = _settle(spark)
-    assert held - base <= 1, f"per-iteration checkpoints leaked: {held - base} blocks"
-    out = None
-    assert _settle(spark) == base
+    # Only the FINAL label checkpoint may remain pinned — superseded
+    # iteration state and the edge table must have been released
+    # eagerly. The final one is deliberately left to the JVM's
+    # ContextCleaner: derived frames may still plan against it.
+    held = _ids(spark) - base
+    assert len(held) <= 1, f"per-iteration checkpoints leaked: {len(held)} blocks"
 
 
-def test_connected_components_result_usable_after_release_cycle(spark):
-    """The returned frame must stay executable after intermediate
-    checkpoints were released (it plans only against the final one)."""
+def test_connected_components_derived_frames_survive_handle_gc(spark):
+    """Frames DERIVED from the result must stay executable after the
+    original handle is garbage-collected — the final checkpoint must
+    NOT be released on a Python-lifetime signal (the composed
+    fuzzy_dedup_keep pipeline hit exactly this)."""
     pairs = spark.createDataFrame([Row(doc_a=i, doc_b=i + 1) for i in range(8)])
     out = connected_components(pairs, max_iter=10)
-    gc.collect()  # fire any pending releases from the build
-    assert out.count() == 9
-    assert out.filter("cluster_id = 0").count() == 9
+    derived = out.filter("cluster_id = 0").select("doc_id")
+    out = None
+    gc.collect()  # would fire any (wrong) finalizer tied to `out`
+    assert derived.count() == 9

@@ -196,3 +196,26 @@ def test_estimated_splits_accounts_for_max_partition_bytes(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     # non-file-backed frames report 0 (always repartitioned)
     assert _estimated_splits(spark.range(5).toDF("x"), 32) == 0
+
+
+def test_fuzzy_dedup_keep_planted(spark):
+    """End-to-end keep-set: exact duplicates of base docs are dropped,
+    the base (min doc_id) member of every pair survives, and unrelated
+    docs are untouched."""
+    import random
+
+    from cosmos_xenna_spark.operators.dedup import fuzzy_dedup_keep
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        words = [rng.choice(VOCAB) for _ in range(60)]
+        rows.append((i, " ".join(words), "src"))
+        rows.append((1000 + i, " ".join(words), "src"))  # exact dup
+    for i in range(40):  # unrelated singletons
+        rows.append((5000 + i, " ".join(rng.choice(VOCAB) for _ in range(60)), "src"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = {r.doc_id for r in fuzzy_dedup_keep(docs, threshold=0.9).select("doc_id").collect()}
+    assert set(range(40)) <= kept, "base members must survive"
+    assert not kept & {1000 + i for i in range(40)}, "exact dups must be dropped"
+    assert {5000 + i for i in range(40)} <= kept, "singletons must survive"

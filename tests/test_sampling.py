@@ -75,3 +75,58 @@ def test_invalid_rates_raise(spark, sf_dir):
         deterministic_sample(docs, 1.5, "doc_id")
     with pytest.raises(ValueError):
         split_weighted(docs, {"a": 0.5, "b": 0.2}, "doc_id")
+
+
+def test_mixture_rebalance_uniform(spark, sf_dir):
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.sampling import mixture_rebalance
+
+    docs = load_table(spark, sf_dir, "documents")
+    pre = {r["source"]: r["n"] for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    out = mixture_rebalance(docs, strata_col="source", key_col="doc_id")
+    post = {r["source"]: r["n"] for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    floor = min(pre.values())
+    # The smallest stratum is kept whole (rate exactly 1.0)...
+    smallest = min(pre, key=pre.get)
+    assert post[smallest] == pre[smallest]
+    # ...and every stratum lands near the uniform target (hash-Bernoulli
+    # rates are approximate per stratum).
+    for s, n in post.items():
+        assert n <= pre[s]
+        assert abs(n - floor) <= max(5, int(0.35 * floor)), (s, n, floor)
+
+
+def test_mixture_rebalance_explicit_weights_and_total(spark, sf_dir):
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.sampling import mixture_rebalance
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    weights = {langs[0]: 1.0}  # keep only one stratum
+    out = mixture_rebalance(docs, "lang", "doc_id", weights=weights)
+    got = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert got == {langs[0]}
+    # weights naming no stratum present in the data is an error
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixture_rebalance(docs, "lang", "doc_id", weights={"zz": 1.0})
+
+
+def test_semantic_dedup_keep_lowest_id_survives(spark):
+    from pyspark.sql import Row
+
+    from cosmos_xenna_spark.operators.similarity import semantic_dedup_keep
+
+    rows = [
+        # block 0: vectors 0 and 1 identical (cos=1) -> 1 dropped;
+        # vector 2 orthogonal -> kept
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[2.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[0.0, 1.0], label=0),
+        # block 1: same direction as vec 0 but different block -> kept
+        Row(vec_id=3, embedding=[1.0, 0.0], label=1),
+    ]
+    emb = spark.createDataFrame(rows)
+    kept = {r.vec_id for r in semantic_dedup_keep(emb, threshold=0.95).collect()}
+    assert kept == {0, 2, 3}
