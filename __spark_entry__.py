@@ -84,6 +84,10 @@ DRIVER_PRIORITY: dict[str, str] = {
         # scalar / quality leftovers
         "q_predicates_json_extra",
         "q_repetition_signals",
+        # new end-to-end pipeline operators (added this round)
+        "q_fuzzy_dedup_keep",
+        "q_semantic_dedup_keep",
+        "q_mixture_rebalance",
     )
 }
 
