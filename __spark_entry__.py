@@ -88,6 +88,14 @@ DRIVER_PRIORITY: dict[str, str] = {
         "q_fuzzy_dedup_keep",
         "q_semantic_dedup_keep",
         "q_mixture_rebalance",
+        # new stats / DQ / bloom / graph operators (added this round)
+        "q_histogram",
+        "q_corr_covar",
+        "q_outlier_zscore",
+        "q_dq_expectations",
+        "q_bloom_semi_join",
+        "q_bloom_decontaminate",
+        "q_pagerank",
     )
 }
 

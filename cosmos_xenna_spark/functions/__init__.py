@@ -93,20 +93,31 @@ CHARGE_SQL = f"({REVENUE_SQL} * (1 + CAST(l_tax AS DECIMAL(4,2))))"
 
 
 # SQL-side mirrors (DuckDB dialect) of the decimal-exact helpers.
+#
+# Decimal results convert to DOUBLE via a VARCHAR round-trip: DuckDB's
+# direct DECIMAL->DOUBLE cast divides the (possibly int128) unscaled
+# value by 10^scale in floating point — two roundings, up to 1 ulp off
+# for sums whose unscaled value exceeds 2^53 — while Spark's
+# BigDecimal conversion (and strtod parsing, in both engines) is
+# correctly rounded.
+def _d2d_sql(expr: str) -> str:
+    return f"CAST(CAST({expr} AS STRING) AS DOUBLE)"
+
+
 def dsum_sql(expr: str, typ: str = "DECIMAL(18,2)") -> str:
-    return f"CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE)"
+    return _d2d_sql(f"SUM(CAST({expr} AS {typ}))")
 
 
 def davg_sql(expr: str, typ: str = "DECIMAL(18,2)") -> str:
     return (
-        f"CAST(CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE)"
+        f"CAST({_d2d_sql(f'SUM(CAST({expr} AS {typ}))')}"
         f" / COUNT(CAST({expr} AS {typ})) AS DOUBLE)"
     )
 
 
 def dstddev_samp_sql(expr: str) -> str:
     x = f"CAST({expr} AS DECIMAL(18,4))"
-    sx = f"CAST(SUM({x}) AS DOUBLE)"
-    sxx = f"CAST(SUM(CAST(({x} * {x}) AS DECIMAL(38,8))) AS DOUBLE)"
+    sx = _d2d_sql(f"SUM({x})")
+    sxx = _d2d_sql(f"SUM(CAST(({x} * {x}) AS DECIMAL(38,8)))")
     n = f"CAST(COUNT({x}) AS DOUBLE)"
     return f"sqrt(({sxx} - {sx} * {sx} / {n}) / ({n} - 1.0))"

@@ -1,0 +1,165 @@
+"""Declarative data-quality expectations, evaluated in one scan.
+
+A validation suite is a list of :class:`Expectation` rules; the engine
+compiles every row-local rule (``not_null`` / ``in_range`` / ``in_set``
+/ ``matches``) into one violation-counting aggregate so the whole
+suite costs a single pass with map-side partials, and ``unique`` rules
+into ``count(key) - count(distinct key)`` terms that ride the same
+aggregation (Spark plans multi-distinct via Expand — still one scan).
+
+Output is one row per rule: ``(rule, column, kind, n_rows, violations,
+passed)`` — small enough to collect, alert on, or append to a QA
+ledger table.
+
+Scale notes (100 TB): row-local rules add zero shuffles (partial
+aggregation reduces each partition to one row); each distinct
+``unique`` key adds one Expand branch to the same single-shuffle
+aggregate.  Nothing is per-rule-per-pass: 50 rules cost the same scan
+as one.
+
+Reference parity: the reference validates schemas only at stage
+boundaries (``pipelines/v1/interfaces.py`` type checks); declarative
+row-content expectations are an engine addition a production corpus
+pipeline needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One rule.  ``kind`` is one of ``not_null``, ``in_range``
+    (params ``lo``/``hi``, inclusive), ``in_set`` (param ``values``),
+    ``matches`` (param ``pattern``, RE2-style regex), ``unique``."""
+
+    name: str
+    column: str
+    kind: str
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple = ()
+    pattern: str | None = None
+
+    def __post_init__(self):
+        kinds = {"not_null", "in_range", "in_set", "matches", "unique"}
+        if self.kind not in kinds:
+            raise ValueError(f"unknown expectation kind {self.kind!r}; pick from {sorted(kinds)}")
+        if self.kind == "in_range" and (self.lo is None or self.hi is None):
+            raise ValueError(f"{self.name}: in_range needs lo and hi")
+        if self.kind == "in_set" and not self.values:
+            raise ValueError(f"{self.name}: in_set needs values")
+        if self.kind == "matches" and not self.pattern:
+            raise ValueError(f"{self.name}: matches needs pattern")
+
+
+def _violation(e: Expectation) -> Column:
+    """Boolean column: this row violates ``e`` (row-local kinds only).
+
+    NULLs violate ``not_null`` and nothing else (SQL CHECK semantics:
+    a NULL comparison is not a failure)."""
+    c = F.col(e.column)
+    if e.kind == "not_null":
+        return c.isNull()
+    if e.kind == "in_range":
+        return c.isNotNull() & ~c.cast("double").between(float(e.lo), float(e.hi))
+    if e.kind == "in_set":
+        return c.isNotNull() & ~c.isin(list(e.values))
+    if e.kind == "matches":
+        return c.isNotNull() & ~c.rlike(e.pattern)
+    raise AssertionError(e.kind)
+
+
+def evaluate_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Run the whole suite in one aggregation pass.
+
+    Returns ``(rule, column, kind, n_rows, violations, passed)`` with
+    one row per expectation, in suite order."""
+    if not expectations:
+        raise ValueError("empty expectation suite")
+    names = [e.name for e in expectations]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names in suite: {names}")
+
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, e in enumerate(expectations):
+        if e.kind == "unique":
+            c = F.col(e.column)
+            aggs.append(F.count(c).alias(f"__nn_{i}"))
+            aggs.append(F.countDistinct(c).alias(f"__nd_{i}"))
+        else:
+            aggs.append(
+                F.sum(F.when(_violation(e), F.lit(1)).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias(f"__v_{i}")
+            )
+    wide = df.agg(*aggs)
+
+    # stack(n, name, column, kind, violations, ...) -> one row per rule
+    parts: list[Column] = []
+    for i, e in enumerate(expectations):
+        viol = (
+            (F.col(f"__nn_{i}") - F.col(f"__nd_{i}")).cast("bigint")
+            if e.kind == "unique"
+            else F.col(f"__v_{i}")
+        )
+        parts += [F.lit(e.name), F.lit(e.column), F.lit(e.kind), viol]
+    stacked = wide.select(
+        F.col("__total"),
+        F.stack(
+            F.lit(len(expectations)),
+            *parts,
+        ).alias("rule", "column", "kind", "violations"),
+    )
+    return stacked.select(
+        "rule",
+        "column",
+        "kind",
+        F.col("__total").alias("n_rows"),
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def expectations_oracle_sql(table: str, expectations: list[Expectation]) -> str:
+    """DuckDB mirror: one scalar-aggregate SELECT per rule, UNION ALL.
+
+    (The oracle favors clarity over single-pass execution; the Spark
+    side is the one that must be efficient.)"""
+    selects = []
+    for e in expectations:
+        if e.kind == "unique":
+            viol = f"COUNT({e.column}) - COUNT(DISTINCT {e.column})"
+        elif e.kind == "not_null":
+            viol = f"SUM(CASE WHEN {e.column} IS NULL THEN 1 ELSE 0 END)"
+        elif e.kind == "in_range":
+            viol = (
+                f"SUM(CASE WHEN {e.column} IS NOT NULL AND "
+                f"CAST({e.column} AS DOUBLE) NOT BETWEEN {float(e.lo)!r} AND {float(e.hi)!r} "
+                f"THEN 1 ELSE 0 END)"
+            )
+        elif e.kind == "in_set":
+            vals = ", ".join("'" + str(v).replace("'", "''") + "'" for v in e.values)
+            viol = (
+                f"SUM(CASE WHEN {e.column} IS NOT NULL AND {e.column} NOT IN ({vals}) "
+                f"THEN 1 ELSE 0 END)"
+            )
+        elif e.kind == "matches":
+            pat = e.pattern.replace("'", "''")
+            viol = (
+                f"SUM(CASE WHEN {e.column} IS NOT NULL AND "
+                f"NOT regexp_matches({e.column}, '{pat}') THEN 1 ELSE 0 END)"
+            )
+        else:
+            raise AssertionError(e.kind)
+        selects.append(
+            f"SELECT '{e.name}' AS rule, '{e.column}' AS \"column\", '{e.kind}' AS kind, "
+            f"COUNT(*) AS n_rows, CAST({viol} AS BIGINT) AS violations, "
+            f"CAST({viol} AS BIGINT) = 0 AS passed FROM {table}"
+        )
+    return "\nUNION ALL\n".join(selects)

@@ -1,0 +1,117 @@
+"""Iterative graph analytics: fixed-point PageRank.
+
+Complements :func:`operators.dedup.connected_components` (the engine's
+other iterative-join algorithm) with a weighted-importance ranking
+usable for, e.g., domain-authority weighting of a web corpus.
+
+Determinism: ranks are carried as FIXED-POINT BIGINTs (scaled by
+``10^SCALE``); every iteration is integer division and integer sums —
+bit-exact on any engine and any partitioning, so a SQL oracle can
+unroll the same iterations with ``//`` and hash-match.  (Carrying
+doubles instead would make the result depend on per-node contribution
+order.)
+
+Scale notes: per iteration, equi-joins on ``src`` then one shuffle of
+the per-node contribution sums (one row per NODE, not per edge); the
+rank table is orders of magnitude smaller than the edge list, so AQE
+broadcasts it and the edge list never shuffles.  On a cluster run,
+bucket the edge table by ``src`` to co-locate every iteration's
+contribution join.  Dangling nodes (no out-edges)
+redistribute nothing (their mass leaks, as in the simplest PageRank
+formulation — documented, matched by the oracle).  For a 100 TB edge
+list the iteration count is the fixed ``n_iter``; each round is
+O(edges) with no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 12  # fixed-point decimal digits
+ONE = 10**SCALE
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """``n_iter`` PageRank iterations over ``edges`` (deduplicated,
+    unweighted).  Returns ``(node, rank_fp)`` where ``rank_fp`` is the
+    rank scaled by ``10^12`` as BIGINT.
+
+    Update rule (integer arithmetic, damping as a percentage):
+    ``rank'(v) = (100 - d) * ONE / 100 / N  +  d * sum_{u->v} (rank(u) // out(u)) // 100``
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    n_nodes = nodes.count()  # one tiny scalar job; the literal feeds every iteration
+    base = (100 - damping_pct) * ONE // 100 // n_nodes
+    init = ONE // n_nodes
+
+    ranks = nodes.withColumn("rank_fp", F.lit(init).cast("bigint"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), on="src", how="inner")
+            .join(out_deg, on="src", how="inner")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp div out_deg").alias("give"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("give").alias("got"))
+        ranks = (
+            nodes.join(summed, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"coalesce(got, 0L) * {damping_pct} div 100")
+                ).cast("bigint").alias("rank_fp"),
+            )
+        )
+    return ranks
+
+
+def pagerank_fixed_sql(
+    edges_sql: str, n_iter: int = 3, damping_pct: int = 85
+) -> str:
+    """DuckDB mirror: the same iterations unrolled as chained CTEs.
+
+    ``edges_sql`` must yield columns ``src, dst`` (it is deduplicated
+    here, matching the Spark side)."""
+    head = f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    outd AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({ONE} // (SELECT n FROM nn) AS BIGINT) AS rank_fp FROM nodes)
+    """
+    steps = []
+    for i in range(n_iter):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        steps.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst AS node, SUM(p.rank_fp // o.out_deg) AS got
+      FROM e JOIN {prev} p ON e.src = p.node JOIN outd o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    {cur} AS (
+      SELECT n.node,
+             CAST((100 - {damping_pct}) * {ONE} // 100 // (SELECT n FROM nn)
+                  + COALESCE(c.got, 0) * {damping_pct} // 100 AS BIGINT) AS rank_fp
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+    )"""
+        )
+    return head + "".join(steps) + f"\nSELECT node, rank_fp FROM r{n_iter}"

@@ -1,0 +1,214 @@
+"""Distribution / association statistics for corpus profiling.
+
+Every statistic here is derived from decimal-exact sums (the same
+discipline as ``functions.dstddev_samp``): moments are accumulated in
+DECIMAL (order-independent, exact), and only the final handful of
+scalar ops per group run in double — so Spark and a SQL oracle agree
+bit-for-bit, and the result is independent of partitioning.
+
+Scale notes (100 TB):
+- ``histogram``: one scan, map-side partial counts, ``nbins`` output
+  rows.  The bucket id is a row-local expression (pushdown-friendly).
+- ``grouped_corr``: one scan, one shuffle on the group key; all five
+  moment sums ride the same aggregation (no second pass).
+- ``outlier_zscore``: two-job shape — a tiny per-group moment table
+  (one shuffle) broadcast back onto the fact rows (no second
+  shuffle).  The moment table has one row per group; the fact side
+  never moves.
+
+Reference parity: the reference has no statistics operators at all
+(its pipelines compute stats inside user-supplied Stage code, e.g.
+``pipelines/v1/interfaces.py`` leaves all per-batch math to
+``process_data``); these are engine-level additions a curation
+pipeline needs for corpus QA.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# histogram
+# ---------------------------------------------------------------------------
+
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float, nbins: int) -> DataFrame:
+    """Equal-width histogram of ``col`` over ``[lo, hi)``.
+
+    Out-of-range values are clamped into the edge buckets (so the
+    counts always total ``count(col is not null)``).  The bucket id is
+    a single row-local double expression — identical IEEE arithmetic
+    in any engine — so cross-engine comparison is exact.
+
+    Returns ``(bucket, lo_edge, hi_edge, n)`` with one row per
+    non-empty bucket.
+    """
+    if nbins <= 0:
+        raise ValueError(f"nbins must be positive, got {nbins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width))
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(float(lo)) + F.col("bucket") * F.lit(width)).alias("lo_edge"),
+            (F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(width)).alias("hi_edge"),
+            "n",
+        )
+    )
+
+
+def histogram_sql(table: str, col: str, lo: float, hi: float, nbins: int) -> str:
+    """DuckDB mirror of :func:`histogram` (same IEEE bucket math)."""
+    width = (hi - lo) / nbins
+    raw = f"FLOOR((CAST({col} AS DOUBLE) - {float(lo)!r}) / {width!r})"
+    bucket = f"CAST(LEAST(GREATEST({raw}, 0), {nbins - 1}) AS INTEGER)"
+    return f"""
+    SELECT bucket,
+           {float(lo)!r} + bucket * {width!r} AS lo_edge,
+           {float(lo)!r} + (bucket + 1) * {width!r} AS hi_edge,
+           n
+    FROM (
+      SELECT {bucket} AS bucket, COUNT(*) AS n
+      FROM {table} WHERE {col} IS NOT NULL
+      GROUP BY 1
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# covariance / correlation from exact decimal moments
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,4)"
+_DEC_SQ = "decimal(38,8)"
+
+
+def _moment_aggs(x: str, y: str) -> list:
+    xc = F.col(x).cast(_DEC)
+    yc = F.col(y).cast(_DEC)
+    return [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(xc).alias("__sx"),
+        F.sum(yc).alias("__sy"),
+        F.sum((xc * xc).cast(_DEC_SQ)).alias("__sxx"),
+        F.sum((yc * yc).cast(_DEC_SQ)).alias("__syy"),
+        F.sum((xc * yc).cast(_DEC_SQ)).alias("__sxy"),
+    ]
+
+
+def _finish_corr(prefix: DataFrame) -> DataFrame:
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
+    vx = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    vy = (syy - sy * sy / n) / (n - F.lit(1.0))
+    return prefix.withColumns(
+        {
+            "n_rows": F.col("__n"),
+            "covar_samp": cov,
+            "corr": cov / (F.sqrt(vx) * F.sqrt(vy)),
+        }
+    ).drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
+
+
+def grouped_corr(df: DataFrame, group_cols: list[str], x: str, y: str) -> DataFrame:
+    """Per-group sample covariance + Pearson correlation of ``(x, y)``.
+
+    All five moment sums are decimal-exact and ride one aggregation
+    (one scan, one shuffle on the group key); the covariance/
+    correlation finish is a handful of double ops on per-group scalars
+    — deterministic regardless of row order, unlike the built-in
+    ``corr``/``covar_samp`` (incremental co-moment updates, order-
+    dependent in the last ulps).
+    """
+    return _finish_corr(df.groupBy(*group_cols).agg(*_moment_aggs(x, y)))
+
+
+def dec_to_double_sql(expr: str) -> str:
+    """Correctly-rounded DECIMAL->DOUBLE for DuckDB, via VARCHAR.
+
+    DuckDB's direct ``CAST(DECIMAL AS DOUBLE)`` divides the (possibly
+    int128) unscaled value by ``10^scale`` in floating point — two
+    roundings, up to 1 ulp off the true decimal value — while Spark's
+    BigDecimal conversion is correctly rounded.  String parsing
+    (strtod) is correctly rounded in both engines, so the round-trip
+    restores bit-for-bit agreement for wide decimals.
+    """
+    return f"CAST(CAST({expr} AS STRING) AS DOUBLE)"
+
+
+def grouped_corr_sql(table: str, group_cols: list[str], x: str, y: str) -> str:
+    # DECIMAL(19,4) on the DuckDB side: width <= 18 multiplies in
+    # int64 and overflows for price-scale values; 19 forces int128.
+    # The values are identical to Spark's decimal(18,4) operands.
+    g = ", ".join(group_cols)
+    xc = f"CAST({x} AS DECIMAL(19,4))"
+    yc = f"CAST({y} AS DECIMAL(19,4))"
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    sx = dec_to_double_sql(f"SUM({xc})")
+    sy = dec_to_double_sql(f"SUM({yc})")
+    sxx = dec_to_double_sql(f"SUM(CAST(({xc} * {xc}) AS DECIMAL(38,8)))")
+    syy = dec_to_double_sql(f"SUM(CAST(({yc} * {yc}) AS DECIMAL(38,8)))")
+    sxy = dec_to_double_sql(f"SUM(CAST(({xc} * {yc}) AS DECIMAL(38,8)))")
+    cov = f"(({sxy} - {sx} * {sy} / {n}) / ({n} - 1.0))"
+    vx = f"(({sxx} - {sx} * {sx} / {n}) / ({n} - 1.0))"
+    vy = f"(({syy} - {sy} * {sy} / {n}) / ({n} - 1.0))"
+    return f"""
+    SELECT {g}, COUNT(*) AS n_rows,
+           {cov} AS covar_samp,
+           {cov} / (sqrt({vx}) * sqrt({vy})) AS corr
+    FROM {table}
+    GROUP BY {g}
+    """
+
+
+# ---------------------------------------------------------------------------
+# z-score outlier flagging
+# ---------------------------------------------------------------------------
+
+
+def outlier_zscore(
+    df: DataFrame, group_cols: list[str], value_col: str, threshold: float = 2.0
+) -> DataFrame:
+    """Flag rows whose value is ``>= threshold`` sample stddevs from
+    the group mean.
+
+    Shape: one tiny per-group moment aggregation (rows = number of
+    groups) broadcast-joined back onto the facts — the fact side never
+    shuffles.  Mean/stddev come from exact decimal sums, so the flag
+    boundary is deterministic across engines and partitionings.
+
+    Adds ``z`` (double) and ``is_outlier`` (boolean) to ``df``.
+    """
+    xc = F.col(value_col).cast(_DEC)
+    moments = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(xc).alias("__sx"),
+        F.sum((xc * xc).cast(_DEC_SQ)).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    stats = moments.select(
+        *group_cols,
+        (sx / n).alias("__mean"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("__std"),
+    )
+    z = (F.col(value_col).cast("double") - F.col("__mean")) / F.col("__std")
+    return (
+        df.join(F.broadcast(stats), on=group_cols, how="inner")
+        .withColumn("z", z)
+        .withColumn("is_outlier", F.abs(F.col("z")) >= F.lit(float(threshold)))
+        .drop("__mean", "__std")
+    )

@@ -65,6 +65,10 @@ _MODULES = (
     "quality",
     "cdc",
     "retrieval",
+    "stats",
+    "dq",
+    "bloom",
+    "graph",
 )
 
 

@@ -1,0 +1,36 @@
+"""Data-quality expectation-suite query: the whole declarative rule
+set evaluated in one scan, compared against a per-rule UNION ALL
+oracle.  The suite mixes passing and failing rules so both branches of
+``passed`` are exercised."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.dq import (
+    Expectation,
+    evaluate_expectations,
+    expectations_oracle_sql,
+)
+from cosmos_xenna_spark.queries import register
+
+LINEITEM_SUITE = [
+    Expectation("orderkey_present", "l_orderkey", "not_null"),
+    Expectation("qty_in_range", "l_quantity", "in_range", lo=1, hi=50),
+    Expectation("tax_tight_range", "l_tax", "in_range", lo=0.0, hi=0.05),  # fails
+    Expectation("returnflag_domain", "l_returnflag", "in_set", values=("A", "N", "R")),
+    Expectation("linestatus_shape", "l_linestatus", "matches", pattern="^[OF]$"),
+    Expectation("orderkey_unique", "l_orderkey", "unique"),  # fails: 1 row per line
+]
+
+
+@register(
+    "q_dq_expectations",
+    oracle=expectations_oracle_sql("lineitem", LINEITEM_SUITE),
+    description="declarative DQ suite (not_null/in_range/in_set/regex/unique) "
+    "compiled into one aggregation pass; one output row per rule",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return evaluate_expectations(li, LINEITEM_SUITE)

@@ -1,0 +1,76 @@
+"""Distribution/association statistics queries with DuckDB oracles:
+equal-width histogram, decimal-exact grouped correlation/covariance,
+z-score outlier flagging."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.stats import (
+    grouped_corr,
+    grouped_corr_sql,
+    histogram,
+    histogram_sql,
+    outlier_zscore,
+)
+from cosmos_xenna_spark.queries import register
+
+_H = dict(col="l_extendedprice", lo=900.0, hi=105000.0, nbins=20)
+
+
+@register(
+    "q_histogram",
+    oracle=histogram_sql("lineitem", _H["col"], _H["lo"], _H["hi"], _H["nbins"]),
+    description="equal-width 20-bin histogram of l_extendedprice "
+    "(row-local bucketing, map-side partial counts)",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram(li, _H["col"], _H["lo"], _H["hi"], _H["nbins"])
+
+
+@register(
+    "q_corr_covar",
+    oracle=grouped_corr_sql("lineitem", ["l_returnflag"], "l_quantity", "l_extendedprice"),
+    description="per-group Pearson correlation + sample covariance from "
+    "decimal-exact moment sums (one scan, one shuffle)",
+)
+def q_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_corr(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+
+
+_Z_THRESH = 1.5
+
+
+@register(
+    "q_outlier_zscore",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS STRING)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST((CAST(l_extendedprice AS DECIMAL(19,4))
+                                 * CAST(l_extendedprice AS DECIMAL(19,4)))
+                                AS DECIMAL(38,8))) AS STRING) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           (CAST(l.l_extendedprice AS DOUBLE) - sx / n)
+             / sqrt((sxx - sx * sx / n) / (n - 1.0)) AS z
+    FROM lineitem l JOIN m USING (l_returnflag)
+    WHERE abs((CAST(l.l_extendedprice AS DOUBLE) - sx / n)
+              / sqrt((sxx - sx * sx / n) / (n - 1.0))) >= {_Z_THRESH}
+    """,
+    description="per-group z-score outliers (|z| >= 2) from exact moments; "
+    "tiny stats table broadcast back, fact side never shuffles",
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    flagged = outlier_zscore(li, ["l_returnflag"], "l_extendedprice", threshold=_Z_THRESH)
+    return flagged.filter(F.col("is_outlier")).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "z"
+    )

@@ -1,0 +1,69 @@
+"""Behavioral tests for the declarative DQ expectation suite."""
+
+from __future__ import annotations
+
+import pytest
+
+from cosmos_xenna_spark.operators.dq import Expectation, evaluate_expectations
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        (1, 10.0, "A", "ok-1"),
+        (2, 55.0, "A", "ok-2"),     # qty out of range
+        (3, None, "B", "ok-3"),     # NULL qty: violates not_null only
+        (4, 20.0, "C", "bad 4"),    # category out of set, name fails regex
+        (1, 30.0, "B", "ok-5"),     # duplicate id
+    ]
+    return spark.createDataFrame(rows, "id bigint, qty double, cat string, name string")
+
+
+SUITE = [
+    Expectation("id_present", "id", "not_null"),
+    Expectation("qty_present", "qty", "not_null"),
+    Expectation("qty_range", "qty", "in_range", lo=0, hi=50),
+    Expectation("cat_domain", "cat", "in_set", values=("A", "B")),
+    Expectation("name_shape", "name", "matches", pattern="^ok-[0-9]+$"),
+    Expectation("id_unique", "id", "unique"),
+]
+
+
+def test_suite_counts(frame):
+    out = {r["rule"]: r for r in evaluate_expectations(frame, SUITE).collect()}
+    assert len(out) == len(SUITE)
+    assert all(r["n_rows"] == 5 for r in out.values())
+    assert out["id_present"]["violations"] == 0 and out["id_present"]["passed"]
+    assert out["qty_present"]["violations"] == 1
+    # NULL qty does NOT count as an in_range violation (CHECK semantics)
+    assert out["qty_range"]["violations"] == 1
+    assert out["cat_domain"]["violations"] == 1
+    assert out["name_shape"]["violations"] == 1
+    assert out["id_unique"]["violations"] == 1 and not out["id_unique"]["passed"]
+
+
+def test_suite_order_preserved(frame):
+    got = [r["rule"] for r in evaluate_expectations(frame, SUITE).collect()]
+    assert got == [e.name for e in SUITE]
+
+
+def test_single_pass_plan(frame):
+    """The whole suite must compile to one aggregation over one scan —
+    no per-rule scans."""
+    plan = evaluate_expectations(frame, SUITE)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("logicalrdd") == 1
+
+
+def test_bad_suites(frame):
+    with pytest.raises(ValueError, match="empty"):
+        evaluate_expectations(frame, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        evaluate_expectations(frame, [SUITE[0], SUITE[0]])
+    with pytest.raises(ValueError, match="in_range"):
+        Expectation("r", "qty", "in_range", lo=0)
+    with pytest.raises(ValueError, match="unknown"):
+        Expectation("r", "qty", "gt")
+    with pytest.raises(ValueError, match="needs values"):
+        Expectation("r", "cat", "in_set")
+    with pytest.raises(ValueError, match="needs pattern"):
+        Expectation("r", "name", "matches")

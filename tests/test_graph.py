@@ -1,0 +1,55 @@
+"""Behavioral tests for fixed-point PageRank: known closed forms on
+tiny graphs, mass conservation, and partitioning invariance."""
+
+from __future__ import annotations
+
+import pytest
+
+from cosmos_xenna_spark.operators.graph import ONE, pagerank_fixed
+
+
+def _ranks(df):
+    return {r["node"]: r["rank_fp"] for r in df.collect()}
+
+
+def test_cycle_is_uniform(spark):
+    """On a directed cycle every node keeps exactly 1/N forever."""
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src int, dst int")
+    r = _ranks(pagerank_fixed(e, n_iter=4))
+    assert len(set(r.values())) == 1
+    assert next(iter(r.values())) == pytest.approx(ONE // 3, abs=5)
+
+
+def test_star_center_dominates(spark):
+    e = spark.createDataFrame([(i, 99) for i in range(1, 6)], "src int, dst int")
+    r = _ranks(pagerank_fixed(e, n_iter=3))
+    leaves = [v for k, v in r.items() if k != 99]
+    assert all(r[99] > 3 * v for v in leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves rank equally
+
+
+def test_mass_bounded(spark):
+    e = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if (a + b) % 3 == 1 and a != b],
+        "src int, dst int",
+    )
+    total = sum(_ranks(pagerank_fixed(e, n_iter=3)).values())
+    # dangling leakage and integer floors only ever LOSE mass
+    assert 0 < total <= ONE
+
+
+def test_partitioning_invariance(spark):
+    e = spark.createDataFrame(
+        [(i % 17, (i * 7 + 3) % 17) for i in range(120)], "src int, dst int"
+    ).filter("src <> dst")
+    a = _ranks(pagerank_fixed(e, n_iter=3))
+    b = _ranks(pagerank_fixed(e.repartition(11), n_iter=3))
+    assert a == b  # bit-exact, not approximately equal
+
+
+def test_rejects_bad_damping(spark):
+    e = spark.createDataFrame([(0, 1)], "src int, dst int")
+    with pytest.raises(ValueError):
+        pagerank_fixed(e, damping_pct=0)
+    with pytest.raises(ValueError):
+        pagerank_fixed(e, damping_pct=100)

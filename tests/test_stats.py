@@ -1,0 +1,86 @@
+"""Behavioral tests for operators.stats (the oracle mirror in
+test_oracle_queries covers cross-engine exactness)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from cosmos_xenna_spark.operators.stats import grouped_corr, histogram, outlier_zscore
+
+
+def test_histogram_clamps_and_conserves(spark):
+    df = spark.createDataFrame(
+        [(None if v is None else float(v),) for v in [-5, 0, 1, 4.9, 5, 9.9, 42, None]],
+        "x double",
+    )
+    out = {r["bucket"]: r["n"] for r in histogram(df, "x", 0.0, 10.0, 2).collect()}
+    # -5 clamps into bucket 0; 42 clamps into bucket 1; NULL dropped
+    assert out == {0: 4, 1: 3}
+
+
+def test_histogram_edges(spark):
+    df = spark.createDataFrame([(2.5,)], "x double")
+    row = histogram(df, "x", 0.0, 10.0, 4).collect()[0]
+    assert (row["lo_edge"], row["hi_edge"], row["n"]) == (2.5, 5.0, 1)
+
+
+def test_histogram_rejects_bad_params(spark):
+    df = spark.range(1).selectExpr("cast(id as double) x")
+    with pytest.raises(ValueError):
+        histogram(df, "x", 0.0, 10.0, 0)
+    with pytest.raises(ValueError):
+        histogram(df, "x", 10.0, 10.0, 4)
+
+
+def test_grouped_corr_matches_closed_form(spark):
+    rows = [("g", float(x), float(3 * x + 1 + (x % 3))) for x in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = grouped_corr(df, ["g"], "x", "y").collect()[0]
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    cov = (sxy - sx * sy / n) / (n - 1)
+    corr = cov / math.sqrt((sxx - sx * sx / n) / (n - 1)) / math.sqrt(
+        (syy - sy * sy / n) / (n - 1)
+    )
+    assert got["n_rows"] == n
+    assert got["covar_samp"] == pytest.approx(cov, rel=1e-12)
+    assert got["corr"] == pytest.approx(corr, rel=1e-12)
+
+
+def test_grouped_corr_perfect_line(spark):
+    df = spark.createDataFrame(
+        [("a", float(i), float(2 * i)) for i in range(10)], "g string, x double, y double"
+    )
+    assert grouped_corr(df, ["g"], "x", "y").collect()[0]["corr"] == pytest.approx(1.0)
+
+
+def test_outlier_zscore_flags_planted_outlier(spark):
+    vals = [10.0] * 20 + [10.5] * 20 + [1000.0]  # the 1000 is the outlier
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, x double")
+    out = outlier_zscore(df, ["g"], "x", threshold=2.0)
+    flagged = [r["x"] for r in out.filter("is_outlier").collect()]
+    assert flagged == [1000.0]
+    # z columns exist for every row and the mean-side rows are near zero
+    zs = {r["x"]: r["z"] for r in out.collect()}
+    assert abs(zs[10.0]) < 0.2
+
+
+def test_outlier_zscore_partitioning_invariant(spark):
+    df = spark.range(0, 400).selectExpr(
+        "id", "cast(id % 4 as string) g", "cast(id * id % 97 as double) x"
+    )
+    a = sorted(map(tuple, outlier_zscore(df, ["g"], "x").select("id", "z").collect()))
+    b = sorted(
+        map(
+            tuple,
+            outlier_zscore(df.repartition(13), ["g"], "x").select("id", "z").collect(),
+        )
+    )
+    assert a == b
