@@ -56,6 +56,13 @@ HEADLINE = [
     # r4 retrieval/packing family (corpus-scan shapes)
     "q_bm25_topk",
     "q_pack_sequences",
+    # r5 additions: end-to-end fuzzy dedup (the full MinHash->LSH->
+    # verify->CC->survivor chain), Bloom-pruned decontamination, the
+    # one-pass DQ suite, and iterative PageRank
+    "q_fuzzy_dedup_keep",
+    "q_bloom_decontaminate",
+    "q_dq_expectations",
+    "q_pagerank",
 ]
 
 

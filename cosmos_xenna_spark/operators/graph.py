@@ -114,4 +114,8 @@ def pagerank_fixed_sql(
       FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
     )"""
         )
-    return head + "".join(steps) + f"\nSELECT node, rank_fp FROM r{n_iter}"
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, rank_fp FROM r{n_iter}"
+    )

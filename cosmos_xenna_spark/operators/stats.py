@@ -50,7 +50,7 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float, nbins: int) -> Data
         raise ValueError(f"need lo < hi, got [{lo}, {hi})")
     width = (hi - lo) / nbins
     raw = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width))
-    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("bigint")
     return (
         df.filter(F.col(col).isNotNull())
         .groupBy(bucket.alias("bucket"))
@@ -68,7 +68,7 @@ def histogram_sql(table: str, col: str, lo: float, hi: float, nbins: int) -> str
     """DuckDB mirror of :func:`histogram` (same IEEE bucket math)."""
     width = (hi - lo) / nbins
     raw = f"FLOOR((CAST({col} AS DOUBLE) - {float(lo)!r}) / {width!r})"
-    bucket = f"CAST(LEAST(GREATEST({raw}, 0), {nbins - 1}) AS INTEGER)"
+    bucket = f"CAST(LEAST(GREATEST({raw}, 0), {nbins - 1}) AS BIGINT)"
     return f"""
     SELECT bucket,
            {float(lo)!r} + bucket * {width!r} AS lo_edge,

@@ -17,7 +17,7 @@ _URGENT = "o_orderpriority = '1-URGENT' AND o_totalprice > 250000"
 @register(
     "q_bloom_semi_join",
     oracle=f"""
-    SELECT l_orderkey, l_linenumber, l_extendedprice
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE {_URGENT})
     """,
@@ -32,7 +32,9 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("l_orderkey"))
     )
     return bloom_semi_join(li, keys, "l_orderkey").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice"
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "l_extendedprice",
     )
 
 

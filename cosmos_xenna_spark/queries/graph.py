@@ -45,4 +45,5 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(iterative joins; rank table stays per-node sized)",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pagerank_fixed(_edges(spark, sf_dir), n_iter=3)
+    ranks = pagerank_fixed(_edges(spark, sf_dir), n_iter=3)
+    return ranks.select(F.col("node").cast("bigint").alias("node"), "rank_fp")

@@ -58,7 +58,7 @@ _Z_THRESH = 1.5
                                 AS DECIMAL(38,8))) AS STRING) AS DOUBLE) AS sxx
       FROM lineitem GROUP BY l_returnflag
     )
-    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+    SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_returnflag,
            (CAST(l.l_extendedprice AS DOUBLE) - sx / n)
              / sqrt((sxx - sx * sx / n) / (n - 1.0)) AS z
     FROM lineitem l JOIN m USING (l_returnflag)
@@ -72,5 +72,8 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     flagged = outlier_zscore(li, ["l_returnflag"], "l_extendedprice", threshold=_Z_THRESH)
     return flagged.filter(F.col("is_outlier")).select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "z"
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "l_returnflag",
+        "z",
     )
