@@ -96,6 +96,8 @@ DRIVER_PRIORITY: dict[str, str] = {
         "q_bloom_semi_join",
         "q_bloom_decontaminate",
         "q_pagerank",
+        "q_shard_assign",
+        "q_srp_lsh",
     )
 }
 

@@ -273,3 +273,75 @@ def semantic_dedup_keep(
         .distinct()
     )
     return candidates.join(dups, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH: random-hyperplane signatures for cosine ANN
+# ---------------------------------------------------------------------------
+
+# LCG constants (glibc rand): the hyperplanes are a deterministic
+# function of (plane, dim-index), reproducible in any engine without
+# shipping state.
+_SRP_A, _SRP_C, _SRP_M = 1103515245, 12345, 2**31
+
+
+def srp_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: integer-valued
+    coefficients in [-2^30, 2^30) from an LCG over (plane, index).
+    Integer-valued doubles keep every product exactly representable,
+    so the sign of the dot product is engine-independent."""
+    return [
+        [
+            float(((_SRP_A * (p * dim + i) + _SRP_C) % _SRP_M) - _SRP_M // 2)
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_lsh_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-random-projection LSH signature per vector: bit ``p`` of
+    ``signature`` is 1 iff ``dot(vec, plane_p) >= 0``.  Vectors with
+    equal signatures land in the same cosine bucket (the scale path
+    for near-neighbor candidate generation alongside :func:`ivf_topk`).
+
+    Entirely row-local — zero shuffles, pushdown-friendly; the
+    ``n_planes`` hyperplanes ride the plan as array literals
+    (``n_planes * dim`` doubles, bytes not megabytes).  Dot products
+    are left-to-right double folds, the module's cross-engine-exact
+    convention.
+    """
+    if n_planes < 1 or n_planes > 62:
+        raise ValueError(f"n_planes must be in [1, 62], got {n_planes}")
+    sig = F.lit(0).cast("bigint")
+    for p, plane in enumerate(srp_planes(n_planes, dim)):
+        bit = (dot(F.col(vec_col), F.lit(plane)) >= 0).cast("bigint")
+        sig = sig + bit * F.lit(1 << p).cast("bigint")
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def srp_lsh_signatures_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror: ``list_dot_product`` against the same literal
+    hyperplanes (identical left-to-right double accumulation)."""
+    bits = []
+    for p, plane in enumerate(srp_planes(n_planes, dim)):
+        arr = "[" + ", ".join(repr(c) for c in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(CAST({vec_col} AS DOUBLE[]), "
+            f"CAST({arr} AS DOUBLE[])) >= 0 THEN CAST({1 << p} AS BIGINT) "
+            f"ELSE 0 END)"
+        )
+    sig = " + ".join(bits)
+    return f"SELECT {id_col}, CAST({sig} AS BIGINT) AS signature FROM {table}"

@@ -69,6 +69,7 @@ _MODULES = (
     "dq",
     "bloom",
     "graph",
+    "sharding",
 )
 
 

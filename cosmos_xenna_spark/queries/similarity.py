@@ -15,6 +15,8 @@ from cosmos_xenna_spark.operators.similarity import (
     cosine_topk_bruteforce,
     embedding_near_dup_pairs,
     ivf_topk,
+    srp_lsh_signatures,
+    srp_lsh_signatures_sql,
 )
 from cosmos_xenna_spark.queries import register
 
@@ -182,3 +184,15 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_keep(emb, threshold=0.3).select(
         "vec_id", F.col("label").cast("bigint").alias("label")
     )
+
+
+@register(
+    "q_srp_lsh",
+    oracle=srp_lsh_signatures_sql("embeddings", n_planes=16, dim=64),
+    description="sign-random-projection LSH signatures (16 hyperplanes): "
+    "row-local cosine bucketing, zero shuffles; literal integer-valued "
+    "planes keep the dot-product signs engine-exact",
+)
+def q_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_lsh_signatures(emb, n_planes=16, dim=64)
