@@ -98,6 +98,8 @@ DRIVER_PRIORITY: dict[str, str] = {
         "q_pagerank",
         "q_shard_assign",
         "q_srp_lsh",
+        "q_k_anonymity",
+        "q_interpolate_linear",
     )
 }
 

@@ -163,3 +163,21 @@ def expectations_oracle_sql(table: str, expectations: list[Expectation]) -> str:
             f"CAST({viol} AS BIGINT) = 0 AS passed FROM {table}"
         )
     return "\nUNION ALL\n".join(selects)
+
+
+def k_anonymity_violations(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
+    """Privacy audit: quasi-identifier combinations carried by fewer
+    than ``k`` rows (every such group re-identifies its members).
+
+    Returns ``(quasi_cols..., n_rows)`` for violating groups only.
+    One scan + one shuffle on the quasi columns (map-side partials);
+    at 100 TB the output is the (small) set of rare combinations, not
+    the data.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+    )

@@ -1,0 +1,109 @@
+"""Time-series repair: linear interpolation of missing values.
+
+``interpolate_linear`` fills NULLs in a value column from the nearest
+non-NULL neighbors in event order within each key partition:
+
+    v(t) = v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev)
+
+Leading gaps back-fill from the first observation, trailing gaps
+forward-fill from the last one, and series with no observations stay
+NULL — pandas ``interpolate(limit_direction='both')`` semantics.
+
+Scale shape: two frame windows per key partition (forward-looking and
+backward-looking, both IGNORE NULLS) — one shuffle on the key, no
+global window, no state beyond the frame.  The arithmetic is a fixed
+sequence of double ops on per-row scalars, so results are
+engine-exact.
+
+Reference parity: none — the reference has no relational layer; this
+is standard sensor/metric-pipeline repair the engine needs at the
+events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    order_tiebreak: list[str] | None = None,
+    out_col: str = "value_filled",
+) -> DataFrame:
+    """Add ``out_col``: ``value_col`` with NULLs linearly interpolated
+    against epoch-microsecond time.  ``key_cols`` partition the series;
+    ``order_tiebreak`` breaks ties between equal timestamps (required
+    for a deterministic fill when duplicates exist)."""
+    order = [F.asc(time_col)] + [F.asc(c) for c in (order_tiebreak or [])]
+    back = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.unix_micros(F.col(time_col))
+    v = F.col(value_col).cast("double")
+    t_obs = F.when(v.isNotNull(), t)
+    pv = F.last(v, ignorenulls=True).over(back)
+    nv = F.first(v, ignorenulls=True).over(fwd)
+    pt = F.last(t_obs, ignorenulls=True).over(back)
+    nt = F.first(t_obs, ignorenulls=True).over(fwd)
+    frac = (t - pt).cast("double") / (nt - pt).cast("double")
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(pv.isNull(), nv)  # leading gap: back-fill
+        .when(nv.isNull(), pv)  # trailing gap: forward-fill
+        .when(nt == pt, pv)  # degenerate duplicate-time bracket
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return df.withColumn(out_col, filled)
+
+
+def interpolate_linear_sql(
+    table_sql: str,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    order_tiebreak: list[str] | None = None,
+    out_col: str = "value_filled",
+) -> str:
+    """DuckDB mirror (same window frames, IGNORE NULLS, double math).
+
+    ``table_sql`` is a subquery producing the input relation."""
+    part = ", ".join(key_cols)
+    order = ", ".join([time_col] + list(order_tiebreak or []))
+    back = (
+        f"OVER (PARTITION BY {part} ORDER BY {order} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    fwd = (
+        f"OVER (PARTITION BY {part} ORDER BY {order} "
+        f"ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    )
+    t = f"epoch_us({time_col})"
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+    SELECT *, CASE
+        WHEN {v} IS NOT NULL THEN {v}
+        WHEN pv IS NULL THEN nv
+        WHEN nv IS NULL THEN pv
+        WHEN nt = pt THEN pv
+        ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+      END AS {out_col}
+    FROM (
+      SELECT *, {t} AS t,
+             last_value({v} IGNORE NULLS) {back} AS pv,
+             first_value({v} IGNORE NULLS) {fwd} AS nv,
+             last_value(CASE WHEN {v} IS NOT NULL THEN {t} END IGNORE NULLS) {back} AS pt,
+             first_value(CASE WHEN {v} IS NOT NULL THEN {t} END IGNORE NULLS) {fwd} AS nt
+      FROM ({table_sql})
+    )
+    """

@@ -70,6 +70,7 @@ _MODULES = (
     "bloom",
     "graph",
     "sharding",
+    "timeseries",
 )
 
 

@@ -12,6 +12,7 @@ from cosmos_xenna_spark.operators.dq import (
     Expectation,
     evaluate_expectations,
     expectations_oracle_sql,
+    k_anonymity_violations,
 )
 from cosmos_xenna_spark.queries import register
 
@@ -34,3 +35,27 @@ LINEITEM_SUITE = [
 def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return evaluate_expectations(li, LINEITEM_SUITE)
+
+
+_K = 5
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    SELECT lang, source, n_chars // 25 AS size_band, COUNT(*) AS n_rows
+    FROM documents
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < {_K}
+    """,
+    description="k-anonymity audit: quasi-identifier combinations held by "
+    "fewer than k rows (one shuffle on the quasi columns; output is the "
+    "rare combinations, not the data)",
+)
+def q_k_anonymity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "size_band", F.expr("n_chars div 25")
+    )
+    return k_anonymity_violations(docs, ["lang", "source", "size_band"], _K)

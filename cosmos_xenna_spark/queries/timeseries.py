@@ -1,0 +1,46 @@
+"""Time-series repair query: linear interpolation over the events
+table with deterministically injected gaps (the corpus has no NULLs,
+so ``event_id % 13 = 0`` values are nulled identically on both
+engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.timeseries import (
+    interpolate_linear,
+    interpolate_linear_sql,
+)
+from cosmos_xenna_spark.queries import register
+
+_GAPPED_SQL = """
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+    FROM events
+"""
+
+
+@register(
+    "q_interpolate_linear",
+    oracle=(
+        "SELECT event_id, user_id, value_filled FROM ("
+        + interpolate_linear_sql(
+            _GAPPED_SQL, ["user_id"], "ts", "value", order_tiebreak=["event_id"]
+        )
+        + ")"
+    ),
+    description="linear interpolation of missing series values from nearest "
+    "observed neighbors (IGNORE NULLS frame windows; one shuffle on the "
+    "series key, no global window; leading/trailing gaps back/forward-fill)",
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+    out = interpolate_linear(ev, ["user_id"], "ts", "value", order_tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "value_filled")

@@ -67,3 +67,17 @@ def test_bad_suites(frame):
         Expectation("r", "cat", "in_set")
     with pytest.raises(ValueError, match="needs pattern"):
         Expectation("r", "name", "matches")
+
+
+def test_k_anonymity(spark):
+    from cosmos_xenna_spark.operators.dq import k_anonymity_violations
+
+    rows = [("en", "web")] * 5 + [("en", "book")] * 2 + [("fr", "web")]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {
+        (r["lang"], r["source"]): r["n_rows"]
+        for r in k_anonymity_violations(df, ["lang", "source"], 3).collect()
+    }
+    assert out == {("en", "book"): 2, ("fr", "web"): 1}
+    with pytest.raises(ValueError):
+        k_anonymity_violations(df, ["lang"], 1)

@@ -1,0 +1,59 @@
+"""Behavioral tests for linear interpolation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from cosmos_xenna_spark.operators.timeseries import interpolate_linear
+
+
+def _series(spark, rows):
+    """rows: (key, seconds, value-or-None)"""
+    data = [
+        (k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v) for k, s, v in rows
+    ]
+    return spark.createDataFrame(data, "k string, ts timestamp, v double")
+
+
+def _filled(spark, rows):
+    df = interpolate_linear(_series(spark, rows), ["k"], "ts", "v")
+    return {
+        (r["k"], r["ts"].second + r["ts"].minute * 60): r["value_filled"]
+        for r in df.collect()
+    }
+
+
+def test_interior_gap_interpolates(spark):
+    got = _filled(spark, [("a", 0, 10.0), ("a", 10, None), ("a", 40, 70.0)])
+    assert got[("a", 10)] == pytest.approx(10.0 + (70.0 - 10.0) * 10 / 40)
+
+
+def test_multiple_gap_rows_share_bracket(spark):
+    got = _filled(
+        spark, [("a", 0, 0.0), ("a", 1, None), ("a", 2, None), ("a", 3, None), ("a", 4, 8.0)]
+    )
+    assert [got[("a", s)] for s in range(5)] == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+
+def test_leading_and_trailing_gaps_fill_flat(spark):
+    got = _filled(spark, [("a", 0, None), ("a", 5, 3.0), ("a", 9, None)])
+    assert got[("a", 0)] == 3.0  # back-fill
+    assert got[("a", 9)] == 3.0  # forward-fill
+
+
+def test_all_null_series_stays_null(spark):
+    got = _filled(spark, [("a", 0, None), ("a", 5, None)])
+    assert got[("a", 0)] is None and got[("a", 5)] is None
+
+
+def test_keys_do_not_leak(spark):
+    got = _filled(spark, [("a", 0, 1.0), ("b", 0, 100.0), ("b", 5, None)])
+    assert got[("b", 5)] == 100.0  # b's trailing fill, never a's value
+
+
+def test_observed_values_untouched(spark):
+    rows = [("a", i, float(i * i)) for i in range(6)]
+    got = _filled(spark, rows)
+    assert all(got[("a", i)] == i * i for i in range(6))
