@@ -37,3 +37,9 @@ def test_vlm_caption_pipeline_example_runs(tmp_path):
     p = _run(["examples/vlm_caption_pipeline.py", SF, str(tmp_path / "captions")])
     assert p.returncode == 0, p.stderr[-2000:]
     assert "captioned" in p.stdout
+
+
+def test_curate_and_shard_example_runs():
+    p = _run(["examples/curate_and_shard.py", SF])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "DQ report:" in p.stdout and "shards, sizes" in p.stdout
