@@ -100,6 +100,7 @@ DRIVER_PRIORITY: dict[str, str] = {
         "q_srp_lsh",
         "q_k_anonymity",
         "q_interpolate_linear",
+        "q_incremental_agg",
     )
 }
 

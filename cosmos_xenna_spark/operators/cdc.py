@@ -82,3 +82,65 @@ def scd2_from_changelog(
         .withColumn("valid_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def incremental_agg_merge(
+    base_agg: DataFrame,
+    changelog: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    op_col: str = OP_COL,
+    count_col: str = "n_rows",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Maintain a per-key aggregate table from a changelog WITHOUT
+    rescanning the base facts — the materialized-view-maintenance
+    pattern for additive aggregates (count + sums).
+
+    ``base_agg`` holds ``keys + count_col + sum_<c>`` (sums in DECIMAL
+    so maintenance is exact); ``changelog`` holds ``keys + op_col``
+    ('I'/'D') + the raw value columns.  Deletes subtract, inserts add;
+    keys whose maintained count reaches zero disappear (matching a
+    recompute over the repaired fact set).
+
+    Scale shape (mirrors :func:`merge_upsert`): the changelog is
+    reduced to a per-key delta (one shuffle of the SMALL side); the
+    base is split by a broadcast anti/semi join on the delta keys, so
+    the 100 TB aggregate table never shuffles — untouched rows pass
+    through scan-to-sink, touched rows (changelog-key-many at most)
+    merge with the delta and re-emit.
+    """
+    key_list = list(keys)
+    sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+    delta = changelog.groupBy(*key_list).agg(
+        F.sum(sign).cast("bigint").alias(f"__d_{count_col}"),
+        *[
+            F.sum(sign.cast("decimal(18,2)") * F.col(c).cast("decimal(18,2)")).alias(f"__d_sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    delta_keys = delta.select(*key_list)
+    if broadcast:
+        delta_keys = F.broadcast(delta_keys)
+    untouched = base_agg.join(delta_keys, on=key_list, how="left_anti")
+    touched_base = base_agg.join(delta_keys, on=key_list, how="left_semi")
+    merged = (
+        delta.join(touched_base, on=key_list, how="left")
+        .select(
+            *key_list,
+            (F.coalesce(F.col(count_col), F.lit(0)) + F.col(f"__d_{count_col}"))
+            .cast("bigint")
+            .alias(count_col),
+            *[
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0).cast("decimal(18,2)"))
+                    + F.coalesce(F.col(f"__d_sum_{c}"), F.lit(0).cast("decimal(18,2)"))
+                )
+                .cast("decimal(18,2)")
+                .alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    return untouched.unionByName(merged)

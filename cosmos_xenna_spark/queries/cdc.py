@@ -7,7 +7,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
-from cosmos_xenna_spark.operators.cdc import OP_COL, merge_upsert, scd2_from_changelog
+from cosmos_xenna_spark.operators.cdc import (
+    OP_COL,
+    incremental_agg_merge,
+    merge_upsert,
+    scd2_from_changelog,
+)
 from cosmos_xenna_spark.queries import register
 
 _ORDER_COLS = (
@@ -141,4 +146,54 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         "valid_to",
         "is_current",
+    )
+
+
+# incremental aggregate maintenance: base = per-customer aggregates of
+# pre-1997 orders; changelog deletes pre-1995 rows (retention) and
+# inserts 1997+ rows. The maintained table must equal a straight
+# recompute over orders >= 1995 — which is exactly the oracle.
+_BASE_CUT = "1997-01-01 00:00:00"
+_DEL_CUT = "1995-01-01 00:00:00"
+
+
+@register(
+    "q_incremental_agg",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING)
+                AS DOUBLE) AS sum_o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_DEL_CUT}'
+    GROUP BY o_custkey
+    """,
+    description="materialized-view maintenance: per-key count/sum aggregates "
+    "updated from an insert/delete changelog without rescanning base facts "
+    "(delta reduced small-side; base split by broadcast anti/semi joins)",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base_cut = F.lit(_BASE_CUT).cast("timestamp")
+    del_cut = F.lit(_DEL_CUT).cast("timestamp")
+    base = (
+        orders.filter(F.col("o_orderdate") < base_cut)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_o_totalprice"),
+        )
+    )
+    ins = orders.filter(F.col("o_orderdate") >= base_cut).withColumn(OP_COL, F.lit("I"))
+    dels = orders.filter(F.col("o_orderdate") < del_cut).withColumn(OP_COL, F.lit("D"))
+    merged = incremental_agg_merge(
+        base,
+        ins.unionByName(dels),
+        keys=["o_custkey"],
+        sum_cols=["o_totalprice"],
+    )
+    return merged.select(
+        "o_custkey",
+        "n_rows",
+        F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
     )

@@ -100,3 +100,54 @@ def test_scd2_intervals_partition_time(spark):
         )
     ).collect()
     assert len(asof) == 1 and asof[0]["v"] == "v2"
+
+
+class TestIncrementalAggMerge:
+    def _base(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(rows, "k string, v double")
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("sum_v"),
+        )
+
+    def _merge(self, spark, base_rows, changes):
+        from cosmos_xenna_spark.operators.cdc import OP_COL, incremental_agg_merge
+
+        base = self._base(spark, base_rows)
+        log = spark.createDataFrame(changes, f"k string, v double, {OP_COL} string")
+        out = incremental_agg_merge(base, log, ["k"], ["v"])
+        return {
+            r["k"]: (r["n_rows"], float(r["sum_v"])) for r in out.collect()
+        }
+
+    def test_matches_recompute(self, spark):
+        base_rows = [("a", 1.0), ("a", 2.0), ("b", 5.0)]
+        changes = [("a", 2.0, "D"), ("a", 10.0, "I"), ("c", 7.0, "I")]
+        got = self._merge(spark, base_rows, changes)
+        assert got == {"a": (2, 11.0), "b": (1, 5.0), "c": (1, 7.0)}
+
+    def test_key_vanishes_at_zero_count(self, spark):
+        got = self._merge(spark, [("a", 3.0)], [("a", 3.0, "D")])
+        assert "a" not in got
+
+    def test_untouched_keys_pass_through(self, spark):
+        got = self._merge(spark, [("a", 1.0), ("b", 2.0)], [("a", 4.0, "I")])
+        assert got["b"] == (1, 2.0)
+
+    def test_shuffled_path_equivalent(self, spark):
+        from cosmos_xenna_spark.operators.cdc import OP_COL, incremental_agg_merge
+
+        base = self._base(spark, [("a", 1.0), ("b", 2.0), ("c", 3.0)])
+        log = spark.createDataFrame(
+            [("a", 9.0, "I"), ("c", 3.0, "D")], f"k string, v double, {OP_COL} string"
+        )
+        a = sorted(map(tuple, incremental_agg_merge(base, log, ["k"], ["v"]).collect()))
+        b = sorted(
+            map(
+                tuple,
+                incremental_agg_merge(base, log, ["k"], ["v"], broadcast=False).collect(),
+            )
+        )
+        assert a == b

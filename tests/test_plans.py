@@ -215,3 +215,51 @@ def test_no_quadratic_joins_in_registry(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
     assert not offenders, f"quadratic join plans: {offenders}"
+
+
+def test_srp_lsh_zero_shuffles(spark, sf_dir):
+    """SRP signatures are row-local: the plan must contain no exchange
+    at all (signature computation rides the scan)."""
+    df = REGISTRY["q_srp_lsh"].builder(spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_dq_suite_single_shuffle(spark, sf_dir):
+    """The whole expectation suite is one aggregation pass: one scan,
+    and only the aggregate's own exchanges (Expand for the multi-
+    distinct unique rule; no per-rule scans)."""
+    import re
+
+    df = REGISTRY["q_dq_expectations"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    # formatted explain prints each node in the tree AND the detail
+    # section; count the detail headers, one per physical scan node
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, "every rule must share one scan"
+
+
+def test_bloom_semi_join_prefilters_before_join(spark, sf_dir):
+    """The bitset probe must run as a filter below the exact join, so
+    the join input is the pruned sliver, not the full fact table."""
+    df = REGISTRY["q_bloom_semi_join"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "getbit" in plan.lower(), "bitset probe missing from the plan"
+    assert count_broadcast_joins(df) >= 1, "exact join must broadcast the key side"
+    assert count_sort_merge_joins(df) == 0
+
+
+def test_histogram_partial_aggregation(spark, sf_dir):
+    """Bucket counting must map-side combine: nbins rows per partition
+    cross the single exchange, not the raw rows."""
+    df = REGISTRY["q_histogram"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_shuffles(df) <= 1
+    assert plan.count("HashAggregate") >= 2, "partial+final aggregate expected"
+
+
+def test_outlier_zscore_facts_never_shuffle(spark, sf_dir):
+    """The moment table broadcasts back onto the facts: no sort-merge
+    join, and the only exchanges belong to the tiny aggregate side."""
+    df = REGISTRY["q_outlier_zscore"].builder(spark, sf_dir)
+    assert count_sort_merge_joins(df) == 0
+    assert count_broadcast_joins(df) >= 1
