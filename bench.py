@@ -63,6 +63,9 @@ HEADLINE = [
     "q_bloom_decontaminate",
     "q_dq_expectations",
     "q_pagerank",
+    "q_interpolate_linear",
+    "q_incremental_agg",
+    "q_srp_lsh",
 ]
 
 

@@ -41,13 +41,18 @@ from cosmos_xenna_spark.functions import md5_long63
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     """Kirsch-Mitzenmacher double hashing: ``pos_i = (h1 + i*h2) % m``
-    from two md5 probes instead of ``num_hashes`` — per-row hashing
-    cost is constant in ``num_hashes`` (the dominant cost for long
-    keys like document text), with the same false-positive behavior.
+    from ONE md5 evaluation instead of ``num_hashes`` — per-row
+    hashing cost is constant in ``num_hashes`` (the dominant cost for
+    long keys like document text), with the same false-positive
+    behavior.  ``h1``/``h2`` are the two 60-bit halves of the single
+    digest (common-subexpression elimination computes the md5 once);
     ``h2`` is reduced mod ``m`` first so ``i*h2`` cannot overflow, and
     forced odd so it cycles all of a power-of-two ``m``."""
-    h1 = md5_long63(key.cast("string"), "bloomA:") % F.lit(num_bits)
-    h2 = (md5_long63(key.cast("string"), "bloomB:") % F.lit(num_bits)).bitwiseOR(F.lit(1))
+    digest = F.md5(F.concat(F.lit("bloom:"), key.cast("string")))
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % F.lit(num_bits)
+    h2 = (
+        F.conv(F.substring(digest, 16, 15), 16, 10).cast("bigint") % F.lit(num_bits)
+    ).bitwiseOR(F.lit(1))
     return [(h1 + F.lit(i) * h2) % F.lit(num_bits) for i in range(num_hashes)]
 
 

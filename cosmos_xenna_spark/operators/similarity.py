@@ -319,6 +319,12 @@ def srp_lsh_signatures(
     """
     if n_planes < 1 or n_planes > 62:
         raise ValueError(f"n_planes must be in [1, 62], got {n_planes}")
+    # Dot products stay as HOF folds (the module's list_dot_product-
+    # parity convention). A flat unrolled add-chain of element_at *
+    # constant terms was tried and measured 3x SLOWER at 16x64: the
+    # ~4k-node projection blows the JVM codegen method budget and
+    # falls back to per-expression interpretation, which loses to the
+    # HOF evaluator's tight array loop.
     sig = F.lit(0).cast("bigint")
     for p, plane in enumerate(srp_planes(n_planes, dim)):
         bit = (dot(F.col(vec_col), F.lit(plane)) >= 0).cast("bigint")
