@@ -101,6 +101,7 @@ DRIVER_PRIORITY: dict[str, str] = {
         "q_k_anonymity",
         "q_interpolate_linear",
         "q_incremental_agg",
+        "q_robust_scale",
     )
 }
 

@@ -212,3 +212,41 @@ def outlier_zscore(
         .withColumn("is_outlier", F.abs(F.col("z")) >= F.lit(float(threshold)))
         .drop("__mean", "__std")
     )
+
+
+# ---------------------------------------------------------------------------
+# robust scaling (median / IQR normalization)
+# ---------------------------------------------------------------------------
+
+
+def robust_scale(
+    df: DataFrame, group_cols: list[str], value_col: str, out_col: str = "robust_z"
+) -> DataFrame:
+    """Median/IQR feature normalization per group:
+    ``(v - median) / (p75 - p25)`` — the outlier-insensitive
+    alternative to z-scores for heavy-tailed corpus features.
+
+    Same two-job shape as :func:`outlier_zscore`: a tiny per-group
+    quantile table broadcast back onto the facts (the facts never
+    shuffle; exact ``percentile`` is a single-pass sketch-free agg).
+    For integer-valued features the interpolated quantiles are exact
+    binary fractions, so the scale factors — and the scaled values —
+    are engine-exact.  Groups with zero IQR yield NULL (undefined
+    scale), matching SQL division semantics.
+    """
+    q = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, array(0.25, 0.5, 0.75))").alias("__q")
+    )
+    stats = q.select(
+        *group_cols,
+        F.element_at("__q", 2).alias("__med"),
+        (F.element_at("__q", 3) - F.element_at("__q", 1)).alias("__iqr"),
+    )
+    scaled = (F.col(value_col).cast("double") - F.col("__med")) / F.nullif(
+        F.col("__iqr"), F.lit(0.0)
+    )
+    return (
+        df.join(F.broadcast(stats), on=group_cols, how="inner")
+        .withColumn(out_col, scaled)
+        .drop("__med", "__iqr")
+    )

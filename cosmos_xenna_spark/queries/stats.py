@@ -77,3 +77,27 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "z",
     )
+
+
+@register(
+    "q_robust_scale",
+    oracle="""
+    WITH q AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.5) AS med,
+             quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25) AS iqr
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id,
+           (CAST(d.n_chars AS DOUBLE) - med) / nullif(iqr, 0.0) AS robust_z
+    FROM documents d JOIN q USING (lang)
+    """,
+    description="median/IQR robust feature scaling per group (exact "
+    "interpolated quantiles; tiny stats table broadcast back, facts never "
+    "shuffle)",
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.stats import robust_scale
+
+    docs = load_table(spark, sf_dir, "documents")
+    return robust_scale(docs, ["lang"], "n_chars").select("doc_id", "robust_z")

@@ -84,3 +84,19 @@ def test_outlier_zscore_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_robust_scale_known_values(spark):
+    from cosmos_xenna_spark.operators.stats import robust_scale
+
+    # values 0..8: med=4, p25=2, p75=6, iqr=4
+    df = spark.createDataFrame([("g", float(i)) for i in range(9)], "g string, x double")
+    got = {r["x"]: r["robust_z"] for r in robust_scale(df, ["g"], "x").collect()}
+    assert got[4.0] == 0.0 and got[8.0] == 1.0 and got[0.0] == -1.0
+
+
+def test_robust_scale_zero_iqr_is_null(spark):
+    from cosmos_xenna_spark.operators.stats import robust_scale
+
+    df = spark.createDataFrame([("g", 5.0)] * 4, "g string, x double")
+    assert all(r["robust_z"] is None for r in robust_scale(df, ["g"], "x").collect())

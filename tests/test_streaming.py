@@ -354,3 +354,57 @@ def test_idempotent_sink_failed_batch_retries(spark, tmp_path):
         wrapped(df, 7)
     wrapped(df, 7)  # replay: must execute, not skip
     assert attempts == [7, 7]
+
+
+def test_streaming_incremental_agg_maintenance(spark, tmp_path):
+    """Streaming materialized-view maintenance: a changelog stream
+    applied batch-by-batch with incremental_agg_merge must land on the
+    same aggregate a full recompute over the repaired facts gives."""
+    from cosmos_xenna_spark.operators.cdc import OP_COL, incremental_agg_merge
+
+    facts = [("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 1.0)]
+    batch1 = [("a", 7.0, "I"), ("c", 1.0, "D")]          # c vanishes
+    batch2 = [("b", 5.0, "D"), ("b", 100.0, "I"), ("d", 9.0, "I")]
+
+    changes_dir = str(tmp_path / "changes")
+    os.makedirs(changes_dir)
+    log_schema = f"k string, v double, {OP_COL} string"
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, log_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(changes_dir)
+
+    agg_path = str(tmp_path / "agg")
+    base = (
+        spark.createDataFrame(facts, "k string, v double")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("sum_v"),
+        )
+    )
+    base.write.mode("overwrite").parquet(agg_path)
+
+    def apply_batch(batch_df, batch_id):
+        cur = spark.read.parquet(agg_path)
+        merged = incremental_agg_merge(cur, batch_df, ["k"], ["v"])
+        # materialize before overwriting the path being read
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(agg_path)
+
+    q = (
+        spark.readStream.schema(log_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = {
+        r["k"]: (r["n_rows"], float(r["sum_v"]))
+        for r in spark.read.parquet(agg_path).collect()
+    }
+    # recompute: facts - deletes + inserts (both batches applied)
+    assert final == {"a": (3, 37.0), "b": (1, 100.0), "d": (1, 9.0)}
