@@ -102,6 +102,7 @@ DRIVER_PRIORITY: dict[str, str] = {
         "q_interpolate_linear",
         "q_incremental_agg",
         "q_robust_scale",
+        "q_collocations",
     )
 }
 

@@ -336,3 +336,59 @@ def top_ngrams(
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def collocations_lift(
+    docs: DataFrame, text_col: str = "text", k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Top-k word-pair collocations by LIFT — the log-free PMI
+    surrogate ``p(xy) / (p(x) p(y)) = n_xy * N / (n_x * n_y)`` over
+    adjacent-word bigrams (``exp(PMI)``; identical ranking, no
+    ``log()``, whose libm rounding differs across engines).
+
+    Returns ``(w1, w2, n_pair, lift)`` ordered by lift desc then pair
+    asc (deterministic: lift is one double division of exact bigint
+    products, bit-equal in any engine).
+
+    Scale shape: one explode + two groupBys (bigram and unigram counts,
+    both map-side combined), two joins of the bigram table against the
+    (much smaller, broadcastable) unigram table, top-k via TakeOrdered.
+    ``min_count`` prunes the hapax tail BEFORE the joins — at corpus
+    scale the rare-bigram tail is the bulk of the rows.
+    """
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(F.split(F.col(text_col), " ").alias("__ws"))
+    words = base.select(F.explode("__ws").alias("w"))
+    n_words = words.groupBy().agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    pairs = base.filter(F.size("__ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__ws) - 1),"
+                " i -> struct(element_at(__ws, i) AS w1,"
+                " element_at(__ws, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    scored = (
+        big.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                             .withColumnRenamed("n_w", "n_w1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("n_w", "n_w2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (
+                (F.col("n_pair") * F.lit(int(n_words))).cast("double")
+                / (F.col("n_w1") * F.col("n_w2")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2")).limit(k)

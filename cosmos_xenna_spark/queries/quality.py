@@ -258,3 +258,36 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(load_table(spark, sf_dir, "documents"), n=2, k=20)
+
+
+@register(
+    "q_collocations",
+    oracle="""
+    WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+    words AS (SELECT UNNEST(w) AS x FROM ws),
+    nw AS (SELECT COUNT(*) AS n FROM words),
+    uni AS (SELECT x, COUNT(*) AS n_w FROM words GROUP BY x),
+    pairs AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM ws, UNNEST(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM pairs
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT b.w1, b.w2, b.n_pair,
+           CAST(b.n_pair * (SELECT n FROM nw) AS DOUBLE)
+             / CAST(u1.n_w * u2.n_w AS DOUBLE) AS lift
+    FROM big b JOIN uni u1 ON b.w1 = u1.x JOIN uni u2 ON b.w2 = u2.x
+    ORDER BY lift DESC, b.w1, b.w2
+    LIMIT 20
+    """,
+    description="top-20 bigram collocations by lift (log-free PMI surrogate: "
+    "exact bigint count products, one double division; hapax tail pruned "
+    "before the broadcast unigram joins)",
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.quality import collocations_lift
+
+    return collocations_lift(load_table(spark, sf_dir, "documents"), k=20, min_count=5)

@@ -131,3 +131,24 @@ def test_line_dedup_plan_single_line_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # one exchange for the line window + one for the doc_id groupBy
     assert plan.count("Exchange") <= 3
+
+
+def test_collocations_planted_pair(spark):
+    """A pair that always co-occurs ('new york') must out-lift pairs of
+    independently common words."""
+    from cosmos_xenna_spark.operators.quality import collocations_lift
+
+    docs = []
+    for i in range(30):
+        docs.append((i, "new york " + ("the cat " * 5).strip()))
+    for i in range(30, 60):
+        docs.append((i, "the dog ran to the house and the bird sat"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    top = collocations_lift(df, k=10, min_count=5).collect()
+    by_pair = {(r["w1"], r["w2"]): r["lift"] for r in top}
+    # 'new york' only ever co-occurs -> max lift; 'the cat' pairs a
+    # ubiquitous word -> low lift despite 5x the raw count
+    assert by_pair[("new", "york")] == max(by_pair.values())
+    assert by_pair[("the", "cat")] < by_pair[("new", "york")] / 5
+    lifts = [r["lift"] for r in top]
+    assert lifts == sorted(lifts, reverse=True)
