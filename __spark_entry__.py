@@ -46,10 +46,15 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       CORRECTNESS_r04 49/50 green (the 50th, q_knn_ivf_kmeans, is
 #       no_oracle by design and permanently retired from the window).
 #   r5 (this window): every r4-verified alias retired; the 23
-#       remaining never-driver-verified queries promoted. After this
-#       round every oracle-able registry query (131/132) has had a
-#       hard driver verdict; q_knn_ivf_kmeans stays property-test-only
-#       by design.
+#       remaining never-driver-verified queries promoted — after this
+#       round every pre-r5 oracle-able registry query (131/132) has
+#       had a hard driver verdict; q_knn_ivf_kmeans stays
+#       property-test-only by design. The 18 operators ADDED during
+#       r5 (fuzzy/semantic dedup, mixture rebalance, stats, DQ +
+#       k-anonymity, bloom joins, pagerank, sharding, SRP-LSH,
+#       interpolation, incremental agg, robust scale, collocations)
+#       are promoted into the same window as they land, so the r5
+#       verdict covers them too (41 q0_ slots, window is ~50).
 DRIVER_PRIORITY: dict[str, str] = {
     name: f"q0_{name[2:]}"
     for name in (

@@ -1,0 +1,157 @@
+"""Randomized equivalence tests for the round-5 operators: each is
+checked against an independent NumPy/pure-Python reimplementation on
+seeded random inputs (the pattern that caught the NULL-prefix cumsum
+bug in round 4 — prefer it for every rewritten/bucketed operator)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.operators.bloom import bloom_anti_join, bloom_semi_join
+from cosmos_xenna_spark.operators.cdc import OP_COL, incremental_agg_merge
+from cosmos_xenna_spark.operators.graph import ONE, pagerank_fixed
+from cosmos_xenna_spark.operators.sharding import assign_shards
+from cosmos_xenna_spark.operators.similarity import srp_lsh_signatures, srp_planes
+from cosmos_xenna_spark.operators.stats import grouped_corr, robust_scale
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_bloom_joins_match_plain_joins(spark, seed):
+    rng = random.Random(seed)
+    big_keys = [f"k{rng.randrange(2000)}" for _ in range(3000)]
+    small_keys = [f"k{rng.randrange(2000)}" for _ in range(80)]
+    big = spark.createDataFrame([(k,) for k in big_keys], "k string")
+    small = spark.createDataFrame([(k,) for k in small_keys], "k string")
+    semi = sorted(r["k"] for r in bloom_semi_join(big, small, "k").collect())
+    anti = sorted(r["k"] for r in bloom_anti_join(big, small, "k").collect())
+    sset = set(small_keys)
+    assert semi == sorted(k for k in big_keys if k in sset)
+    assert anti == sorted(k for k in big_keys if k not in sset)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_incremental_agg_matches_recompute(spark, seed):
+    rng = random.Random(seed)
+    facts = [(f"k{rng.randrange(20)}", round(rng.uniform(0, 100), 2)) for _ in range(300)]
+    # deletes must reference existing fact rows; inserts are new rows
+    deletes = rng.sample(facts, 60)
+    inserts = [(f"k{rng.randrange(25)}", round(rng.uniform(0, 100), 2)) for _ in range(80)]
+    base = (
+        spark.createDataFrame(facts, "k string, v double")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("sum_v"),
+        )
+    )
+    log = spark.createDataFrame(
+        [(k, v, "D") for k, v in deletes] + [(k, v, "I") for k, v in inserts],
+        f"k string, v double, {OP_COL} string",
+    )
+    got = {
+        r["k"]: (r["n_rows"], float(r["sum_v"]))
+        for r in incremental_agg_merge(base, log, ["k"], ["v"]).collect()
+    }
+    remaining = list(facts)
+    for d in deletes:
+        remaining.remove(d)
+    remaining += inserts
+    want: dict[str, list] = {}
+    for k, v in remaining:
+        want.setdefault(k, [0, 0.0])
+        want[k][0] += 1
+        want[k][1] += v
+    want_t = {k: (n, round(s, 2)) for k, (n, s) in want.items()}
+    got_r = {k: (n, round(s, 2)) for k, (n, s) in got.items()}
+    assert got_r == want_t
+
+
+@pytest.mark.parametrize("seed", [5, 13])
+def test_shard_assign_matches_python_prefix_sum(spark, seed):
+    rng = random.Random(seed)
+    sizes = [rng.randrange(1, 50) for _ in range(400)]
+    df = spark.createDataFrame(list(enumerate(sizes)), "id bigint, sz bigint")
+    got = {
+        r["id"]: r["shard_id"]
+        for r in assign_shards(df, "sz", ["id"], 256).collect()
+    }
+    acc = 0
+    for i, s in enumerate(sizes):
+        assert got[i] == acc // 256
+        acc += s
+
+
+@pytest.mark.parametrize("seed", [2, 17])
+def test_srp_signatures_match_numpy(spark, seed):
+    rng = np.random.default_rng(seed)
+    dim, planes = 16, 12
+    vecs = rng.standard_normal((40, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["signature"]
+        for r in srp_lsh_signatures(df, n_planes=planes, dim=dim).collect()
+    }
+    h = np.array(srp_planes(planes, dim))  # (planes, dim)
+    dots = vecs.astype(np.float64) @ h.T
+    want = {
+        i: int(sum(1 << p for p in range(planes) if dots[i, p] >= 0))
+        for i in range(len(vecs))
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [4, 19])
+def test_grouped_corr_matches_numpy(spark, seed):
+    rng = np.random.default_rng(seed)
+    xs = np.round(rng.uniform(0, 50, 200), 2)
+    ys = np.round(xs * 3 + rng.normal(0, 10, 200), 2)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(xs, ys)], "g string, x double, y double"
+    )
+    row = grouped_corr(df, ["g"], "x", "y").collect()[0]
+    assert row["corr"] == pytest.approx(np.corrcoef(xs, ys)[0, 1], rel=1e-9)
+    assert row["covar_samp"] == pytest.approx(np.cov(xs, ys, ddof=1)[0, 1], rel=1e-9)
+
+
+@pytest.mark.parametrize("seed", [6, 23])
+def test_robust_scale_matches_numpy(spark, seed):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1000, 150)
+    df = spark.createDataFrame(
+        [("g", int(v)) for v in vals], "g string, x bigint"
+    ).withColumn("id", F.monotonically_increasing_id())
+    got = {r["x"]: r["robust_z"] for r in robust_scale(df, ["g"], "x").collect()}
+    med = np.percentile(vals, 50)
+    iqr = np.percentile(vals, 75) - np.percentile(vals, 25)
+    for v in set(vals.tolist()):
+        assert got[v] == pytest.approx((v - med) / iqr, rel=1e-12)
+
+
+@pytest.mark.parametrize("seed", [8, 29])
+def test_pagerank_matches_python_fixed_point(spark, seed):
+    rng = random.Random(seed)
+    edges = {(rng.randrange(12), rng.randrange(12)) for _ in range(40)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["rank_fp"] for r in pagerank_fixed(df, n_iter=3).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    n = len(nodes)
+    base = 15 * ONE // 100 // n
+    rank = {v: ONE // n for v in nodes}
+    for _ in range(3):
+        got_mass = {v: 0 for v in nodes}
+        for a, b in edges:
+            got_mass[b] += rank[a] // out[a]
+        rank = {v: base + got_mass[v] * 85 // 100 for v in nodes}
+    assert got == rank
