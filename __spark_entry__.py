@@ -108,6 +108,7 @@ DRIVER_PRIORITY: dict[str, str] = {
         "q_incremental_agg",
         "q_robust_scale",
         "q_collocations",
+        "q_triangle_count",
     )
 }
 

@@ -119,3 +119,51 @@ def pagerank_fixed_sql(
         + "".join(steps)
         + f"\nSELECT CAST(node AS BIGINT) AS node, rank_fp FROM r{n_iter}"
     )
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Global triangle count over the undirected simple graph of
+    ``edges`` — one row ``(n_triangles)``.
+
+    Degree-ordered node-iterator algorithm: every edge is oriented
+    from the smaller to the larger endpoint under the total order
+    ``(degree, node)``, each triangle then appears as exactly one
+    wedge ``x->y->z`` closed by ``x->z``.  The orientation bounds each
+    node's out-degree by O(sqrt(m)) on any graph — the property that
+    keeps the wedge join's fan-out tractable at scale, where plain
+    id-ordering lets one high-degree hub explode the join.
+
+    Shape: two equi-joins over the oriented edge list (wedge build +
+    closure check), degree table broadcast onto the edges (one row per
+    node).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = F.broadcast(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"))
+    dv = F.broadcast(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"))
+    lab = und.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = lab.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+    )
+    wedges = o.alias("o1").join(
+        o.select(F.col("x").alias("y"), F.col("y").alias("z")).alias("o2"), "y"
+    )
+    closed = wedges.join(
+        o.select(F.col("x"), F.col("y").alias("z")), ["x", "z"], "left_semi"
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

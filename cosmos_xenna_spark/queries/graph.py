@@ -47,3 +47,34 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank_fixed(_edges(spark, sf_dir), n_iter=3)
     return ranks.select(F.col("node").cast("bigint").alias("node"), "rank_fp")
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM ({_EDGES_SQL}) WHERE src <> dst
+    ),
+    deg AS (
+      SELECT n, COUNT(*) AS d
+      FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+      GROUP BY n
+    ),
+    o AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS x,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS y
+      FROM und JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM o o1 JOIN o o2 ON o1.y = o2.x
+    WHERE EXISTS (SELECT 1 FROM o o3 WHERE o3.x = o1.x AND o3.y = o2.y)
+    """,
+    description="degree-ordered triangle counting on the nation trade graph "
+    "(each edge oriented low->high by (degree, node); wedge join fan-out "
+    "bounded O(sqrt(m)) per node)",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import triangle_count
+
+    return triangle_count(_edges(spark, sf_dir))

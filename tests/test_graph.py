@@ -53,3 +53,38 @@ def test_rejects_bad_damping(spark):
         pagerank_fixed(e, damping_pct=0)
     with pytest.raises(ValueError):
         pagerank_fixed(e, damping_pct=100)
+
+
+class TestTriangleCount:
+    def _count(self, spark, edges):
+        from cosmos_xenna_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(edges, "src int, dst int")
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    def test_single_triangle(self, spark):
+        assert self._count(spark, [(0, 1), (1, 2), (2, 0)]) == 1
+
+    def test_k4_has_four(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        assert self._count(spark, k4) == 4
+
+    def test_tree_and_star_have_none(self, spark):
+        assert self._count(spark, [(0, 1), (1, 2), (2, 3)]) == 0
+        assert self._count(spark, [(9, i) for i in range(5)]) == 0
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        e = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (0, 1)]
+        assert self._count(spark, e) == 1
+
+    def test_partitioning_invariance(self, spark):
+        from cosmos_xenna_spark.operators.graph import triangle_count
+
+        edges = [
+            (a, b) for a in range(10) for b in range(10)
+            if a < b and (a * 7 + b * 13) % 3 != 0
+        ]
+        df = spark.createDataFrame(edges, "src int, dst int")
+        a = triangle_count(df).collect()[0]["n_triangles"]
+        b = triangle_count(df.repartition(7)).collect()[0]["n_triangles"]
+        assert a == b > 0
