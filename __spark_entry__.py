@@ -109,6 +109,7 @@ DRIVER_PRIORITY: dict[str, str] = {
         "q_robust_scale",
         "q_collocations",
         "q_triangle_count",
+        "q_pagerank_weighted",
     )
 }
 

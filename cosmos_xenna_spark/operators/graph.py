@@ -38,23 +38,57 @@ def pagerank_fixed(
     dst_col: str = "dst",
     n_iter: int = 3,
     damping_pct: int = 85,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """``n_iter`` PageRank iterations over ``edges`` (deduplicated,
-    unweighted).  Returns ``(node, rank_fp)`` where ``rank_fp`` is the
-    rank scaled by ``10^12`` as BIGINT.
+    """``n_iter`` PageRank iterations over ``edges`` (deduplicated).
+    Returns ``(node, rank_fp)`` where ``rank_fp`` is the rank scaled
+    by ``10^12`` as BIGINT.
 
-    Update rule (integer arithmetic, damping as a percentage):
+    With ``weight_col`` (positive integer edge weights, e.g. trade
+    volumes), each edge's share of its source's rank is its weight
+    fraction quantized to parts-per-million (``share_ppm = w * 10^6 //
+    W_out``; ``give = rank * share_ppm // 10^6``) — pure integer
+    arithmetic, bit-exact, and overflow-safe for any ``rank <= 10^12``
+    and ``w <= ~9*10^12`` (a direct ``rank * w`` would overflow int64
+    for count-scale weights).  Duplicate (src, dst) rows are
+    weight-summed.
+
+    Unweighted update rule (integer arithmetic, damping as a
+    percentage):
     ``rank'(v) = (100 - d) * ONE / 100 / N  +  d * sum_{u->v} (rank(u) // out(u)) // 100``
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    weighted = weight_col is not None
+    if not weighted:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct()
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("bigint").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    if weighted:
+        out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+        e = e.join(out_w, "src").withColumn(
+            "share_ppm", F.expr("w * 1000000L div out_w")
+        )
+        give_expr = "rank_fp * share_ppm div 1000000"
+    else:
+        out_w = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        e = e.join(out_w, "src")
+        give_expr = "rank_fp div out_deg"
     n_nodes = nodes.count()  # one tiny scalar job; the literal feeds every iteration
     base = (100 - damping_pct) * ONE // 100 // n_nodes
     init = ONE // n_nodes
@@ -63,10 +97,9 @@ def pagerank_fixed(
     for _ in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), on="src", how="inner")
-            .join(out_deg, on="src", how="inner")
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank_fp div out_deg").alias("give"),
+                F.expr(give_expr).alias("give"),
             )
         )
         summed = contrib.groupBy("node").agg(F.sum("give").alias("got"))
@@ -167,3 +200,43 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         o.select(F.col("x"), F.col("y").alias("z")), ["x", "z"], "left_semi"
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank_weighted_sql(
+    edges_sql: str, n_iter: int = 3, damping_pct: int = 85
+) -> str:
+    """DuckDB mirror of the weighted path (``edges_sql`` must yield
+    ``src, dst, w``): the same ppm-share quantization, unrolled."""
+    head = f"""
+    WITH e0 AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+                FROM ({edges_sql}) GROUP BY src, dst),
+    ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst,
+                 CAST(e0.w * 1000000 // ow.out_w AS BIGINT) AS share_ppm
+          FROM e0 JOIN ow ON e0.src = ow.src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({ONE} // (SELECT n FROM nn) AS BIGINT) AS rank_fp FROM nodes)
+    """
+    steps = []
+    for i in range(n_iter):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        steps.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst AS node, SUM(p.rank_fp * e.share_ppm // 1000000) AS got
+      FROM e JOIN {prev} p ON e.src = p.node
+      GROUP BY e.dst
+    ),
+    {cur} AS (
+      SELECT n.node,
+             CAST((100 - {damping_pct}) * {ONE} // 100 // (SELECT n FROM nn)
+                  + COALESCE(c.got, 0) * {damping_pct} // 100 AS BIGINT) AS rank_fp
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, rank_fp FROM r{n_iter}"
+    )

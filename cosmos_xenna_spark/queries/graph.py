@@ -10,7 +10,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
-from cosmos_xenna_spark.operators.graph import pagerank_fixed, pagerank_fixed_sql
+from cosmos_xenna_spark.operators.graph import (
+    pagerank_fixed,
+    pagerank_fixed_sql,
+    pagerank_weighted_sql,
+)
 from cosmos_xenna_spark.queries import register
 
 _EDGES_SQL = """
@@ -78,3 +82,42 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmos_xenna_spark.operators.graph import triangle_count
 
     return triangle_count(_edges(spark, sf_dir))
+
+
+_WEIGHTED_EDGES_SQL = """
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2
+"""
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+@register(
+    "q_pagerank_weighted",
+    oracle=pagerank_weighted_sql(_WEIGHTED_EDGES_SQL, n_iter=3),
+    description="trade-volume-weighted fixed-point PageRank: per-edge rank "
+    "shares quantized to ppm (overflow-safe integer arithmetic, bit-exact)",
+)
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = pagerank_fixed(_weighted_edges(spark, sf_dir), n_iter=3, weight_col="w")
+    return ranks.select(F.col("node").cast("bigint").alias("node"), "rank_fp")

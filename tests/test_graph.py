@@ -88,3 +88,21 @@ class TestTriangleCount:
         a = triangle_count(df).collect()[0]["n_triangles"]
         b = triangle_count(df.repartition(7)).collect()[0]["n_triangles"]
         assert a == b > 0
+
+
+def test_weighted_pagerank_follows_weights(spark):
+    """0 sends 99% of its mass to 1 and 1% to 2: with weights, node 1
+    must out-rank node 2; unweighted they tie."""
+    e = spark.createDataFrame([(0, 1, 99), (0, 2, 1)], "src int, dst int, w int")
+    w = {r["node"]: r["rank_fp"] for r in pagerank_fixed(e, n_iter=2, weight_col="w").collect()}
+    u = {r["node"]: r["rank_fp"] for r in pagerank_fixed(e, n_iter=2).collect()}
+    assert w[1] > 1.5 * w[2]
+    assert u[1] == u[2]
+
+
+def test_weighted_pagerank_duplicate_edges_sum(spark):
+    a = spark.createDataFrame([(0, 1, 2), (0, 1, 3), (0, 2, 5)], "src int, dst int, w int")
+    b = spark.createDataFrame([(0, 1, 5), (0, 2, 5)], "src int, dst int, w int")
+    ra = sorted(map(tuple, pagerank_fixed(a, n_iter=2, weight_col="w").collect()))
+    rb = sorted(map(tuple, pagerank_fixed(b, n_iter=2, weight_col="w").collect()))
+    assert ra == rb
