@@ -110,6 +110,7 @@ DRIVER_PRIORITY: dict[str, str] = {
         "q_collocations",
         "q_triangle_count",
         "q_pagerank_weighted",
+        "q_semantic_dedup_srp",
     )
 }
 

@@ -317,19 +317,28 @@ def srp_lsh_signatures(
     are left-to-right double folds, the module's cross-engine-exact
     convention.
     """
+    return df.select(
+        F.col(id_col), srp_signature_col(vec_col, n_planes, dim).alias("signature")
+    )
+
+
+def srp_signature_col(vec_col: str, n_planes: int = 16, dim: int = 64) -> Column:
+    """The SRP signature as a column expression (row-local).
+
+    Dot products stay as HOF folds (the module's list_dot_product-
+    parity convention). A flat unrolled add-chain of element_at *
+    constant terms was tried and measured 3x SLOWER at 16x64: the
+    ~4k-node projection blows the JVM codegen method budget and
+    falls back to per-expression interpretation, which loses to the
+    HOF evaluator's tight array loop.
+    """
     if n_planes < 1 or n_planes > 62:
         raise ValueError(f"n_planes must be in [1, 62], got {n_planes}")
-    # Dot products stay as HOF folds (the module's list_dot_product-
-    # parity convention). A flat unrolled add-chain of element_at *
-    # constant terms was tried and measured 3x SLOWER at 16x64: the
-    # ~4k-node projection blows the JVM codegen method budget and
-    # falls back to per-expression interpretation, which loses to the
-    # HOF evaluator's tight array loop.
     sig = F.lit(0).cast("bigint")
     for p, plane in enumerate(srp_planes(n_planes, dim)):
         bit = (dot(F.col(vec_col), F.lit(plane)) >= 0).cast("bigint")
         sig = sig + bit * F.lit(1 << p).cast("bigint")
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return sig
 
 
 def srp_lsh_signatures_sql(
@@ -351,3 +360,31 @@ def srp_lsh_signatures_sql(
         )
     sig = " + ".join(bits)
     return f"SELECT {id_col}, CAST({sig} AS BIGINT) AS signature FROM {table}"
+
+
+def semantic_dedup_srp(
+    candidates: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Label-free semantic dedup: SRP signatures ARE the blocks.
+
+    :func:`semantic_dedup_keep` needs a cluster column to bound the
+    pair join; at 100 TB a clustering pass may not exist. SRP bucketing
+    is row-local (zero extra shuffles) and deterministic, so the block
+    structure is reproducible — and mirrorable by a SQL oracle, which
+    verifies the approximate algorithm exactly. Recall is the standard
+    single-table SRP tradeoff: only same-signature near-dups are
+    dropped (raise recall with fewer planes / multiple tables).
+    """
+    tagged = candidates.withColumn(
+        "__srp_block", srp_signature_col(vec_col, n_planes, dim)
+    )
+    return semantic_dedup_keep(
+        tagged, threshold, block_col="__srp_block", id_col=id_col,
+        vec_col=vec_col, max_block_size=max_block_size,
+    ).drop("__srp_block")

@@ -196,3 +196,32 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return srp_lsh_signatures(emb, n_planes=16, dim=64)
+
+
+@register(
+    "q_semantic_dedup_srp",
+    oracle=f"""
+    WITH sig AS ({srp_lsh_signatures_sql("embeddings", n_planes=8, dim=64)}),
+    c AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s.signature
+      FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM c a JOIN c b ON a.signature = b.signature AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+    )
+    SELECT e.vec_id
+    FROM embeddings e LEFT JOIN dups d ON d.vec_id = e.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+    description="label-free semantic dedup: SRP signatures as the near-dup "
+    "blocks (row-local bucketing, no clustering pass needed; the oracle "
+    "mirrors the signature computation, verifying the approximate algorithm "
+    "exactly)",
+)
+def q_semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.similarity import semantic_dedup_srp
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_srp(emb, threshold=0.2, n_planes=8, dim=64).select("vec_id")

@@ -79,3 +79,37 @@ def test_rejects_bad_plane_count(spark):
         srp_lsh_signatures(df, n_planes=0, dim=DIM)
     with pytest.raises(ValueError):
         srp_lsh_signatures(df, n_planes=63, dim=DIM)
+
+
+def test_semantic_dedup_srp_drops_identical_keeps_lowest(spark):
+    from cosmos_xenna_spark.operators.similarity import semantic_dedup_srp
+
+    v = [0.31, -0.73, 0.11, 0.97, -0.23, 0.41, -0.61, 0.07]
+    w = [9.0, 1.0, -3.0, 0.5, 2.0, -1.0, 4.0, -2.0]
+    rows = [(0, v), (1, list(v)), (2, [2.0 * x for x in v]), (3, w)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_srp(df, threshold=0.95, dim=DIM).collect()
+    )
+    # 1 and 2 are cosine-1.0 copies of 0 (same SRP bucket by scale
+    # invariance) -> only the lowest id survives; w is unrelated
+    assert kept == [0, 3]
+
+
+def test_semantic_dedup_srp_partitioning_invariant(spark):
+    from cosmos_xenna_spark.operators.similarity import semantic_dedup_srp
+
+    df = spark.range(0, 48).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda i: ((F.col("id") % 6) * 3 + i * 7 % 11 - 5).cast("float") / 10.0,
+        ).alias("embedding"),
+    )
+    a = sorted(r["vec_id"] for r in semantic_dedup_srp(df, 0.99, dim=DIM).collect())
+    b = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_srp(df.repartition(7), 0.99, dim=DIM).collect()
+    )
+    assert a == b and 0 < len(a) < 48
