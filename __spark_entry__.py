@@ -52,9 +52,12 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       property-test-only by design. The 18 operators ADDED during
 #       r5 (fuzzy/semantic dedup, mixture rebalance, stats, DQ +
 #       k-anonymity, bloom joins, pagerank, sharding, SRP-LSH,
-#       interpolation, incremental agg, robust scale, collocations)
-#       are promoted into the same window as they land, so the r5
-#       verdict covers them too (41 q0_ slots, window is ~50).
+#       interpolation, incremental agg, robust scale, collocations,
+#       triangles, weighted pagerank, SRP dedup, domain cap,
+#       percentile gate, heavy hitters, weighted median, MAD,
+#       transition matrix, time-window dedup) are promoted into the
+#       same window as they land (50 q0_ slots exactly = the window;
+#       q_minhash_containment waits for r6).
 DRIVER_PRIORITY: dict[str, str] = {
     name: f"q0_{name[2:]}"
     for name in (
@@ -111,6 +114,17 @@ DRIVER_PRIORITY: dict[str, str] = {
         "q_triangle_count",
         "q_pagerank_weighted",
         "q_semantic_dedup_srp",
+        # curation / event-sequence / robust-stats operators (added
+        # this round, batch 2) — 7 aliases bring the q0_ block to
+        # exactly 50 = the driver window; q_minhash_containment (also
+        # new) stays un-aliased for the r6 rotation.
+        "q_domain_cap",
+        "q_percentile_gate",
+        "q_heavy_hitters",
+        "q_weighted_median",
+        "q_mad_outliers",
+        "q_transition_matrix",
+        "q_dedup_time_window",
     )
 }
 

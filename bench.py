@@ -66,6 +66,15 @@ HEADLINE = [
     "q_interpolate_linear",
     "q_incremental_agg",
     "q_srp_lsh",
+    # r5 batch 2: curation / event-sequence / robust-stats families —
+    # the heaviest shapes (two-stage capped window, corpus word scan,
+    # per-user sequence window, LSH + containment verify)
+    "q_domain_cap",
+    "q_heavy_hitters",
+    "q_transition_matrix",
+    "q_dedup_time_window",
+    "q_weighted_median",
+    "q_minhash_containment",
 ]
 
 

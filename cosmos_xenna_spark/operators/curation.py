@@ -1,0 +1,177 @@
+"""Corpus-curation operators: per-domain capping, percentile quality
+gates, and corpus-wide heavy hitters.
+
+These are the mixture-shaping stages a web-scale pipeline runs after
+quality filtering and before tokenization (cap any one domain's share,
+drop the bottom quality percentile per language, surface vocabulary
+heavy hitters for stopword/boilerplate discovery).
+
+Scale shapes (100 TB):
+- ``domain_cap``: two windows, but the second one is bounded.  A naive
+  ``row_number() over (partition by domain)`` sorts every row of the
+  largest domain in ONE task — a mega-domain (a crawl with 10^9 pages
+  from one host) is exactly the skew case.  The pre-pass caps each
+  (domain, salt) slice to ``cap`` rows first, so the final per-domain
+  window sees at most ``salt_buckets * cap`` rows regardless of the
+  domain's true size.  Results are byte-identical to the naive window
+  (proved by the DuckDB oracle, which runs the naive form).
+- ``percentile_gate``: one tiny per-group exact-quantile aggregation
+  broadcast back onto the facts — the fact rows never shuffle, there
+  is no per-group sort at all.
+- ``heavy_hitters``: one ``groupBy(word)`` with map-side combine plus
+  a broadcast single-row total; the frequency test is exact integer
+  arithmetic (ppm), no float thresholds.
+
+Reference parity: the reference has no curation stages (its pipelines
+leave corpus shaping to user ``Stage`` code, reference
+``pipelines/v1/interfaces.py``); these follow the published C4 /
+RefinedWeb / Gopher recipes (per-host caps, percentile quality gates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.functions import md5_long63
+
+
+def domain_cap(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``key_col``, chosen deterministically
+    by a portable hash of ``id_col`` (so the sample is stable across
+    engines, partitionings, and re-runs — NOT "first seen wins", which
+    is nondeterministic in a distributed scan).
+
+    Equivalent to ``row_number() over (partition by key order by
+    md5(id), id) <= cap`` but skew-safe: a salted pre-pass caps each of
+    ``salt_buckets`` slices of a key to ``cap`` rows, so the final
+    per-key sort handles at most ``salt_buckets * cap`` rows even for a
+    domain with billions of pages.  Any row in the global per-key
+    top-``cap`` is necessarily in its salt slice's top-``cap``, so the
+    two-stage result equals the one-window result exactly.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    h = md5_long63(F.col(id_col).cast("string")).alias("__h")
+    salted = df.withColumn("__h", h).withColumn(
+        "__salt", F.pmod(F.col("__h"), F.lit(salt_buckets))
+    )
+    pre = Window.partitionBy(key_col, "__salt").orderBy("__h", id_col)
+    survivors = (
+        salted.withColumn("__rn1", F.row_number().over(pre))
+        .filter(F.col("__rn1") <= cap)
+        .drop("__rn1", "__salt")
+    )
+    final = Window.partitionBy(key_col).orderBy("__h", id_col)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(final))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn", "__h")
+    )
+
+
+def domain_cap_sql(table: str, key_col: str, id_col: str, cap: int, cols: str) -> str:
+    """DuckDB oracle: the naive single-window form of :func:`domain_cap`."""
+    h = f"CAST(CONCAT('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+    SELECT {cols} FROM (
+      SELECT {cols},
+             ROW_NUMBER() OVER (PARTITION BY {key_col}
+                                ORDER BY {h}, {id_col}) AS rn
+      FROM {table}
+    ) WHERE rn <= {cap}
+    """
+
+
+def percentile_gate(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    pct: float = 0.2,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` is at or above the per-group
+    ``pct`` exact quantile — "drop the worst 20% per language" as a
+    pure threshold filter.
+
+    The per-group threshold is one tiny exact-``percentile``
+    aggregation broadcast back onto the facts; the fact side never
+    shuffles and there is no per-group sort (the scale trap of
+    rank-based top-N% formulations).  For integer scores the
+    interpolated quantile is an exact binary fraction, so the
+    keep/drop decision is bit-identical in any engine.
+    """
+    thresholds = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({score_col}, {pct!r})").alias("__thresh")
+    )
+    return (
+        df.join(F.broadcast(thresholds), on=group_cols, how="inner")
+        .filter(F.col(score_col).cast("double") >= F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
+def percentile_gate_sql(
+    table: str, group_cols: list[str], score_col: str, pct: float, cols: str
+) -> str:
+    keys = ", ".join(group_cols)
+    return f"""
+    WITH t AS (
+      SELECT {keys}, quantile_cont({score_col}, {pct!r}) AS thresh
+      FROM {table} GROUP BY {keys}
+    )
+    SELECT {cols} FROM {table} JOIN t USING ({keys})
+    WHERE CAST({score_col} AS DOUBLE) >= thresh
+    """
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_ppm: int = 5000,
+) -> DataFrame:
+    """Words whose corpus-wide term frequency is at least ``min_ppm``
+    parts-per-million of all tokens — stopword / boilerplate discovery
+    over the whole corpus.
+
+    One ``groupBy(word)`` (map-side combine shrinks the shuffle to the
+    vocabulary size) plus a broadcast single-row total; the threshold
+    test is exact integer arithmetic (``cnt * 1e6 >= min_ppm * total``),
+    so no float comparison can flip a boundary word between engines.
+
+    Returns ``(word, n, frac)`` with ``frac`` the exact ratio as a
+    double (deterministic: one division of two exact integers).
+    """
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * F.lit(1_000_000) >= F.lit(min_ppm) * F.col("__total"))
+        .select(
+            "word",
+            "n",
+            (F.col("n").cast("double") / F.col("__total")).alias("frac"),
+        )
+    )
+
+
+def heavy_hitters_sql(table: str, text_col: str, min_ppm: int) -> str:
+    return f"""
+    WITH words AS (
+      SELECT UNNEST(string_split({text_col}, ' ')) AS word FROM {table}
+    ),
+    counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT word, n, CAST(n AS DOUBLE) / total AS frac
+    FROM counts, tot
+    WHERE n * 1000000 >= {min_ppm} * total
+    """

@@ -542,3 +542,53 @@ def ngram_jaccard_pairs(
     return scoped_persist(
         words, out.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
     )
+
+
+def containment_verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-set containment for an explicit candidate-pair list:
+    ``|A ∩ B| / min(|A|, |B|)``.
+
+    Jaccard misses subset duplication — a document wholly contained in
+    a 10x-longer one scores J ≈ 0.1 but containment = 1.0.  Running
+    this beside :func:`jaccard_verify_pairs` over the same LSH
+    candidates catches quote-expansion and boilerplate-wrapping
+    near-dups that symmetric similarity cannot.
+
+    Same scale shape as the Jaccard verifier: two equi-joins keyed by
+    doc id + one keyed by (doc, word) — O(candidate pairs x doc
+    length), never all-pairs; the exploded word set is persisted for
+    the lifetime of the returned frame (three plan branches).
+
+    Returns ``(doc_a, doc_b, n_inter, n_min, containment)`` for
+    containment >= threshold.
+    """
+    words = (
+        ensure_parallelism(docs)
+        .select("doc_id", F.explode(F.split(text_col, " ")).alias("w"))
+        .distinct()
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    wa = words.select(F.col("doc_id").alias("doc_a"), "w")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "w")
+    inter = (
+        pairs.join(wa, "doc_a")
+        .join(wb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_min", F.least("n_a", "n_b"))
+        .withColumn("containment", F.col("n_inter").cast("double") / F.col("n_min"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_min", "containment")
+    )
+    return scoped_persist(words, out)

@@ -25,7 +25,7 @@ pipeline needs for corpus QA.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -250,3 +250,121 @@ def robust_scale(
         .withColumn(out_col, scaled)
         .drop("__med", "__iqr")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "wmedian",
+) -> DataFrame:
+    """Exact weighted median of ``value_col`` per group: the smallest
+    value v with cumulative weight(<= v) >= half the total weight.
+
+    Scale shape: the frame is first compressed to one row per
+    (group, value) with an exact decimal weight sum — this aggregation
+    combines map-side, so the window that follows sorts only the
+    DISTINCT values of a group, not its rows.  For bounded-domain
+    features (quantities, ratings, bucketed scores) that is a few
+    dozen rows per group regardless of corpus size.  For continuous
+    features, bucket the value first (``histogram``) or use
+    ``robust_scale``'s interpolated percentile instead.
+
+    The half-total comparison is ``2 * cum >= total`` in exact
+    decimals — no float threshold can flip a boundary value.
+    """
+    compressed = df.groupBy(*group_cols, value_col).agg(
+        F.sum(F.col(weight_col).cast("decimal(18,2)")).alias("__w")
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    hit = (
+        compressed.withColumn("__cum", F.sum("__w").over(wcum))
+        .withColumn("__tot", F.sum("__w").over(wtot))
+        .filter(F.col("__cum") * 2 >= F.col("__tot"))
+    )
+    return hit.groupBy(*group_cols).agg(F.min(value_col).alias(out_col))
+
+
+def weighted_median_sql(
+    table: str, group_cols: list[str], value_col: str, weight_col: str, out_col: str
+) -> str:
+    keys = ", ".join(group_cols)
+    return f"""
+    WITH compressed AS (
+      SELECT {keys}, {value_col} AS v,
+             SUM(CAST({weight_col} AS DECIMAL(18,2))) AS w
+      FROM {table} GROUP BY {keys}, {value_col}
+    ),
+    cum AS (
+      SELECT {keys}, v,
+             SUM(w) OVER (PARTITION BY {keys} ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(w) OVER (PARTITION BY {keys}) AS t
+      FROM compressed
+    )
+    SELECT {keys}, MIN(v) AS {out_col} FROM cum
+    WHERE c * 2 >= t GROUP BY {keys}
+    """
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median-absolute-deviation outlier flags per group:
+    ``|v - median| > k * median(|v - median|)`` — the fully robust
+    companion to :func:`outlier_zscore` (a z-score's mean AND stddev
+    are themselves dragged by the outliers being hunted; medians are
+    not).
+
+    Two tiny per-group exact-``percentile`` aggregations, each
+    broadcast back onto the facts — the fact rows never shuffle in
+    either pass.  For integer features both medians are exact binary
+    fractions (x or x.5), so the deviations, the k*MAD products, and
+    the flags are bit-identical across engines.
+
+    Returns the input rows with ``abs_dev``, ``mad``, ``is_outlier``.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    with_dev = df.join(F.broadcast(med), on=group_cols, how="inner").withColumn(
+        "abs_dev", F.abs(F.col(value_col).cast("double") - F.col("__med"))
+    )
+    mad = with_dev.groupBy(*group_cols).agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad")
+    )
+    return (
+        with_dev.join(F.broadcast(mad), on=group_cols, how="inner")
+        .withColumn("is_outlier", F.col("abs_dev") > F.lit(k) * F.col("mad"))
+        .drop("__med")
+    )
+
+
+def mad_outliers_sql(table: str, group_cols: list[str], value_col: str, k: float, cols: str) -> str:
+    keys = ", ".join(group_cols)
+    return f"""
+    WITH med AS (
+      SELECT {keys}, quantile_cont({value_col}, 0.5) AS m
+      FROM {table} GROUP BY {keys}
+    ),
+    dev AS (
+      SELECT t.*, abs(CAST({value_col} AS DOUBLE) - m) AS abs_dev
+      FROM {table} t JOIN med USING ({keys})
+    ),
+    mad AS (
+      SELECT {keys}, quantile_cont(abs_dev, 0.5) AS mad
+      FROM dev GROUP BY {keys}
+    )
+    SELECT {cols}, abs_dev, mad.mad AS mad,
+           abs_dev > {k} * mad.mad AS is_outlier
+    FROM dev JOIN mad USING ({keys})
+    """

@@ -63,6 +63,7 @@ _MODULES = (
     "sampling",
     "subqueries",
     "quality",
+    "curation",
     "cdc",
     "retrieval",
     "stats",

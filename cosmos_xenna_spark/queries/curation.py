@@ -1,0 +1,70 @@
+"""Corpus-curation queries with DuckDB oracles: per-domain capping,
+percentile quality gates, corpus-wide heavy hitters."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.curation import (
+    domain_cap,
+    domain_cap_sql,
+    heavy_hitters,
+    heavy_hitters_sql,
+    percentile_gate,
+    percentile_gate_sql,
+)
+from cosmos_xenna_spark.queries import register
+
+_CAP = 10
+_DOC_COLS = "doc_id, lang, source, n_chars"
+
+
+@register(
+    "q_domain_cap",
+    oracle=domain_cap_sql("documents", "source", "doc_id", _CAP, _DOC_COLS),
+    description=f"deterministic per-domain cap: keep at most {_CAP} docs per "
+    "source, chosen by portable hash order — skew-safe two-stage window "
+    "(salted pre-cap bounds the final per-domain sort)",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_cap(docs, "source", "doc_id", cap=_CAP).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# 0.25 — not an arbitrary choice: quarter quantiles of integer scores
+# are exact binary fractions in ANY interpolation formula, so the
+# keep/drop boundary is bit-identical across engines (0.2 would put a
+# non-representable factor into the interpolation).
+_GATE_PCT = 0.25
+
+
+@register(
+    "q_percentile_gate",
+    oracle=percentile_gate_sql("documents", ["lang"], "n_chars", _GATE_PCT, _DOC_COLS),
+    description="quality gate: drop the bottom quartile of docs per language "
+    "by score — per-group exact quantile broadcast back, facts never shuffle "
+    "(no rank window)",
+)
+def q_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return percentile_gate(docs, ["lang"], "n_chars", pct=_GATE_PCT).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_HH_PPM = 5000
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=heavy_hitters_sql("documents", "text", _HH_PPM),
+    description="corpus-wide heavy hitters: words at >= 0.5% of all tokens "
+    "(stopword/boilerplate discovery) — map-side-combined word counts + "
+    "broadcast total; exact integer ppm threshold",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "text", min_ppm=_HH_PPM)

@@ -276,3 +276,43 @@ def q_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_dedup_keep(docs, "text", n_hashes=16, band_size=4, k=3, threshold=0.5).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "q_minhash_containment",
+    oracle=f"""
+    WITH lsh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_BUCKETS_SQL}) a JOIN ({_BUCKETS_SQL}) b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    words AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM lsh_pairs p JOIN words a ON a.doc_id = p.doc_a
+                       JOIN words b ON b.doc_id = p.doc_b AND b.w = a.w
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           least(sa.n_words, sb.n_words) AS n_min,
+           CAST(n_inter AS DOUBLE) / least(sa.n_words, sb.n_words) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / least(sa.n_words, sb.n_words) >= 0.8
+    """,
+    description="subset-duplication detection: exact word-set containment "
+    "|A∩B|/min(|A|,|B|) >= 0.8 over MinHash/LSH candidate pairs — catches "
+    "quote-expansion near-dups that symmetric Jaccard misses",
+)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.dedup import (
+        containment_verify_pairs,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
+    return containment_verify_pairs(pairs, docs, text_col="text", threshold=0.8)

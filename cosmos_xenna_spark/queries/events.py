@@ -13,6 +13,12 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.functions import dec
+from cosmos_xenna_spark.operators.eventops import (
+    dedup_time_window,
+    dedup_time_window_sql,
+    transition_matrix,
+    transition_matrix_sql,
+)
 from cosmos_xenna_spark.queries import register
 
 
@@ -276,3 +282,36 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "q_transition_matrix",
+    oracle=transition_matrix_sql("events", "user_id", "event_type", "ts", "event_id"),
+    description="first-order Markov transition matrix over each user's "
+    "time-ordered event sequence — one keyed window shuffle, tiny "
+    "(src, dst) output; probabilities are exact integer ratios",
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev, "user_id", "event_type", "ts", "event_id")
+
+
+_DEDUP_WIDTH_SECS = 600
+_EV_COLS = "event_id, user_id, event_type, ts"
+
+
+@register(
+    "q_dedup_time_window",
+    oracle=dedup_time_window_sql(
+        "events", _DEDUP_WIDTH_SECS, "user_id", "event_type", "ts", "event_id", _EV_COLS
+    ),
+    description="tumbling-window duplicate suppression: first event per "
+    "(user, type) in each 10-minute bucket — row-local bucket id, one "
+    "fine-grained keyed window (batch form of streaming dropDuplicates "
+    "with watermark)",
+)
+def q_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_time_window(
+        ev, _DEDUP_WIDTH_SECS, "user_id", "event_type", "ts", "event_id"
+    ).select("event_id", "user_id", "event_type", "ts")

@@ -13,7 +13,11 @@ from cosmos_xenna_spark.operators.stats import (
     grouped_corr_sql,
     histogram,
     histogram_sql,
+    mad_outliers,
+    mad_outliers_sql,
     outlier_zscore,
+    weighted_median,
+    weighted_median_sql,
 )
 from cosmos_xenna_spark.queries import register
 
@@ -101,3 +105,32 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return robust_scale(docs, ["lang"], "n_chars").select("doc_id", "robust_z")
+
+
+@register(
+    "q_weighted_median",
+    oracle=weighted_median_sql("lineitem", ["l_returnflag"], "l_quantity", "l_extendedprice", "wmedian"),
+    description="exact weighted median (quantity weighted by price) per "
+    "group — distinct-value compression first (map-side combine), so the "
+    "window sorts <= 50 rows per group at any corpus size",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+
+
+_MAD_K = 2.0
+
+
+@register(
+    "q_mad_outliers",
+    oracle=mad_outliers_sql("documents", ["lang"], "n_chars", _MAD_K, "doc_id, lang, n_chars"),
+    description="median-absolute-deviation outlier flags per language "
+    "(fully robust companion to z-scores) — two tiny quantile tables "
+    "broadcast back, facts never shuffle",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mad_outliers(docs, ["lang"], "n_chars", k=_MAD_K).select(
+        "doc_id", "lang", "n_chars", "abs_dev", "mad", "is_outlier"
+    )

@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.bloom import bloom_anti_join
+from cosmos_xenna_spark.operators.curation import (
+    domain_cap,
+    heavy_hitters,
+    percentile_gate,
+)
 from cosmos_xenna_spark.operators.dq import (
     Expectation,
     evaluate_expectations,
@@ -75,10 +80,18 @@ def main() -> None:
     clean = bloom_anti_join(docs, eval_set, "text")
     n1 = clean.count()
 
-    # 5. rebalance the language mixture toward uniform (deterministic
-    #    hash downsampling; tiny counts job + row-local filter)
-    balanced = mixture_rebalance(clean, strata_col="lang", key_col="doc_id")
+    # 5. mixture shaping: cap any one domain's share (skew-safe
+    #    two-stage window), drop the bottom quality quartile per
+    #    language (broadcast threshold, facts never shuffle), then
+    #    rebalance the language mixture toward uniform
+    capped = domain_cap(clean, "source", "doc_id", cap=20)
+    gated = percentile_gate(capped, ["lang"], "n_chars", pct=0.25)
+    balanced = mixture_rebalance(gated, strata_col="lang", key_col="doc_id")
     n2 = balanced.count()
+
+    # 5b. vocabulary heavy hitters — stopword/boilerplate discovery
+    hh = heavy_hitters(balanced, "text", min_ppm=20_000)
+    print(f"heavy hitters (>=2% of tokens): {hh.count()} words")
 
     # 6. assign output shards by cumulative characters (~8 KiB each)
     shards = shard_summary(balanced, "n_chars", ["doc_id"], shard_size=8192)

@@ -1,0 +1,183 @@
+"""Behavioral tests for the curation / event-sequence / robust-stats
+operators added in round 5b (oracle hash-matches live in
+test_oracle_queries.py; these pin the semantic invariants)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.functions import md5_long63
+from cosmos_xenna_spark.operators.curation import (
+    domain_cap,
+    heavy_hitters,
+    percentile_gate,
+)
+from cosmos_xenna_spark.operators.dedup import (
+    containment_verify_pairs,
+    minhash_candidate_pairs,
+)
+from cosmos_xenna_spark.operators.eventops import dedup_time_window, transition_matrix
+from cosmos_xenna_spark.operators.stats import mad_outliers, weighted_median
+
+
+def test_domain_cap_equals_naive_window(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    capped = domain_cap(docs, "source", "doc_id", cap=7, salt_buckets=4)
+    w = Window.partitionBy("source").orderBy(
+        md5_long63(F.col("doc_id").cast("string")), "doc_id"
+    )
+    naive = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 7)
+        .drop("__rn")
+    )
+    assert sorted(r.doc_id for r in capped.select("doc_id").collect()) == sorted(
+        r.doc_id for r in naive.select("doc_id").collect()
+    )
+
+
+def test_domain_cap_bounds_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    capped = domain_cap(docs, "source", "doc_id", cap=5)
+    per_key = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per_key)
+    again = domain_cap(docs.repartition(13), "source", "doc_id", cap=5)
+    assert sorted(r.doc_id for r in capped.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
+
+
+def test_percentile_gate_keeps_top_three_quarters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = percentile_gate(docs, ["lang"], "n_chars", pct=0.25)
+    # every kept score >= every group's threshold: no kept row may be
+    # strictly below a dropped row of the same group
+    joined = (
+        kept.groupBy("lang").agg(F.min("n_chars").alias("kept_min")).join(
+            docs.join(kept.select("doc_id"), "doc_id", "left_anti")
+            .groupBy("lang")
+            .agg(F.max("n_chars").alias("dropped_max")),
+            "lang",
+        )
+    )
+    for r in joined.collect():
+        assert r.kept_min >= r.dropped_max
+    # keeps at least ~75% of each group (ties can only add rows)
+    sizes = (
+        docs.groupBy("lang").count().withColumnRenamed("count", "n_all")
+        .join(kept.groupBy("lang").count().withColumnRenamed("count", "n_kept"), "lang")
+    )
+    for r in sizes.collect():
+        assert r.n_kept >= int(0.75 * r.n_all) - 1
+
+
+def test_heavy_hitters_threshold_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    hh = heavy_hitters(docs, "text", min_ppm=10_000).collect()
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in counts)
+    expected = {r.w for r in counts if r["count"] * 1_000_000 >= 10_000 * total}
+    assert {r.word for r in hh} == expected
+    for r in hh:
+        assert abs(r.frac - r.n / total) == 0.0
+
+
+def test_transition_matrix_probabilities(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    tm = transition_matrix(ev).collect()
+    # per-source probabilities sum to 1 exactly (ratios of exact ints)
+    by_src: dict[str, float] = {}
+    for r in tm:
+        by_src[r.src] = by_src.get(r.src, 0.0) + r.prob
+    for s, p in by_src.items():
+        assert abs(p - 1.0) < 1e-12, (s, p)
+    # total transitions = events - one per user with >= 1 event
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in tm) == n_events - n_users
+
+
+def test_dedup_time_window_invariants(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = dedup_time_window(ev, width_secs=3600)
+    # one survivor per (user, type, bucket); survivor is the earliest
+    bucketed = ev.withColumn(
+        "b", F.floor(F.unix_timestamp("ts") / F.lit(3600))
+    )
+    n_groups = bucketed.select("user_id", "event_type", "b").distinct().count()
+    assert out.count() == n_groups
+    firsts = bucketed.groupBy("user_id", "event_type", "b").agg(
+        F.min(F.struct("ts", "event_id")).alias("m")
+    )
+    expected = {r.m.event_id for r in firsts.collect()}
+    assert {r.event_id for r in out.collect()} == expected
+
+
+def test_weighted_median_vs_numpy(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r.l_returnflag: r.wmedian
+        for r in weighted_median(li, ["l_returnflag"], "l_quantity", "l_extendedprice").collect()
+    }
+    rows = li.select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+    for flag in got:
+        vw = sorted(
+            (r.l_quantity, round(r.l_extendedprice, 2)) for r in rows if r.l_returnflag == flag
+        )
+        tot = sum(w for _, w in vw)
+        cum = 0.0
+        for v, w in vw:
+            cum += w
+            if cum * 2 >= tot - 1e-9:
+                assert got[flag] == v
+                break
+
+
+def test_mad_outliers_vs_numpy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = mad_outliers(docs, ["lang"], "n_chars", k=2.0).collect()
+    vals: dict[str, list[int]] = {}
+    for r in docs.select("lang", "n_chars").collect():
+        vals.setdefault(r.lang, []).append(r.n_chars)
+    med = {g: float(np.median(v)) for g, v in vals.items()}
+    mad = {
+        g: float(np.median([abs(x - med[g]) for x in v])) for g, v in vals.items()
+    }
+    for r in out:
+        assert r.mad == mad[r.lang]
+        assert r.abs_dev == abs(r.n_chars - med[r.lang])
+        assert r.is_outlier == (r.abs_dev > 2.0 * r.mad)
+
+
+def test_containment_catches_subset_dup(spark):
+    # doc 1 is a strict subset of doc 0 (plus filler): containment = 1,
+    # jaccard well below; the containment verifier must flag it
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+        (1, "alpha beta gamma delta"),
+        (2, "totally different words here nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], ["doc_a", "doc_b"])
+    out = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_verify_pairs(pairs, docs, threshold=0.9).collect()
+    }
+    assert out == {(0, 1): 1.0}
+
+
+def test_containment_on_lsh_candidates_runs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
+    out = containment_verify_pairs(pairs, docs, threshold=0.8)
+    for r in out.collect():
+        assert 0.8 <= r.containment <= 1.0
+        assert r.n_inter <= r.n_min

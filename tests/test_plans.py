@@ -194,6 +194,9 @@ _BNLJ_ALLOWED = {
     "q_knn_ivf_kmeans",
     "q_bm25_topk",
     "q_tfidf",
+    # single-row broadcast total-token-count attached to the word
+    # counts (exact integer ppm threshold needs the corpus total)
+    "q_heavy_hitters",
 }
 
 
