@@ -129,3 +129,63 @@ def dedup_time_window_sql(
       FROM {table}
     ) WHERE rn = 1
     """
+
+
+def gaps_islands(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Islands of consecutive ACTIVE DAYS per entity (gaps-and-islands):
+    returns ``(entity, start_day, end_day, n_days)`` with one row per
+    maximal run of consecutive calendar days that have >= 1 event.
+
+    Classic rank-difference formulation: within an entity, consecutive
+    distinct days share ``day_number - row_number()``, so the island id
+    falls out of one keyed window over the DISTINCT (entity, day) rows
+    — the distinct collapses the input to at most days-per-entity rows
+    before the window, and both shuffles are on the fine-grained entity
+    key.  Day arithmetic is integer (days since epoch), engine-exact.
+    """
+    days = events.select(
+        F.col(entity_col).alias("entity"),
+        F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")).alias("__day"),
+    ).distinct()
+    w = Window.partitionBy("entity").orderBy("__day")
+    islands = days.withColumn(
+        "__grp", F.col("__day") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("entity", "__grp")
+        .agg(
+            F.min("__day").alias("__lo"),
+            F.max("__day").alias("__hi"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            "entity",
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("__lo").cast("int")).alias("start_day"),
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("__hi").cast("int")).alias("end_day"),
+            "n_days",
+        )
+    )
+
+
+def gaps_islands_sql(table: str, entity_col: str, ts_col: str) -> str:
+    return f"""
+    WITH days AS (
+      SELECT DISTINCT {entity_col} AS entity,
+             date_diff('day', DATE '1970-01-01', CAST({ts_col} AS DATE)) AS d
+      FROM {table}
+    ),
+    g AS (
+      SELECT entity, d,
+             d - ROW_NUMBER() OVER (PARTITION BY entity ORDER BY d) AS grp
+      FROM days
+    )
+    SELECT entity AS {entity_col},
+           DATE '1970-01-01' + CAST(MIN(d) AS INTEGER) AS start_day,
+           DATE '1970-01-01' + CAST(MAX(d) AS INTEGER) AS end_day,
+           COUNT(*) AS n_days
+    FROM g GROUP BY entity, grp
+    """

@@ -368,3 +368,117 @@ def mad_outliers_sql(table: str, group_cols: list[str], value_col: str, k: float
            abs_dev > {k} * mad.mad AS is_outlier
     FROM dev JOIN mad USING ({keys})
     """
+
+
+def quantile_bin(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    nbins: int = 4,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency (quantile) binning of ``value_col`` per group —
+    the rank-free companion to :func:`histogram` (equal-width).
+
+    The ``nbins - 1`` interior thresholds come from one tiny exact-
+    ``percentile`` aggregation broadcast back onto the facts; the bin
+    id is then ``sum(value >= t_i)`` — row-local comparisons, no rank
+    window, facts never shuffle.  With power-of-two ``nbins`` over
+    integer values every threshold is an exact binary fraction, so bin
+    boundaries are engine-exact.
+    """
+    if nbins < 2:
+        raise ValueError(f"nbins must be >= 2, got {nbins}")
+    fracs = [i / nbins for i in range(1, nbins)]
+    q = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, array({', '.join(map(repr, fracs))}))").alias("__t")
+    )
+    v = F.col(value_col).cast("double")
+    bin_expr = sum(
+        (v >= F.element_at("__t", i + 1)).cast("bigint") for i in range(nbins - 1)
+    )
+    return (
+        df.join(F.broadcast(q), on=group_cols, how="inner")
+        .withColumn(out_col, bin_expr)
+        .drop("__t")
+    )
+
+
+def quantile_bin_sql(
+    table: str, group_cols: list[str], value_col: str, nbins: int, cols: str, out_col: str = "bin"
+) -> str:
+    keys = ", ".join(group_cols)
+    fracs = [i / nbins for i in range(1, nbins)]
+    qs = ", ".join(f"quantile_cont({value_col}, {f!r}) AS t{i}" for i, f in enumerate(fracs))
+    bin_sum = " + ".join(
+        f"CAST(CAST({value_col} AS DOUBLE) >= t{i} AS BIGINT)" for i in range(nbins - 1)
+    )
+    return f"""
+    WITH q AS (SELECT {keys}, {qs} FROM {table} GROUP BY {keys})
+    SELECT {cols}, {bin_sum} AS {out_col}
+    FROM {table} JOIN q USING ({keys})
+    """
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Total-variation distance between two slices' categorical
+    distributions: ``TVD = 0.5 * sum_c |p_a(c) - p_b(c)|`` — the
+    log-free drift statistic (PSI/KL need ``log``, whose libm rounding
+    differs across engines; TVD is exact arithmetic).
+
+    Exactness: with common denominator ``tot_a * tot_b`` the summand is
+    the INTEGER ``|n_a*tot_b - n_b*tot_a|`` — summed exactly in any
+    order — and only the final single division runs in floating point.
+    A float-per-category sum would depend on partition order.
+
+    Shape: one groupBy per slice (map-side combine), a full outer join
+    of the two tiny category tables, one single-row total.  Returns
+    ``(tvd, n_a, n_b)``.
+    """
+    ca = df_a.groupBy(F.col(cat_col).alias("c")).agg(F.count(F.lit(1)).alias("n_a"))
+    cb = df_b.groupBy(F.col(cat_col).alias("c")).agg(F.count(F.lit(1)).alias("n_b"))
+    joined = ca.join(cb, "c", "full_outer").select(
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tots = joined.agg(
+        F.sum("n_a").alias("tot_a"),
+        F.sum("n_b").alias("tot_b"),
+        # |n_a * tot_b - n_b * tot_a| needs the totals, which are not
+        # known until this same aggregation — so carry the two partial
+        # integer vectors and finish below with a second tiny agg.
+        F.collect_list(F.struct("n_a", "n_b")).alias("__cats"),
+    )
+    # The category list is agg output (|categories| elements, tiny);
+    # the numerator is an exact integer fold over it.
+    num = F.aggregate(
+        "__cats",
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.abs(s["n_a"] * F.col("tot_b") - s["n_b"] * F.col("tot_a")),
+    )
+    return tots.select(
+        (num.cast("double") / (F.lit(2.0) * F.col("tot_a") * F.col("tot_b"))).alias("tvd"),
+        F.col("tot_a").alias("n_a"),
+        F.col("tot_b").alias("n_b"),
+    )
+
+
+def distribution_drift_sql(slice_a_sql: str, slice_b_sql: str, cat_col: str) -> str:
+    return f"""
+    WITH ca AS (SELECT {cat_col} AS c, COUNT(*) AS n_a FROM ({slice_a_sql}) GROUP BY 1),
+    cb AS (SELECT {cat_col} AS c, COUNT(*) AS n_b FROM ({slice_b_sql}) GROUP BY 1),
+    j AS (
+      SELECT COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb USING (c)
+    ),
+    t AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM j)
+    SELECT CAST(SUM(abs(n_a * tot_b - n_b * tot_a)) AS DOUBLE)
+             / (2.0 * tot_a * tot_b) AS tvd,
+           CAST(tot_a AS BIGINT) AS n_a, CAST(tot_b AS BIGINT) AS n_b
+    FROM j, t GROUP BY tot_a, tot_b
+    """

@@ -117,3 +117,27 @@ def deterministic_split(
         .when(bucket < train + val, "val")
         .otherwise("test"),
     )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "norm_text") -> DataFrame:
+    """Canonical text normalization for dedup/fingerprint keys:
+    lowercase, strip everything but ``[a-z0-9 ]``, collapse whitespace
+    runs, trim.
+
+    Entirely row-local regexp expressions (whole-stage codegen, no
+    shuffle at all); the patterns avoid lookarounds and character-class
+    shorthands so Java regex and RE2 agree byte-for-byte.  Normalizing
+    BEFORE hashing/shingling is what makes exact and fuzzy dedup robust
+    to case/punctuation noise — run it ahead of ``exact_dedup`` /
+    ``minhash_signatures``.
+    """
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, "  +", " ")
+    return df.withColumn(out_col, F.trim(c))
+
+
+NORMALIZE_SQL_TMPL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', ' ', 'g'),"
+    " '  +', ' ', 'g'))"
+)

@@ -15,6 +15,8 @@ from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.functions import dec
 from cosmos_xenna_spark.operators.eventops import (
     dedup_time_window,
+    gaps_islands,
+    gaps_islands_sql,
     dedup_time_window_sql,
     transition_matrix,
     transition_matrix_sql,
@@ -315,3 +317,15 @@ def q_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_time_window(
         ev, _DEDUP_WIDTH_SECS, "user_id", "event_type", "ts", "event_id"
     ).select("event_id", "user_id", "event_type", "ts")
+
+
+@register(
+    "q_gaps_islands",
+    oracle=gaps_islands_sql("events", "user_id", "ts"),
+    description="gaps-and-islands: maximal runs of consecutive active "
+    "days per user via the rank-difference trick — distinct-day "
+    "collapse first, integer day arithmetic, fine-grained keyed window",
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return gaps_islands(ev, "user_id", "ts").withColumnRenamed("entity", "user_id")

@@ -13,8 +13,12 @@ from cosmos_xenna_spark.operators.stats import (
     grouped_corr_sql,
     histogram,
     histogram_sql,
+    distribution_drift,
+    distribution_drift_sql,
     mad_outliers,
     mad_outliers_sql,
+    quantile_bin,
+    quantile_bin_sql,
     outlier_zscore,
     weighted_median,
     weighted_median_sql,
@@ -133,4 +137,38 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mad_outliers(docs, ["lang"], "n_chars", k=_MAD_K).select(
         "doc_id", "lang", "n_chars", "abs_dev", "mad", "is_outlier"
+    )
+
+
+@register(
+    "q_quantile_bin",
+    oracle=quantile_bin_sql("documents", ["lang"], "n_chars", 4, "doc_id, lang, n_chars"),
+    description="equal-frequency quartile binning per language — "
+    "broadcast exact-quantile thresholds, row-local bin ids, facts "
+    "never shuffle (no ntile window)",
+)
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_bin(docs, ["lang"], "n_chars", nbins=4).select(
+        "doc_id", "lang", "n_chars", "bin"
+    )
+
+
+_DRIFT_A = "SELECT * FROM documents WHERE doc_id % 2 = 0"
+_DRIFT_B = "SELECT * FROM documents WHERE doc_id % 2 = 1"
+
+
+@register(
+    "q_distribution_drift",
+    oracle=distribution_drift_sql(_DRIFT_A, _DRIFT_B, "lang"),
+    description="total-variation distance between two corpus slices' "
+    "language distributions — the log-free drift statistic; integer "
+    "numerator summed exactly (order-independent), one final division",
+)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return distribution_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "lang",
     )

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.text import (
+    NORMALIZE_SQL_TMPL,
+    normalize_text,
     LANG_MARKERS,
     STOPWORDS,
     TOKEN_REGEX,
@@ -172,3 +174,20 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_split(docs).groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "q_normalize_text",
+    oracle=(
+        "SELECT doc_id, "
+        + NORMALIZE_SQL_TMPL.format(col="text")
+        + " AS norm_text FROM documents"
+    ),
+    description="canonical text normalization (lowercase, strip "
+    "punctuation, collapse whitespace) — the row-local pre-pass that "
+    "makes exact/fuzzy dedup robust to case and punctuation noise; "
+    "zero shuffles, whole-stage codegen",
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return normalize_text(docs, "text").select("doc_id", "norm_text")

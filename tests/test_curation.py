@@ -181,3 +181,74 @@ def test_containment_on_lsh_candidates_runs(spark, sf_dir):
     for r in out.collect():
         assert 0.8 <= r.containment <= 1.0
         assert r.n_inter <= r.n_min
+
+
+def test_normalize_text_planted(spark):
+    from cosmos_xenna_spark.operators.text import normalize_text
+
+    rows = [
+        (0, "Hello,   WORLD!!"),
+        (1, "  a-b_c  9 "),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
+    assert got == {0: "hello world", 1: "a b c 9", 2: ""}
+
+
+def test_quantile_bin_shape(spark, sf_dir):
+    from cosmos_xenna_spark.operators.stats import quantile_bin
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quantile_bin(docs, ["lang"], "n_chars", nbins=4)
+    rows = out.select("lang", "n_chars", "bin").collect()
+    assert {r.bin for r in rows} <= {0, 1, 2, 3}
+    # bins are monotone in the value within each group
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((r.n_chars, r.bin))
+    for pairs in by_lang.values():
+        pairs.sort()
+        bins = [b for _, b in pairs]
+        assert bins == sorted(bins)
+        # equal-frequency-ish: every bin non-empty for a 4-bin split
+        assert len(set(bins)) == 4
+
+
+def test_distribution_drift_bounds(spark, sf_dir):
+    from cosmos_xenna_spark.operators.stats import distribution_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    same = distribution_drift(docs, docs, "lang").collect()[0]
+    assert same.tvd == 0.0
+    a = docs.filter(F.col("lang") == "en")
+    b = docs.filter(F.col("lang") != "en")
+    disjoint = distribution_drift(a, b, "lang").collect()[0]
+    assert disjoint.tvd == 1.0
+
+
+def test_gaps_islands_planted(spark):
+    from datetime import datetime
+
+    from cosmos_xenna_spark.operators.eventops import gaps_islands
+
+    rows = [
+        # user 1: days 1,2,3 then 6 -> two islands (3 days, 1 day)
+        (1, 1, datetime(2024, 1, 1, 5)),
+        (2, 1, datetime(2024, 1, 2, 6)),
+        (3, 1, datetime(2024, 1, 3, 7)),
+        (4, 1, datetime(2024, 1, 3, 9)),  # same-day dup collapses
+        (5, 1, datetime(2024, 1, 6, 1)),
+        # user 2: one island
+        (6, 2, datetime(2024, 2, 10, 0)),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = sorted(
+        (r.entity, str(r.start_day), str(r.end_day), r.n_days)
+        for r in gaps_islands(ev).collect()
+    )
+    assert got == [
+        (1, "2024-01-01", "2024-01-03", 3),
+        (1, "2024-01-06", "2024-01-06", 1),
+        (2, "2024-02-10", "2024-02-10", 1),
+    ]
