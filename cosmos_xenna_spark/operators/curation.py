@@ -175,3 +175,73 @@ def heavy_hitters_sql(table: str, text_col: str, min_ppm: int) -> str:
     FROM counts, tot
     WHERE n * 1000000 >= {min_ppm} * total
     """
+
+
+def heavy_hitters_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    min_ppm: int = 5000,
+    capacity_factor: int = 4,
+) -> DataFrame:
+    """:func:`heavy_hitters` with a Misra-Gries candidate pass — for
+    corpora whose VOCABULARY is too large to shuffle (web-scale
+    n-grams), yet with EXACTLY the same output.
+
+    Two phases:
+
+    1. Per-partition Misra-Gries summaries (capacity ``c = capacity_
+       factor * 10^6 / min_ppm``) over the token stream, merged by key
+       union.  The classic guarantee — per-summary undercounts total at
+       most ``n_p / c`` — means any token with global frequency
+       ``>= N / c`` survives in at least one partition, and
+       ``c > 10^6 / min_ppm`` makes the union a SUPERSET of every true
+       heavy hitter.  The union is tiny (``<= c`` per partition) and is
+       collected/broadcast; the token tail never shuffles.
+    2. Exact verification: count ONLY candidate tokens (row-local
+       broadcast-set filter before the groupBy) plus one exact total.
+       False candidates die on the exact threshold, so the result is
+       bit-identical to the one-shuffle exact operator — same oracle.
+
+    The sketch is the only Python stage (arrow-batched ``mapInPandas``,
+    a dict-based MG per batch); phase 2 is all JVM built-ins.
+    """
+    import pandas as pd  # local import: executors pickle this closure
+
+    cap = max(16, capacity_factor * (1_000_000 // max(1, min_ppm)))
+    words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+
+    def mg_summaries(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < cap:
+                    counters[w] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    candidates = [r.word for r in words.mapInPandas(mg_summaries, "word string").collect()]
+    counts = (
+        words.filter(F.col("word").isin(candidates))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = words.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * F.lit(1_000_000) >= F.lit(min_ppm) * F.col("__total"))
+        .select(
+            "word",
+            "n",
+            (F.col("n").cast("double") / F.col("__total")).alias("frac"),
+        )
+    )

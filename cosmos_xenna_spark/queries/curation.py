@@ -68,3 +68,18 @@ _HH_PPM = 5000
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return heavy_hitters(docs, "text", min_ppm=_HH_PPM)
+
+
+@register(
+    "q_heavy_hitters_sketch",
+    oracle=heavy_hitters_sql("documents", "text", _HH_PPM),
+    description="heavy hitters via per-partition Misra-Gries candidate "
+    "sketches + exact verification of candidates only — the token tail "
+    "never shuffles, yet the output is bit-identical to the exact "
+    "operator (same oracle)",
+)
+def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.curation import heavy_hitters_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters_sketch(docs, "text", min_ppm=_HH_PPM)

@@ -230,3 +230,31 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def streaming_time_window_dedup(
+    stream_df: DataFrame,
+    width: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming form of ``operators.eventops.dedup_time_window``: one
+    surviving event per (user, type, tumbling bucket).
+
+    ``dropDuplicates`` on the (key, window) tuple keeps the FIRST
+    ARRIVAL per group (arrival order, not event-time order — the batch
+    operator keeps min(ts, id); the surviving KEY SETS are identical,
+    which is what the parity test pins).  The watermark bounds the
+    dedup state: groups older than the watermark are evicted, so state
+    is O(active windows), not O(stream history).
+    """
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .withColumn("__w", F.window("ts", width))
+        .dropDuplicates(["user_id", "event_type", "__w"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("__w.start").alias("bucket_start"),
+        )
+    )

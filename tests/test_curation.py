@@ -252,3 +252,29 @@ def test_gaps_islands_planted(spark):
         (1, "2024-01-06", "2024-01-06", 1),
         (2, "2024-02-10", "2024-02-10", 1),
     ]
+
+
+def test_heavy_hitters_sketch_equals_exact(spark, sf_dir):
+    from cosmos_xenna_spark.operators.curation import heavy_hitters_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.word, r.n) for r in heavy_hitters(docs, "text", min_ppm=10_000).collect()}
+    sketch = {
+        (r.word, r.n)
+        for r in heavy_hitters_sketch(docs, "text", min_ppm=10_000).collect()
+    }
+    assert sketch == exact
+
+
+def test_heavy_hitters_sketch_skewed_planted(spark):
+    from cosmos_xenna_spark.operators.curation import heavy_hitters_sketch
+
+    # 1000 docs of unique junk words + one word at ~9% frequency:
+    # the sketch must surface exactly the planted hitter even with a
+    # tiny capacity (min_ppm=50000 -> cap ~80 << 10k vocabulary)
+    rows = [(i, f"junk{i}a junk{i}b junk{i}c junk{i}d junk{i}e") for i in range(1000)]
+    rows += [(1000 + i, "hot hot hot hot hot") for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    got = heavy_hitters_sketch(docs, "text", min_ppm=50_000).collect()
+    assert [r.word for r in got] == ["hot"]
+    assert got[0].n == 500

@@ -408,3 +408,36 @@ def test_streaming_incremental_agg_maintenance(spark, tmp_path):
     }
     # recompute: facts - deletes + inserts (both batches applied)
     assert final == {"a": (3, 37.0), "b": (1, 100.0), "d": (1, 9.0)}
+
+
+def test_time_window_dedup_groups_match_batch(spark, sf_dir, events_dir):
+    """Streaming (user, type, bucket) dedup retains exactly the same
+    group keys as the batch dedup_time_window operator — the batch/
+    stream parity for tumbling-bucket duplicate suppression."""
+    from cosmos_xenna_spark.operators.eventops import dedup_time_window
+    from cosmos_xenna_spark.streaming import streaming_time_window_dedup
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(
+        streaming_time_window_dedup(stream, "10 minutes"), "t_twdedup", "append"
+    )
+    _drain(q)
+    got_rows = spark.sql(
+        "SELECT user_id, event_type, bucket_start, count(*) AS n FROM t_twdedup GROUP BY 1,2,3"
+    ).collect()
+    # exactly one survivor per group
+    assert all(r.n == 1 for r in got_rows)
+    got = {(r.user_id, r.event_type, r.bucket_start) for r in got_rows}
+    ev = load_table(spark, sf_dir, "events")
+    batch = dedup_time_window(ev, width_secs=600)
+    want = {
+        (r.user_id, r.event_type, r.b)
+        for r in batch.select(
+            "user_id",
+            "event_type",
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / 600) * 600
+            ).alias("b"),
+        ).collect()
+    }
+    assert got == want
