@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cosmos_xenna_spark.operators.cache import scoped_persist
+
 OP_COL = "__op"
 
 
@@ -119,6 +121,11 @@ def incremental_agg_merge(
             for c in sum_cols
         ],
     )
+    # The delta is small by contract (one row per changed key) but its
+    # subplan feeds THREE branches (both split joins + the merge);
+    # persist it so the changelog reduction runs once, scoped to the
+    # result's lifetime. base_agg is deliberately NOT cached: at 100 TB
+    # two scan passes (anti + semi) beat materializing the aggregate.
     delta_keys = delta.select(*key_list)
     if broadcast:
         delta_keys = F.broadcast(delta_keys)
@@ -143,4 +150,4 @@ def incremental_agg_merge(
         )
         .filter(F.col(count_col) > 0)
     )
-    return untouched.unionByName(merged)
+    return scoped_persist(delta, untouched.unionByName(merged))

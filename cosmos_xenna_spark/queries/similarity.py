@@ -225,3 +225,25 @@ def q_semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_srp(emb, threshold=0.2, n_planes=8, dim=64).select("vec_id")
+
+
+@register(
+    "q_knn_pq",
+    oracle=None,  # PQ codebooks come from seed-dependent k-means fits —
+    # not SQL-reproducible; correctness is pinned by the ADC-exactness
+    # and post-rerank recall property tests (tests/test_pq.py).
+    description="product-quantization ANN: per-subspace codebooks (fit on "
+    "a hash-sample) -> 8-byte PQ codes -> ADC table-lookup shortlist -> "
+    "exact re-rank of candidates only — the IVF+PQ compression path for "
+    "billion-vector corpora (raw vectors touched for ~shortlist rows per "
+    "query)",
+)
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.pq import pq_encode, pq_fit, pq_topk_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < _N_QUERIES).collect()
+    queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
+    books = pq_fit(emb, m=8, k=16, sample_denom=2)
+    enc = pq_encode(emb, books)
+    return pq_topk_rerank(enc, emb, books, queries, k_top=_K, shortlist=50)

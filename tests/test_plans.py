@@ -197,6 +197,7 @@ _BNLJ_ALLOWED = {
     # single-row broadcast total-token-count attached to the word
     # counts (exact integer ppm threshold needs the corpus total)
     "q_heavy_hitters",
+    "q_heavy_hitters_sketch",
 }
 
 
@@ -266,3 +267,29 @@ def test_outlier_zscore_facts_never_shuffle(spark, sf_dir):
     df = REGISTRY["q_outlier_zscore"].builder(spark, sf_dir)
     assert count_sort_merge_joins(df) == 0
     assert count_broadcast_joins(df) >= 1
+
+
+def test_registry_plan_budgets(spark, sf_dir):
+    """Lint: no registered query may exceed the shuffle/scan budget.
+
+    The budget (8 exchanges, 8 parquet scans per plan) is set just
+    above the worst legitimate plan shapes in the registry (TPC-H Q8's
+    7-table snowflake; the 3-scan corpus-quality suites).  Its real
+    target is SUBPLAN BLOW-UP: an iterative operator that forgets to
+    checkpoint, or a frame feeding N join branches without a persist,
+    multiplies its whole subtree per branch — pagerank hit 56 scans /
+    27 shuffles this way before its localCheckpoint fix, and this test
+    is what keeps that class of regression out."""
+    from scripts.plan_audit import audit_plan
+
+    offenders = {}
+    for name, spec in load_registry().items():
+        try:
+            df = spec.builder(spark, sf_dir)
+        except Exception:
+            continue  # other tests own build failures
+        m = audit_plan(df._jdf.queryExecution().executedPlan().toString())
+        if m["shuffles"] > 8 or m["parquet_scans"] > 8:
+            offenders[name] = m
+        df = None
+    assert not offenders, f"plan budget exceeded: {offenders}"
