@@ -32,6 +32,21 @@ def read_csv(spark: SparkSession, path: str, schema: str | None = None, header: 
     return (reader.schema(schema) if schema else reader.option("inferSchema", "true")).csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning machinery as parquet
+    (both are Spark file sources with vectorized readers); kept for
+    interop with Hive-era lakes."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(df: DataFrame, path: str, partition_by: Sequence[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
     reader = spark.read
     return (reader.schema(schema) if schema else reader).json(path)

@@ -118,3 +118,23 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 1000
     assert {r["k"] for r in back.collect()} == set(range(1000))
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from cosmos_xenna_spark.plans import has_pushed_filters, scan_read_schema
+    from cosmos_xenna_spark.sources import read_orc, write_orc
+
+    li = read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    # pushdown + pruning reach the ORC scan just like parquet
+    q = read_orc(spark, path, columns=["l_orderkey", "l_quantity"]).filter(
+        F.col("l_quantity") > 25
+    )
+    assert set(scan_read_schema(q)) == {"l_orderkey", "l_quantity"}
+    assert has_pushed_filters(q)
+    assert q.count() == li.filter(F.col("l_quantity") > 25).count()
