@@ -181,3 +181,40 @@ def k_anonymity_violations(df: DataFrame, quasi_cols: list[str], k: int) -> Data
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") < k)
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """The ``top_n`` heaviest key groups with their corpus share — the
+    "will this key distribution kill my shuffle" pre-flight check run
+    before choosing a join/agg key at scale (pairs with
+    ``operators/skew.py``'s salting, which is the fix this report
+    motivates).
+
+    One ``groupBy`` with map-side combine; the top-n is a TakeOrdered
+    over the counts (never a global sort), the total a broadcast
+    single-row aggregate, and ``share`` an exact integer ratio.
+    Ordered deterministically by (n desc, keys).
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    top = counts.orderBy(F.desc("n"), *key_cols).limit(top_n)
+    return top.crossJoin(F.broadcast(total)).select(
+        *key_cols,
+        "n",
+        (F.col("n").cast("double") / F.col("__total")).alias("share"),
+    )
+
+
+def key_skew_report_sql(table: str, key_cols: list[str], top_n: int) -> str:
+    keys = ", ".join(key_cols)
+    return f"""
+    WITH counts AS (SELECT {keys}, COUNT(*) AS n FROM {table} GROUP BY {keys}),
+    t AS (SELECT SUM(n) AS total FROM counts)
+    SELECT {keys}, n, CAST(n AS DOUBLE) / total AS share
+    FROM counts, t
+    ORDER BY n DESC, {keys} LIMIT {top_n}
+    """

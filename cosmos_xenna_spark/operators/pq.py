@@ -84,13 +84,17 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every vector into ``m`` centroid codes:
-    ``(id, codes array<int>)``.  One arrow-batched numpy pass, no
-    shuffle; the codebooks travel in the task closure (KBs)."""
+    ``(id, codes array<int>[, keep_cols...])``.  One arrow-batched
+    numpy pass, no shuffle; the codebooks travel in the task closure
+    (KBs).  ``keep_cols`` pass through untouched (e.g. an IVF cell id
+    so IVF+PQ needs no join back)."""
     import numpy as np
     import pandas as pd
 
+    keep = list(keep_cols or [])
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(books)
     d_sub = books[0].shape[1]
@@ -105,10 +109,16 @@ def pq_encode(
                 # term is constant per row and drops out of the argmin
                 d2 = -2.0 * sub @ book.T + (book * book).sum(axis=1)
                 codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+            out = {id_col: pdf[id_col], "codes": list(codes)}
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return embs.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} long, codes array<bigint>"
+    keep_schema = "".join(
+        f", {c} {dict(embs.dtypes)[c]}" for c in keep
+    )
+    return embs.select(id_col, vec_col, *keep).mapInPandas(
+        encode, f"{id_col} long, codes array<bigint>{keep_schema}"
     )
 
 
@@ -234,6 +244,134 @@ def pq_topk_rerank(
     w = Window.partitionBy("query_id").orderBy("d2", id_col)
     return (
         exact.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_top)
+        .drop("__rn")
+    )
+
+
+def ivf_pq_topk(
+    embs: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k_top: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 50,
+    seed: int = 42,
+    sample_denom: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full production ANN layout: IVF coarse pruning x PQ
+    compression x exact re-rank (FAISS's IVFPQ, composed from this
+    engine's own operators).
+
+    Read path per query: nearest ``n_probe`` coarse centroids are
+    found driver-side (numpy over ``n_clusters`` vectors — trivial);
+    only the encoded rows of the probed cells are ADC-scored (the
+    (query, cluster) probe list is broadcast onto the code table); the
+    ``shortlist`` survivors are re-scored exactly against raw vectors.
+    At 100 TB the corpus-wide work is a broadcast-join + table lookups
+    over 8-byte codes for ~``n_probe / n_clusters`` of the corpus.
+
+    Returns ``(query_id, vec_id, d2)`` — exact distances, like
+    :func:`pq_topk_rerank`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from cosmos_xenna_spark.operators.clustering import kmeans_fit_assign
+
+    assigned, centroids = kmeans_fit_assign(
+        embs, n_clusters, vec_col=vec_col, out_col="__cell", seed=seed
+    )
+    books = pq_fit(
+        embs, vec_col=vec_col, id_col=id_col, m=m, k=k_codes, seed=seed,
+        sample_denom=sample_denom,
+    )
+    enc = pq_encode(assigned.select(id_col, vec_col, "__cell"), books,
+                    vec_col=vec_col, id_col=id_col, keep_cols=["__cell"])
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    probes = []
+    for qid, qv in queries:
+        d2 = ((cent - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
+        for c in np.argsort(d2, kind="stable")[:n_probe]:
+            probes.append((int(qid), int(c)))
+    spark = embs.sparkSession
+    probe_df = F.broadcast(
+        spark.createDataFrame(probes, "query_id long, __cell integer")
+    )
+    cand = enc.join(probe_df, "__cell").select("query_id", id_col, "codes")
+
+    books_np = [np.asarray(b, dtype=np.float64) for b in books]
+    d_sub = books_np[0].shape[1]
+    tables = {}
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        tables[qid] = np.stack(
+            [
+                ((books_np[s] - q[s * d_sub : (s + 1) * d_sub]) ** 2).sum(axis=1)
+                for s in range(m)
+            ]
+        )
+
+    def score(batches):
+        best: dict[int, list[tuple[float, int]]] = {}
+        rows = np.arange(m)
+        for pdf in batches:
+            for qid, grp in pdf.groupby("query_id"):
+                codes = np.stack(grp["codes"].to_numpy())
+                ids = grp[id_col].to_numpy()
+                d2 = tables[qid][rows, codes].sum(axis=1)
+                take = min(shortlist, len(d2))
+                idx = np.argpartition(d2, take - 1)[:take]
+                cand_l = best.setdefault(qid, []) + [
+                    (float(d2[i]), int(ids[i])) for i in idx
+                ]
+                cand_l.sort()
+                best[qid] = cand_l[:shortlist]
+        out = [(qid, vid, d) for qid, lst in best.items() for d, vid in lst]
+        yield pd.DataFrame(out, columns=["query_id", id_col, "approx_d2"]).astype(
+            {"query_id": "int64", id_col: "int64", "approx_d2": "float64"}
+        )
+
+    partial = cand.mapInPandas(score, f"query_id long, {id_col} long, approx_d2 double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("approx_d2", id_col)
+    short = (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= shortlist)
+        .drop("__rn")
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(qid, [float(x) for x in qv]) for qid, qv in queries],
+            "query_id long, __qv array<double>",
+        )
+    )
+    exact = (
+        short.join(qdf, "query_id")
+        .join(embs.select(id_col, vec_col), id_col)
+        .select(
+            "query_id",
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    "__qv",
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("d2", id_col)
+    return (
+        exact.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= k_top)
         .drop("__rn")
     )

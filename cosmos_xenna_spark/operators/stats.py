@@ -482,3 +482,42 @@ def distribution_drift_sql(slice_a_sql: str, slice_b_sql: str, cat_col: str) -> 
            CAST(tot_a AS BIGINT) AS n_a, CAST(tot_b AS BIGINT) AS n_b
     FROM j, t GROUP BY tot_a, tot_b
     """
+
+
+def quantile_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group distribution profile: exact min / p25 / median / p75 /
+    max in ONE aggregation pass (the wide-row companion to
+    :func:`histogram`; quarter quantiles of integer features are
+    engine-exact — see :func:`robust_scale`)."""
+    q = F.expr(f"percentile({value_col}, array(0.25, 0.5, 0.75))")
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("v_min"),
+        q.alias("__q"),
+        F.max(value_col).alias("v_max"),
+    ).select(
+        *group_cols,
+        "n",
+        "v_min",
+        F.element_at("__q", 1).alias("p25"),
+        F.element_at("__q", 2).alias("p50"),
+        F.element_at("__q", 3).alias("p75"),
+        "v_max",
+    )
+
+
+def quantile_profile_sql(table: str, group_cols: list[str], value_col: str) -> str:
+    keys = ", ".join(group_cols)
+    return f"""
+    SELECT {keys}, COUNT(*) AS n,
+           MIN({value_col}) AS v_min,
+           quantile_cont({value_col}, 0.25) AS p25,
+           quantile_cont({value_col}, 0.5) AS p50,
+           quantile_cont({value_col}, 0.75) AS p75,
+           MAX({value_col}) AS v_max
+    FROM {table} GROUP BY {keys}
+    """

@@ -13,6 +13,8 @@ from cosmos_xenna_spark.operators.dq import (
     evaluate_expectations,
     expectations_oracle_sql,
     k_anonymity_violations,
+    key_skew_report,
+    key_skew_report_sql,
 )
 from cosmos_xenna_spark.queries import register
 
@@ -59,3 +61,16 @@ def q_k_anonymity(spark, sf_dir):
         "size_band", F.expr("n_chars div 25")
     )
     return k_anonymity_violations(docs, ["lang", "source", "size_band"], _K)
+
+
+@register(
+    "q_skew_report",
+    oracle=key_skew_report_sql("events", ["user_id"], 10),
+    description="key-skew pre-flight: the 10 heaviest join/agg key "
+    "groups with exact corpus shares — TakeOrdered over map-side-"
+    "combined counts, never a global sort (pairs with operators/skew.py "
+    "salting)",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_report(ev, ["user_id"], top_n=10)

@@ -247,3 +247,23 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_fit(emb, m=8, k=16, sample_denom=2)
     enc = pq_encode(emb, books)
     return pq_topk_rerank(enc, emb, books, queries, k_top=_K, shortlist=50)
+
+
+@register(
+    "q_knn_ivf_pq",
+    oracle=None,  # coarse cells AND codebooks are seed-dependent
+    # k-means fits; pinned by the composed recall property test
+    # (tests/test_pq.py::test_ivf_pq_recall_on_planted_clusters).
+    description="FAISS-style IVFPQ composed from engine operators: "
+    "k-means coarse cells -> per-query n_probe cell pruning (broadcast "
+    "probe list) -> ADC table lookups over 8-byte codes -> exact "
+    "re-rank of the shortlist — the corpus-wide pass touches "
+    "n_probe/n_clusters of the codes and no raw vectors",
+)
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < _N_QUERIES).collect()
+    queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
+    return ivf_pq_topk(emb, queries, k_top=_K, n_clusters=8, n_probe=2, m=8, k_codes=16)

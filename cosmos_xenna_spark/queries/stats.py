@@ -19,6 +19,8 @@ from cosmos_xenna_spark.operators.stats import (
     mad_outliers_sql,
     quantile_bin,
     quantile_bin_sql,
+    quantile_profile,
+    quantile_profile_sql,
     outlier_zscore,
     weighted_median,
     weighted_median_sql,
@@ -172,3 +174,15 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 1),
         "lang",
     )
+
+
+@register(
+    "q_quantile_profile",
+    oracle=quantile_profile_sql("documents", ["lang"], "n_chars"),
+    description="per-group distribution profile (min/p25/p50/p75/max + "
+    "count) in one aggregation pass — exact quarter quantiles, "
+    "engine-exact for integer features",
+)
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_profile(docs, ["lang"], "n_chars")

@@ -198,6 +198,8 @@ _BNLJ_ALLOWED = {
     # counts (exact integer ppm threshold needs the corpus total)
     "q_heavy_hitters",
     "q_heavy_hitters_sketch",
+    # single-row broadcast total attached to the top-n key counts
+    "q_skew_report",
 }
 
 

@@ -99,3 +99,29 @@ def test_pq_sampled_fit_still_recalls(spark):
         hits += sum(1 for v in exact if (qid, v) in approx)
         total += 5
     assert hits / total >= 0.9, f"recall {hits / total}"
+
+
+def test_ivf_pq_recall_on_planted_clusters(spark):
+    """The composed IVF x PQ x re-rank pipeline must recover >= 0.9 of
+    the exact top-5 with n_probe=2 over 8 planted clusters — each
+    query's true neighbors live in its own cell, so correct coarse
+    probing + ADC shortlist + exact re-rank finds them while scanning
+    ~2/8 of the codes."""
+    from cosmos_xenna_spark.operators.pq import ivf_pq_topk
+
+    emb, raw = _planted(spark, n=400, dim=32)
+    queries = [(i, raw[i]) for i in range(15)]
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_pq_topk(
+            emb, queries, k_top=5, n_clusters=8, n_probe=2, m=8, k_codes=16
+        ).collect()
+    }
+    mat = np.stack([np.asarray(raw[i]) for i in range(400)])
+    hits = total = 0
+    for qid, qv in queries:
+        d2 = ((mat - np.asarray(qv)) ** 2).sum(axis=1)
+        exact = set(np.argsort(d2, kind="stable")[:5].tolist())
+        hits += sum(1 for v in exact if (qid, v) in approx)
+        total += 5
+    assert hits / total >= 0.9, f"recall {hits / total}"
