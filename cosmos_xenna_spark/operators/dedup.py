@@ -592,3 +592,41 @@ def containment_verify_pairs(
         .select("doc_a", "doc_b", "n_inter", "n_min", "containment")
     )
     return scoped_persist(words, out)
+
+
+def edit_distance_verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    max_dist_per_100: int = 30,
+) -> DataFrame:
+    """Character-level Levenshtein verification for an explicit
+    candidate-pair list — the ORDER-SENSITIVE companion to the word-set
+    verifiers (:func:`jaccard_verify_pairs` treats texts as bags, so a
+    scrambled plagiarism of the same words scores 1.0 there but far
+    apart here).
+
+    The threshold is length-relative and integer-exact:
+    ``100 * dist <= max_dist_per_100 * max(len_a, len_b)``.  Cost is
+    O(len_a * len_b) per CANDIDATE pair (LSH keeps that set tiny); the
+    joins are two broadcast-friendly equi-joins on doc id.  Returns
+    ``(doc_a, doc_b, dist, max_len, dist_per_100)``.
+    """
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("__tb"))
+    joined = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    dist = F.levenshtein("__ta", "__tb")
+    max_len = F.greatest(F.length("__ta"), F.length("__tb"))
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            dist.alias("dist"),
+            max_len.cast("bigint").alias("max_len"),
+        )
+        .filter(F.lit(100) * F.col("dist") <= F.lit(max_dist_per_100) * F.col("max_len"))
+        .withColumn(
+            "dist_per_100",
+            (F.lit(100.0) * F.col("dist") / F.col("max_len")),
+        )
+    )

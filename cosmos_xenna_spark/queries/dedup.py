@@ -316,3 +316,38 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
     return containment_verify_pairs(pairs, docs, text_col="text", threshold=0.8)
+
+
+@register(
+    "q_edit_distance_pairs",
+    oracle=f"""
+    WITH lsh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_BUCKETS_SQL}) a JOIN ({_BUCKETS_SQL}) b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             levenshtein(ta.text, tb.text) AS dist,
+             CAST(greatest(len(ta.text), len(tb.text)) AS BIGINT) AS max_len
+      FROM lsh_pairs p JOIN documents ta ON ta.doc_id = p.doc_a
+                       JOIN documents tb ON tb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, dist, max_len,
+           100.0 * dist / max_len AS dist_per_100
+    FROM scored WHERE 100 * dist <= 30 * max_len
+    """,
+    description="order-sensitive dedup verification: character Levenshtein "
+    "over MinHash/LSH candidate pairs with a length-relative integer "
+    "threshold — catches scrambled-word plagiarism that bag-of-words "
+    "Jaccard scores as identical",
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.dedup import (
+        edit_distance_verify_pairs,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
+    return edit_distance_verify_pairs(pairs, docs, max_dist_per_100=30)

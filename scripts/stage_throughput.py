@@ -1,0 +1,136 @@
+"""Stage-API throughput micro-benchmark vs the reference's anchors.
+
+The reference publishes exactly one stage-speed number — 0.367
+tasks/actor/s on the download stage with batch_size=10 (≈3.7 rows/s
+per worker, I/O-bound) and a 96 Hz driver main loop (reference
+``README.md:159,205-210``).  Those are orchestrator numbers, not query
+numbers, so this script measures the matching thing on the port: rows
+per second through a chain of A3 stages (setup-once, batched
+``process_data``, destroy-on-drain) on local[N].
+
+Three workloads, same 3-stage chain shape as the reference's example
+pipeline (download -> caption -> write):
+  - passthrough: no per-row work — measures pure Stage-API overhead
+    (Arrow transfer + rebatch + process-cache lookup);
+  - hash_cpu: sha256 of each row's text — a compute-proxy for decode;
+  - tokenize: split + count — a realistic light text stage.
+
+Writes THROUGHPUT.json at the repo root.  The comparison caveat is
+recorded in the artifact itself: the reference's 0.367 tasks/actor/s
+stage was NETWORK-bound (video download); the honest comparable is
+per-worker overhead ceiling, where the Arrow-batched path measures
+orders of magnitude above the reference's observed floor — i.e. the
+port's Stage machinery is never the bottleneck at the reference's own
+workload shape.
+
+Usage:  python scripts/stage_throughput.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd  # noqa: E402
+from pyspark import cloudpickle  # noqa: E402
+
+from cosmos_xenna_spark.operators.pipeline import PipelineSpec, StageSpec, run_pipeline  # noqa: E402
+from cosmos_xenna_spark.operators.stage import Stage  # noqa: E402
+from cosmos_xenna_spark.session import get_spark  # noqa: E402
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+class Passthrough(Stage):
+    batch_size = 256
+
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf
+
+
+class HashCpu(Stage):
+    batch_size = 256
+
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["digest"] = [
+            hashlib.sha256(t.encode()).hexdigest() for t in pdf["text"]
+        ]
+        return pdf
+
+
+class Tokenize(Stage):
+    batch_size = 256
+
+    def process_data(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["n_tokens"] = [len(t.split()) for t in pdf["text"]]
+        return pdf
+
+
+def run_chain(spark, df, stages, out_schema) -> float:
+    spec = PipelineSpec(stages=[StageSpec(s, out_schema) for s in stages])
+    t0 = time.perf_counter()
+    run_pipeline(df, spec).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    spark = get_spark(app_name="stage_throughput")
+    df = (
+        spark.range(n_rows)
+        .selectExpr(
+            "id",
+            "concat('document text body word content sample row ', id) AS text",
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)  # exclude generation from timing
+    )
+    # warm the python worker pool
+    run_chain(spark, df.limit(1024), [Passthrough], "id long, text string")
+
+    results = {}
+    for name, stages, schema in [
+        ("passthrough_3stage", [Passthrough, Passthrough, Passthrough], "id long, text string"),
+        ("hash_cpu", [HashCpu], "id long, text string, digest string"),
+        ("tokenize", [Tokenize], "id long, text string, n_tokens long"),
+    ]:
+        runs = []
+        for _ in range(3):
+            runs.append(run_chain(spark, df, stages, schema))
+        sec = sorted(runs)[1]
+        results[name] = {
+            "rows_per_sec": round(n_rows / sec, 1),
+            "sec": round(sec, 3),
+            "n_stage_passes": len(stages),
+        }
+
+    payload = {
+        "n_rows": n_rows,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "results": results,
+        "reference_anchor": {
+            "stage_speed_tasks_per_actor_s": 0.367,
+            "batch_size": 10,
+            "note": "reference README.md:205-210 — network-bound video "
+            "download stage on a 384-CPU Ray cluster; quoted as the only "
+            "published per-stage rate, not an apples-to-apples CPU number",
+        },
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "THROUGHPUT.json"
+    )
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps(payload["results"]))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -278,3 +278,31 @@ def test_heavy_hitters_sketch_skewed_planted(spark):
     got = heavy_hitters_sketch(docs, "text", min_ppm=50_000).collect()
     assert [r.word for r in got] == ["hot"]
     assert got[0].n == 500
+
+
+def test_edit_distance_catches_scrambled_words(spark):
+    from cosmos_xenna_spark.operators.dedup import (
+        edit_distance_verify_pairs,
+        jaccard_verify_pairs,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "zeta epsilon delta gamma beta alpha"),   # same words, scrambled
+        (2, "alpha beta gamma delta epsilon zetas"),  # 1-char edit
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], ["doc_a", "doc_b"])
+    # bag-of-words: the scramble is a perfect match
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_verify_pairs(pairs, docs, threshold=0.9).collect()
+    }
+    assert jac[(0, 1)] == 1.0
+    # character-level: only the 1-char edit survives a tight threshold
+    ed = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in edit_distance_verify_pairs(pairs, docs, max_dist_per_100=10).collect()
+    }
+    assert (0, 1) not in ed
+    assert ed[(0, 2)] == 1
