@@ -3,14 +3,18 @@ columns with typed metadata (SURVEY.md §2.B north-star additions;
 reference pipelines caption/embed such payloads via the Stage API,
 e.g. /root/reference/examples/simple_vlm_inference.py:55-61).
 
-The decode kernels (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the default decode accepts the deterministic fake format
-(``fake_image``/``fake_audio``), auto-upgrades to PIL when importable,
-and raises ``NotImplementedError`` otherwise. The kernel is a
-pluggable seam: ``set_image_decoder`` registers a replacement that
-every image operator captures at plan-build time — no operator edits
-when a deployment brings its own codec. Everything Spark-side —
-schema, batching, partition flow, UDF signatures — is real and tested.
+Decode kernels, in dispatch order: the deterministic fake formats
+(``fake_image``/``fake_audio``), then REAL decoders for the formats
+this container can handle without external libraries — uncompressed
+BMP (pure struct+numpy, :func:`decode_bmp`) and PCM WAV (stdlib
+``wave``, :func:`decode_wav`) — then PIL for compressed images when
+importable, else ``NotImplementedError`` (no libjpeg/ffmpeg here; the
+limitation is the codec, not the engine). The kernel is a pluggable
+seam: ``set_image_decoder`` registers a replacement that every image
+operator captures at plan-build time — no operator edits when a
+deployment brings its own codec. Everything Spark-side — schema,
+batching, partition flow, UDF signatures — is real and tested, and
+the BMP/WAV paths prove it with genuine byte streams.
 
 Design for 100 TB: payloads never hit the driver; feature extraction is
 ``mapInPandas`` (Arrow zero-copy for binary), frame sampling fans out
@@ -39,25 +43,67 @@ def fake_image(width: int, height: int, seed: int = 0) -> bytes:
     return _MAGIC + struct.pack("<II", width, height) + pixels
 
 
-def decode_image_stub(payload: bytes) -> tuple[int, int, bytes]:
-    """'Decode' an image payload -> (width, height, pixels).
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL image decode for uncompressed BMP (24-bit BGR or 8-bit
+    gray) using only struct + numpy — no imaging library needed.
 
-    Accepts the deterministic fake format; for anything else, tries
-    PIL if importable (grayscale-converted real decode — zero code
-    change the day the container gains it) and otherwise raises.
+    Returns (width, height, grayscale pixels row-major top-down);
+    24-bit pixels reduce by the integer ITU-R 601 luma
+    ``(299 r + 587 g + 114 b) // 1000`` (bit-deterministic).  Handles
+    the 4-byte row padding and BMP's bottom-up row order.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"only uncompressed 8/24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=pixel_offset
+    ).reshape(height, row_bytes)
+    if bottom_up:
+        raw = raw[::-1]
+    if bpp == 8:
+        gray = raw[:, :width]
+    else:
+        bgr = raw[:, : width * 3].reshape(height, width, 3).astype(np.uint32)
+        gray = (
+            (299 * bgr[:, :, 2] + 587 * bgr[:, :, 1] + 114 * bgr[:, :, 0]) // 1000
+        ).astype(np.uint8)
+    return width, height, np.ascontiguousarray(gray).tobytes()
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an image payload -> (width, height, pixels).
+
+    Dispatch: the deterministic fake format; then REAL uncompressed
+    BMP (:func:`decode_bmp` — pure struct+numpy, works in this
+    container); then PIL for compressed formats if importable
+    (grayscale-converted — zero code change the day the container
+    gains libjpeg); otherwise raises.
     """
     if payload[: len(_MAGIC)] == _MAGIC:
         w, h = struct.unpack("<II", payload[len(_MAGIC) : len(_MAGIC) + 8])
         pixels = payload[len(_MAGIC) + 8 :]
         return w, h, pixels
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     try:
         import io
 
         from PIL import Image  # type: ignore[import-not-found]
     except ImportError:
         raise NotImplementedError(
-            "real image decoding requires PIL/libjpeg — not available in "
-            "this environment; payload is not a FAKEIMG1 test image"
+            "compressed image decoding requires PIL/libjpeg — not available "
+            "in this environment; payload is not a FAKEIMG1 or BMP image"
         ) from None
     im = Image.open(io.BytesIO(payload)).convert("L")
     return im.width, im.height, im.tobytes()
@@ -181,15 +227,55 @@ def fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
     return _AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples) + pcm
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL audio decode for PCM WAV via the stdlib ``wave`` module —
+    no audio library needed.
+
+    Returns (sample_rate, n_samples, mono u8 PCM): 16-bit samples map
+    to unsigned 8-bit by ``(x >> 8) + 128`` (integer, deterministic),
+    multi-channel input averages channels in exact integers first —
+    so the downstream amplitude/energy operators see the same u8
+    contract as the fake format.
+    """
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(n)
+    if width == 1:
+        arr = np.frombuffer(frames, dtype=np.uint8).astype(np.int64)
+    elif width == 2:
+        arr = (np.frombuffer(frames, dtype="<i2").astype(np.int64) >> 8) + 128
+    else:
+        raise NotImplementedError(f"only 8/16-bit PCM WAV supported (width={width})")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).sum(axis=1) // ch
+    return sr, n, arr.astype(np.uint8).tobytes()
+
+
 def decode_audio_stub(payload: bytes) -> tuple[int, int, bytes]:
-    """'Decode' audio -> (sample_rate, n_samples, pcm bytes)."""
-    if payload[: len(_AUDIO_MAGIC)] != _AUDIO_MAGIC:
-        raise NotImplementedError(
-            "real audio decoding requires libsndfile/ffmpeg — not available "
-            "in this environment; payload is not a FAKEAUD1 test clip"
+    """Decode audio -> (sample_rate, n_samples, u8 pcm bytes).
+
+    Dispatch: the deterministic fake format; then REAL PCM WAV
+    (:func:`decode_wav` — stdlib ``wave``, works in this container);
+    compressed codecs (mp3/flac/ogg) would need libsndfile/ffmpeg and
+    raise."""
+    if payload[: len(_AUDIO_MAGIC)] == _AUDIO_MAGIC:
+        sr, n = struct.unpack(
+            "<II", payload[len(_AUDIO_MAGIC) : len(_AUDIO_MAGIC) + 8]
         )
-    sr, n = struct.unpack("<II", payload[len(_AUDIO_MAGIC) : len(_AUDIO_MAGIC) + 8])
-    return sr, n, payload[len(_AUDIO_MAGIC) + 8 :]
+        return sr, n, payload[len(_AUDIO_MAGIC) + 8 :]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "compressed audio decoding requires libsndfile/ffmpeg — not "
+        "available in this environment; payload is not a FAKEAUD1 clip "
+        "or a PCM WAV file"
+    )
 
 
 AUDIO_META_SCHEMA = (

@@ -267,3 +267,44 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = emb.filter(F.col("vec_id") < _N_QUERIES).collect()
     queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
     return ivf_pq_topk(emb, queries, k_top=_K, n_clusters=8, n_probe=2, m=8, k_codes=16)
+
+
+@register(
+    "q_label_centroids",
+    oracle="""
+    WITH dims AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(d.i AS BIGINT) AS dim,
+             CAST(FLOOR(d.x * 1000000000.0) AS BIGINT) AS v_fp
+      FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           LATERAL (SELECT UNNEST(e) AS x, generate_subscripts(e, 1) AS i) d
+    )
+    SELECT label, dim,
+           CAST(SUM(v_fp) AS DOUBLE) / (1000000000.0 * COUNT(*)) AS centroid_v,
+           COUNT(*) AS n
+    FROM dims GROUP BY label, dim
+    """,
+    description="per-label embedding centroids in long (label, dim, value) "
+    "form — dimensions quantized to exact 1e-9 fixed-point BEFORE summing "
+    "(floor(x*1e9): identical IEEE ops in any engine; a double->decimal "
+    "cast would round differently across engines, and float accumulation "
+    "is order-dependent), integer sums map-side combined; the coarse-"
+    "centroid build step for IVF/semantic-dedup as pure aggregation",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("__pos", "__x"),
+    ).select(
+        "label",
+        (F.col("__pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("__x") * F.lit(1000000000.0)).cast("bigint").alias("v_fp"),
+    )
+    return dims.groupBy("label", "dim").agg(
+        (
+            F.sum("v_fp").cast("double")
+            / (F.lit(1000000000.0) * F.count(F.lit(1)))
+        ).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n"),
+    )

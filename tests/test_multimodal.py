@@ -53,13 +53,17 @@ def test_audio_decode_roundtrip():
     assert len(pcm) == 3200
 
 
-def test_audio_decode_rejects_real_formats():
+def test_audio_decode_rejects_compressed_formats():
     import pytest
 
     from cosmos_xenna_spark.operators.multimodal import decode_audio_stub
 
+    # PCM WAV is now decoded for real (stdlib wave); compressed codecs
+    # still honestly raise
     with pytest.raises(NotImplementedError):
-        decode_audio_stub(b"RIFF....WAVEfmt ")  # real WAV header
+        decode_audio_stub(b"OggS" + b"\x00" * 32)  # ogg/vorbis header
+    with pytest.raises(NotImplementedError):
+        decode_audio_stub(b"ID3\x04" + b"\x00" * 32)  # mp3 with ID3 tag
 
 
 def test_audio_metadata_and_windows(spark, sf_dir):
@@ -147,3 +151,117 @@ def test_real_codec_decodes_when_available(spark):
     df = spark.createDataFrame([(1, buf.getvalue())], "id long, image binary")
     row = extract_image_metadata(df).collect()[0]
     assert (row.width, row.height) == (5, 4)
+
+
+def _make_bmp24(width, height, rgb_rows):
+    """Hand-pack a real 24-bit uncompressed BMP (bottom-up rows)."""
+    import struct as _struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    body = b""
+    for row in reversed(rgb_rows):  # BMP stores bottom-up
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        body += line + b"\x00" * (row_bytes - len(line))
+    pixel_offset = 14 + 40
+    size = pixel_offset + len(body)
+    header = b"BM" + _struct.pack("<IHHI", size, 0, 0, pixel_offset)
+    dib = _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + dib + body
+
+
+def test_decode_real_bmp_bytes(spark):
+    from cosmos_xenna_spark.operators.multimodal import (
+        decode_bmp,
+        extract_image_metadata,
+    )
+
+    # 3x2 image with known colors: white, black, mid-gray / r, g, b
+    rows = [
+        [(255, 255, 255), (0, 0, 0), (128, 128, 128)],
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    ]
+    payload = _make_bmp24(3, 2, rows)
+    w, h, pixels = decode_bmp(payload)
+    assert (w, h) == (3, 2)
+    grid = list(pixels)
+    # ITU-R 601 integer luma, row-major top-down
+    assert grid[:3] == [255, 0, 128]
+    assert grid[3:] == [299 * 255 // 1000, 587 * 255 // 1000, 114 * 255 // 1000]
+    # and through the Spark operator: a REAL image byte stream flows
+    # the full Arrow-batched path
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, image binary")
+    meta = extract_image_metadata(df).collect()[0]
+    assert (meta.width, meta.height, meta.n_bytes) == (3, 2, len(payload))
+
+
+def test_resize_real_bmp_through_stage(spark):
+    from cosmos_xenna_spark.operators.multimodal import (
+        extract_image_metadata,
+        resize_images,
+    )
+
+    rows = [[(x * 16, x * 16, x * 16) for x in range(8)] for _ in range(4)]
+    payload = _make_bmp24(8, 4, rows)
+    df = spark.createDataFrame([(7, bytearray(payload))], "id long, image binary")
+    resized = resize_images(df, target_w=4, target_h=2)
+    meta = extract_image_metadata(resized).collect()[0]
+    assert (meta.width, meta.height) == (4, 2)
+
+
+def test_decode_real_wav_bytes(spark):
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from cosmos_xenna_spark.operators.multimodal import (
+        audio_window_energy,
+        decode_wav,
+        extract_audio_metadata,
+    )
+
+    # 16-bit mono 8 kHz ramp
+    samples = np.arange(-1000, 1000, 10, dtype="<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    payload = buf.getvalue()
+    sr, n, pcm = decode_wav(payload)
+    assert (sr, n) == (8000, len(samples))
+    want = ((samples.astype(np.int64) >> 8) + 128).astype(np.uint8)
+    assert np.frombuffer(pcm, dtype=np.uint8).tolist() == want.tolist()
+    # full Spark path: metadata + windowed energy over real WAV bytes
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, audio binary")
+    meta = extract_audio_metadata(df).collect()[0]
+    assert (meta.sample_rate, meta.n_samples) == (8000, len(samples))
+    assert meta.peak_amp == int(want.max())
+    wins = audio_window_energy(df, window_samples=64).collect()
+    assert sum(r.n_in_win for r in wins) == len(samples)
+
+
+def test_decode_real_wav_stereo_downmix():
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from cosmos_xenna_spark.operators.multimodal import decode_wav
+
+    left = np.full(100, 1000, dtype="<i2")
+    right = np.full(100, -1000, dtype="<i2")
+    inter = np.empty(200, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(inter.tobytes())
+    sr, n, pcm = decode_wav(buf.getvalue())
+    assert (sr, n) == (16000, 100)
+    lu = (1000 >> 8) + 128
+    ru = (-1000 >> 8) + 128
+    assert np.frombuffer(pcm, dtype=np.uint8).tolist() == [(lu + ru) // 2] * 100
