@@ -21,10 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.clustering import kmeans_fit_assign
-from cosmos_xenna_spark.operators.dedup import exact_dedup, minhash_candidate_pairs
+from cosmos_xenna_spark.operators.dedup import (
+    containment_verify_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+)
 from cosmos_xenna_spark.operators.packing import pack_sequences
 from cosmos_xenna_spark.operators.similarity import ivf_topk
-from cosmos_xenna_spark.operators.text import n_tokens_col
+from cosmos_xenna_spark.operators.pq import ivf_pq_topk
+from cosmos_xenna_spark.operators.text import n_tokens_col, normalize_text
 from cosmos_xenna_spark.session import get_spark
 
 
@@ -35,13 +40,19 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1. exact dedup on content (keep lowest doc_id per text)
-    docs = exact_dedup(docs, key_cols=["text"], order_col="doc_id")
+    # 1. exact dedup on NORMALIZED content (case/punctuation-robust;
+    #    keep lowest doc_id per canonical text)
+    docs = exact_dedup(
+        normalize_text(docs), key_cols=["norm_text"], order_col="doc_id"
+    ).drop("norm_text")
     n1 = docs.count()
 
-    # 2. fuzzy dedup: drop the higher id of every LSH candidate pair
+    # 2. fuzzy dedup: LSH candidates, verified by word-set containment
+    #    (catches subset/quote-expansion dups symmetric Jaccard misses),
+    #    drop the higher id of every verified pair
     pairs = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
-    dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    verified = containment_verify_pairs(pairs, docs, threshold=0.8)
+    dupes = verified.select(F.col("doc_b").alias("doc_id")).distinct()
     docs = docs.join(dupes, "doc_id", "left_anti")
     n2 = docs.count()
 
@@ -61,6 +72,12 @@ def main() -> None:
     queries = clustered.filter(F.col("vec_id") < 5)
     nn = ivf_topk(clustered, queries, k=3, n_probe=2, cluster_col="cluster")
 
+    # 4b. the same search through the compressed IVF+PQ read path
+    #     (8-byte codes + ADC + exact re-rank — the billion-vector plan)
+    qvecs = [(r.vec_id, [float(x) for x in r.embedding]) for r in queries.collect()]
+    nn_pq = ivf_pq_topk(emb, qvecs, k_top=3, n_clusters=8, n_probe=2, m=8, k_codes=16)
+    n_pq = nn_pq.count()
+
     # 5. pack the curated corpus into fixed-length training sequences
     # (concat-and-chunk; exact distributed prefix sum, no global window)
     packed = pack_sequences(docs, seq_len=256)
@@ -68,6 +85,7 @@ def main() -> None:
 
     print(f"documents: {n0} -> exact {n1} -> fuzzy {n2} -> quality {n3}")
     print(f"packed into {n_seqs} training sequences of 256 tokens")
+    print(f"IVF+PQ returned {n_pq} re-ranked neighbors for {len(qvecs)} queries")
     print("sample neighbors:")
     for r in nn.orderBy("query_id", "rank").limit(9).collect():
         print(f"  q{r.query_id} #{r.rank}: vec {r.neighbor_id} (sim {r.sim:.4f})")

@@ -155,3 +155,100 @@ def test_pagerank_matches_python_fixed_point(spark, seed):
             got_mass[b] += rank[a] // out[a]
         rank = {v: base + got_mass[v] * 85 // 100 for v in nodes}
     assert got == rank
+
+
+@pytest.mark.parametrize("seed", [2, 13])
+def test_weighted_median_matches_pure_python(spark, seed):
+    from cosmos_xenna_spark.operators.stats import weighted_median
+
+    rng = random.Random(seed)
+    rows = [
+        (f"g{rng.randrange(4)}", rng.randrange(1, 20), rng.randrange(1, 500))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {r.g: r.wmedian for r in weighted_median(df, ["g"], "v", "w").collect()}
+    by_g: dict[str, list] = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((v, w))
+    for g, vw in by_g.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if 2 * cum >= tot:
+                assert got[g] == v
+                break
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_domain_cap_randomized_equivalence(spark, seed):
+    from cosmos_xenna_spark.functions import md5_long63
+    from cosmos_xenna_spark.operators.curation import domain_cap
+
+    rng = random.Random(seed)
+    # heavily skewed: one domain holds ~70% of rows
+    rows = [
+        (i, "mega" if rng.random() < 0.7 else f"d{rng.randrange(10)}")
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(9)
+    capped = domain_cap(df, "source", "doc_id", cap=12, salt_buckets=5)
+    import hashlib
+
+    def h63(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    by_src: dict[str, list] = {}
+    for i, s in rows:
+        by_src.setdefault(s, []).append((h63(i), i))
+    want = sorted(
+        i for s, lst in by_src.items() for _, i in sorted(lst)[:12]
+    )
+    assert sorted(r.doc_id for r in capped.collect()) == want
+
+
+@pytest.mark.parametrize("seed", [4, 19])
+def test_transition_matrix_matches_pure_python(spark, seed):
+    from datetime import datetime, timedelta
+
+    from cosmos_xenna_spark.operators.eventops import transition_matrix
+
+    rng = random.Random(seed)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, rng.randrange(12), rng.choice("abcd"), t0 + timedelta(seconds=rng.randrange(5000)))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    got = {(r.src, r.dst): r.n for r in transition_matrix(df).collect()}
+    by_user: dict[int, list] = {}
+    for eid, u, t, ts in rows:
+        by_user.setdefault(u, []).append((ts, eid, t))
+    want: dict[tuple, int] = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [6, 23])
+def test_quantile_bin_equal_frequency(spark, seed):
+    from cosmos_xenna_spark.operators.stats import quantile_bin
+
+    rng = random.Random(seed)
+    rows = [(i, f"g{i % 3}", rng.randrange(1000)) for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = quantile_bin(df, ["g"], "v", nbins=4).collect()
+    from collections import Counter
+
+    per_bin: dict[str, Counter] = {}
+    for r in out:
+        per_bin.setdefault(r.g, Counter())[r.bin] += 1
+    for g, c in per_bin.items():
+        n = sum(c.values())
+        for b in range(4):
+            # equal-frequency up to quantile ties
+            assert abs(c[b] - n / 4) <= n * 0.05, (g, dict(c))
