@@ -392,3 +392,71 @@ def collocations_lift(
         )
     )
     return scored.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2")).limit(k)
+
+
+def top_ngrams_per_group(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k word n-grams PER GROUP (per language / per domain) —
+    the grouped form of :func:`top_ngrams`, for comparing boilerplate
+    profiles across corpus slices.
+
+    Counts aggregate map-side on (group, ngram); the rank window then
+    runs over the COMPRESSED count rows (vocabulary-bounded per group,
+    not corpus-sized), ordered (count desc, ngram) so ties — and the
+    result — are deterministic.  Returns (group, ngram, n_occurrences,
+    rnk).
+    """
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(
+        F.col(group_col).alias("grp"), F.split(F.col(text_col), " ").alias("__ws")
+    )
+    grams = base.select(
+        "grp",
+        F.explode(
+            F.when(
+                F.size("__ws") >= n,
+                F.expr(
+                    f"transform(sequence(1, size(__ws) - {n - 1}),"
+                    f" i -> array_join(slice(__ws, i, {n}), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram"),
+    )
+    counts = grams.groupBy("grp", "ngram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.partitionBy("grp").orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("grp").alias(group_col), "ngram", "n_occurrences", "rnk")
+    )
+
+
+def top_ngrams_per_group_sql(
+    table: str, group_col: str, text_col: str, n: int, k: int
+) -> str:
+    joins = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"""
+    WITH ws AS (
+      SELECT {group_col} AS grp, string_split({text_col}, ' ') AS w FROM {table}
+    ),
+    grams AS (
+      SELECT grp, {joins} AS ngram
+      FROM ws, LATERAL (SELECT UNNEST(range(1, len(w) - {n - 1} + 1)) AS i) g
+      WHERE len(w) >= {n}
+    ),
+    counts AS (
+      SELECT grp, ngram, COUNT(*) AS n_occurrences FROM grams GROUP BY grp, ngram
+    )
+    SELECT grp AS {group_col}, ngram, n_occurrences, rnk FROM (
+      SELECT grp, ngram, n_occurrences,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY n_occurrences DESC, ngram) AS rnk
+      FROM counts
+    ) WHERE rnk <= {k}
+    """

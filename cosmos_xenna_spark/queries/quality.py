@@ -24,6 +24,8 @@ from cosmos_xenna_spark.operators.quality import (
     redact_pii,
     repetition_signals,
     top_ngrams,
+    top_ngrams_per_group,
+    top_ngrams_per_group_sql,
 )
 from cosmos_xenna_spark.operators.text import STOPWORDS
 from cosmos_xenna_spark.queries import register
@@ -291,3 +293,15 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmos_xenna_spark.operators.quality import collocations_lift
 
     return collocations_lift(load_table(spark, sf_dir, "documents"), k=20, min_count=5)
+
+
+@register(
+    "q_top_ngrams_per_lang",
+    oracle=top_ngrams_per_group_sql("documents", "lang", "text", 2, 10),
+    description="top-10 bigrams per language — grouped boilerplate "
+    "profiling; rank window runs over map-side-combined counts "
+    "(vocabulary-bounded), never corpus rows",
+)
+def q_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams_per_group(docs, "lang", "text", n=2, k=10)
