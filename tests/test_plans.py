@@ -295,3 +295,30 @@ def test_registry_plan_budgets(spark, sf_dir):
             offenders[name] = m
         df = None
     assert not offenders, f"plan budget exceeded: {offenders}"
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """SURVEY §2.B declares the hint surface (/*+ SHUFFLE_HASH */,
+    MERGE, BROADCAST): each hint must flip the physical join strategy."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cases = {
+        "shuffle_hash": "ShuffledHashJoin",
+        "merge": "SortMergeJoin",
+        "broadcast": "BroadcastHashJoin",
+    }
+    for hint, node in cases.items():
+        df = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        plan = physical_plan(df)
+        assert node in plan, f"hint {hint!r} did not produce {node}: plan lacks it"
+
+
+def test_schema_of_json_utility(spark):
+    """schema_of_json (SURVEY §2.B JSON surface) — driver-side schema
+    inference for building typed from_json readers."""
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        F.schema_of_json(F.lit('{"k": 1, "s": "x"}')).alias("ddl")
+    ).collect()[0]
+    assert "k" in row.ddl and "BIGINT" in row.ddl.upper()
