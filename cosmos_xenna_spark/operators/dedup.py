@@ -362,15 +362,23 @@ def fuzzy_dedup_keep(
     k: int = 3,
     threshold: float = 0.5,
     max_iter: int = 25,
+    survivor_score_col: str | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup, returning the KEPT subset of ``docs``.
 
     The full production chain in one call: MinHash signatures -> LSH
     band buckets -> bucket-local candidate pairs -> exact word-set
     Jaccard verification (>= ``threshold``) -> transitive duplicate
-    clusters -> keep exactly the minimum doc_id of every cluster (docs
-    in no verified pair are kept unconditionally). All original columns
-    survive.
+    clusters -> one survivor per cluster (docs in no verified pair are
+    kept unconditionally). All original columns survive.
+
+    Survivor policy: minimum doc_id by default; with
+    ``survivor_score_col`` the cluster member with the HIGHEST score
+    survives (ties -> min doc_id) — "keep the longest/cleanest copy",
+    the policy real curation pipelines usually want over keep-first.
+    The ranking window runs over the cluster-membership table only
+    (docs that are in some duplicate cluster), keyed by cluster id —
+    never the corpus.
 
     Scale shape: every stage is the already-scale-safe operator it
     composes (one shingle shuffle, bucket-local pair explode, O(log
@@ -388,7 +396,20 @@ def fuzzy_dedup_keep(
         verified.select("doc_a", "doc_b"), max_iter=max_iter
     )
     del verified  # edges are checkpointed; scratch no longer needed
-    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    if survivor_score_col is None:
+        dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    else:
+        scored = clusters.join(
+            docs.select("doc_id", survivor_score_col), "doc_id"
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc(survivor_score_col), F.asc("doc_id")
+        )
+        dropped = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select("doc_id")
+        )
     return docs.join(dropped, "doc_id", "left_anti")
 
 

