@@ -521,3 +521,93 @@ def quantile_profile_sql(table: str, group_cols: list[str], value_col: str) -> s
            MAX({value_col}) AS v_max
     FROM {table} GROUP BY {keys}
     """
+
+
+def ks_two_sample(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic:
+    ``D = max_v |ECDF_a(v) - ECDF_b(v)|`` — the distribution-shift test
+    for NUMERIC features (the companion to :func:`distribution_drift`'s
+    TVD over categories).
+
+    Exactness: both ECDFs are step functions that only change at
+    observed values, so D is attained at one of the distinct values;
+    with common denominator ``n_a * n_b`` the comparison value is the
+    INTEGER ``|cum_a * n_b - cum_b * n_a|`` — windows and maxes over
+    exact integers, one final division.
+
+    Scale shape: each slice compresses to (group, value) counts first
+    (map-side combine), the cumulative window runs over DISTINCT values
+    per group (domain-bounded, never slice rows), and the group key
+    partitions the window — no global window.  Returns
+    ``(group..., ks_d, n_a, n_b)``.
+    """
+    ca = df_a.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("n_a"))
+    cb = df_b.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("n_b"))
+    merged = ca.join(cb, [*group_cols, value_col], "full_outer").select(
+        *group_cols,
+        value_col,
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    stepped = merged.select(
+        *group_cols,
+        F.sum("n_a").over(wcum).alias("cum_a"),
+        F.sum("n_b").over(wcum).alias("cum_b"),
+        F.sum("n_a").over(wtot).alias("tot_a"),
+        F.sum("n_b").over(wtot).alias("tot_b"),
+    )
+    return stepped.groupBy(*group_cols).agg(
+        (
+            F.max(F.abs(F.col("cum_a") * F.col("tot_b") - F.col("cum_b") * F.col("tot_a")))
+            .cast("double")
+            / (F.max("tot_a") * F.max("tot_b"))
+        ).alias("ks_d"),
+        F.max("tot_a").alias("n_a"),
+        F.max("tot_b").alias("n_b"),
+    )
+
+
+def ks_two_sample_sql(
+    slice_a_sql: str, slice_b_sql: str, group_cols: list[str], value_col: str
+) -> str:
+    keys = ", ".join(group_cols)
+    return f"""
+    WITH ca AS (
+      SELECT {keys}, {value_col} AS v, COUNT(*) AS n_a
+      FROM ({slice_a_sql}) GROUP BY {keys}, {value_col}
+    ),
+    cb AS (
+      SELECT {keys}, {value_col} AS v, COUNT(*) AS n_b
+      FROM ({slice_b_sql}) GROUP BY {keys}, {value_col}
+    ),
+    merged AS (
+      SELECT {keys}, v, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb USING ({keys}, v)
+    ),
+    stepped AS (
+      SELECT {keys},
+             SUM(n_a) OVER (PARTITION BY {keys} ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(n_b) OVER (PARTITION BY {keys} ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum_b,
+             SUM(n_a) OVER (PARTITION BY {keys}) AS tot_a,
+             SUM(n_b) OVER (PARTITION BY {keys}) AS tot_b
+      FROM merged
+    )
+    SELECT {keys},
+           CAST(MAX(abs(cum_a * tot_b - cum_b * tot_a)) AS DOUBLE)
+             / (MAX(tot_a) * MAX(tot_b)) AS ks_d,
+           MAX(tot_a) AS n_a, MAX(tot_b) AS n_b
+    FROM stepped GROUP BY {keys}
+    """

@@ -13,6 +13,8 @@ from cosmos_xenna_spark.operators.stats import (
     grouped_corr_sql,
     histogram,
     histogram_sql,
+    ks_two_sample,
+    ks_two_sample_sql,
     distribution_drift,
     distribution_drift_sql,
     mad_outliers,
@@ -186,3 +188,21 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return quantile_profile(docs, ["lang"], "n_chars")
+
+
+@register(
+    "q_ks_test",
+    oracle=ks_two_sample_sql(_DRIFT_A, _DRIFT_B, ["lang"], "n_chars"),
+    description="per-language two-sample Kolmogorov-Smirnov statistic "
+    "between corpus slices — numeric distribution-shift test; exact "
+    "integer ECDF comparison over distinct-value-compressed counts, "
+    "group-keyed windows only",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_two_sample(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        ["lang"],
+        "n_chars",
+    )

@@ -62,16 +62,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_sql() -> str:
-    # Same argmax-with-lang-code-tiebreak as operators.text.langid_col:
-    # fold over languages in sorted order, strict > keeps the earlier.
-    expr = "CAST(NULL AS VARCHAR)"
+def _langid_expr_sql() -> str:
+    """The DuckDB argmax-with-lang-code-tiebreak expression mirroring
+    operators.text.langid_col (fold over languages in sorted order,
+    strict > keeps the earlier)."""
     score_of = {
         lang: f"len(list_filter(string_split(text, ' '), w -> w IN ({', '.join(map(repr, ms))})))"
         for lang, ms in LANG_MARKERS.items()
     }
     langs = sorted(LANG_MARKERS)
-    # build nested CASE picking argmax in sorted order with strict >
     best_score = score_of[langs[0]]
     best_lang = f"'{langs[0]}'"
     for lang in langs[1:]:
@@ -81,6 +80,11 @@ def _langid_sql() -> str:
             f"CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END"
         )
         best_lang, best_score = new_best_lang, new_best_score
+    return best_lang
+
+
+def _langid_sql() -> str:
+    best_lang = _langid_expr_sql()
     return f"""
     SELECT doc_id, lang AS labeled_lang, {best_lang} AS guessed_lang,
            CAST(lang = {best_lang} AS BOOLEAN) AS agree
@@ -191,3 +195,24 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return normalize_text(docs, "text").select("doc_id", "norm_text")
+
+
+@register(
+    "q_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang, {_langid_expr_sql()} AS predicted FROM documents
+    )
+    SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY lang, predicted
+    """,
+    description="language-ID confusion matrix: labeled lang vs the n-gram "
+    "heuristic's prediction — classifier-eval aggregation, one scan + one "
+    "tiny groupBy",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", langid_col().alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

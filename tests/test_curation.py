@@ -306,3 +306,39 @@ def test_edit_distance_catches_scrambled_words(spark):
     }
     assert (0, 1) not in ed
     assert ed[(0, 2)] == 1
+
+
+def test_ks_two_sample_bounds_and_identity(spark, sf_dir):
+    from cosmos_xenna_spark.operators.stats import ks_two_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    same = ks_two_sample(docs, docs, ["lang"], "n_chars").collect()
+    assert all(r.ks_d == 0.0 for r in same)
+    # disjoint supports -> D = 1
+    lo = docs.filter(F.col("n_chars") < 200)
+    hi = docs.filter(F.col("n_chars") >= 200)
+    out = ks_two_sample(
+        lo.withColumn("g", F.lit(1)), hi.withColumn("g", F.lit(1)), ["g"], "n_chars"
+    ).collect()[0]
+    assert out.ks_d == 1.0
+
+
+def test_ks_matches_scipy_style_numpy(spark, sf_dir):
+    import numpy as np
+
+    from cosmos_xenna_spark.operators.stats import ks_two_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = [r.n_chars for r in docs.filter(F.col("doc_id") % 2 == 0).select("n_chars").collect()]
+    b = [r.n_chars for r in docs.filter(F.col("doc_id") % 2 == 1).select("n_chars").collect()]
+    got = ks_two_sample(
+        docs.filter(F.col("doc_id") % 2 == 0).withColumn("g", F.lit(1)),
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn("g", F.lit(1)),
+        ["g"],
+        "n_chars",
+    ).collect()[0].ks_d
+    vals = np.unique(np.concatenate([a, b]))
+    ecdf_a = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+    ecdf_b = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+    want = float(np.abs(ecdf_a - ecdf_b).max())
+    assert abs(got - want) < 1e-12
