@@ -56,8 +56,15 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       triangles, weighted pagerank, SRP dedup, domain cap,
 #       percentile gate, heavy hitters, weighted median, MAD,
 #       transition matrix, time-window dedup) are promoted into the
-#       same window as they land (50 q0_ slots exactly = the window;
-#       q_minhash_containment waits for r6).
+#       same window as they land (50 q0_ slots exactly = the window).
+#   r6 rotation candidates (added later in r5, never driver-verified,
+#       window was full): q_minhash_containment, q_edit_distance_pairs,
+#       q_fuzzy_dedup_keep_best, q_heavy_hitters_sketch,
+#       q_normalize_text, q_quantile_bin, q_quantile_profile,
+#       q_distribution_drift, q_ks_test, q_gaps_islands,
+#       q_skew_report, q_label_centroids, q_window_first_last,
+#       q_top_ngrams_per_lang, q_langid_confusion (all locally
+#       oracle-green at sf0.001 AND sf0.01).
 DRIVER_PRIORITY: dict[str, str] = {
     name: f"q0_{name[2:]}"
     for name in (

