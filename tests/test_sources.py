@@ -138,3 +138,36 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert set(scan_read_schema(q)) == {"l_orderkey", "l_quantity"}
     assert has_pushed_filters(q)
     assert q.count() == li.filter(F.col("l_quantity") > 25).count()
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema-on-read evolution: parquet files written with different
+    (compatible) schemas union under mergeSchema — the lake pattern for
+    adding columns mid-corpus without rewriting history."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(p + "/v1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.parquet(p + "/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p + "/v1", p + "/v2")
+    assert set(merged.columns) == {"id", "s", "score"}
+    rows = {r.id: (r.s, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_percentile_approx_error_contract(spark, sf_dir):
+    """percentile_approx's rank error is bounded by 1/accuracy — the
+    contract that justifies using the sketch at 100 TB where exact
+    percentile's full sort-by-group is unaffordable."""
+    li = read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    exact, approx = li.selectExpr(
+        "percentile(l_extendedprice, 0.5) AS e",
+        "percentile_approx(l_extendedprice, 0.5, 100) AS a",
+    ).collect()[0]
+    vals = sorted(r.l_extendedprice for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    import bisect
+
+    rank_a = bisect.bisect_left(vals, approx)
+    rank_e = n * 0.5
+    assert abs(rank_a - rank_e) <= n / 100 + 1, (rank_a, rank_e, n)
