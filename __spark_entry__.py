@@ -30,110 +30,97 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 # bench, COVERAGE.md) are unchanged; this is a driver-surface alias
 # only.
 #
-# ROTATION LEDGER (which round hard-verified what):
+# ROTATION LEDGER (which round hard-verified what; one entry/round):
 #   r1: TPC-H q1-q22(partial), basic joins (inner/left/full/anti/
-#       cross/range-bucketed), intersect/intersect_all, having_filter
+#       cross/range-bucketed), intersect/intersect_all, having_filter.
 #   r2: q0_array_funcs, q0_collect_list_set, q0_decontaminate,
 #       q0_dedup_clusters (the only 4 aliases whose ORIGINAL names
-#       sorted into the window before the r4 sort fix)
-#   r3: identical window to r2 (no commits that round)
-#   r4 (this window): the 46 never-landed r2 promotions + 4 swapped-in
-#       slots from the verified aliases above: q_bm25_topk,
-#       q_pack_sequences (new retrieval/packing family), q_line_dedup,
-#       q_top_ngrams (quality family completion).
+#       sorted into the window before the r4 sort fix).
+#   r3: identical window to r2 (no commits that round).
 #   r4: the 46 never-landed r2 promotions + 4 swapped-in slots
 #       (q_bm25_topk, q_pack_sequences, q_line_dedup, q_top_ngrams) —
 #       CORRECTNESS_r04 49/50 green (the 50th, q_knn_ivf_kmeans, is
 #       no_oracle by design and permanently retired from the window).
-#   r5 (this window): every r4-verified alias retired; the 23
-#       remaining never-driver-verified queries promoted — after this
-#       round every pre-r5 oracle-able registry query (131/132) has
-#       had a hard driver verdict; q_knn_ivf_kmeans stays
-#       property-test-only by design. The 18 operators ADDED during
-#       r5 (fuzzy/semantic dedup, mixture rebalance, stats, DQ +
-#       k-anonymity, bloom joins, pagerank, sharding, SRP-LSH,
-#       interpolation, incremental agg, robust scale, collocations,
-#       triangles, weighted pagerank, SRP dedup, domain cap,
-#       percentile gate, heavy hitters, weighted median, MAD,
-#       transition matrix, time-window dedup) are promoted into the
-#       same window as they land (50 q0_ slots exactly = the window).
-#   r6 rotation candidates (added later in r5, never driver-verified,
-#       window was full): q_minhash_containment, q_edit_distance_pairs,
-#       q_fuzzy_dedup_keep_best, q_heavy_hitters_sketch,
-#       q_normalize_text, q_quantile_bin, q_quantile_profile,
-#       q_distribution_drift, q_ks_test, q_gaps_islands,
-#       q_skew_report, q_label_centroids, q_window_first_last,
-#       q_top_ngrams_per_lang, q_langid_confusion (all locally
-#       oracle-green at sf0.001 AND sf0.01).
-DRIVER_PRIORITY: dict[str, str] = {
-    name: f"q0_{name[2:]}"
-    for name in (
-        # joins / set ops / subqueries (relational completion)
-        "q_join_right",
-        "q_join_semi",
-        "q_subquery_exists",
-        "q_subquery_in",
-        "q_subquery_scalar",
-        "q_union_by_name",
-        "q_union_distinct",
-        # window frames
-        "q_window_range_frame",
-        "q_window_running",
-        # event-time windows
-        "q_session_window",
-        "q_sliding_window",
-        # sampling family
-        "q_sample_deterministic",
-        "q_sample_fixed_size",
-        "q_sample_holdout",
-        "q_sample_split_weighted",
-        # skew
-        "q_salted_agg",
-        # retrieval / packing
-        "q_tfidf",
-        "q_inverted_index",
-        "q_chunk_text",
-        # multimodal fan-out
-        "q_multimodal_frame_sample",
-        "q_multimodal_audio_windows",
-        # scalar / quality leftovers
-        "q_predicates_json_extra",
-        "q_repetition_signals",
-        # new end-to-end pipeline operators (added this round)
-        "q_fuzzy_dedup_keep",
-        "q_semantic_dedup_keep",
-        "q_mixture_rebalance",
-        # new stats / DQ / bloom / graph operators (added this round)
-        "q_histogram",
-        "q_corr_covar",
-        "q_outlier_zscore",
-        "q_dq_expectations",
-        "q_bloom_semi_join",
-        "q_bloom_decontaminate",
-        "q_pagerank",
-        "q_shard_assign",
-        "q_srp_lsh",
-        "q_k_anonymity",
-        "q_interpolate_linear",
-        "q_incremental_agg",
-        "q_robust_scale",
-        "q_collocations",
-        "q_triangle_count",
-        "q_pagerank_weighted",
-        "q_semantic_dedup_srp",
-        # curation / event-sequence / robust-stats operators (added
-        # this round, batch 2) — 7 aliases bring the q0_ block to
-        # exactly 50 = the driver window; q_minhash_containment (also
-        # new) stays un-aliased for the r6 rotation.
-        "q_domain_cap",
-        "q_percentile_gate",
-        "q_heavy_hitters",
-        "q_weighted_median",
-        "q_mad_outliers",
-        "q_transition_matrix",
-        "q_dedup_time_window",
-    )
+#   r5: every r4-verified alias retired; the 23 remaining
+#       never-driver-verified queries + 27 operators added during r5
+#       promoted. CORRECTNESS_r05 50/50 green. Cumulative after r5:
+#       158/177 registry queries driver-verified.
+#   r6 (this window): the 16 late-r5 queries that never had a driver
+#       row (minhash containment, edit-distance pairs, keep-best
+#       fuzzy dedup, MG sketch, normalize, quantile bin/profile,
+#       drift, KS test, gaps-islands, skew report, label centroids,
+#       first/last value, per-lang ngrams, langid confusion, CDC
+#       backfill) — after this round every oracle-able registry query
+#       (174/174) has a hard driver verdict. The spare 34 slots
+#       re-verify the OLDEST green rows on current code: all 22 TPC-H
+#       shapes (r1/r2-era) + 7 core joins + 5 set ops. Operators added
+#       during r6 queue for the r7 rotation.
+_R6_PROMOTIONS = (
+    # never driver-verified (late-r5 additions) — the 16 promotions
+    "q_minhash_containment",
+    "q_edit_distance_pairs",
+    "q_fuzzy_dedup_keep_best",
+    "q_heavy_hitters_sketch",
+    "q_normalize_text",
+    "q_quantile_bin",
+    "q_quantile_profile",
+    "q_distribution_drift",
+    "q_ks_test",
+    "q_gaps_islands",
+    "q_skew_report",
+    "q_label_centroids",
+    "q_window_first_last",
+    "q_top_ngrams_per_lang",
+    "q_langid_confusion",
+    "q_merge_upsert_backfill",
+    # re-verification of the oldest r1/r2-era rows — core joins
+    "q_join_inner",
+    "q_join_left",
+    "q_join_full_outer",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_join_range_bucketed",
+    # re-verification — set ops
+    "q_intersect",
+    "q_intersect_all",
+    "q_except",
+    "q_except_all",
+    "q_union_all",
+)
+
+# TPC-H re-verification aliases: zero-padded so q0_tpch01..q0_tpch22
+# sort numerically inside the q0_ block.
+_R6_TPCH = {
+    "q1_pricing_summary": "q0_tpch01_pricing_summary",
+    "q2_min_cost_supplier": "q0_tpch02_min_cost_supplier",
+    "q3_shipping_priority": "q0_tpch03_shipping_priority",
+    "q4_order_priority": "q0_tpch04_order_priority",
+    "q5_region_revenue": "q0_tpch05_region_revenue",
+    "q6_forecast_revenue": "q0_tpch06_forecast_revenue",
+    "q7_volume_shipping": "q0_tpch07_volume_shipping",
+    "q8_market_share": "q0_tpch08_market_share",
+    "q9_product_type_profit": "q0_tpch09_product_type_profit",
+    "q10_returned_items": "q0_tpch10_returned_items",
+    "q11_important_parts": "q0_tpch11_important_parts",
+    "q12_shipmode_priority": "q0_tpch12_shipmode_priority",
+    "q13_customer_distribution": "q0_tpch13_customer_distribution",
+    "q14_promo_revenue": "q0_tpch14_promo_revenue",
+    "q15_top_supplier": "q0_tpch15_top_supplier",
+    "q16_supplier_part_count": "q0_tpch16_supplier_part_count",
+    "q17_small_quantity_revenue": "q0_tpch17_small_quantity_revenue",
+    "q18_large_orders": "q0_tpch18_large_orders",
+    "q19_disjunctive_revenue": "q0_tpch19_disjunctive_revenue",
+    "q20_excess_suppliers": "q0_tpch20_excess_suppliers",
+    "q21_waiting_suppliers": "q0_tpch21_waiting_suppliers",
+    "q22_dormant_customers": "q0_tpch22_dormant_customers",
 }
+
+DRIVER_PRIORITY: dict[str, str] = {
+    **{name: f"q0_{name[2:]}" for name in _R6_PROMOTIONS},
+    **_R6_TPCH,
+}
+assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 
 def _surface_name(name: str) -> str:

@@ -66,8 +66,27 @@ def scoped_persist(
         except Exception:  # noqa: BLE001 — gateway may be gone at shutdown
             pass
 
-    weakref.finalize(result, _release)
+    fin = weakref.finalize(result, _release)
+    result.__dict__.setdefault("_scoped_releases", []).append((fin, _release))
     return result
+
+
+def rescope(src: DataFrame, derived: DataFrame) -> DataFrame:
+    """Move ``src``'s scoped-persist release hooks onto ``derived``.
+
+    A caller that derives a new frame from a :func:`scoped_persist`
+    result and drops the original handle at build time would otherwise
+    fire the release before any action runs — the persist evaporates
+    exactly when the derived plan still needs it.  ``rescope`` detaches
+    the finalizers from ``src`` and re-anchors them to ``derived``, so
+    the scratch caches live as long as the frame that will actually be
+    executed.  Returns ``derived`` for tail-position use.
+    """
+    for fin, release in src.__dict__.pop("_scoped_releases", []):
+        fin.detach()
+        new_fin = weakref.finalize(derived, release)
+        derived.__dict__.setdefault("_scoped_releases", []).append((new_fin, release))
+    return derived
 
 
 def _checkpoint_rdd(df: DataFrame):

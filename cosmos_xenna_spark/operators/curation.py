@@ -195,10 +195,13 @@ def heavy_hitters_sketch(
        most ``n_p / c`` — means any token with global frequency
        ``>= N / c`` survives in at least one partition, and
        ``c > 10^6 / min_ppm`` makes the union a SUPERSET of every true
-       heavy hitter.  The union is tiny (``<= c`` per partition) and is
-       collected/broadcast; the token tail never shuffles.
-    2. Exact verification: count ONLY candidate tokens (row-local
-       broadcast-set filter before the groupBy) plus one exact total.
+       heavy hitter.  The union is tiny (``<= c`` per partition,
+       deduped across partitions) and stays a broadcast DataFrame —
+       never a driver-side literal list, so the plan size is bounded
+       even with thousands of partitions; the token tail never
+       shuffles.
+    2. Exact verification: count ONLY candidate tokens (broadcast
+       LEFT SEMI join before the groupBy) plus one exact total.
        False candidates die on the exact threshold, so the result is
        bit-identical to the one-shuffle exact operator — same oracle.
 
@@ -229,9 +232,9 @@ def heavy_hitters_sketch(
                         del counters[k]
         yield pd.DataFrame({"word": list(counters.keys())})
 
-    candidates = [r.word for r in words.mapInPandas(mg_summaries, "word string").collect()]
+    candidates = words.mapInPandas(mg_summaries, "word string").distinct()
     counts = (
-        words.filter(F.col("word").isin(candidates))
+        words.join(F.broadcast(candidates), "word", "left_semi")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )

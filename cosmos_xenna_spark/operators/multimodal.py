@@ -50,11 +50,15 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     Returns (width, height, grayscale pixels row-major top-down);
     24-bit pixels reduce by the integer ITU-R 601 luma
     ``(299 r + 587 g + 114 b) // 1000`` (bit-deterministic).  Handles
-    the 4-byte row padding and BMP's bottom-up row order.
+    the 4-byte row padding and BMP's bottom-up row order.  8-bit
+    pixels are indices into the header's BGRA color table — mapped
+    through the palette (luma-reduced), not read as raw gray values,
+    so non-grayscale-ramp palettes decode correctly.
     """
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (pixel_offset,) = struct.unpack_from("<I", payload, 10)
+    (header_size,) = struct.unpack_from("<I", payload, 14)
     width, height = struct.unpack_from("<ii", payload, 18)
     (bpp,) = struct.unpack_from("<H", payload, 28)
     (compression,) = struct.unpack_from("<I", payload, 30)
@@ -72,7 +76,20 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     if bottom_up:
         raw = raw[::-1]
     if bpp == 8:
-        gray = raw[:, :width]
+        # Color table sits right after the info header: entries of
+        # BGRA (biClrUsed==0 means the full 2^8 set). Pixel bytes are
+        # palette INDICES; reduce each entry by the same luma as the
+        # 24-bit path and map indices through the resulting LUT.
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        n_colors = clr_used or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=14 + header_size
+        ).reshape(n_colors, 4).astype(np.uint32)
+        lut = np.zeros(256, dtype=np.uint8)
+        lut[:n_colors] = (
+            (299 * pal[:, 2] + 587 * pal[:, 1] + 114 * pal[:, 0]) // 1000
+        ).astype(np.uint8)
+        gray = lut[raw[:, :width]]
     else:
         bgr = raw[:, : width * 3].reshape(height, width, 3).astype(np.uint32)
         gray = (

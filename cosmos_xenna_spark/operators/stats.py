@@ -545,6 +545,11 @@ def ks_two_sample(
     per group (domain-bounded, never slice rows), and the group key
     partitions the window — no global window.  Returns
     ``(group..., ks_d, n_a, n_b)``.
+
+    One-sided groups (present in only one slice) are the STRONGEST
+    drift signal: the ECDF of the empty slice is identically 0, so
+    ``D = 1`` by definition — emitted explicitly rather than letting
+    the ``n_a * n_b`` denominator divide by zero into NULL.
     """
     ca = df_a.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("n_a"))
     cb = df_b.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("n_b"))
@@ -568,11 +573,14 @@ def ks_two_sample(
         F.sum("n_b").over(wtot).alias("tot_b"),
     )
     return stepped.groupBy(*group_cols).agg(
-        (
+        F.when(
+            (F.max("tot_a") > 0) & (F.max("tot_b") > 0),
             F.max(F.abs(F.col("cum_a") * F.col("tot_b") - F.col("cum_b") * F.col("tot_a")))
             .cast("double")
-            / (F.max("tot_a") * F.max("tot_b"))
-        ).alias("ks_d"),
+            / (F.max("tot_a") * F.max("tot_b")),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("ks_d"),
         F.max("tot_a").alias("n_a"),
         F.max("tot_b").alias("n_b"),
     )
@@ -606,8 +614,10 @@ def ks_two_sample_sql(
       FROM merged
     )
     SELECT {keys},
-           CAST(MAX(abs(cum_a * tot_b - cum_b * tot_a)) AS DOUBLE)
-             / (MAX(tot_a) * MAX(tot_b)) AS ks_d,
+           CASE WHEN MAX(tot_a) > 0 AND MAX(tot_b) > 0
+                THEN CAST(MAX(abs(cum_a * tot_b - cum_b * tot_a)) AS DOUBLE)
+                       / (MAX(tot_a) * MAX(tot_b))
+                ELSE 1.0 END AS ks_d,
            CAST(MAX(tot_a) AS BIGINT) AS n_a,
            CAST(MAX(tot_b) AS BIGINT) AS n_b
     FROM stepped GROUP BY {keys}

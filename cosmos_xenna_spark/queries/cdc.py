@@ -13,7 +13,7 @@ from cosmos_xenna_spark.operators.cdc import (
     merge_upsert,
     scd2_from_changelog,
 )
-from cosmos_xenna_spark.operators.cache import scoped_persist
+from cosmos_xenna_spark.operators.cache import rescope, scoped_persist
 from cosmos_xenna_spark.queries import register
 
 _ORDER_COLS = (
@@ -193,10 +193,16 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_custkey"],
         sum_cols=["o_totalprice"],
     )
-    out = merged.select(
-        "o_custkey",
-        "n_rows",
-        F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
+    # The select derives a new frame from the operator's result, which
+    # would drop the delta-persist's anchor at build time — rescope the
+    # release hooks onto the frame that actually executes.
+    out = rescope(
+        merged,
+        merged.select(
+            "o_custkey",
+            "n_rows",
+            F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
+        ),
     )
     # In production base_agg is a stored table; here it is synthesized
     # by an aggregation that would otherwise be recomputed in both

@@ -355,3 +355,122 @@ def test_global_ranking_many_buckets_flat_expressions(spark):
     for r in ordered:
         best = r.v if best is None or r.v > best else best
         assert r.runmax == best
+
+
+# ---------------------------------------------------------------------------
+# Round 5 advisor findings (fixed in round 6)
+# - ks_two_sample: groups present in only one slice must emit D=1.0, not NULL
+# - heavy_hitters_sketch: candidates join via broadcast semi-join, never a
+#   driver-side Column.isin literal list
+# - decode_bmp: 8-bit pixels map through the BGRA palette, not raw gray
+# - scoped_persist: rescope() keeps the cache alive across derived frames
+# ---------------------------------------------------------------------------
+
+
+def test_ks_one_sided_group_is_d1(spark, duck):
+    """A group present in only one slice has D = 1 (empty-slice ECDF is 0),
+    not NULL from the zero denominator — in BOTH engines."""
+    from cosmos_xenna_spark.operators.stats import ks_two_sample, ks_two_sample_sql
+
+    a = spark.createDataFrame([("x", 1.0), ("x", 2.0), ("only_a", 5.0)], "g string, v double")
+    b = spark.createDataFrame([("x", 1.5), ("only_b", 9.0)], "g string, v double")
+    got = {r.g: r for r in ks_two_sample(a, b, ["g"], "v").collect()}
+    assert got["only_a"].ks_d == 1.0
+    assert got["only_b"].ks_d == 1.0
+    assert 0.0 < got["x"].ks_d <= 1.0
+    sql = ks_two_sample_sql(
+        "SELECT * FROM (VALUES ('x', 1.0), ('x', 2.0), ('only_a', 5.0)) t(g, v)",
+        "SELECT * FROM (VALUES ('x', 1.5), ('only_b', 9.0)) t(g, v)",
+        ["g"],
+        "v",
+    )
+    oracle = {r[0]: r[1] for r in duck.execute(sql).fetchall()}
+    assert oracle["only_a"] == 1.0
+    assert oracle["only_b"] == 1.0
+
+
+def test_heavy_hitters_sketch_uses_broadcast_semi_join(spark):
+    """The exact-verify phase must not embed candidates as an In-literal
+    (plan bloat at web scale); it must match the exact operator bit-for-bit."""
+    from cosmos_xenna_spark.operators.curation import heavy_hitters, heavy_hitters_sketch
+
+    rows = [(("common " * 20 + f"rare{i}").strip(),) for i in range(40)]
+    df = spark.createDataFrame(rows, "text string")
+    sketch = heavy_hitters_sketch(df, "text", min_ppm=100_000)
+    plan = sketch._jdf.queryExecution().executedPlan().toString()
+    assert " IN (" not in plan and "isin" not in plan
+    assert "LeftSemi" in plan
+    exact = {(r.word, r.n) for r in heavy_hitters(df, "text", min_ppm=100_000).collect()}
+    got = {(r.word, r.n) for r in sketch.collect()}
+    assert got == exact and ("common", 800) in got
+
+
+def _bmp8(width, height, palette, indices):
+    """Minimal 8-bit uncompressed BMP: file header + BITMAPINFOHEADER +
+    256-entry BGRA palette + bottom-up padded pixel rows."""
+    import struct
+
+    row_bytes = (width + 3) & ~3
+    pal = bytearray()
+    for i in range(256):
+        b, g, r = palette(i)
+        pal += bytes((b, g, r, 0))
+    pixel_offset = 14 + 40 + 256 * 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytes(indices[y * width : (y + 1) * width])
+        body += row + b"\x00" * (row_bytes - width)
+    size = pixel_offset + len(body)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, pixel_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(body), 2835, 2835, 256, 0)
+    return bytes(hdr + info + pal + body)
+
+
+def test_decode_bmp_8bit_maps_palette(spark):
+    """8-bit BMP pixels are palette indices: a non-identity palette must
+    decode through the BGRA table (luma-reduced), not as raw gray bytes."""
+    from cosmos_xenna_spark.operators.multimodal import decode_bmp
+
+    # inverted grayscale ramp: index i -> gray 255-i
+    payload = _bmp8(3, 2, lambda i: (255 - i,) * 3, [0, 10, 255, 1, 2, 3])
+    w, h, pixels = decode_bmp(payload)
+    assert (w, h) == (3, 2)
+    assert list(pixels) == [255, 245, 0, 254, 253, 252]
+    # color palette: index i -> pure red of intensity i  => luma 299*i//1000
+    payload = _bmp8(2, 1, lambda i: (0, 0, i), [100, 200])
+    _, _, pixels = decode_bmp(payload)
+    assert list(pixels) == [299 * 100 // 1000, 299 * 200 // 1000]
+
+
+def test_rescope_moves_release_to_derived_frame(spark):
+    """Deriving from a scoped_persist result and dropping the original must
+    NOT unpersist the scratch frame (the q_incremental_agg lifetime bug)."""
+    import gc
+
+    from pyspark import StorageLevel
+
+    from cosmos_xenna_spark.operators.cache import rescope, scoped_persist
+
+    scratch = spark.range(100).withColumnRenamed("id", "k")
+    result = scoped_persist(scratch, scratch.filter("k % 2 = 0"))
+    derived = rescope(result, result.selectExpr("k * 2 AS k2"))
+    del result
+    gc.collect()
+    assert scratch.storageLevel != StorageLevel.NONE  # still cached
+    assert derived.count() == 50
+    del derived
+    gc.collect()
+    assert scratch.storageLevel == StorageLevel.NONE  # released with derived
+
+
+def test_incremental_agg_keeps_delta_persisted(spark, sf_dir, duck):
+    """The registered query path must execute with the delta persist alive
+    (regression: the handle died at plan-build time) and stay oracle-green."""
+    from cosmos_xenna_spark.oracle import compare
+    from cosmos_xenna_spark.queries import load_registry
+
+    spec = load_registry()["q_incremental_agg"]
+    df = spec.builder(spark, sf_dir)
+    assert df.__dict__.get("_scoped_releases"), "release hooks must ride the result frame"
+    res = compare("q_incremental_agg", df, spec.oracle, duck)
+    assert res.ok
