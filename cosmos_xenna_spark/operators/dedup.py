@@ -387,15 +387,10 @@ def fuzzy_dedup_keep(
     realistic duplication rate, so AQE can broadcast it.
     """
     cands = minhash_candidate_pairs(docs, text_col, n_hashes, band_size, k)
-    # Keep the UNprojected handle alive across connected_components'
-    # eager edge materialization: the word-set scratch persist is
-    # scoped to it, and dropping it early would re-tokenize the corpus
-    # once per plan branch (see scoped_persist's derived-frame caveat).
     verified = jaccard_verify_pairs(cands, docs, text_col, threshold)
     clusters = connected_components(
         verified.select("doc_a", "doc_b"), max_iter=max_iter
     )
-    del verified  # edges are checkpointed; scratch no longer needed
     if survivor_score_col is None:
         dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     else:
@@ -475,43 +470,39 @@ def jaccard_verify_pairs(
     computes exact overlap.
 
     (doc_a, doc_b, n_inter, n_union, jaccard) for jaccard >= threshold.
-    Scale shape: two equi-joins keyed by doc id + one join keyed by
-    (doc_b, word) — work is O(candidate pairs x doc length), never
-    all-pairs.
 
-    The exploded-distinct word set feeds THREE plan branches (both join
-    sides + the size aggregate); Spark does not dedupe identical
-    subplans, so without the persist the corpus would be re-scanned and
-    re-tokenized once per branch. The persist's lifetime is scoped to
-    the returned DataFrame (``scoped_persist``): once the caller drops
-    the result handle the blocks are released, so a long-lived session
-    running many queries doesn't accumulate dead cache.
+    Scale shape: the word SET per document is row-local
+    (``array_distinct(split(...))``) — no tokenize shuffle, no global
+    distinct, no per-doc size aggregation — so the whole verifier is
+    two equi-joins keyed by doc id plus a row-local
+    ``size(array_intersect(...))``.  The candidate-pair side is a
+    sliver of the corpus, so AQE broadcasts it and the corpus never
+    shuffles at all; work is O(candidate pairs x doc length), never
+    all-pairs.  (The previous exploded-word form paid three extra
+    shuffles — corpus-wide distinct, a (doc_b, word) join, and the
+    intersection groupBy — and needed a persist to avoid re-tokenizing
+    per branch; the array form re-reads only the pruned
+    (doc_id, text) columns per branch, cheaper than materializing the
+    word sets at any scale.)
     """
-    words = (
-        ensure_parallelism(docs)
-        .select("doc_id", F.explode(F.split(text_col, " ")).alias("w"))
-        .distinct()
-    )
-    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
-    wa = words.select(F.col("doc_id").alias("doc_a"), "w")
-    wb = words.select(F.col("doc_id").alias("doc_b"), "w")
-    inter = (
-        pairs.join(wa, "doc_a")
-        .join(wb, ["doc_b", "w"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("n_b"))
-    out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    toks = docs.select("doc_id", F.array_distinct(F.split(text_col, " ")).alias("ws"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ws_a", "ws_b")).cast("bigint").alias("n_inter"),
+            F.size("ws_a").cast("bigint").alias("n_a"),
+            F.size("ws_b").cast("bigint").alias("n_b"),
+        )
         .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
     )
-    return scoped_persist(words, out)
 
 
 def ngram_jaccard_pairs(
@@ -580,39 +571,31 @@ def containment_verify_pairs(
     candidates catches quote-expansion and boilerplate-wrapping
     near-dups that symmetric similarity cannot.
 
-    Same scale shape as the Jaccard verifier: two equi-joins keyed by
-    doc id + one keyed by (doc, word) — O(candidate pairs x doc
-    length), never all-pairs; the exploded word set is persisted for
-    the lifetime of the returned frame (three plan branches).
+    Same scale shape as the Jaccard verifier: row-local word sets
+    (``array_distinct(split)``), two equi-joins keyed by doc id
+    (candidate sliver AQE-broadcast), row-local
+    ``size(array_intersect)`` — O(candidate pairs x doc length), never
+    all-pairs, zero extra shuffles.
 
     Returns ``(doc_a, doc_b, n_inter, n_min, containment)`` for
     containment >= threshold.
     """
-    words = (
-        ensure_parallelism(docs)
-        .select("doc_id", F.explode(F.split(text_col, " ")).alias("w"))
-        .distinct()
-    )
-    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
-    wa = words.select(F.col("doc_id").alias("doc_a"), "w")
-    wb = words.select(F.col("doc_id").alias("doc_b"), "w")
-    inter = (
-        pairs.join(wa, "doc_a")
-        .join(wb, ["doc_b", "w"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("n_b"))
-    out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_min", F.least("n_a", "n_b"))
+    toks = docs.select("doc_id", F.array_distinct(F.split(text_col, " ")).alias("ws"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ws_a", "ws_b")).cast("bigint").alias("n_inter"),
+            F.least(F.size("ws_a"), F.size("ws_b")).cast("bigint").alias("n_min"),
+        )
         .withColumn("containment", F.col("n_inter").cast("double") / F.col("n_min"))
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "n_min", "containment")
     )
-    return scoped_persist(words, out)
 
 
 def edit_distance_verify_pairs(

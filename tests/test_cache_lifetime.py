@@ -44,16 +44,16 @@ DOCS = [
 ]
 
 
-def test_jaccard_verify_pairs_releases_scratch_on_gc(spark):
+def test_jaccard_verify_pairs_needs_no_cache(spark):
+    """The array-intersect verify is shuffle-free on the corpus side and
+    must not pin any cache blocks (the persist was the old exploded-word
+    form's crutch)."""
     base = _ids(spark)
     docs = spark.createDataFrame(DOCS)
     pairs = spark.createDataFrame([Row(doc_a=0, doc_b=1), Row(doc_a=2, doc_b=3)])
     out = jaccard_verify_pairs(pairs, docs, threshold=0.0)
-    out.collect()
-    new = _ids(spark) - base
-    assert new, "word set should be cached while the handle lives"
-    out = None
-    assert _released(spark, new)
+    assert out.count() == 2
+    assert not (_ids(spark) - base), "no scratch cache expected"
 
 
 def test_ngram_jaccard_pairs_releases_scratch_on_gc(spark):
