@@ -6,8 +6,10 @@ e.g. /root/reference/examples/simple_vlm_inference.py:55-61).
 Decode kernels, in dispatch order: the deterministic fake formats
 (``fake_image``/``fake_audio``), then REAL decoders for the formats
 this container can handle without external libraries — uncompressed
-BMP (pure struct+numpy, :func:`decode_bmp`) and PCM WAV (stdlib
-``wave``, :func:`decode_wav`) — then PIL for compressed images when
+BMP (pure struct+numpy, :func:`decode_bmp`), 8-bit non-interlaced
+PNG (stdlib zlib inflate + full scanline unfiltering,
+:func:`decode_png`), and PCM WAV (stdlib ``wave``,
+:func:`decode_wav`) — then PIL for other compressed images when
 importable, else ``NotImplementedError`` (no libjpeg/ffmpeg here; the
 limitation is the codec, not the engine). The kernel is a pluggable
 seam: ``set_image_decoder`` registers a replacement that every image
@@ -98,12 +100,109 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, np.ascontiguousarray(gray).tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL compressed-image decode for 8-bit non-interlaced PNG using
+    only stdlib ``zlib`` + numpy — gray / RGB / palette / gray+alpha /
+    RGBA (color types 0/2/3/4/6).
+
+    Full pipeline: chunk walk -> concatenated-IDAT zlib inflate ->
+    per-scanline unfiltering (None/Sub/Up/Average/Paeth per the PNG
+    spec) -> channel reduction to grayscale with the same integer
+    ITU-R 601 luma as :func:`decode_bmp` (alpha ignored; palette
+    indices map through PLTE).  Filters 0/1/2 are vectorized (Sub is a
+    per-residue-class prefix sum — mod-256 cumsum in uint8); Average
+    and Paeth are inherently sequential in the left neighbor and run
+    as scalar loops, the accepted cost of a dependency-free decoder.
+    """
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"color_type={color}, interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, scan = rows[:, 0], rows[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        f, cur = filters[y], scan[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub: prefix sum mod 256 within each residue class
+            out[y] = cur.reshape(-1, bpp).cumsum(axis=0, dtype=np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            out[y] = cur + prev
+        elif f == 3:  # Average
+            row = out[y]
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(cur[i]) + (a + int(prev[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            row = out[y]
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+    px = out.reshape(height, width, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = plte[px[:, :, 0]].astype(np.uint32)
+        gray = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000).astype(
+            np.uint8
+        )
+    elif color in (0, 4):
+        gray = px[:, :, 0]
+    else:  # RGB / RGBA
+        rgb = px[:, :, :3].astype(np.uint32)
+        gray = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000).astype(
+            np.uint8
+        )
+    return width, height, np.ascontiguousarray(gray).tobytes()
+
+
 def decode_image_stub(payload: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload -> (width, height, pixels).
 
     Dispatch: the deterministic fake format; then REAL uncompressed
-    BMP (:func:`decode_bmp` — pure struct+numpy, works in this
-    container); then PIL for compressed formats if importable
+    BMP (:func:`decode_bmp`) and REAL compressed PNG
+    (:func:`decode_png` — stdlib zlib + numpy, works in this
+    container); then PIL for other compressed formats if importable
     (grayscale-converted — zero code change the day the container
     gains libjpeg); otherwise raises.
     """
@@ -113,6 +212,8 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, bytes]:
         return w, h, pixels
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     try:
         import io
 

@@ -1,0 +1,145 @@
+"""10x scale-stress of the dedup/ANN family (r5 verdict directive 4).
+
+The 100 TB claims in SURVEY/PLANS are plan-audited, but sf0.1 fits one
+Arrow batch per core — this harness is the first time the operators meet
+data that doesn't.  It
+
+1. generates a SEEDED 10x corpus (50k documents / 20k embeddings) by
+   replicating sf0.1 with deterministic word-level perturbation — each
+   copy keeps ~the same near-duplicate structure, so the dedup working
+   set (pairs, clusters) also grows ~10x;
+2. benches the three headline scale queries at sf0.1 and at 10x
+   (median of 3, interleaved) and records the wall-time growth ratio —
+   the red flag is super-linear growth beyond (10x)^1.2 ~ 15.8x, the
+   signature of a spill/skew cliff;
+3. records the RUNTIME shuffle/spill totals for the 10x runs via the
+   SQL-metrics walk (the numbers that actually predict network cost).
+
+Writes SCALE_STRESS.json at the repo root.  Data goes to a temp dir
+(default /tmp/cxs_scale10) — parquet is never committed.
+
+Usage:  python scripts/scale_stress.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cosmos_xenna_spark.monitoring import query_metrics, summarize  # noqa: E402
+from cosmos_xenna_spark.queries import load_registry  # noqa: E402
+from cosmos_xenna_spark.session import apply_runtime_confs, get_spark  # noqa: E402
+
+SF_BASE = "/root/testdata/sf0.1"
+COPIES = 10
+QUERIES = ["q_fuzzy_dedup_keep", "q_bloom_decontaminate", "q_knn_ivf_pq"]
+
+
+def generate(spark, out_dir: str) -> None:
+    """Replicate sf0.1 10x with deterministic per-copy perturbation.
+
+    Documents: every copy c shifts doc_id by c * 10^6 and rewrites ~1/8
+    of words (selected by xxhash64(word, position, copy) — seeded, no
+    RNG) to a copy-specific token, so cross-copy texts are near- but
+    not exact duplicates and the LSH/verify/cluster working set scales
+    with the corpus.  Embeddings: vec_id shift + a small deterministic
+    per-copy offset on every dimension (cluster structure preserved).
+    """
+    docs = spark.read.parquet(f"{SF_BASE}/documents.parquet")
+    copies = spark.range(COPIES).withColumnRenamed("id", "copy")
+    big_docs = (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.zip_with(
+                    F.split("text", " "),
+                    F.sequence(F.lit(0), F.size(F.split("text", " ")) - 1),
+                    lambda w, i: F.when(
+                        F.pmod(F.xxhash64(w, i, F.col("copy")), F.lit(8)) == 0,
+                        F.concat(F.lit("c"), F.col("copy").cast("string"), F.lit("_"), w),
+                    ).otherwise(w),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            F.col("n_chars"),
+        )
+    )
+    big_docs.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_BASE}/embeddings.parquet")
+    big_emb = (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (F.pmod(F.xxhash64(i, F.col("copy")), F.lit(1000)).cast("float") - 500.0)
+                / 50_000.0,
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    big_emb.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def bench(spark, reg, sf_dir: str, n: int = 3) -> dict[str, float]:
+    times: dict[str, list[float]] = {q: [] for q in QUERIES}
+    for _ in range(n):
+        for q in QUERIES:
+            t0 = time.time()
+            reg[q].builder(spark, sf_dir).count()
+            times[q].append(time.time() - t0)
+    return {q: round(statistics.median(ts), 2) for q, ts in times.items()}
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
+    spark = get_spark(app_name="scale_stress")
+    apply_runtime_confs(spark)
+    reg = load_registry()
+
+    if not os.path.exists(f"{out_dir}/documents.parquet"):
+        t0 = time.time()
+        generate(spark, out_dir)
+        print(f"generated 10x corpus in {time.time() - t0:.0f}s -> {out_dir}")
+
+    base = bench(spark, reg, SF_BASE)
+    big = bench(spark, reg, out_dir)
+
+    metrics: dict[str, dict] = {}
+    for q in QUERIES:
+        df = reg[q].builder(spark, out_dir)
+        metrics[q] = summarize(query_metrics(df))
+        df = None
+
+    report = {
+        "copies": COPIES,
+        "base_sf": SF_BASE,
+        "seconds_sf0.1": base,
+        "seconds_10x": big,
+        "growth_ratio": {q: round(big[q] / base[q], 2) for q in QUERIES},
+        "nonlinearity_flag_threshold": round(COPIES**1.2, 1),
+        "metrics_10x": metrics,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_STRESS.json"
+    )
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(json.dumps({k: report[k] for k in ("seconds_sf0.1", "seconds_10x", "growth_ratio")}))
+    flagged = {q: r for q, r in report["growth_ratio"].items() if r > COPIES**1.2}
+    print("flagged (super-linear):", flagged or "none")
+
+
+if __name__ == "__main__":
+    main()
