@@ -79,6 +79,10 @@ HEADLINE = [
     # Misra-Gries sketch (the bench's only Python-sketch path)
     "q_edit_distance_pairs",
     "q_heavy_hitters_sketch",
+    # r6 additions: SimHash banding + bit_count verify (the second
+    # full candidate-generation chain) and the corpus vocab scan
+    "q_simhash_pairs",
+    "q_vocab_coverage",
 ]
 
 

@@ -432,6 +432,75 @@ def simhash(docs: DataFrame, text_col: str = "text", n_bits: int = 63) -> DataFr
     return votes.select("doc_id", F.expr(fingerprint).alias("simhash"))
 
 
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_bits: int = 63,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance:
+    ``(doc_a, doc_b, hamming)`` for distance <= ``max_hamming``.
+
+    Pigeonhole banding: the fingerprint splits into ``n_bands``
+    contiguous bit segments; two fingerprints within Hamming distance
+    ``n_bands - 1`` must agree on at least one WHOLE segment, so
+    candidate generation is an equality join on (band, segment value)
+    — never an all-pairs scan — and is exhaustive whenever
+    ``max_hamming < n_bands`` (asserted).  The differential oracle
+    exploits exactly this: it computes the all-pairs Hamming result
+    directly, so a hash-match also proves the pigeonhole recall claim.
+
+    Scale shape mirrors :func:`minhash_candidate_pairs`: segment
+    banding is row-local (shift/mask), pair generation is bucket-local
+    via sorted ``collect_list`` + bounded combination explode, and the
+    exact verify is one row-local ``bit_count(a XOR b)`` over the
+    candidate sliver.  The (doc_id, simhash) table feeds three plan
+    branches (banding + both verify sides) and is cluster-row-sized,
+    so it is persisted scoped to the result's lifetime.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding finds all pairs only for max_hamming < n_bands "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands})"
+        )
+    sig = simhash(docs, text_col, n_bits)
+    width = -(-n_bits // n_bands)
+    mask = (1 << width) - 1
+    seg_exprs = ", ".join(
+        f"{b}L, shiftright(simhash, {b * width}) & {mask}L" for b in range(n_bands)
+    )
+    bands = sig.selectExpr("doc_id", f"stack({n_bands}, {seg_exprs}) AS (band, seg)")
+    members = bands.groupBy("band", "seg").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    combos = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cands = (
+        members.filter(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    out = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return scoped_persist(sig, out)
+
+
 def _guard_block_cardinality(
     keyed: DataFrame, key_cols: list[str], max_block_size: int, what: str
 ) -> None:

@@ -218,3 +218,42 @@ def key_skew_report_sql(table: str, key_cols: list[str], top_n: int) -> str:
     FROM counts, t
     ORDER BY n DESC, {keys} LIMIT {top_n}
     """
+
+
+def fd_violations(
+    df: DataFrame, determinant_cols: list[str], dependent_col: str
+) -> DataFrame:
+    """Functional-dependency audit: determinant values that map to MORE
+    than one distinct dependent value — the data-quality check behind
+    "source implies language", "order implies customer", etc.
+
+    Returns one row per violating determinant:
+    ``(determinant..., n_values, n_rows, example_min, example_max)``
+    (the min/max dependent values double as a human-readable witness
+    pair).  One aggregation pass — count-distinct runs as a partial
+    aggregate, so the fact table shuffles once on the determinant key.
+    """
+    return (
+        df.groupBy(*determinant_cols)
+        .agg(
+            F.countDistinct(dependent_col).alias("n_values"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(dependent_col).alias("example_min"),
+            F.max(dependent_col).alias("example_max"),
+        )
+        .filter(F.col("n_values") > 1)
+    )
+
+
+def fd_violations_sql(table: str, determinant_cols: list[str], dependent_col: str) -> str:
+    keys = ", ".join(determinant_cols)
+    return f"""
+    SELECT {keys},
+           COUNT(DISTINCT {dependent_col}) AS n_values,
+           COUNT(*) AS n_rows,
+           MIN({dependent_col}) AS example_min,
+           MAX({dependent_col}) AS example_max
+    FROM {table}
+    GROUP BY {keys}
+    HAVING COUNT(DISTINCT {dependent_col}) > 1
+    """

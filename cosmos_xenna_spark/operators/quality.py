@@ -465,3 +465,57 @@ def top_ngrams_per_group_sql(
       FROM counts
     ) WHERE rnk <= {k}
     """
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """N-gram type-token ratio per corpus slice — the standard
+    repetitiveness / mode-collapse metric for generated or scraped
+    text: ``distinct n-grams / total n-grams``, higher = more diverse.
+
+    Returns ``(group..., n_total, n_distinct, diversity)``.  One
+    explode over in-doc n-grams (built from a single pre-split words
+    array — HOF lambdas never re-split), then one aggregation keyed by
+    the slice; count-distinct partials keep the shuffle map-side
+    combined.  The ratio is an exact integer division in double.
+    """
+    base = docs.select(*group_cols, F.split(F.col(text_col), " ").alias("__ws"))
+    grams = F.when(
+        F.size("__ws") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__ws) - {n - 1}),"
+            f" i -> array_join(slice(__ws, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = base.select(*group_cols, F.explode(grams).alias("g"))
+    return (
+        exploded.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("g").alias("n_distinct"),
+        )
+        .withColumn("diversity", F.col("n_distinct").cast("double") / F.col("n_total"))
+    )
+
+
+def ngram_diversity_sql(table: str, group_cols: list[str], text_col: str, n: int) -> str:
+    keys = ", ".join(group_cols)
+    return f"""
+    WITH grams AS (
+      SELECT {keys},
+             array_to_string(list_slice(ws, i, i + {n - 1}), ' ') AS g
+      FROM (SELECT {keys}, string_split({text_col}, ' ') AS ws FROM {table}),
+           UNNEST(range(1, len(ws) - {n - 2})) AS t(i)
+      WHERE len(ws) >= {n}
+    )
+    SELECT {keys},
+           COUNT(*) AS n_total,
+           COUNT(DISTINCT g) AS n_distinct,
+           CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS diversity
+    FROM grams
+    GROUP BY {keys}
+    """

@@ -141,3 +141,58 @@ NORMALIZE_SQL_TMPL = (
     "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', ' ', 'g'),"
     " '  +', ' ', 'g'))"
 )
+
+
+def vocab_coverage(
+    docs: DataFrame, text_col: str = "text", vocab_size: int = 1000
+) -> DataFrame:
+    """Frequency vocabulary + per-document OOV rate: the tokenizer-prep
+    audit every training pipeline runs before committing to a vocab
+    budget.  Returns ``(doc_id, n_tokens, n_oov, oov_rate)``.
+
+    The vocabulary is the ``vocab_size`` most frequent tokens
+    corpus-wide, ties broken lexicographically (deterministic across
+    engines and partitionings).
+
+    Scale shape: token counts are one map-side-combined shuffle; the
+    top-N sort runs over the DISTINCT-token table (vocabulary-bounded,
+    never corpus rows); the vocab is broadcast back, so the per-doc
+    flag join never shuffles the corpus — the only corpus-sized
+    exchange is the final per-doc aggregation.
+    """
+    words = docs.select("doc_id", F.explode(F.split(text_col, " ")).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn("oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens"))
+    )
+
+
+def vocab_coverage_sql(table: str, text_col: str, vocab_size: int) -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split({text_col}, ' ')) AS w FROM {table}
+    ),
+    vocab AS (
+      SELECT w FROM (SELECT w, COUNT(*) AS n FROM words GROUP BY w)
+      ORDER BY n DESC, w LIMIT {vocab_size}
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.flag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.flag IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM words LEFT JOIN (SELECT w, 1 AS flag FROM vocab) v USING (w)
+    GROUP BY doc_id
+    """

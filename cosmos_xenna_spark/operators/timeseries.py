@@ -107,3 +107,63 @@ def interpolate_linear_sql(
       FROM ({table_sql})
     )
     """
+
+
+def decayed_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    horizon: int = 20,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exponentially decayed running sum (EWMA numerator) per key:
+    ``decayed_i = sum_{j=0..h-1} floor(100 * x_{i-j}) / 2^j`` over the
+    event sequence ordered by ``time_col`` — the standard recency-
+    weighted activity feature, with decay factor fixed at 1/2.
+
+    Exactness contract (why alpha = 1/2 and floor-to-cents): the value
+    quantizes to an integer (``floor(x * 100)``), every weight is a
+    power of two, so each term is an exact dyadic rational and the sum
+    is EXACT in binary double regardless of addition order — the only
+    formulation where two engines (and two partitionings) agree
+    bit-for-bit.  A free-form ``pow(alpha, j)`` EWMA is not
+    reproducible across engines; this one is.
+
+    Scale shape: one keyed window, ``horizon`` flat ``lag`` terms in a
+    single window pass (no self-join, no per-row explode); state is
+    bounded by the horizon.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(time_col, *(order_tiebreak or []))
+    cents = F.floor(F.col(value_col) * 100).cast("bigint")
+    base = df.withColumn("__c", cents)
+    terms = [
+        (F.coalesce(F.lag("__c", j).over(w), F.lit(0)) / F.lit(float(1 << j)))
+        for j in range(horizon)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return base.withColumn("decayed", total.cast("double")).drop("__c")
+
+
+def decayed_sum_sql(
+    table_sql: str,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    horizon: int = 20,
+    order_tiebreak: list[str] | None = None,
+) -> str:
+    part = ", ".join(key_cols)
+    order = ", ".join([time_col] + list(order_tiebreak or []))
+    w = f"OVER (PARTITION BY {part} ORDER BY {order})"
+    terms = " + ".join(
+        f"COALESCE(LAG(__c, {j}) {w}, 0) / {float(1 << j)!r}" for j in range(horizon)
+    )
+    return f"""
+    SELECT * EXCLUDE (__c), CAST({terms} AS DOUBLE) AS decayed
+    FROM (
+      SELECT *, CAST(FLOOR({value_col} * 100) AS BIGINT) AS __c FROM ({table_sql})
+    )
+    """

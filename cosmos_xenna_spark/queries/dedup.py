@@ -411,3 +411,27 @@ def q_fuzzy_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", n_hashes=16, band_size=4, k=3, threshold=0.5,
         survivor_score_col="n_chars",
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH sigs AS ({_simhash_sql()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register(
+    "q_simhash_pairs",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+    description="SimHash near-dup pairs, hamming <= 3 via 4-band pigeonhole "
+    "banding (segment-equality join, never all-pairs) + exact bit_count "
+    "verify — the oracle computes the all-pairs hamming result directly, so "
+    "a hash-match also proves the banding recall guarantee",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.dedup import simhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, "text", max_hamming=3, n_bands=4)

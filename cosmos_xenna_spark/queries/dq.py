@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.dq import (
+    fd_violations,
+    fd_violations_sql,
     Expectation,
     evaluate_expectations,
     expectations_oracle_sql,
@@ -74,3 +76,21 @@ def q_k_anonymity(spark, sf_dir):
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return key_skew_report(ev, ["user_id"], top_n=10)
+
+
+@register(
+    "q_fd_violations",
+    oracle=fd_violations_sql(
+        "(SELECT o_custkey, o_orderpriority, o_orderstatus FROM orders) t",
+        ["o_custkey", "o_orderpriority"],
+        "o_orderstatus",
+    ),
+    description="functional-dependency audit: (custkey, priority) pairs that "
+    "map to more than one order status, with witness min/max values — one "
+    "count-distinct aggregation pass on the determinant key",
+)
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderstatus"
+    )
+    return fd_violations(orders, ["o_custkey", "o_orderpriority"], "o_orderstatus")

@@ -20,6 +20,8 @@ from cosmos_xenna_spark.operators.quality import (
     PHONE_RE,
     decontaminate,
     line_dedup,
+    ngram_diversity,
+    ngram_diversity_sql,
     quality_signals,
     redact_pii,
     repetition_signals,
@@ -305,3 +307,15 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return top_ngrams_per_group(docs, "lang", "text", n=2, k=10)
+
+
+@register(
+    "q_ngram_diversity",
+    oracle=ngram_diversity_sql("documents", ["lang", "source"], "text", 2),
+    description="bigram type-token ratio per (lang, source) slice — the "
+    "repetitiveness / mode-collapse metric; one in-doc n-gram explode + one "
+    "count-distinct aggregation keyed by the slice",
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_diversity(docs, ["lang", "source"], "text", n=2)

@@ -10,6 +10,8 @@ from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.text import (
     NORMALIZE_SQL_TMPL,
     normalize_text,
+    vocab_coverage,
+    vocab_coverage_sql,
     LANG_MARKERS,
     STOPWORDS,
     TOKEN_REGEX,
@@ -216,3 +218,15 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=vocab_coverage_sql("documents", "text", 30),
+    description="frequency vocabulary (top-30, lexicographic tiebreak) + "
+    "per-doc OOV rate — tokenizer-prep audit; vocab sort runs over the "
+    "distinct-token table only and broadcasts back, corpus shuffles once",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", vocab_size=30)

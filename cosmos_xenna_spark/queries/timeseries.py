@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.timeseries import (
+    decayed_sum,
+    decayed_sum_sql,
     interpolate_linear,
     interpolate_linear_sql,
 )
@@ -44,3 +46,27 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = interpolate_linear(ev, ["user_id"], "ts", "value", order_tiebreak=["event_id"])
     return out.select("event_id", "user_id", "value_filled")
+
+
+@register(
+    "q_decayed_sum",
+    oracle=(
+        "SELECT event_id, user_id, decayed FROM ("
+        + decayed_sum_sql(
+            "SELECT event_id, user_id, ts, value FROM events",
+            ["user_id"],
+            "ts",
+            "value",
+            horizon=20,
+            order_tiebreak=["event_id"],
+        )
+        + ")"
+    ),
+    description="exponentially decayed running sum per user (EWMA numerator, "
+    "alpha=1/2, 20-event horizon) — dyadic-exact so both engines agree "
+    "bit-for-bit; one keyed window, 20 flat lag terms, no self-join",
+)
+def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = decayed_sum(ev, ["user_id"], "ts", "value", horizon=20, order_tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "decayed")

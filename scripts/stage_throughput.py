@@ -80,6 +80,74 @@ def run_chain(spark, df, stages, out_schema) -> float:
     return time.perf_counter() - t0
 
 
+def serving_round_trip(spark, n_rows: int = 50_000, waves: int = 5) -> dict:
+    """A2/A9 quantitative anchor: rows/s through the full serving loop —
+    client queue push -> Python DataSource micro-batches -> a 2-stage A3
+    chain -> foreachBatch collector sink.  The reference's matching
+    anchor is its 96 Hz driver main loop (README.md:159): the loop tick
+    bounds how fast its serving queue can hand batches to actors; here
+    the micro-batch cycle plays that role, so the honest comparable is
+    round-trips (micro-batches) per second alongside raw rows/s."""
+    from cosmos_xenna_spark.streaming import run_stages_streaming, serve
+    from cosmos_xenna_spark.streaming.serving_source import (
+        QueueServingDataSource,
+        ServingQueueServer,
+    )
+
+    server = ServingQueueServer()
+    got: list[int] = []
+    try:
+        q = server.queue("bench")
+        spark.dataSource.register(QueueServingDataSource)
+        stream = (
+            spark.readStream.format("cxs_serving")
+            .schema("id long, text string")
+            .options(**server.options("bench"))
+            .load()
+        )
+        chain = run_stages_streaming(
+            stream,
+            PipelineSpec(
+                stages=[
+                    StageSpec(Tokenize, "id long, text string, n_tokens long"),
+                    StageSpec(HashCpu, "id long, text string, n_tokens long, digest string"),
+                ]
+            ),
+        )
+        handle = serve(chain, lambda df, _bid: got.append(df.count()))
+        try:
+            # warm the stream (python workers + first micro-batch planning)
+            q.put((0, "warm up row"))
+            handle.processAllAvailable()
+            got.clear()
+            per_wave = n_rows // waves
+            t0 = time.perf_counter()
+            row_id = 1
+            n_batches = 0
+            for _ in range(waves):
+                for _i in range(per_wave):
+                    q.put((row_id, f"serving request body text {row_id}"))
+                    row_id += 1
+                handle.processAllAvailable()
+                n_batches += 1
+            sec = time.perf_counter() - t0
+        finally:
+            handle.stop()
+            handle.awaitTermination(30)
+            spark.streams.resetTerminated()
+    finally:
+        server.shutdown()
+    n_out = sum(got)
+    assert n_out == per_wave * waves, (n_out, per_wave * waves)
+    return {
+        "rows_per_sec": round(n_out / sec, 1),
+        "sec": round(sec, 3),
+        "round_trips_per_sec": round(n_batches / sec, 2),
+        "n_rows": n_out,
+        "n_stage_passes": 2,
+    }
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     spark = get_spark(app_name="stage_throughput")
@@ -110,6 +178,8 @@ def main() -> None:
             "sec": round(sec, 3),
             "n_stage_passes": len(stages),
         }
+
+    results["serving_round_trip"] = serving_round_trip(spark)
 
     payload = {
         "n_rows": n_rows,

@@ -441,3 +441,28 @@ def test_time_window_dedup_groups_match_batch(spark, sf_dir, events_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_session_window_boundaries_match_batch_query(spark, sf_dir, events_dir):
+    """STRONG session parity (r5 verdict directive): the live streaming
+    ``F.session_window`` emits bit-identical (user, session_start,
+    session_end, n) rows to the driver-verified batch q_session_window —
+    boundaries and counts, not just per-user multisets."""
+    from cosmos_xenna_spark.queries import load_registry
+    from cosmos_xenna_spark.streaming import session_counts
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(
+        session_counts(stream, gap="10 minutes"), "t_session_bounds", "complete"
+    )
+    _drain(q)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM t_session_bounds").collect()
+    )
+    batch = load_registry()["q_session_window"].builder(spark, sf_dir)
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n)
+        for r in batch.collect()
+    )
+    assert got == want
