@@ -83,6 +83,10 @@ HEADLINE = [
     # full candidate-generation chain) and the corpus vocab scan
     "q_simhash_pairs",
     "q_vocab_coverage",
+    # r6 batch 2: the cross-corpus LSH probe (heaviest new shape) and
+    # the full-outer snapshot diff
+    "q_incremental_dedup",
+    "q_table_diff",
 ]
 
 

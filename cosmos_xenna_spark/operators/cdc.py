@@ -151,3 +151,66 @@ def incremental_agg_merge(
         .filter(F.col(count_col) > 0)
     )
     return scoped_persist(delta, untouched.unionByName(merged))
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff: per-key change classification between two table
+    versions — the audit behind every CDC pipeline and the building
+    block of data-reconciliation jobs.
+
+    Returns ``(keys..., change)`` with change in {'I','D','U'} for
+    inserted / deleted / updated keys; unchanged keys are omitted
+    (at 100 TB the unchanged set IS the table — emitting it would make
+    the diff as big as the input).  'U' compares the listed columns
+    null-safely (``<=>``), so NULL -> value and value -> NULL both
+    count as updates.
+
+    Scale shape: one full outer join keyed by the diff key — both
+    sides shuffle once on the same key (co-partitioned; with bucketed
+    tables the exchange disappears entirely), and the change
+    classification is row-local.
+    """
+    o = old.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
+    n = new.select(*keys, *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
+    joined = o.withColumn("__in_old", F.lit(1)).join(
+        n.withColumn("__in_new", F.lit(1)), on=keys, how="full_outer"
+    )
+    changed = None
+    for c in compare_cols:
+        neq = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    return (
+        joined.withColumn(
+            "change",
+            F.when(F.col("__in_old").isNull(), F.lit("I"))
+            .when(F.col("__in_new").isNull(), F.lit("D"))
+            .when(changed, F.lit("U")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )
+
+
+def table_diff_sql(
+    old_sql: str, new_sql: str, keys: list[str], compare_cols: list[str]
+) -> str:
+    key_list = ", ".join(keys)
+    neq = " OR ".join(
+        f"(o.{c} IS DISTINCT FROM n.{c})" for c in compare_cols
+    )
+    return f"""
+    SELECT {key_list},
+           CASE WHEN o.__in_old IS NULL THEN 'I'
+                WHEN n.__in_new IS NULL THEN 'D'
+                WHEN {neq} THEN 'U' END AS change
+    FROM (SELECT *, 1 AS __in_old FROM ({old_sql})) o
+    FULL OUTER JOIN (SELECT *, 1 AS __in_new FROM ({new_sql})) n USING ({key_list})
+    WHERE CASE WHEN o.__in_old IS NULL THEN 'I'
+               WHEN n.__in_new IS NULL THEN 'D'
+               WHEN {neq} THEN 'U' END IS NOT NULL
+    """

@@ -712,3 +712,50 @@ def edit_distance_verify_pairs(
             (F.lit(100.0) * F.col("__d") / F.col("__max_len")).alias("dist_per_100"),
         )
     )
+
+
+def incremental_fuzzy_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ingest-time dedup: drop NEW documents that are near-duplicates of
+    anything already in the corpus — the incremental form of
+    :func:`fuzzy_dedup_keep` (a daily crawl lands against a 100 TB
+    corpus; re-clustering the world per batch is not an option).
+
+    Candidates come from an LSH bucket-equality JOIN between the new
+    batch and the corpus (never within-batch pairs — batch-internal
+    dups are a separate :func:`fuzzy_dedup_keep` pass), verified with
+    the exact word-set Jaccard.  Returns the kept subset of
+    ``new_docs``, all columns.
+
+    Scale shape: both sides shuffle once on (band, bucket) — the corpus
+    side can be a PRE-COMPUTED signature table in production (the
+    banding is deterministic), turning this into a pure probe of the
+    new batch; the verify join and final anti-join touch only the
+    matched sliver of the batch.
+    """
+    nb = lsh_band_buckets(new_docs, text_col, n_hashes, band_size, k)
+    cb = lsh_band_buckets(corpus, text_col, n_hashes, band_size, k)
+    cands = (
+        nb.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(cb.select(F.col("doc_id").alias("doc_b"), "band", "bucket"), ["band", "bucket"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Jaccard needs both texts: union the two doc sets for the verify
+    # join (ids are disjoint by contract — caller namespaces them).
+    docs_all = new_docs.select("doc_id", text_col).unionByName(
+        corpus.select("doc_id", text_col)
+    )
+    dup_new = (
+        jaccard_verify_pairs(cands, docs_all, text_col, threshold)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return new_docs.join(dup_new, "doc_id", "left_anti")

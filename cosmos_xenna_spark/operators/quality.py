@@ -519,3 +519,68 @@ def ngram_diversity_sql(table: str, group_cols: list[str], text_col: str, n: int
     FROM grams
     GROUP BY {keys}
     """
+
+
+def keyword_tag(
+    docs: DataFrame,
+    keywords: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocklist / taxonomy tagging: which of ``keywords`` appear in
+    each document (word-boundary token match, not substring), plus the
+    match count — the standard bad-words filter / topic-tag pass.
+
+    Returns ``(doc_id, matched, n_matched)`` with ``matched`` a
+    comma-joined sorted list (string output keeps the driver-hash
+    dtype contract: no array columns).
+
+    Scale shape: the keyword list ships as a broadcast join against the
+    exploded token stream — the corpus never shuffles by token; the
+    only corpus-sized exchange is the per-doc aggregation.  Works for
+    ANY keyword-list size (a literal ``isin`` would bloat the plan at
+    real blocklist sizes, tens of thousands of entries).
+    """
+    spark = docs.sparkSession
+    kw = spark.createDataFrame([(k,) for k in keywords], "w string").distinct()
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(text_col, " "))).alias("w")
+    )
+    hits = words.join(F.broadcast(kw), "w")
+    return (
+        docs.select("doc_id")
+        .join(
+            hits.groupBy("doc_id").agg(
+                F.array_join(F.array_sort(F.collect_list("w")), ",").alias("matched"),
+                F.count(F.lit(1)).alias("n_matched"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("matched", F.lit("")).alias("matched"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        )
+    )
+
+
+def keyword_tag_sql(table: str, keywords: list[str], text_col: str) -> str:
+    kw_values = ", ".join(f"('{k}')" for k in keywords)
+    return f"""
+    WITH kw(w) AS (SELECT DISTINCT * FROM (VALUES {kw_values})),
+    words AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split({text_col}, ' ')) AS w
+      FROM {table}
+    ),
+    hits AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list(w)), ',') AS matched,
+             COUNT(*) AS n_matched
+      FROM words JOIN kw USING (w)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(matched, '') AS matched,
+           COALESCE(n_matched, 0) AS n_matched
+    FROM {table} d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """

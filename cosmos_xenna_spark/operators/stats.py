@@ -622,3 +622,59 @@ def ks_two_sample_sql(
            CAST(MAX(tot_b) AS BIGINT) AS n_b
     FROM stepped GROUP BY {keys}
     """
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo_pct: float = 0.25,
+    hi_pct: float = 0.75,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to the group's
+    [lo_pct, hi_pct] exact quantiles — the standard outlier-taming
+    transform before averaging noisy features.
+
+    Quantile choices default to quarters because quarter quantiles of
+    integer inputs are engine-exact (see :func:`robust_scale`); pass
+    other percentiles only when cross-engine bit-parity is not needed.
+
+    Scale shape: one aggregation computes the per-group bounds (tiny,
+    group-cardinality rows) which broadcast back onto the facts — the
+    fact table never shuffles and there is no rank window.  Adds
+    ``v_clipped`` plus the bounds.
+    """
+    q = F.expr(f"percentile({value_col}, array({lo_pct!r}, {hi_pct!r}))")
+    bounds = df.groupBy(*group_cols).agg(
+        F.element_at(q, 1).alias("__lo"), F.element_at(q, 2).alias("__hi")
+    )
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(
+            "v_clipped",
+            F.least(F.greatest(F.col(value_col).cast("double"), F.col("__lo")), F.col("__hi")),
+        )
+        .withColumnRenamed("__lo", "clip_lo")
+        .withColumnRenamed("__hi", "clip_hi")
+    )
+
+
+def winsorize_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    lo_pct: float = 0.25,
+    hi_pct: float = 0.75,
+) -> str:
+    keys = ", ".join(group_cols)
+    return f"""
+    WITH bounds AS (
+      SELECT {keys},
+             quantile_cont({value_col}, {lo_pct!r}) AS clip_lo,
+             quantile_cont({value_col}, {hi_pct!r}) AS clip_hi
+      FROM {table} GROUP BY {keys}
+    )
+    SELECT t.*, clip_lo, clip_hi,
+           LEAST(GREATEST(CAST({value_col} AS DOUBLE), clip_lo), clip_hi) AS v_clipped
+    FROM {table} t JOIN bounds USING ({keys})
+    """

@@ -10,6 +10,8 @@ from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.cdc import (
     OP_COL,
     incremental_agg_merge,
+    table_diff,
+    table_diff_sql,
     merge_upsert,
     scd2_from_changelog,
 )
@@ -208,3 +210,40 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by an aggregation that would otherwise be recomputed in both
     # split branches — persist it for the harness run only.
     return scoped_persist(base, out)
+
+
+_DIFF_OLD = f"""
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    WHERE o_orderdate < TIMESTAMP '{_BASE_CUT}'
+"""
+_DIFF_NEW = f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderdate >= TIMESTAMP '{_DEL_CUT}'
+"""
+
+
+@register(
+    "q_table_diff",
+    oracle=table_diff_sql(_DIFF_OLD, _DIFF_NEW, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]),
+    description="snapshot diff: per-key I/D/U classification between two "
+    "table versions (null-safe column compare; unchanged keys omitted) — "
+    "one co-partitioned full outer join, classification row-local",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base_cut = F.lit(_BASE_CUT).cast("timestamp")
+    del_cut = F.lit(_DEL_CUT).cast("timestamp")
+    old = orders.filter(F.col("o_orderdate") < base_cut).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderdate") >= del_cut).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return table_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])

@@ -435,3 +435,47 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidate_pairs(docs, "text", max_hamming=3, n_bands=4)
+
+
+@register(
+    "q_incremental_dedup",
+    oracle=f"""
+    WITH cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_BUCKETS_SQL}) a JOIN ({_BUCKETS_SQL}) b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+    ),
+    words AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM cands p JOIN words a ON a.doc_id = p.doc_a
+                   JOIN words b ON b.doc_id = p.doc_b AND b.w = a.w
+      GROUP BY 1, 2
+    ),
+    dup_new AS (
+      SELECT DISTINCT doc_a AS doc_id
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE)
+              / (sa.n_words + sb.n_words - n_inter) >= 0.5
+    )
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM dup_new)
+    """,
+    description="ingest-time incremental dedup: new batch (doc_id % 3 = 0) "
+    "LSH-probed against the existing corpus, exact-Jaccard verified, "
+    "near-dup batch docs dropped — never re-clusters the corpus",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.dedup import incremental_fuzzy_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    return incremental_fuzzy_dedup(new_docs, corpus, "text", threshold=0.5).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

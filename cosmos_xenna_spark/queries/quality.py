@@ -20,6 +20,8 @@ from cosmos_xenna_spark.operators.quality import (
     PHONE_RE,
     decontaminate,
     line_dedup,
+    keyword_tag,
+    keyword_tag_sql,
     ngram_diversity,
     ngram_diversity_sql,
     quality_signals,
@@ -319,3 +321,18 @@ def q_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_diversity(docs, ["lang", "source"], "text", n=2)
+
+
+_BLOCKLIST = ["merge", "stream", "window"]
+
+
+@register(
+    "q_keyword_blocklist",
+    oracle=keyword_tag_sql("documents", _BLOCKLIST, "text"),
+    description="keyword blocklist / taxonomy tagging: matched terms + count "
+    "per doc via broadcast join against the exploded token stream (plan-size-"
+    "safe at real blocklist cardinalities, unlike a literal isin)",
+)
+def q_keyword_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return keyword_tag(docs, _BLOCKLIST, "text")

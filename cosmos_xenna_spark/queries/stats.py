@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.stats import (
+    winsorize,
+    winsorize_sql,
     grouped_corr,
     grouped_corr_sql,
     histogram,
@@ -205,4 +207,22 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 1),
         ["lang"],
         "n_chars",
+    )
+
+
+@register(
+    "q_winsorize",
+    oracle=(
+        "SELECT doc_id, lang, clip_lo, clip_hi, v_clipped FROM ("
+        + winsorize_sql("documents", ["lang"], "n_chars", 0.25, 0.75)
+        + ")"
+    ),
+    description="per-language winsorization: clip doc length to the exact "
+    "[p25, p75] quantiles (quarter quantiles of integers are engine-exact); "
+    "bounds broadcast back, facts never shuffle, no rank window",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return winsorize(docs, ["lang"], "n_chars", 0.25, 0.75).select(
+        "doc_id", "lang", "clip_lo", "clip_hi", "v_clipped"
     )

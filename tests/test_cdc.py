@@ -151,3 +151,21 @@ class TestIncrementalAggMerge:
             )
         )
         assert a == b
+
+
+def test_table_diff_null_safe_classification(spark):
+    from cosmos_xenna_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, None, "B"), (3, 30.0, "C"), (4, 40.0, "D")],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),      # unchanged -> omitted
+         (2, 20.0, "B"),      # NULL -> value: update (null-safe compare)
+         (3, None, "C"),      # value -> NULL: update
+         (5, 50.0, "E")],     # inserted; k=4 deleted
+        "k long, price double, status string",
+    )
+    got = {(r.k, r.change) for r in table_diff(old, new, ["k"], ["price", "status"]).collect()}
+    assert got == {(2, "U"), (3, "U"), (4, "D"), (5, "I")}

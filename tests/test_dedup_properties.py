@@ -240,3 +240,27 @@ def test_fuzzy_dedup_survivor_policies_agree_on_clusters(spark, sf_dir):
     kept_id = {r.doc_id for r in by_id.select("doc_id").collect()}
     # policies may keep different members but the same cluster count
     assert len(kept_best) == len(kept_id)
+
+
+def test_incremental_dedup_keeps_batch_internal_dups(spark):
+    """Contract: incremental dedup drops only batch docs near-duplicating
+    the CORPUS; duplicates WITHIN the batch survive (they are a separate
+    fuzzy_dedup_keep pass)."""
+    from cosmos_xenna_spark.operators.dedup import incremental_fuzzy_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "totally different words entirely unrelated content here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, base + " lambda"),                  # near-dup of corpus 100 -> dropped
+         (2, "unique snowflake document body words one two three four five"),
+         (3, "unique snowflake document body words one two three four five")],
+        "doc_id long, text string",              # 2 and 3 duplicate EACH OTHER -> both kept
+    )
+    kept = sorted(
+        r.doc_id
+        for r in incremental_fuzzy_dedup(batch, corpus, "text", threshold=0.5).collect()
+    )
+    assert kept == [2, 3]
