@@ -759,3 +759,61 @@ def incremental_fuzzy_dedup(
         .distinct()
     )
     return new_docs.join(dup_new, "doc_id", "left_anti")
+
+
+def golden_record(
+    clustered: DataFrame,
+    cluster_col: str,
+    best_by: dict[str, str],
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Survivorship merge: one "golden" row per duplicate cluster, each
+    field taken from the member that wins that field's quality rule —
+    the MDM step after clustering (keep-best per FIELD, not per row).
+
+    ``best_by`` maps output column -> ordering column: the emitted
+    value is ``max_by(col, key)`` over the cluster where the key is the
+    zero-padded ``(order_col, col)`` string — composite and
+    deterministic (the value itself is the tiebreak), and expressible
+    identically in engines whose ``arg_max`` lacks struct ordering
+    keys (DuckDB's does).  ``sum_cols`` aggregate additively (e.g.
+    view counts merge by sum).
+
+    One aggregation keyed by the cluster id; all field rules ride the
+    same pass (no per-field self-joins).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for out_col, order_col in best_by.items():
+        aggs.append(
+            F.expr(f"max_by({out_col}, {_pad_key_sql(order_col, out_col)})").alias(out_col)
+        )
+    for c in sum_cols or []:
+        aggs.append(F.sum(c).alias(f"sum_{c}"))
+    return clustered.groupBy(cluster_col).agg(*aggs)
+
+
+def _pad_key_sql(order_col: str, value_col: str) -> str:
+    """Composite sortable key: zero-padded numeric order column, then
+    the value as tiebreak — identical SQL text works in Spark
+    (format_string) and DuckDB (printf) via the shared printf dialect."""
+    return f"printf('%020d|%s', {order_col}, CAST({value_col} AS STRING))"
+
+
+def golden_record_sql(
+    table_sql: str,
+    cluster_col: str,
+    best_by: dict[str, str],
+    sum_cols: list[str] | None = None,
+) -> str:
+    fields = ["COUNT(*) AS n_members"]
+    for out_col, order_col in best_by.items():
+        fields.append(
+            f"arg_max({out_col}, {_pad_key_sql(order_col, out_col)}) AS {out_col}"
+        )
+    for c in sum_cols or []:
+        fields.append(f"SUM({c}) AS sum_{c}")
+    return f"""
+    SELECT {cluster_col}, {', '.join(fields)}
+    FROM ({table_sql})
+    GROUP BY {cluster_col}
+    """

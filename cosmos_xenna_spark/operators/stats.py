@@ -678,3 +678,78 @@ def winsorize_sql(
            LEAST(GREATEST(CAST({value_col} AS DOUBLE), clip_lo), clip_hi) AS v_clipped
     FROM {table} t JOIN bounds USING ({keys})
     """
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    window_rows: int = 20,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Trailing-window anomaly score per key: the z-score of each value
+    against the mean/stddev of its preceding ``window_rows`` rows
+    (exclusive of the current row) — the streaming-style outlier flag
+    computed in batch.
+
+    Exactness contract: values quantize to integer cents
+    (``floor(x * 100)``), so the frame's sum and sum-of-squares are
+    exact integers (bounded: 20 rows x 1e8 cents keeps sum^2 under
+    2^53), and every double op after that (one divide, one sqrt) is a
+    single correctly-rounded IEEE step — bit-identical across engines
+    and partitionings.  Rows with fewer than 2 preceding values or zero
+    variance emit NULL.
+
+    Scale shape: one keyed window (no global window), rows-frame state
+    bounded by ``window_rows``.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col, *(order_tiebreak or []))
+        .rowsBetween(-window_rows, -1)
+    )
+    c = F.floor(F.col(value_col) * 100).cast("bigint")
+    base = df.withColumn("__c", c)
+    n = F.count("__c").over(w)
+    s = F.sum("__c").over(w)
+    ssq = F.sum(F.col("__c") * F.col("__c")).over(w)
+    mean = s.cast("double") / n
+    var = (ssq.cast("double") - s.cast("double") * s.cast("double") / n) / (n - 1)
+    z = (F.col("__c").cast("double") - mean) / F.sqrt(var)
+    return base.withColumn(
+        "zscore", F.when((n >= 2) & (var > 0), z)
+    ).drop("__c")
+
+
+def rolling_zscore_sql(
+    table_sql: str,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    window_rows: int = 20,
+    order_tiebreak: list[str] | None = None,
+) -> str:
+    part = ", ".join(key_cols)
+    order = ", ".join([time_col] + list(order_tiebreak or []))
+    w = (
+        f"OVER (PARTITION BY {part} ORDER BY {order} "
+        f"ROWS BETWEEN {window_rows} PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
+    SELECT * EXCLUDE (__c, __n, __s, __ssq),
+           CASE WHEN __n >= 2
+                 AND (CAST(__ssq AS DOUBLE) - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE) / __n)
+                      / (__n - 1) > 0
+                THEN (CAST(__c AS DOUBLE) - CAST(__s AS DOUBLE) / __n)
+                     / sqrt((CAST(__ssq AS DOUBLE) - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE) / __n)
+                            / (__n - 1))
+           END AS zscore
+    FROM (
+      SELECT *, COUNT(__c) {w} AS __n, SUM(__c) {w} AS __s,
+             SUM(__c * __c) {w} AS __ssq
+      FROM (
+        SELECT *, CAST(FLOOR({value_col} * 100) AS BIGINT) AS __c FROM ({table_sql})
+      )
+    )
+    """

@@ -479,3 +479,60 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_fuzzy_dedup(new_docs, corpus, "text", threshold=0.5).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "q_golden_record",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_BUCKETS_SQL}) a JOIN ({_BUCKETS_SQL}) b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    member_rows AS (
+      SELECT cluster_id, d.text, d.n_chars, d.doc_id
+      FROM clusters JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, COUNT(*) AS n_members,
+           arg_max(text, printf('%020d|%s', n_chars, CAST(text AS STRING))) AS text,
+           arg_max(doc_id, printf('%020d|%s', n_chars, CAST(doc_id AS STRING))) AS best_doc_id,
+           SUM(n_chars) AS sum_n_chars
+    FROM member_rows GROUP BY cluster_id
+    """,
+    description="survivorship merge: one golden row per duplicate cluster — "
+    "each field from the member winning that field's quality rule "
+    "(max_by with deterministic tiebreak), additive fields summed; one "
+    "aggregation keyed by cluster id, no per-field self-joins",
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.dedup import golden_record
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
+    clusters = connected_components(pairs)
+    member_rows = clusters.join(docs, "doc_id").select(
+        "cluster_id", "text", "n_chars", "doc_id"
+    )
+    out = golden_record(
+        member_rows,
+        "cluster_id",
+        best_by={"text": "n_chars", "doc_id": "n_chars"},
+        sum_cols=["n_chars"],
+    )
+    return out.select(
+        "cluster_id",
+        "n_members",
+        "text",
+        F.col("doc_id").alias("best_doc_id"),
+        "sum_n_chars",
+    )

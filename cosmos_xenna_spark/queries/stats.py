@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.stats import (
+    rolling_zscore,
+    rolling_zscore_sql,
     winsorize,
     winsorize_sql,
     grouped_corr,
@@ -226,3 +228,28 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(docs, ["lang"], "n_chars", 0.25, 0.75).select(
         "doc_id", "lang", "clip_lo", "clip_hi", "v_clipped"
     )
+
+
+@register(
+    "q_rolling_zscore",
+    oracle=(
+        "SELECT event_id, user_id, zscore FROM ("
+        + rolling_zscore_sql(
+            "SELECT event_id, user_id, ts, value FROM events",
+            ["user_id"],
+            "ts",
+            "value",
+            window_rows=20,
+            order_tiebreak=["event_id"],
+        )
+        + ")"
+    ),
+    description="trailing-window anomaly score per user: z-score vs the "
+    "preceding 20 events (exclusive) — dyadic-exact cents quantization makes "
+    "the frame moments exact integers, so both engines agree bit-for-bit; "
+    "one keyed window, frame-bounded state",
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling_zscore(ev, ["user_id"], "ts", "value", 20, order_tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "zscore")
