@@ -8,9 +8,11 @@ Decode kernels, in dispatch order: the deterministic fake formats
 this container can handle without external libraries — uncompressed
 BMP (pure struct+numpy, :func:`decode_bmp`), 8-bit non-interlaced
 PNG (stdlib zlib inflate + full scanline unfiltering,
-:func:`decode_png`), and PCM WAV (stdlib ``wave``,
-:func:`decode_wav`) — then PIL for other compressed images when
-importable, else ``NotImplementedError`` (no libjpeg/ffmpeg here; the
+:func:`decode_png`), baseline JPEG (full entropy pipeline — canonical
+Huffman, DC prediction, zig-zag, IDCT — in ``operators/jpeg.py``),
+and PCM WAV (stdlib ``wave``, :func:`decode_wav`) — then PIL for
+other compressed images when importable, else
+``NotImplementedError`` (progressive JPEG / MP3 / video codecs; the
 limitation is the codec, not the engine). The kernel is a pluggable
 seam: ``set_image_decoder`` registers a replacement that every image
 operator captures at plan-build time — no operator edits when a
@@ -214,6 +216,10 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, bytes]:
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from cosmos_xenna_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     try:
         import io
 

@@ -1,0 +1,218 @@
+"""Baseline-JPEG decoder tests with a self-contained test-side ENCODER.
+
+The encoder below implements the other half of T.81 baseline
+(FDCT -> quantize -> zig-zag -> DC-diff/AC-runlength -> canonical
+Huffman -> byte stuffing), so the decoder is exercised with genuine
+entropy-coded streams.  Encoder/decoder shared-bug risk is bounded by
+analytic vectors: a uniform image round-trips EXACTLY (single DC
+coefficient, integer math end-to-end), and the all-ones quant table
+bounds reconstruction error to DCT rounding alone.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from cosmos_xenna_spark.operators.jpeg import _IDCT_M, ZIGZAG, decode_jpeg
+
+# T.81 Annex K.1 luminance quantization table (natural order).
+QUANT_K1 = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Encoder Huffman tables: every symbol at code length 8 (canonical
+# assignment over <= 255 same-length codes is trivially prefix-free;
+# the decoder must handle ANY canonical table, not just Annex K's).
+_DC_SYMS = list(range(12))
+_AC_SYMS = sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)})
+
+
+def _huff_spec(symbols):
+    counts = [0] * 16
+    counts[7] = len(symbols)  # all codes 8 bits
+    enc = {sym: (i, 8) for i, sym in enumerate(symbols)}
+    return counts, bytes(symbols), enc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.nbits = 0, 0
+
+    def flush(self):
+        while self.nbits:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _magnitude(v):
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_gray(img: np.ndarray, quant=QUANT_K1, restart_interval=0) -> bytes:
+    h, w = img.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")
+    qnat = quant.reshape(8, 8).astype(np.float64)
+
+    dc_counts, dc_vals, dc_enc = _huff_spec(_DC_SYMS)
+    ac_counts, ac_vals, ac_enc = _huff_spec(_AC_SYMS)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    qzz = quant[ZIGZAG]  # DQT ships in zig-zag order
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qzz))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_vals)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    bw = _BitWriter()
+    dc_pred = 0
+    mcu_index = 0
+    rst = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                dc_pred = 0
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coeffs = _IDCT_M @ block @ _IDCT_M.T  # FDCT (transpose of IDCT)
+            q = np.round(coeffs / qnat).astype(np.int64)
+            zz = q.reshape(-1)[ZIGZAG]
+            diff = int(zz[0]) - dc_pred
+            dc_pred = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, nb = dc_enc[size]
+            bw.write(code, nb)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, nb = ac_enc[0xF0]
+                    bw.write(code, nb)
+                    run -= 16
+                size, bits = _magnitude(int(zz[k]))
+                code, nb = ac_enc[(run << 4) | size]
+                bw.write(code, nb)
+                bw.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, nb = ac_enc[0x00]  # EOB
+                bw.write(code, nb)
+            mcu_index += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_uniform_image_roundtrips_exactly():
+    """Uniform gray: single DC coefficient, divisible by the quant step
+    -> bit-exact reconstruction (analytic, independent of encoder)."""
+    img = np.full((16, 24), 200, dtype=np.uint8)
+    w, h, pixels = decode_jpeg(encode_jpeg_gray(img))
+    assert (w, h) == (24, 16)
+    assert np.array_equal(np.frombuffer(pixels, np.uint8).reshape(16, 24), img)
+
+
+def test_random_image_unit_quant_bounds_error():
+    """All-ones quant table: the only loss is DCT-coefficient rounding,
+    so reconstruction is within a few gray levels everywhere."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    quant = np.ones(64, dtype=np.int64)
+    w, h, pixels = decode_jpeg(encode_jpeg_gray(img, quant=quant))
+    got = np.frombuffer(pixels, np.uint8).reshape(24, 40).astype(np.int64)
+    assert np.abs(got - img.astype(np.int64)).max() <= 3
+
+
+def test_k1_quant_smooth_gradient_close():
+    """Real Annex-K quantization on a smooth gradient: lossy but close
+    (smooth content concentrates energy in low frequencies)."""
+    x = np.linspace(40, 215, 32)
+    img = np.tile(x, (16, 1)).astype(np.uint8)
+    w, h, pixels = decode_jpeg(encode_jpeg_gray(img))
+    got = np.frombuffer(pixels, np.uint8).reshape(16, 32).astype(np.int64)
+    assert np.abs(got - img.astype(np.int64)).mean() < 4.0
+
+
+def test_non_multiple_of_8_dims():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    w, h, pixels = decode_jpeg(encode_jpeg_gray(img, quant=np.ones(64, np.int64)))
+    assert (w, h) == (21, 13)
+    got = np.frombuffer(pixels, np.uint8).reshape(13, 21).astype(np.int64)
+    assert np.abs(got - img.astype(np.int64)).max() <= 3
+
+
+def test_restart_markers():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 32), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg_gray(img, quant=np.ones(64, np.int64)))
+    with_rst = decode_jpeg(
+        encode_jpeg_gray(img, quant=np.ones(64, np.int64), restart_interval=2)
+    )
+    assert plain == with_rst
+
+
+def test_progressive_and_malformed_raise():
+    # SOF2 (progressive) after SOI
+    prog = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_through_spark_operator_chain(spark):
+    """A REAL entropy-coded JPEG flows the Arrow-batched operator path."""
+    from cosmos_xenna_spark.operators.multimodal import (
+        extract_image_metadata,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    payload = encode_jpeg_gray(img)
+    df = spark.createDataFrame([(9, bytearray(payload))], "id long, image binary")
+    meta = extract_image_metadata(df).collect()[0]
+    assert (meta.width, meta.height, meta.n_bytes) == (24, 16, len(payload))
+    rmeta = extract_image_metadata(resize_images(df, 12, 8)).collect()[0]
+    assert (rmeta.width, rmeta.height) == (12, 8)

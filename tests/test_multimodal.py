@@ -22,12 +22,14 @@ def test_decode_roundtrip():
 
 
 def test_decode_rejects_unsupported_formats():
-    # JPEG still honestly raises behind the pluggable seam (no libjpeg)
+    # WebP still honestly raises behind the pluggable seam (no codec)
     with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
-    # PNG is now a real decoder: malformed bytes are a loud error
+        decode_image_stub(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 24)
+    # PNG and JPEG are now real decoders: malformed bytes are loud errors
     with pytest.raises(ValueError, match="IHDR"):
         decode_image_stub(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image_stub(b"\xff\xd8\xff\xc2" + b"\x00" * 32)  # progressive SOF2
 
 
 def test_resize_distributed(spark, sf_dir):
