@@ -57,8 +57,9 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       during r6 queue for the r7 rotation: q_simhash_pairs,
 #       q_vocab_coverage, q_decayed_sum, q_fd_violations,
 #       q_ngram_diversity, q_incremental_dedup, q_keyword_blocklist,
-#       q_table_diff, q_winsorize, q_rolling_zscore, q_golden_record
-#       (all locally oracle-green at sf0.001 AND sf0.01 when added).
+#       q_table_diff, q_winsorize, q_rolling_zscore, q_golden_record,
+#       q_multimodal_video_demux (all locally oracle-green at sf0.001
+#       AND sf0.01 when added).
 _R6_PROMOTIONS = (
     # never driver-verified (late-r5 additions) — the 16 promotions
     "q_minhash_containment",

@@ -523,3 +523,124 @@ def attach_fake_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from cosmos_xenna_spark.operators.dedup import ensure_parallelism
 
     return ensure_parallelism(df).mapInPandas(fn, schema="id long, frames array<binary>")
+
+
+# ---------------------------------------------------------------------------
+# Video containers: real AVI/MJPEG decode (RIFF walk + per-frame JPEG)
+# ---------------------------------------------------------------------------
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL video-container decode for AVI holding MJPEG (or any
+    per-frame codec the image seam can decode): RIFF chunk walk, main
+    header for dimensions/timing, '00dc'/'00db' chunks as frames.
+
+    Returns ``(width, height, us_per_frame, frames)`` where each frame
+    is the raw codec payload (for MJPEG: a baseline JPEG that
+    :func:`decode_image_stub` decodes via ``operators/jpeg.py``) —
+    container parsing and frame decode are deliberately separate
+    stages, mirroring how a production pipeline demuxes once and
+    decodes per-frame in parallel.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = us_per_frame = 0
+    frames: list[bytes] = []
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        nonlocal width, height, us_per_frame
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(data, body_start + 4, body_start + size)  # skip list type
+            elif cid == b"avih":
+                us_per_frame, = struct.unpack_from("<I", data, body_start)
+                width, height = struct.unpack_from("<II", data, body_start + 32)
+            elif cid[2:4] in (b"dc", b"db"):  # compressed / uncompressed frame
+                frames.append(bytes(data[body_start : body_start + size]))
+            pos = body_start + size + (size & 1)  # chunks pad to even
+
+    walk(payload, 12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no frame chunks")
+    return width, height, us_per_frame, frames
+
+
+def video_to_frames(
+    df: DataFrame, id_col: str = "id", video_col: str = "video"
+) -> DataFrame:
+    """Demux stage: one row per frame of each video binary —
+    ``(id, frame_idx, ts_us, frame)``.  The frame payloads are codec
+    bytes (MJPEG: real JPEGs) ready for the image operators; chaining
+    ``video_to_frames -> extract_image_metadata`` runs real container
+    demux + real entropy decode end-to-end on the Arrow path.
+
+    Scale shape: the fan-out happens executor-side inside
+    ``mapInPandas`` (videos never hit the driver); downstream frame
+    work parallelizes over the exploded rows.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[video_col]):
+                _w, _h, us, frs = decode_avi_mjpeg(bytes(payload))
+                for j, fr in enumerate(frs):
+                    ids.append(i)
+                    idxs.append(j)
+                    tss.append(j * us)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "ts_us": tss, "frame": frames}
+            )
+
+    return df.mapInPandas(fn, schema="id long, frame_idx long, ts_us long, frame binary")
+
+
+def build_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, us_per_frame: int = 40_000
+) -> bytes:
+    """Minimal AVI writer (the sink-side dual of :func:`decode_avi_mjpeg`):
+    RIFF/hdrl/movi with one '00dc' chunk per frame payload."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + b"\x00" * 48
+    strf = struct.pack("<IiiHH", 40, width, height, 1, 24) + b"\x00" * 20
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_fake_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-container videos: an AVI per row holding
+    ``id % 4 + 2`` frames (each a deterministic fake-format payload, so
+    the oracle can recompute sizes arithmetically; swap in JPEG frames
+    and nothing else changes — the container path is identical)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vids = [], []
+            for i in pdf[id_col]:
+                n = int(i) % 4 + 2
+                frames = [fake_image(8, 6, seed=int(i) * 10 + j) for j in range(n)]
+                ids.append(int(i))
+                vids.append(build_avi_mjpeg(frames, 8, 6))
+            yield pd.DataFrame({"id": ids, "video": vids})
+
+    return df.select(id_col).mapInPandas(fn, schema="id long, video binary")

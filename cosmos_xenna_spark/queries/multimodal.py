@@ -12,6 +12,7 @@ tests/test_multimodal.py (decode/resize round-trips).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.multimodal import (
@@ -95,3 +96,30 @@ def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     wins = audio_window_energy(attach_fake_audio(docs), window_samples=4000)
     return wins.select("id", "win_idx")
+
+
+@register(
+    "q_multimodal_video_demux",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(g.j AS BIGINT) AS frame_idx,
+           CAST(g.j * 40000 AS BIGINT) AS ts_us,
+           CAST(16 + 48 AS BIGINT) AS frame_bytes
+    FROM documents, UNNEST(range(0, doc_id % 4 + 2)) AS g(j)
+    """,
+    description="real AVI container demux: RIFF chunk walk executor-side, "
+    "one row per '00dc' frame with stream timestamps; frame payloads feed "
+    "the image decode seam (MJPEG = the baseline-JPEG kernel) — oracle "
+    "recomputes the frame fan-out arithmetically",
+)
+def q_multimodal_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.multimodal import (
+        attach_fake_videos,
+        video_to_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = video_to_frames(attach_fake_videos(docs))
+    return frames.select(
+        "id", "frame_idx", "ts_us", F.length("frame").cast("bigint").alias("frame_bytes")
+    )

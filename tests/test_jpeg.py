@@ -216,3 +216,75 @@ def test_jpeg_through_spark_operator_chain(spark):
     assert (meta.width, meta.height, meta.n_bytes) == (24, 16, len(payload))
     rmeta = extract_image_metadata(resize_images(df, 12, 8)).collect()[0]
     assert (rmeta.width, rmeta.height) == (12, 8)
+
+
+def _make_avi_mjpeg(frames, width, height, us_per_frame=40000):
+    """Minimal RIFF/AVI container wrapping codec frames as 00dc chunks."""
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + b"\x00" * 48
+    strf = struct.pack("<IiiHH", 40, width, height, 1, 24) + b"\x00" * 20
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_demux_and_decode():
+    """Real container + real codec: AVI demux yields the exact JPEG
+    payloads, each decodable by the baseline decoder."""
+    from cosmos_xenna_spark.operators.multimodal import decode_avi_mjpeg
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, size=(16, 24), dtype=np.uint8) for _ in range(3)]
+    frames = [encode_jpeg_gray(im, quant=np.ones(64, np.int64)) for im in imgs]
+    payload = _make_avi_mjpeg(frames, 24, 16)
+    w, h, us, got = decode_avi_mjpeg(payload)
+    assert (w, h, us) == (24, 16, 40000)
+    assert got == frames
+    for im, fr in zip(imgs, got):
+        fw, fh, pixels = decode_jpeg(fr)
+        dec = np.frombuffer(pixels, np.uint8).reshape(fh, fw).astype(np.int64)
+        assert np.abs(dec - im.astype(np.int64)).max() <= 3
+
+
+def test_video_pipeline_end_to_end(spark):
+    """Container demux -> frame explode -> per-frame entropy decode, all
+    on the Arrow operator path: the video modality is real end-to-end."""
+    from cosmos_xenna_spark.operators.multimodal import (
+        extract_image_metadata,
+        video_to_frames,
+    )
+
+    rng = np.random.default_rng(13)
+    vids = []
+    for vid_id in (1, 2):
+        imgs = [
+            rng.integers(0, 256, size=(8, 16), dtype=np.uint8)
+            for _ in range(2 + vid_id)
+        ]
+        frames = [encode_jpeg_gray(im) for im in imgs]
+        vids.append((vid_id, bytearray(_make_avi_mjpeg(frames, 16, 8))))
+    df = spark.createDataFrame(vids, "id long, video binary")
+    exploded = video_to_frames(df)
+    rows = exploded.collect()
+    assert len(rows) == 3 + 4  # 3 frames for id=1, 4 for id=2
+    assert {(r.id, r.frame_idx) for r in rows} == {
+        (1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (2, 2), (2, 3)
+    }
+    assert all(r.ts_us == r.frame_idx * 40000 for r in rows)
+    meta = extract_image_metadata(
+        exploded.selectExpr("id * 100 + frame_idx AS id", "frame AS image")
+    ).collect()
+    assert len(meta) == 7
+    assert all((m.width, m.height) == (16, 8) for m in meta)
