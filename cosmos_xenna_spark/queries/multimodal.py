@@ -123,3 +123,21 @@ def q_multimodal_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "id", "frame_idx", "ts_us", F.length("frame").cast("bigint").alias("frame_bytes")
     )
+
+
+@register(
+    "q_audio_spectral",
+    oracle=None,  # FFT output has no SQL oracle; pinned by the pure-tone
+    # property test (tests/test_multimodal.py::test_audio_spectral_pure_tone)
+    description="windowed rFFT spectral features per clip (centroid / 85% "
+    "rolloff / rms) — vectorized numpy per clip, one stacked rFFT call per "
+    "batch; rows-only driver check by design, like the seeded k-means fits",
+)
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.multimodal import (
+        attach_fake_audio,
+        audio_spectral_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+    return audio_spectral_features(attach_fake_audio(docs), window_samples=512)

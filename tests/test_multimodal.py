@@ -387,3 +387,120 @@ def test_png_through_image_operator_chain(spark):
     resized = resize_images(df, target_w=4, target_h=2)
     rmeta = extract_image_metadata(resized).collect()[0]
     assert (rmeta.width, rmeta.height) == (4, 2)
+
+
+def _ima_encode(samples, block_samples=505):
+    """Test-side mono IMA ADPCM encoder (greedy nibble choice per spec)."""
+    import struct as _struct
+
+    from cosmos_xenna_spark.operators.multimodal import _IMA_INDEX, _IMA_STEP
+
+    blocks = []
+    i = 0
+    index = 0
+    while i < len(samples):
+        chunk = samples[i : i + block_samples]
+        i += block_samples
+        pred = int(chunk[0])
+        hdr = _struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEP[index])
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            d = step >> 3
+            if diff >= step:
+                nib |= 4
+                diff -= step
+                d += step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+                d += step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+                d += step >> 2
+            pred = pred - d if nib & 8 else pred + d
+            pred = min(max(pred, -32768), 32767)
+            index = min(max(index + int(_IMA_INDEX[nib]), 0), 88)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        body = bytes((nibbles[j] | (nibbles[j + 1] << 4)) for j in range(0, len(nibbles), 2))
+        blocks.append(hdr + body)
+    return b"".join(blocks), 4 + (block_samples - 1 + 1) // 2
+
+
+def _wav_adpcm(samples, sr=8000, block_samples=505):
+    import struct as _struct
+
+    data, block_align = _ima_encode(samples, block_samples)
+    fmt = _struct.pack("<HHIIHH", 0x11, 1, sr, sr * block_align // block_samples, block_align, 4)
+    out = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + _struct.pack("<I", len(data)) + data
+    return b"RIFF" + _struct.pack("<I", len(out) + 4) + b"WAVE" + out
+
+
+def test_ima_adpcm_wav_decode():
+    """A real compressed-audio codec through the decode seam: IMA ADPCM
+    tracks a sine within the codec's adaptive-step error envelope."""
+    from cosmos_xenna_spark.operators.multimodal import decode_audio_stub
+
+    t = np.arange(2000)
+    sine = (12000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int64)
+    payload = _wav_adpcm(sine)
+    sr, n, pcm = decode_audio_stub(payload)
+    assert sr == 8000 and n >= 2000
+    got = np.frombuffer(pcm, np.uint8)[:2000].astype(np.float64)
+    want = ((sine >> 8) + 128).astype(np.float64)
+    corr = np.corrcoef(got, want)[0, 1]
+    assert corr > 0.99, corr
+    assert np.abs(got - want).mean() < 6.0
+
+
+def test_ima_adpcm_through_audio_operators(spark):
+    from cosmos_xenna_spark.operators.multimodal import extract_audio_metadata
+
+    t = np.arange(1010)
+    tri = (8000 * np.abs((t % 200) - 100) / 100 - 4000).astype(np.int64)
+    payload = _wav_adpcm(tri)
+    df = spark.createDataFrame([(5, bytearray(payload))], "id long, audio binary")
+    row = extract_audio_metadata(df).collect()[0]
+    assert row.sample_rate == 8000
+    assert row.n_samples >= 1010  # last block zero-padded to the block size
+
+
+def test_audio_spectral_pure_tone(spark):
+    """A pure 1 kHz tone's spectral centroid must land on 1 kHz in every
+    window (the FFT-feature correctness anchor; no SQL oracle exists for
+    FFT output, so this property IS the gate)."""
+    import struct as _struct
+
+    from cosmos_xenna_spark.operators.multimodal import audio_spectral_features
+
+    sr, n = 8000, 2048
+    t = np.arange(n)
+    tone = (100 * np.sin(2 * np.pi * 1000 * t / sr) + 128).astype(np.uint8)
+    # wrap as 8-bit PCM WAV (stdlib-wave-readable)
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sr)
+        w.writeframes(tone.tobytes())
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "id long, audio binary")
+    rows = audio_spectral_features(df, window_samples=512).collect()
+    assert len(rows) == 4
+    for r in rows:
+        # magnitude-weighted centroid sits slightly above the tone: the
+        # u8 quantization noise floor is flat across the spectrum and
+        # the band above 1 kHz is 3x wider than below (sr/2 = 4 kHz)
+        assert abs(r.centroid_hz - 1000.0) < 60.0, r.centroid_hz
+        assert 950.0 <= r.rolloff_hz <= 1100.0
+        assert 60.0 < r.rms < 90.0  # sin amplitude 100 -> rms ~70.7
