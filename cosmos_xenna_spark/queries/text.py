@@ -230,3 +230,21 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return vocab_coverage(docs, "text", vocab_size=30)
+
+
+@register(
+    "q_bpe_encode",
+    oracle=None,  # the training loop is iterative (driver-argmax per
+    # merge) — no SQL oracle; gated by the hand-computed merge fixture
+    # and roundtrip property in tests/test_bpe.py
+    description="BPE tokenizer induction + encoding: merges learned from "
+    "the word-frequency table (corpus touched ONCE; every iteration runs "
+    "vocab-sized), then rank-priority encoding via an Arrow mapInPandas "
+    "kernel — deterministic merge order (count, then lexicographic)",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8, min_pair_count=2)
+    return bpe_encode(docs, merges)
