@@ -272,3 +272,73 @@ def pagerank_weighted_sql(
         + "".join(steps)
         + f"\nSELECT CAST(node AS BIGINT) AS node, rank_fp FROM r{n_iter}"
     )
+
+
+def label_propagation(
+    edges: DataFrame, n_iter: int = 2, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node's
+    label becomes the most frequent label among its neighbors, ties to
+    the SMALLEST label — a total order, so each sweep is deterministic
+    and the fixed-iteration result is bit-exact against the unrolled
+    SQL oracle (all-integer arithmetic, the PageRank discipline).
+
+    Edges are symmetrized; initial label = node id.  Returns
+    ``(node, label)`` after ``n_iter`` sweeps.
+
+    Scale shape: per sweep, one join of the (node-sized) label table
+    onto the edge list keyed by neighbor + one (node, label) count
+    aggregation + one ``max_by`` reduction — the edge list never
+    carries more than (neighbor label) payload, and the label table
+    stays one row per node.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = e.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(n_iter):
+        neigh = e.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = counts.groupBy("node").agg(
+            F.expr("max_by(label, struct(cnt, -label))").alias("label")
+        )
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, n_iter: int = 2) -> str:
+    prev = "l0"
+    steps = [
+        f"""e AS (
+          SELECT src AS a, dst AS b FROM ({edges_sql}) WHERE src <> dst
+          UNION
+          SELECT dst, src FROM ({edges_sql}) WHERE src <> dst
+        )""",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM e)",
+    ]
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"""c{i} AS (
+              SELECT e.a AS node, p.label, COUNT(*) AS cnt
+              FROM e JOIN {prev} p ON p.node = e.b
+              GROUP BY e.a, p.label
+            )"""
+        )
+        steps.append(
+            f"""l{i} AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, label) AS rn
+                FROM c{i}
+              ) WHERE rn = 1
+            )"""
+        )
+        prev = f"l{i}"
+    return "WITH " + ",\n".join(steps) + f"\nSELECT node, label FROM {prev}"

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.graph import (
+    label_propagation_sql,
     pagerank_fixed,
     pagerank_fixed_sql,
     pagerank_weighted_sql,
@@ -121,3 +122,21 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank_fixed(_weighted_edges(spark, sf_dir), n_iter=3, weight_col="w")
     return ranks.select(F.col("node").cast("bigint").alias("node"), "rank_fp")
+
+
+@register(
+    "q_label_propagation",
+    oracle=label_propagation_sql(_EDGES_SQL, n_iter=2),
+    description="synchronous label propagation (2 sweeps) on the nation "
+    "trade graph — per sweep one node-sized label join + count + max_by "
+    "reduction; all-integer with (count, min-label) tie-break, bit-exact "
+    "vs the unrolled SQL oracle",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import label_propagation
+
+    labels = label_propagation(_edges(spark, sf_dir), n_iter=2)
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("label"),
+    )

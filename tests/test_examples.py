@@ -43,3 +43,9 @@ def test_curate_and_shard_example_runs():
     p = _run(["examples/curate_and_shard.py", SF])
     assert p.returncode == 0, p.stderr[-2000:]
     assert "DQ report:" in p.stdout and "shards, sizes" in p.stdout
+
+
+def test_tokenize_and_train_prep_example_runs():
+    r = _run(["examples/tokenize_and_train_prep.py", SF])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "learned" in r.stdout and "training sequences" in r.stdout

@@ -106,3 +106,27 @@ def test_weighted_pagerank_duplicate_edges_sum(spark):
     ra = sorted(map(tuple, pagerank_fixed(a, n_iter=2, weight_col="w").collect()))
     rb = sorted(map(tuple, pagerank_fixed(b, n_iter=2, weight_col="w").collect()))
     assert ra == rb
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two cliques joined by one bridge edge: after 2 sweeps every node
+    carries its clique's minimum id (closed-form communities)."""
+    from cosmos_xenna_spark.operators.graph import label_propagation
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges += [(3, 10)]  # bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, n_iter=2).collect()}
+    assert all(got[n] == 0 for n in range(4))
+    assert all(got[n] == 10 for n in range(11, 14))
+
+
+def test_label_propagation_partitioning_invariant(spark):
+    from cosmos_xenna_spark.operators.graph import label_propagation
+
+    rows = [((i * 17) % 40, (i * 23) % 40) for i in range(120)]
+    df = spark.createDataFrame([r for r in rows if r[0] != r[1]], "src long, dst long")
+    a = sorted(map(tuple, label_propagation(df.repartition(1), n_iter=2).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(32), n_iter=2).collect()))
+    assert a == b
