@@ -58,10 +58,10 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       q_vocab_coverage, q_decayed_sum, q_fd_violations,
 #       q_ngram_diversity, q_incremental_dedup, q_keyword_blocklist,
 #       q_table_diff, q_winsorize, q_rolling_zscore, q_golden_record,
-#       q_multimodal_video_demux, q_label_propagation (all locally
-#       oracle-green at sf0.001 AND sf0.01 when added); rows-only by
-#       design: q_audio_spectral (FFT floats), q_bpe_encode
-#       (iterative merge loop).
+#       q_multimodal_video_demux, q_label_propagation, q_zorder_key,
+#       q_trimmed_mean (all locally oracle-green at sf0.001 AND
+#       sf0.01 when added); rows-only by design: q_audio_spectral
+#       (FFT floats), q_bpe_encode (iterative merge loop).
 _R6_PROMOTIONS = (
     # never driver-verified (late-r5 additions) — the 16 promotions
     "q_minhash_containment",

@@ -753,3 +753,60 @@ def rolling_zscore_sql(
       )
     )
     """
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo_pct: float = 0.25,
+    hi_pct: float = 0.75,
+) -> DataFrame:
+    """Per-group interquartile (trimmed) mean: the mean of values inside
+    the exact [lo_pct, hi_pct] quantile band — the outlier-robust
+    location estimate (quarter quantiles of integers are engine-exact,
+    see :func:`robust_scale`; the in-band mean itself is a decimal-
+    exact sum / count, order-independent).
+
+    Returns ``(group..., n_in_band, trimmed_mean)``.  Shape: one tiny
+    per-group quantile aggregation broadcast back onto the facts (no
+    rank window), then one aggregation of the surviving band.
+    """
+    q = F.expr(f"percentile({value_col}, array({lo_pct!r}, {hi_pct!r}))")
+    bounds = df.groupBy(*group_cols).agg(
+        F.element_at(q, 1).alias("__lo"), F.element_at(q, 2).alias("__hi")
+    )
+    band = df.join(F.broadcast(bounds), group_cols).filter(
+        (F.col(value_col) >= F.col("__lo")) & (F.col(value_col) <= F.col("__hi"))
+    )
+    return band.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_in_band"),
+        (
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("trimmed_mean"),
+    )
+
+
+def trimmed_mean_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    lo_pct: float = 0.25,
+    hi_pct: float = 0.75,
+) -> str:
+    keys = ", ".join(group_cols)
+    return f"""
+    WITH bounds AS (
+      SELECT {keys},
+             quantile_cont({value_col}, {lo_pct!r}) AS lo,
+             quantile_cont({value_col}, {hi_pct!r}) AS hi
+      FROM {table} GROUP BY {keys}
+    )
+    SELECT {keys}, COUNT(*) AS n_in_band,
+           CAST(CAST(SUM(CAST({value_col} AS DECIMAL(19,2))) AS STRING) AS DOUBLE)
+             / COUNT(*) AS trimmed_mean
+    FROM {table} t JOIN bounds USING ({keys})
+    WHERE {value_col} >= lo AND {value_col} <= hi
+    GROUP BY {keys}
+    """

@@ -27,6 +27,7 @@ from cosmos_xenna_spark.functions import (
     dsum_sql,
     revenue_col,
 )
+from cosmos_xenna_spark.operators.layout import zorder_key_sql
 from cosmos_xenna_spark.queries import register
 
 _Q1_CUTOFF = "2000-09-02 00:00:00"
@@ -748,4 +749,31 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
         .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_zorder_key",
+    oracle=f"""
+    SELECT o_orderkey,
+           {zorder_key_sql(['(o_custkey & 65535)', "(CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) & 65535)"], 16)} AS zkey
+    FROM orders
+    """,
+    description="Morton/Z-order layout key over (custkey, order day): flat "
+    "shift/or interleave, whole-stage codegen — every file of a z-range "
+    "layout becomes a small rectangle in BOTH dims, so min/max stats prune "
+    "scans on either predicate (lakehouse OPTIMIZE ZORDER, engine-level)",
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).cast("bigint")
+    keyed = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey").cast("bigint") % 65536).alias("__x"),
+        (day % 65536).alias("__y"),
+    )
+    return keyed.select(
+        "o_orderkey", zorder_key(["__x", "__y"], 16).alias("zkey")
     )

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.stats import (
     rolling_zscore,
+    trimmed_mean,
+    trimmed_mean_sql,
     rolling_zscore_sql,
     winsorize,
     winsorize_sql,
@@ -253,3 +255,15 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = rolling_zscore(ev, ["user_id"], "ts", "value", 20, order_tiebreak=["event_id"])
     return out.select("event_id", "user_id", "zscore")
+
+
+@register(
+    "q_trimmed_mean",
+    oracle=trimmed_mean_sql("documents", ["lang"], "n_chars", 0.25, 0.75),
+    description="per-language interquartile (trimmed) mean of doc length — "
+    "outlier-robust location from exact quarter quantiles broadcast back; "
+    "decimal-exact in-band mean, facts never rank-windowed",
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return trimmed_mean(docs, ["lang"], "n_chars", 0.25, 0.75)

@@ -1,0 +1,65 @@
+"""Z-order layout tests: Morton-key math plus the MEASURABLE skipping
+claim — z-ordered files are small rectangles in BOTH dimensions, where
+a single-column sort leaves the other dimension's per-file span at
+full width."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cosmos_xenna_spark.operators.layout import layout_by_zorder, zorder_key
+
+
+def _morton2(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    rows = [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 2, 7, 1023, 65535)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key(["x", "y"]).alias("z")).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _morton2(x, y), (x, y)
+
+
+def test_zorder_layout_bounds_both_dimensions(spark):
+    """The skipping claim, measured: per-partition span of EACH dim
+    under z-order is a small fraction of the domain; a single-dim sort
+    leaves the other dim at ~full width."""
+    n, side = 4096, 64
+    rows = [((i * 2654435761) % side, (i * 40503) % side) for i in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    def spans(frame):
+        stats = (
+            frame.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        return (
+            float(np.mean([r.sx for r in stats])),
+            float(np.mean([r.sy for r in stats])),
+        )
+
+    zx, zy = spans(layout_by_zorder(df, ["x", "y"], n_files=16, bits=6))
+    ox, oy = spans(df.repartitionByRange(16, "x").sortWithinPartitions("x"))
+    # z-order: BOTH dims bounded well below the domain width
+    # (measured ~23% of a 64-wide domain for each)
+    assert zx < side * 0.35 and zy < side * 0.35, (zx, zy)
+    # single-dim layout: x tight but y wide (measured ~73% of domain)
+    assert ox < side * 0.1
+    assert oy > side * 0.6
+    # and z-order's worse dim beats single-dim's worse dim by 1.7x+
+    assert max(zx, zy) * 1.7 < max(ox, oy), (zx, zy, ox, oy)
