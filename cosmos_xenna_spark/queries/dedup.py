@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
+from cosmos_xenna_spark.operators.substring import substring_dedup_report_sql
 from cosmos_xenna_spark.operators.dedup import (
     connected_components,
     exact_dedup,
@@ -536,3 +537,19 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("best_doc_id"),
         "sum_n_chars",
     )
+
+
+@register(
+    "q_substring_dedup",
+    oracle=substring_dedup_report_sql("documents", "text", k=30, stride=1),
+    description="corpus-level repeated-substring accounting (Lee et al. "
+    "ExactSubstr re-expressed relationally): length-30 windows repeated "
+    "beyond their first (doc,pos) occurrence, islands-merged per doc — two "
+    "shuffles total, window enumeration row-local, grams travel as 8-byte "
+    "hashes",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.substring import substring_dedup_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup_report(docs, "text", k=30, stride=1)

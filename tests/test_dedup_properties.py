@@ -264,3 +264,46 @@ def test_incremental_dedup_keeps_batch_internal_dups(spark):
         for r in incremental_fuzzy_dedup(batch, corpus, "text", threshold=0.5).collect()
     )
     assert kept == [2, 3]
+
+
+def test_substring_dedup_planted_repeat(spark):
+    """A 40-char block pasted into two other docs is fully flagged there
+    (k=20 windows tile it) and the first occurrence survives untouched."""
+    from cosmos_xenna_spark.operators.substring import substring_dedup_report
+
+    block = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"  # 40 chars
+    assert len(block) == 40
+    # boundary characters differ across docs, so no window CROSSING the
+    # block edge repeats — only the 40 pasted chars are flagged (a
+    # shared boundary char would legitimately extend the span: windows
+    # straddling the edge also repeat)
+    docs = spark.createDataFrame(
+        [
+            (1, "Q" + block + "R tail one"),
+            (2, "totally unrelated content with no repeats at all here"),
+            (3, "W prefix " + block),        # repeat -> 40 chars removable
+            (4, block + "_and a suffix"),    # repeat -> 40 chars removable
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in substring_dedup_report(docs, k=20).collect()}
+    assert got[1].n_chars_removed == 0  # first occurrence survives
+    assert got[2].n_chars_removed == 0
+    assert got[3].n_spans == 1 and got[3].n_chars_removed == 40
+    assert got[4].n_spans == 1 and got[4].n_chars_removed == 40
+
+
+def test_substring_dedup_stride_catches_long_repeats(spark):
+    """With stride s, any repeat of length >= k + s - 1 is still caught
+    (>= one sampled window falls fully inside it on both occurrences
+    when occurrences start at the same phase); here both copies sit at
+    position 0, so phases align and the guarantee is exact."""
+    from cosmos_xenna_spark.operators.substring import substring_dedup_report
+
+    rep = "x" * 5 + "qwertyuiopasdfghjklz" * 2  # 45 chars, irregular
+    docs = spark.createDataFrame(
+        [(1, rep + " one"), (2, rep + " two")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in substring_dedup_report(docs, k=20, stride=4).collect()}
+    assert got[1].n_chars_removed == 0
+    assert got[2].n_chars_removed >= 20  # the repeat is flagged
