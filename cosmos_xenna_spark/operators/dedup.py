@@ -817,3 +817,56 @@ def golden_record_sql(
     FROM ({table_sql})
     GROUP BY {cluster_col}
     """
+
+
+def minhash_bands_rowlocal(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH band buckets computed with ZERO aggregation —
+    ``(doc_id, band, bucket)`` from pure row-local expressions
+    (shingle array -> per-seed array_min -> band md5).
+
+    Identical buckets to :func:`lsh_band_buckets` (same hashes, same
+    banding), but usable where an aggregation is unavailable or
+    unwanted: STREAMING sources (a per-doc groupBy on a stream needs
+    a watermark and delays emission) and probe-side pipelines that
+    want the signature without a shuffle.  The batch form's exploded
+    groupBy stays preferable for very long documents (map-side partial
+    mins parallelize within a doc); for stream-sized rows the
+    row-local fold is strictly cheaper.
+    """
+    chars = f"size(split({text_col}, ' '))"
+    sh_arr = (
+        f"CASE WHEN {chars} >= {k} THEN "
+        f"array_distinct(transform(sequence(1, {chars} - {k - 1}),"
+        f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))) "
+        f"ELSE array() END"
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform({sh_arr},"
+            f" x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("__hs"),
+    ).filter(F.size("__hs") > 0)
+    mh_cols = [
+        F.expr(
+            f"array_min(transform(__hs, h -> {_mh_expr(a, b, c, 'h')}))"
+        ).alias(f"mh{s}")
+        for s, (a, b, c) in enumerate(minhash_consts(n_hashes))
+    ]
+    mins = base.select("doc_id", *mh_cols)
+    n_bands = n_hashes // band_size
+    band_exprs = []
+    for b in range(n_bands):
+        cols = ", ".join(
+            f"CAST(mh{s} AS STRING)" for s in range(b * band_size, (b + 1) * band_size)
+        )
+        band_exprs.append(f"{b}L, md5(concat_ws(',', {cols}))")
+    return mins.selectExpr(
+        "doc_id", f"stack({n_bands}, {', '.join(band_exprs)}) AS (band, bucket)"
+    )

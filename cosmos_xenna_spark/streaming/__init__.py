@@ -258,3 +258,70 @@ def streaming_time_window_dedup(
             F.col("__w.start").alias("bucket_start"),
         )
     )
+
+
+def streaming_fuzzy_dedup_probe(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ingest-time fuzzy dedup as a STREAM: each arriving document is
+    LSH-probed against a static corpus and emitted as
+    ``(doc_id, dup_of, jaccard)`` when a verified near-duplicate exists
+    — the streaming form of ``operators.dedup.incremental_fuzzy_dedup``
+    (same hashes, same banding, same exact word-set verification).
+
+    Streaming constraints shape the plan: per-doc signatures use the
+    ZERO-aggregation row-local banding (``minhash_bands_rowlocal`` — a
+    per-doc groupBy on a stream would need a watermark and delay
+    emission), the corpus side is a static bucket+wordset table
+    (precompute and persist it in production), and the verify is the
+    row-local ``array_intersect`` form — so the whole probe is
+    stateless stream-static joins, no streaming aggregation at all
+    except the final per-pair ``dropDuplicates`` (a pair colliding in
+    several bands would emit once per band) — its state grows with
+    emitted PAIRS only (the duplicate sliver, not the stream); add a
+    watermark upstream to bound it for unbounded runs.
+    """
+    from cosmos_xenna_spark.operators.dedup import minhash_bands_rowlocal
+
+    stream_bands = minhash_bands_rowlocal(
+        stream_docs, text_col, n_hashes, band_size, k
+    )
+    corpus_bands = minhash_bands_rowlocal(corpus, text_col, n_hashes, band_size, k)
+    corpus_side = corpus_bands.withColumnRenamed("doc_id", "dup_of").join(
+        corpus.select(
+            F.col("doc_id").alias("dup_of"),
+            F.array_distinct(F.split(text_col, " ")).alias("ws_b"),
+        ),
+        "dup_of",
+    )
+    stream_side = stream_bands.join(
+        stream_docs.select(
+            "doc_id", F.array_distinct(F.split(text_col, " ")).alias("ws_a")
+        ),
+        "doc_id",
+    )
+    cand = stream_side.join(corpus_side, ["band", "bucket"]).filter(
+        F.col("doc_id") != F.col("dup_of")
+    )
+    verified = (
+        cand.select(
+            "doc_id",
+            "dup_of",
+            F.size(F.array_intersect("ws_a", "ws_b")).cast("bigint").alias("n_inter"),
+            (F.size("ws_a") + F.size("ws_b")).cast("bigint").alias("n_ab"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double") / (F.col("n_ab") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "dup_of", "jaccard")
+        .dropDuplicates(["doc_id", "dup_of"])
+    )
+    return verified

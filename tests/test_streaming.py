@@ -466,3 +466,37 @@ def test_session_window_boundaries_match_batch_query(spark, sf_dir, events_dir):
         for r in batch.collect()
     )
     assert got == want
+
+
+def test_streaming_fuzzy_dedup_probe_matches_batch(spark, sf_dir):
+    """Streamed new-batch docs probed against the static corpus flag
+    exactly the doc_ids the BATCH incremental dedup drops (same hashes,
+    same banding, same verification — parity is set-for-set)."""
+    import tempfile
+
+    from cosmos_xenna_spark.operators.dedup import incremental_fuzzy_dedup
+    from cosmos_xenna_spark.streaming import streaming_fuzzy_dedup_probe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+
+    # batch ground truth: ids DROPPED by the batch operator
+    kept = incremental_fuzzy_dedup(new_docs, corpus, "text", threshold=0.5)
+    dropped_batch = {r.doc_id for r in new_docs.select("doc_id").collect()} - {
+        r.doc_id for r in kept.select("doc_id").collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="cxs_newdocs_stream_")
+    new_docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    probe = streaming_fuzzy_dedup_probe(stream, corpus, threshold=0.5)
+    q = to_memory_sink(probe, "t_fuzzy_probe", "append")
+    _drain(q)
+    flagged = {
+        r.doc_id for r in spark.sql("SELECT DISTINCT doc_id FROM t_fuzzy_probe").collect()
+    }
+    assert flagged == dropped_batch
+    # and every emitted match is a genuine verified pair
+    for r in spark.sql("SELECT * FROM t_fuzzy_probe").collect():
+        assert r.jaccard >= 0.5
