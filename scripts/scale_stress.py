@@ -39,7 +39,15 @@ from cosmos_xenna_spark.session import apply_runtime_confs, get_spark  # noqa: E
 
 SF_BASE = "/root/testdata/sf0.1"
 COPIES = 10
-QUERIES = ["q_fuzzy_dedup_keep", "q_bloom_decontaminate", "q_knn_ivf_pq"]
+QUERIES = [
+    "q_fuzzy_dedup_keep",
+    "q_bloom_decontaminate",
+    "q_knn_ivf_pq",
+    # r6 additions: the new heavy dedup shapes
+    "q_simhash_pairs",
+    "q_incremental_dedup",
+    "q_substring_dedup",
+]
 
 
 def generate(spark, out_dir: str) -> None:
