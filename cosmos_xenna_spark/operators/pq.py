@@ -57,26 +57,115 @@ def pq_fit(
     rows (``xxhash64(id) % N == 0``) — codebook quality needs examples
     per centroid, not corpus coverage, so at 100 TB you fit on ~1e6
     rows and encode everything.
+
+    The fit itself is a SAMPLE-sized problem, so it runs as ONE
+    collect + seeded numpy Lloyd iterations for all ``m`` sub-spaces —
+    not ``m`` distributed k-means fits (the previous form launched
+    ~80 cluster jobs for data that fits in driver memory by contract;
+    ``max_fit_rows`` enforces the bound with a further deterministic
+    hash-sample if the caller's sample is still too large).
     """
-    dim = len(embs.select(vec_col).first()[0])
+    sample = _collect_fit_sample(embs, vec_col, id_col, sample_denom)
+    dim = sample.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
+    codebooks: list[list[list[float]]] = []
+    for s in range(m):
+        cents = _numpy_kmeans(sample[:, s * d_sub : (s + 1) * d_sub], k, seed + s)
+        codebooks.append([list(map(float, c)) for c in cents])
+    return codebooks
+
+
+def _collect_fit_sample(
+    embs: DataFrame, vec_col: str, id_col: str, sample_denom: int | None
+):
+    """Driver-side fit sample as a numpy matrix, hard-bounded at 256k
+    rows by a second deterministic hash-sample — fit problems are
+    sample-sized by contract, the corpus never collects."""
+    import numpy as np
+
     fit_src = embs
     if sample_denom:
         fit_src = embs.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_denom)) == 0
         )
-    from cosmos_xenna_spark.operators.clustering import kmeans_fit_assign
-
-    codebooks: list[list[list[float]]] = []
-    for s in range(m):
-        sub = fit_src.select(
-            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("sub")
+    max_fit_rows = 262_144
+    n_fit = fit_src.count()
+    if n_fit > max_fit_rows:
+        denom = -(-n_fit // max_fit_rows)
+        fit_src = fit_src.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), F.lit(denom)) == 0
         )
-        _, cents = kmeans_fit_assign(sub, k, vec_col="sub", seed=seed + s, max_iter=10)
-        codebooks.append([list(map(float, c)) for c in cents])
-    return codebooks
+    return np.stack(
+        [np.asarray(r[0], dtype=np.float64) for r in fit_src.select(vec_col).collect()]
+    )
+
+
+def _assign_cells(
+    embs: DataFrame, centroids, vec_col: str, id_col: str, out_col: str = "__cell"
+) -> DataFrame:
+    """Row-local nearest-centroid assignment (one Arrow pass; the
+    centroid matrix ships in the closure — KBs).  The distributed half
+    of the coarse quantizer: the FIT is sample-sized and runs on the
+    driver, the ASSIGNMENT is the corpus-wide pass."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = -2.0 * vecs @ C.T + (C * C).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    out_col: d2.argmin(axis=1).astype(np.int64),
+                }
+            )
+
+    vec_type = dict(embs.dtypes)[vec_col]
+    return embs.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, {vec_col} {vec_type}, {out_col} long"
+    )
+
+
+def _numpy_kmeans(X, k: int, seed: int, max_iter: int = 10):
+    """Seeded Lloyd k-means with k-means++ init — deterministic given
+    (data, k, seed); empty clusters re-seed to the farthest point."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    k = min(k, n)
+    # k-means++ init
+    cents = [X[rng.integers(n)]]
+    d2 = ((X - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        cents.append(X[rng.choice(n, p=probs)])
+        d2 = np.minimum(d2, ((X - cents[-1]) ** 2).sum(axis=1))
+    C = np.stack(cents)
+    for _ in range(max_iter):
+        dists = -2.0 * X @ C.T + (C * C).sum(axis=1)
+        assign = dists.argmin(axis=1)
+        new_C = np.empty_like(C)
+        far = dists.min(axis=1).argsort()[::-1]
+        fi = 0
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                new_C[j] = members.mean(axis=0)
+            else:
+                new_C[j] = X[far[fi]]
+                fi += 1
+        if np.allclose(new_C, C):
+            C = new_C
+            break
+        C = new_C
+    return C
 
 
 def pq_encode(
@@ -281,11 +370,12 @@ def ivf_pq_topk(
     import numpy as np
     import pandas as pd
 
-    from cosmos_xenna_spark.operators.clustering import kmeans_fit_assign
-
-    assigned, centroids = kmeans_fit_assign(
-        embs, n_clusters, vec_col=vec_col, out_col="__cell", seed=seed
-    )
+    # Coarse quantizer: sample-sized numpy fit + one row-local
+    # assignment pass (an iterative distributed k-means here spent
+    # ~10 cluster jobs on a driver-memory problem).
+    coarse_sample = _collect_fit_sample(embs, vec_col, id_col, sample_denom)
+    centroids = [list(map(float, c)) for c in _numpy_kmeans(coarse_sample, n_clusters, seed)]
+    assigned = _assign_cells(embs, centroids, vec_col, id_col, "__cell")
     books = pq_fit(
         embs, vec_col=vec_col, id_col=id_col, m=m, k=k_codes, seed=seed,
         sample_denom=sample_denom,
