@@ -87,6 +87,10 @@ HEADLINE = [
     # the full-outer snapshot diff
     "q_incremental_dedup",
     "q_table_diff",
+    # r6 batch 3: character-level repeated-substring dedup and the
+    # cluster survivorship merge
+    "q_substring_dedup",
+    "q_golden_record",
 ]
 
 
