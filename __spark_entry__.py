@@ -59,7 +59,7 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       q_ngram_diversity, q_incremental_dedup, q_keyword_blocklist,
 #       q_table_diff, q_winsorize, q_rolling_zscore, q_golden_record,
 #       q_multimodal_video_demux, q_label_propagation, q_zorder_key,
-#       q_substring_dedup,
+#       q_substring_dedup, q_table_profile,
 #       q_trimmed_mean (all locally oracle-green at sf0.001 AND
 #       sf0.01 when added); rows-only by design: q_audio_spectral
 #       (FFT floats), q_bpe_encode (iterative merge loop).

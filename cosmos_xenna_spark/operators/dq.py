@@ -257,3 +257,47 @@ def fd_violations_sql(table: str, determinant_cols: list[str], dependent_col: st
     GROUP BY {keys}
     HAVING COUNT(DISTINCT {dependent_col}) > 1
     """
+
+
+def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profile: ``(col_name, n_rows, n_null,
+    n_distinct, min_str, max_str)`` for every (or the listed) column —
+    the first look every data-quality audit takes at an unknown table.
+
+    ALL columns' statistics ride ONE aggregation (a single scan; the
+    count-distincts expand to Spark's standard multi-distinct plan),
+    then unpivot to long format driver-free via ``stack``.  min/max
+    stringify so heterogeneous column types share one output schema
+    (the driver dtype contract: no per-column variant columns).
+    """
+    cols = list(cols or df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_null, n_distinct, min_str, max_str)",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+
+
+def table_profile_sql(table: str, cols: list[str]) -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               MIN(CAST({c} AS STRING)) AS min_str,
+               MAX(CAST({c} AS STRING)) AS max_str
+        FROM {table}"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)

@@ -11,6 +11,8 @@ from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.dq import (
     fd_violations,
     fd_violations_sql,
+    table_profile,
+    table_profile_sql,
     Expectation,
     evaluate_expectations,
     expectations_oracle_sql,
@@ -94,3 +96,18 @@ def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderpriority", "o_orderstatus"
     )
     return fd_violations(orders, ["o_custkey", "o_orderpriority"], "o_orderstatus")
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+@register(
+    "q_table_profile",
+    oracle=table_profile_sql("orders", _PROFILE_COLS),
+    description="one-pass table profiler: per-column null count / exact "
+    "distinct count / min / max for five orders columns in a single scan, "
+    "unpivoted to long format with stack (no driver loop)",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return table_profile(orders, _PROFILE_COLS)
