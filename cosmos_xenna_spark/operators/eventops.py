@@ -189,3 +189,152 @@ def gaps_islands_sql(table: str, entity_col: str, ts_col: str) -> str:
            COUNT(*) AS n_days
     FROM g GROUP BY entity, grp
     """
+
+
+def ohlc_bars(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Open/high/low/close downsampling bars per (entity, time bucket)
+    — the classic time-series reduction (candlesticks, metric rollups).
+
+    One ``groupBy`` shuffle on the fine-grained (entity, bucket) key.
+    Open/close are ``min_by``/``max_by`` over a zero-padded
+    ``(epoch_us, id)`` string key — a total order both engines sort
+    identically (DuckDB's ``arg_min``/``arg_max`` lack struct ordering
+    keys, see :func:`~cosmos_xenna_spark.operators.dedup.keep_best` for
+    the precedent) — so every output value is a deterministic SELECTION
+    from the input (min/max/count are exact; nothing sums floats).
+
+    Reference parity: none — the reference defers analytics to user
+    stages; this is the standard downsampling surface (InfluxDB/
+    Timescale ``time_bucket`` + ``first``/``last``).
+    """
+    key = f"printf('%020d|%020d', unix_micros({ts_col}), {id_col})"
+    return (
+        events.groupBy(
+            F.col(entity_col).alias("entity"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"),
+        )
+        .agg(
+            F.expr(f"min_by({value_col}, {key})").alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.expr(f"max_by({value_col}, {key})").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def ohlc_bars_sql(
+    table: str,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bucket: str = "hour",
+) -> str:
+    key = f"printf('%020d|%020d', epoch_us({ts_col}), {id_col})"
+    return f"""
+    SELECT {entity_col} AS entity,
+           date_trunc('{bucket}', {ts_col}) AS bucket_start,
+           arg_min({value_col}, {key}) AS open,
+           MAX({value_col}) AS high,
+           MIN({value_col}) AS low,
+           arg_max({value_col}, {key}) AS close,
+           COUNT(*) AS n_events
+    FROM {table}
+    GROUP BY 1, 2
+    """
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    source_types: tuple[str, ...] = ("click", "view"),
+    window_secs: int = 1800,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion event is
+    credited to the most recent source event (click/view) by the same
+    entity within ``window_secs`` before it.
+
+    One keyed window shuffle on the entity: three ``last(..., ignore
+    nulls)`` expressions over the same strictly-preceding rows frame
+    carry the latest source event's (id, type, epoch) up to each row;
+    conversions outside the lookback window surface with NULL
+    attribution (kept, not dropped — unattributed conversions are the
+    signal marketing wants).  The frame order (ts, id) is total, so the
+    carried source is deterministic under any partitioning.
+    """
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_src = F.col(type_col).isin(*source_types)
+    src_id = F.last(F.when(is_src, F.col(id_col)), ignorenulls=True).over(w)
+    src_type = F.last(F.when(is_src, F.col(type_col)), ignorenulls=True).over(w)
+    src_ts = F.last(F.when(is_src, F.unix_micros(F.col(ts_col))), ignorenulls=True).over(w)
+    delay = F.unix_micros(F.col(ts_col)) - F.col("__src_ts")
+    in_window = F.col("__src_ts").isNotNull() & (delay <= F.lit(window_secs) * 1_000_000)
+    return (
+        events.withColumn("__src_id", src_id)
+        .withColumn("__src_type", src_type)
+        .withColumn("__src_ts", src_ts)
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.col(id_col).alias("conversion_id"),
+            F.col(entity_col).alias("entity"),
+            F.when(in_window, F.col("__src_id")).alias("src_event_id"),
+            F.when(in_window, F.col("__src_type")).alias("src_type"),
+            F.when(in_window, delay).alias("delay_us"),
+        )
+    )
+
+
+def last_touch_attribution_sql(
+    table: str,
+    conversion_type: str,
+    source_types: tuple[str, ...],
+    window_secs: int,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+) -> str:
+    srcs = ", ".join(f"'{s}'" for s in source_types)
+    frame = (
+        f"OVER (PARTITION BY {entity_col} ORDER BY {ts_col}, {id_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
+    SELECT conversion_id, entity,
+           CASE WHEN in_window THEN sid END AS src_event_id,
+           CASE WHEN in_window THEN stype END AS src_type,
+           CASE WHEN in_window THEN delay END AS delay_us
+    FROM (
+      SELECT {id_col} AS conversion_id, {entity_col} AS entity,
+             {type_col} AS etype, sid, stype,
+             epoch_us({ts_col}) - sts AS delay,
+             sts IS NOT NULL
+               AND epoch_us({ts_col}) - sts <= {window_secs} * 1000000 AS in_window
+      FROM (
+        SELECT *,
+               last_value(CASE WHEN {type_col} IN ({srcs}) THEN {id_col} END IGNORE NULLS)
+                 {frame} AS sid,
+               last_value(CASE WHEN {type_col} IN ({srcs}) THEN {type_col} END IGNORE NULLS)
+                 {frame} AS stype,
+               last_value(CASE WHEN {type_col} IN ({srcs}) THEN epoch_us({ts_col}) END IGNORE NULLS)
+                 {frame} AS sts
+        FROM {table}
+      )
+    ) WHERE etype = '{conversion_type}'
+    """

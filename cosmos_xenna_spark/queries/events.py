@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.functions import dec
 from cosmos_xenna_spark.operators.eventops import (
+    last_touch_attribution,
+    last_touch_attribution_sql,
+    ohlc_bars,
+    ohlc_bars_sql,
     dedup_time_window,
     gaps_islands,
     gaps_islands_sql,
@@ -329,3 +333,36 @@ def q_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return gaps_islands(ev, "user_id", "ts").withColumnRenamed("entity", "user_id")
+
+
+@register(
+    "q_ohlc_bars",
+    oracle=ohlc_bars_sql("events", "user_id", "ts", "value", "event_id", "hour"),
+    description="OHLC downsampling bars per (user, hour): open/close via "
+    "deterministic arg-min/arg-max on a padded (epoch, id) key, high/low "
+    "exact extremes — one fine-grained groupBy shuffle, nothing sums floats",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev, "user_id", "ts", "value", "event_id", "hour")
+
+
+_ATTR_WINDOW_SECS = 1800
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle=last_touch_attribution_sql(
+        "events", "purchase", ("click", "view"), _ATTR_WINDOW_SECS,
+        "user_id", "event_type", "ts", "event_id",
+    ),
+    description="last-touch attribution: credit each purchase to the most "
+    "recent click/view by the same user within 30 minutes — one keyed "
+    "window shuffle, strictly-preceding rows frame, total (ts, id) order",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, "purchase", ("click", "view"), _ATTR_WINDOW_SECS,
+        "user_id", "event_type", "ts", "event_id",
+    )

@@ -342,3 +342,64 @@ def test_ks_matches_scipy_style_numpy(spark, sf_dir):
     ecdf_b = np.searchsorted(np.sort(b), vals, side="right") / len(b)
     want = float(np.abs(ecdf_a - ecdf_b).max())
     assert abs(got - want) < 1e-12
+
+
+def test_ohlc_bars_planted(spark):
+    from datetime import datetime
+
+    from cosmos_xenna_spark.operators.eventops import ohlc_bars
+
+    rows = [
+        # user 1, hour 05: open=3.0 (earliest), close=1.5 (latest),
+        # high=9.0, low=1.5; same-ts tie at :10 broken by event_id.
+        (1, 1, datetime(2024, 1, 1, 5, 10), 3.0),
+        (2, 1, datetime(2024, 1, 1, 5, 10), 4.0),
+        (3, 1, datetime(2024, 1, 1, 5, 20), 9.0),
+        (4, 1, datetime(2024, 1, 1, 5, 50), 1.5),
+        # user 1, hour 06: single event
+        (5, 1, datetime(2024, 1, 1, 6, 0), 7.0),
+        # user 2
+        (6, 2, datetime(2024, 1, 1, 5, 30), 2.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = {
+        (r.entity, str(r.bucket_start)): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc_bars(ev).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 05:00:00"): (3.0, 9.0, 1.5, 1.5, 4),
+        (1, "2024-01-01 06:00:00"): (7.0, 7.0, 7.0, 7.0, 1),
+        (2, "2024-01-01 05:00:00"): (2.0, 2.0, 2.0, 2.0, 1),
+    }
+
+
+def test_last_touch_attribution_planted(spark):
+    from datetime import datetime
+
+    from cosmos_xenna_spark.operators.eventops import last_touch_attribution
+
+    rows = [
+        # user 1: click @10:00, view @10:20, purchase @10:30 -> view (10 min)
+        (1, 1, datetime(2024, 1, 1, 10, 0), "click"),
+        (2, 1, datetime(2024, 1, 1, 10, 20), "view"),
+        (3, 1, datetime(2024, 1, 1, 10, 30), "purchase"),
+        # user 1: second purchase @12:00 -> last source view @10:20 is
+        # 100 min back, outside the 30-min window -> unattributed
+        (4, 1, datetime(2024, 1, 1, 12, 0), "purchase"),
+        # user 2: purchase with no prior source at all
+        (5, 2, datetime(2024, 1, 1, 9, 0), "purchase"),
+        # user 2: error events are never sources
+        (6, 2, datetime(2024, 1, 1, 9, 30), "error"),
+        (7, 2, datetime(2024, 1, 1, 9, 40), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {
+        r.conversion_id: (r.src_event_id, r.src_type, r.delay_us)
+        for r in last_touch_attribution(ev).collect()
+    }
+    assert got == {
+        3: (2, "view", 10 * 60 * 1_000_000),
+        4: (None, None, None),
+        5: (None, None, None),
+        7: (None, None, None),
+    }
