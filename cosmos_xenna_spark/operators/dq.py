@@ -293,7 +293,7 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 def table_profile_sql(table: str, cols: list[str]) -> str:
     parts = [
         f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
-               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                COUNT(DISTINCT {c}) AS n_distinct,
                MIN(CAST({c} AS STRING)) AS min_str,
                MAX(CAST({c} AS STRING)) AS max_str

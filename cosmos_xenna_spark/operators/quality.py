@@ -584,3 +584,100 @@ def keyword_tag_sql(table: str, keywords: list[str], text_col: str) -> str:
            COALESCE(n_matched, 0) AS n_matched
     FROM {table} d LEFT JOIN hits ON d.doc_id = hits.doc_id
     """
+
+
+def bigram_novelty(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Language-model novelty gate (CCNet-style quality filter, with a
+    count-based bigram model standing in for the KenLM perplexity
+    model): score each document by the fraction of its word bigrams
+    that are UNSEEN-OR-RARE (< ``min_count`` occurrences) in a
+    reference corpus.  High novelty = far from the reference
+    distribution — the same signal perplexity filtering thresholds on,
+    but built from exact integer counts so it is oracle-checkable
+    (log-probability sums are not; see the repo-wide no-log rule).
+
+    Scale shape: the reference model is a (bigram, count) relation —
+    NOT broadcast (a web-scale bigram vocabulary is far beyond
+    broadcast size); the doc-side bigrams shuffle-join it on the
+    bigram key, then one aggregation back on the doc id.  Bigram
+    expansion is row-local (hoisted ``split`` + one ``transform`` over
+    an index sequence).  Documents with fewer than two tokens have no
+    bigrams and are absent from the output (nothing to score).
+
+    Returns ``(id, n_bigrams, n_novel, novelty_ppm)`` — all BIGINT;
+    ``novelty_ppm`` is the exact integer ``1e6 * n_novel // n_bigrams``.
+    """
+
+    def expand(df: DataFrame) -> DataFrame:
+        ws = df.select(
+            F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__ws")
+        )
+        idx = F.when(
+            F.size("__ws") >= 2, F.sequence(F.lit(1), F.size("__ws") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        bg = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("__ws"), i), F.element_at(F.col("__ws"), i + 1)
+            ),
+        )
+        return ws.select("id", F.explode(bg).alias("bg"))
+
+    ref_counts = expand(ref).groupBy("bg").agg(F.count(F.lit(1)).alias("ref_n"))
+    joined = expand(docs).join(ref_counts, "bg", "left")
+    novel = F.when(
+        F.col("ref_n").isNull() | (F.col("ref_n") < min_count), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            "n_novel",
+            F.expr("1000000 * n_novel DIV n_bigrams").alias("novelty_ppm"),
+        )
+    )
+
+
+def bigram_novelty_sql(
+    docs_sql: str,
+    ref_sql: str,
+    id_col: str,
+    text_col: str,
+    min_count: int,
+) -> str:
+    """DuckDB mirror: lateral UNNEST(range(...)) bigram expansion,
+    identical join/aggregate structure and integer arithmetic."""
+
+    def expand(src: str) -> str:
+        return f"""
+        SELECT {id_col} AS id, a[i] || ' ' || a[i + 1] AS bg
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS a FROM ({src})),
+             UNNEST(range(1, len(a))) AS t(i)
+        """
+
+    return f"""
+    WITH doc_bg AS ({expand(docs_sql)}),
+    ref_bg AS ({expand(ref_sql)}),
+    ref_counts AS (SELECT bg, COUNT(*) AS ref_n FROM ref_bg GROUP BY bg),
+    j AS (
+      SELECT d.id,
+             CASE WHEN r.ref_n IS NULL OR r.ref_n < {min_count} THEN 1 ELSE 0 END AS novel
+      FROM doc_bg d LEFT JOIN ref_counts r USING (bg)
+    )
+    SELECT id AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           (1000000 * CAST(SUM(novel) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM j GROUP BY id
+    """

@@ -232,3 +232,54 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of named ranked lists (hybrid retrieval:
+    lexical BM25 + semantic ANN is the canonical pair).
+
+    Each input is ``(id_col, rank)`` with 1-based BIGINT ranks.  The
+    classic score ``sum 1/(k + rank)`` is computed in scaled INTEGER
+    arithmetic — ``10^9 // (k + rank)`` per system, summed exactly —
+    so fusion is order-independent and engine-exact (the repo-wide
+    no-float-sums rule).  Items missing from a list contribute 0 and
+    surface with a NULL rank for that system.
+
+    Scale shape: the inputs are top-k lists (bounded by construction),
+    so the full-outer join chain and the final TakeOrdered are over
+    O(systems * k) rows regardless of corpus size.
+
+    Returns ``(id_col, rank_<name>..., rrf_score)`` ordered by
+    (score desc, id) and limited to ``topk``.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = []
+    for name, df in rankings.items():
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.col("rank").cast("bigint").alias(f"rank_{name}"),
+                F.expr(f"CAST(1000000000 AS BIGINT) DIV ({int(k)} + rank)").alias(
+                    f"__s_{name}"
+                ),
+            )
+        )
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.join(p, id_col, "full_outer")
+    score = None
+    for name in rankings:
+        s = F.coalesce(F.col(f"__s_{name}"), F.lit(0).cast("bigint"))
+        score = s if score is None else score + s
+    return (
+        fused.withColumn("rrf_score", score)
+        .select(id_col, *[f"rank_{n}" for n in rankings], "rrf_score")
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -810,3 +810,82 @@ def trimmed_mean_sql(
     WHERE {value_col} >= lo AND {value_col} <= hi
     GROUP BY {keys}
     """
+
+
+# ---------------------------------------------------------------------------
+# chi-squared independence
+# ---------------------------------------------------------------------------
+
+
+def chi_squared(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Pearson chi-squared contingency table between two categorical
+    columns: per-cell observed count, expected count under
+    independence, and the cell's chi-squared contribution
+    ``(o - e)^2 / e``.
+
+    Scale shape: ONE aggregation shuffle over the facts (the
+    ``(a, b)`` cell counts); marginals are window sums over the
+    already-aggregated cells frame (|A| x |B| rows — domain-bounded,
+    tiny), partitioned by each margin key, and the grand total is a
+    separate count-only aggregate broadcast back — the facts never
+    shuffle twice and never join.
+
+    Exactness: o, r, c, N are exact integers; ``expected`` and
+    ``contrib`` are a fixed per-row sequence of IEEE double ops on
+    those integers, so both engines produce bit-identical doubles
+    (the interpolate_linear precedent).  The chi-squared TOTAL is a
+    float sum (order-dependent) and is deliberately NOT emitted —
+    sum the per-cell contributions client-side if needed.
+    """
+    cells = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    withm = (
+        cells.withColumn("r", F.sum("o").over(wa))
+        .withColumn("c", F.sum("o").over(wb))
+        .crossJoin(F.broadcast(total))
+    )
+    e = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    d = F.col("o").cast("double") - e
+    return withm.select(
+        "a",
+        "b",
+        "o",
+        "r",
+        "c",
+        "n_total",
+        e.alias("expected"),
+        (d * d / e).alias("contrib"),
+    )
+
+
+def chi_squared_sql(table: str, a_col: str, b_col: str) -> str:
+    """DuckDB mirror: identical window/aggregate structure and the
+    identical double-op sequence (mul, div, sub, mul, div)."""
+    return f"""
+    WITH cells AS (
+      SELECT {a_col} AS a, {b_col} AS b, COUNT(*) AS o
+      FROM {table} GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM {table}),
+    m AS (
+      SELECT a, b, o,
+             CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+             CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+             n_total
+      FROM cells CROSS JOIN tot
+    )
+    SELECT a, b, o, r, c, n_total,
+           (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(n_total AS DOUBLE) AS expected,
+           ((CAST(o AS DOUBLE) - (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(n_total AS DOUBLE))
+            * (CAST(o AS DOUBLE) - (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(n_total AS DOUBLE)))
+           / ((CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(n_total AS DOUBLE)) AS contrib
+    FROM m
+    """

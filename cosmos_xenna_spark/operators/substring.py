@@ -111,7 +111,7 @@ def substring_dedup_report(
         F.sum(F.col("e") - F.col("s")).alias("n_chars_removed"),
     )
     return (
-        docs.select("doc_id", F.length(text_col).alias("doc_len"))
+        docs.select("doc_id", F.length(text_col).cast("bigint").alias("doc_len"))
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.quality import (
+    bigram_novelty,
+    bigram_novelty_sql,
     EMAIL_RE,
     IPV4_RE,
     MAX_MEAN_WORD_LEN,
@@ -336,3 +338,27 @@ _BLOCKLIST = ["merge", "stream", "window"]
 def q_keyword_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return keyword_tag(docs, _BLOCKLIST, "text")
+
+
+_NOVELTY_REF_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+@register(
+    "q_lm_novelty",
+    oracle=bigram_novelty_sql(
+        "SELECT * FROM documents",
+        "SELECT * FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')",
+        "doc_id",
+        "text",
+        2,
+    ),
+    description="count-based bigram LM novelty gate (the oracle-checkable "
+    "form of CCNet perplexity filtering): fraction of each doc's bigrams "
+    "unseen-or-rare in a reference slice — row-local bigram expansion, "
+    "shuffle join on the bigram key (never broadcast: web-scale vocab), "
+    "one agg back on the doc id; exact integer ppm",
+)
+def q_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source").isin(*_NOVELTY_REF_SOURCES))
+    return bigram_novelty(docs, ref, "doc_id", "text", 2)

@@ -11,10 +11,12 @@ exists for exactly this — see the operator module docstring).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.packing import chunk_text, pack_sequences
 from cosmos_xenna_spark.operators.retrieval import (
+    rrf_fuse,
     bm25_topk,
     inverted_index,
     tf_idf,
@@ -198,3 +200,72 @@ _STRIDE = _CHUNK_W - _CHUNK_OVL
 def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return chunk_text(docs, chunk_words=_CHUNK_W, overlap=_CHUNK_OVL)
+
+
+_RRF_K = 60
+_RRF_TOPK = 10
+_RRF_LIST_K = 20
+
+
+def _rrf_oracle() -> str:
+    lex_list = _bm25_oracle()
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM ({lex_list})
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    sem AS (
+      SELECT neighbor_id AS doc_id, rank FROM (
+        SELECT neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                           neighbor_id) AS rank
+        FROM q, c WHERE neighbor_id <> query_id
+      ) WHERE rank <= {_RRF_LIST_K}
+    )
+    SELECT doc_id,
+           l.rank AS rank_lexical,
+           s.rank AS rank_semantic,
+           COALESCE(1000000000 // ({_RRF_K} + l.rank), 0)
+             + COALESCE(1000000000 // ({_RRF_K} + s.rank), 0) AS rrf_score
+    FROM lex l FULL OUTER JOIN sem s USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOPK}
+    """
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=_rrf_oracle(),
+    description="hybrid retrieval: reciprocal-rank fusion of the BM25 "
+    "lexical top-20 and the cosine-ANN semantic top-20 (query = vector 0) "
+    "into one top-10 — scaled-integer RRF scores (10^9 // (60+rank)) sum "
+    "exactly; all fusion work is over bounded top-k lists",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cosmos_xenna_spark.operators.similarity import cosine_topk_bruteforce
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, list(_BM25_TERMS), k=_RRF_LIST_K, k1=_K1, b=_B).withColumn(
+        # rank window over the already-limited top-k list: bounded to
+        # _RRF_LIST_K rows by construction (lint-allowlisted)
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).cast("bigint"),
+    )
+    sem = (
+        cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=_RRF_LIST_K)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse(
+        {"lexical": lex.select("doc_id", "rank"), "semantic": sem},
+        id_col="doc_id",
+        k=_RRF_K,
+        topk=_RRF_TOPK,
+    )

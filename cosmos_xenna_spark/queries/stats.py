@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.stats import (
+    chi_squared,
+    chi_squared_sql,
     rolling_zscore,
     trimmed_mean,
     trimmed_mean_sql,
@@ -267,3 +269,17 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return trimmed_mean(docs, ["lang"], "n_chars", 0.25, 0.75)
+
+
+@register(
+    "q_chi_squared",
+    oracle=chi_squared_sql("documents", "lang", "source"),
+    description="chi-squared independence contingency table (lang x source): "
+    "one fact aggregation, window marginals over the domain-bounded cells "
+    "frame, broadcast grand total; per-cell contributions are a fixed "
+    "double-op sequence on exact integers (bit-deterministic) — the float "
+    "TOTAL is deliberately not emitted",
+)
+def q_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chi_squared(docs, "lang", "source")

@@ -141,7 +141,13 @@ def _unpartitioned_window_specs(plan: str) -> list[str]:
 # Documented oracle-shape queries: global windows by construction,
 # kept as semantic references; their scale-safe equivalents are
 # q_distribution_distributed / partition-keyed frames.
-_GLOBAL_WINDOW_ALLOWED = {"q_window_ntile_pct", "q_window_rows_frame"}
+_GLOBAL_WINDOW_ALLOWED = {
+    "q_window_ntile_pct",
+    "q_window_rows_frame",
+    # rank window over an already-limited top-k list: bounded to the
+    # list size by construction, not corpus-sized
+    "q_rrf_fusion",
+}
 
 
 def test_no_unpartitioned_windows_in_registry(spark, sf_dir):
@@ -190,6 +196,7 @@ _BNLJ_ALLOWED = {
     "q_distribution_distributed",
     "q_funnel",
     "q_knn_bruteforce",
+    "q_rrf_fusion",  # reuses the broadcast-queries knn pattern
     "q_knn_ivf",
     "q_knn_ivf_kmeans",
     "q_bm25_topk",

@@ -152,3 +152,29 @@ def test_collocations_planted_pair(spark):
     assert by_pair[("the", "cat")] < by_pair[("new", "york")] / 5
     lifts = [r["lift"] for r in top]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_bigram_novelty_planted(spark):
+    from cosmos_xenna_spark.operators.quality import bigram_novelty
+
+    ref = spark.createDataFrame(
+        # "a b" x2, "b a" x2, "a b" ... reference bigrams seen twice
+        [(100, "a b a b a"), (101, "a b a b a")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a"),      # bigrams: "a b"(ref 4x), "b a"(ref 2x) -> 0 novel
+            (2, "x y z"),      # "x y", "y z" -> all novel
+            (3, "a b x y"),    # "a b" seen, "b x" novel, "x y" novel
+            (4, "solo"),       # < 2 tokens: absent from output
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.n_bigrams, r.n_novel, r.novelty_ppm)
+           for r in bigram_novelty(docs, ref, min_count=2).collect()}
+    assert got == {
+        1: (2, 0, 0),
+        2: (2, 2, 1000000),
+        3: (3, 2, 666666),
+    }

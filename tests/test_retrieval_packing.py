@@ -126,3 +126,23 @@ def test_inverted_index_min_df_filters(spark):
         r["term"] for r in inverted_index(docs, min_df=2).collect()
     }
     assert terms == {"a"}
+
+
+def test_rrf_fuse_planted(spark):
+    from cosmos_xenna_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(20, 1), (40, 2)], ["doc_id", "rank"])
+    out = rrf_fuse({"a": a, "b": b}, id_col="doc_id", k=60, topk=10).collect()
+    got = {r.doc_id: (r.rank_a, r.rank_b, r.rrf_score) for r in out}
+    s = lambda r: 1_000_000_000 // (60 + r)
+    assert got == {
+        10: (1, None, s(1)),
+        20: (2, 1, s(2) + s(1)),
+        30: (3, None, s(3)),
+        40: (None, 2, s(2)),
+    }
+    # doc 20 (on both lists) must outrank every single-list doc
+    assert out[0].doc_id == 20
+    # deterministic tie-break: 10 (s(1)=16393442) > 40 (s(2)=16129032)
+    assert [r.doc_id for r in out] == [20, 10, 40, 30]

@@ -100,3 +100,35 @@ def test_robust_scale_zero_iqr_is_null(spark):
 
     df = spark.createDataFrame([("g", 5.0)] * 4, "g string, x double")
     assert all(r["robust_z"] is None for r in robust_scale(df, ["g"], "x").collect())
+
+
+def test_chi_squared_planted_2x2(spark):
+    from cosmos_xenna_spark.operators.stats import chi_squared
+
+    # 2x2 table: o = [[10, 20], [30, 40]]; N=100
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20 + [("y", "p")] * 30 + [("y", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {(r.a, r.b): r for r in chi_squared(df, "a", "b").collect()}
+    assert got[("x", "p")].r == 30 and got[("x", "p")].c == 40
+    assert got[("x", "p")].n_total == 100
+    # expected = r*c/N
+    assert got[("x", "p")].expected == 30 * 40 / 100
+    # contrib = (o-e)^2/e, closed form
+    for (a, b), o in {("x", "p"): 10, ("x", "q"): 20, ("y", "p"): 30, ("y", "q"): 40}.items():
+        e = got[(a, b)].r * got[(a, b)].c / 100
+        assert got[(a, b)].contrib == (o - e) ** 2 / e
+    # total chi2 for this table: sum of contributions
+    tot = sum(r.contrib for r in got.values())
+    assert abs(tot - 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)) < 1e-12
+
+
+def test_chi_squared_independent_table_is_zero(spark):
+    from cosmos_xenna_spark.operators.stats import chi_squared
+
+    # perfectly independent: o = outer(r_frac, c_frac) * N exactly
+    rows = [("x", "p")] * 4 + [("x", "q")] * 12 + [("y", "p")] * 1 + [("y", "q")] * 3
+    df = spark.createDataFrame(rows, ["a", "b"])
+    for r in chi_squared(df, "a", "b").collect():
+        assert r.contrib == 0.0
