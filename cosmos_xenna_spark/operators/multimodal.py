@@ -35,6 +35,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _MAGIC = b"FAKEIMG1"
 
@@ -808,3 +809,135 @@ def audio_spectral_features(
     return df.mapInPandas(
         fn, schema="id long, win_idx long, centroid_hz double, rolloff_hz double, rms double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (average hash) + hamming near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "id", image_col: str = "image", grid: int = 8
+) -> DataFrame:
+    """Perceptual average-hash per image: decode -> nearest-neighbor
+    downsample to ``grid`` x ``grid`` -> one bit per cell (1 iff the
+    cell is strictly brighter than the integer mean), packed row-major
+    into a 64-bit BIGINT (two's complement).
+
+    The comparison is ``grid^2 * pixel > sum(pixels)`` — all-integer,
+    so the hash is bit-deterministic for a given payload on any
+    engine/partitioning.  Decode goes through the pluggable
+    ``set_image_decoder`` seam (fake/BMP/PNG/JPEG all work in this
+    container).
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass, numpy
+    gather for the resample (no per-pixel Python); output is 8 bytes
+    per image regardless of resolution — the dedup join downstream
+    never touches pixels.
+    """
+    decode = get_image_decoder()
+    n_cells = grid * grid
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[image_col]):
+                w, h, pixels = decode(bytes(payload))
+                g = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+                sy = np.minimum((np.arange(grid) * h) // grid, h - 1)
+                sx = np.minimum((np.arange(grid) * w) // grid, w - 1)
+                cells = g[sy][:, sx].astype(np.int64).ravel()
+                bits = (n_cells * cells) > int(cells.sum())
+                v = 0
+                for b in np.nonzero(bits)[0]:
+                    v |= 1 << int(b)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                ids.append(i)
+                hashes.append(v)
+            yield pd.DataFrame({"id": ids, "ahash": pd.array(hashes, dtype="int64")})
+
+    return df.mapInPandas(fn, schema="id long, ahash long")
+
+
+def image_hash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """Near-duplicate image pairs by hamming distance over 64-bit
+    perceptual hashes: ``(doc_a, doc_b, hamming)``.
+
+    Same pigeonhole banding as the text SimHash pipeline
+    (``operators/dedup.py: simhash_candidate_pairs``), on unsigned
+    16-bit segments (``shiftrightunsigned`` — the hash uses all 64
+    bits): exhaustive for ``max_hamming < n_bands``, candidate
+    generation bucket-local, exact ``bit_count(xor)`` verify on the
+    candidate sliver only.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding finds all pairs only for max_hamming < n_bands "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands})"
+        )
+    from cosmos_xenna_spark.operators.cache import scoped_persist
+
+    sig = hashes.select(F.col(id_col).alias("doc_id"), F.col(hash_col).alias("h"))
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    seg_exprs = ", ".join(
+        f"{b}L, shiftrightunsigned(h, {b * width}) & {mask}L" for b in range(n_bands)
+    )
+    bands = sig.selectExpr("doc_id", f"stack({n_bands}, {seg_exprs}) AS (band, seg)")
+    members = bands.groupBy("band", "seg").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    combos = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cands = (
+        members.filter(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("h_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h_b"))
+    out = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.expr("CAST(bit_count(h_a ^ h_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return scoped_persist(sig, out)
+
+
+def attach_fake_image_corpus(
+    df: DataFrame, id_col: str = "doc_id", dup_classes: int = 32
+) -> DataFrame:
+    """Fake image corpus WITH planted duplicates: payload seed is
+    ``id % dup_classes`` (dims stay id-derived), so rows sharing
+    ``id % lcm(16, dup_classes)`` carry byte-identical images — the
+    ground truth the perceptual-hash dedup query is checked against
+    arithmetically (the ``q_multimodal_image_meta`` oracle pattern)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            imgs = [
+                fake_image(i % 16 + 4, i % 8 + 4, seed=i % dup_classes) for i in ids
+            ]
+            yield pd.DataFrame({"id": ids, "image": imgs})
+
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(fn, schema="id long, image binary")

@@ -1,0 +1,179 @@
+"""Exact set-similarity self-join via prefix filtering (PPJoin-style).
+
+The EXACT counterpart of the MinHash/LSH pipeline in
+``operators/dedup.py``: finds ALL pairs of documents whose shingle-set
+Jaccard similarity meets a threshold — no probabilistic recall. The
+classic prefix-filter result (Chaudhuri et al., "A Primitive Operator
+for Similarity Joins", ICDE 2006; Xiao et al., PPJoin, WWW 2008):
+order every document's tokens by a GLOBAL total order (rarest first —
+ascending document frequency), keep only the first
+
+    p = n - ceil(t * n) + 1
+
+tokens of each size-``n`` set as its *prefix*; any pair with
+``Jaccard >= t`` must share at least one prefix token, so the
+candidate join runs on prefixes only and the long common-token tail
+never joins.
+
+Scale shape (100 TB):
+- token df counts: one explode + aggregation (the same shuffle the
+  MinHash shingle pass pays);
+- global ordering: a shuffle join of the token table against the df
+  relation (never broadcast — web-scale shingle vocabularies are far
+  beyond broadcast size) + one doc-keyed rank window;
+- the prefix table is ``localCheckpoint``-ed once: it feeds BOTH sides
+  of the candidate self-join, and an un-checkpointed frame would
+  re-execute the 3-shuffle subplan per side (the label-propagation
+  lesson, see tests/test_plans.py plan budgets);
+- candidate join: equi-join on the prefix token with ``a < b`` and the
+  integer length filter ``t_den * n_min >= t_num * n_max`` applied
+  in-join (Jaccard <= n_min/n_max); DISTINCT collapses multi-token
+  agreements;
+- verify: two doc-id equi-joins fetch the row-local shingle arrays
+  (the AQE-broadcastable candidate sliver), then one row-local
+  ``size(array_intersect)`` — the restructured-verifier shape that
+  replaced the corpus-wide word join in round 6.
+
+Exactness: the threshold test is pure integer arithmetic
+(``Jaccard >= t_num/t_den  <=>  t_den*i >= t_num*(na+nb-i)``), and the
+reported ``jaccard`` is one exact-integer division — deterministic
+across engines and partitionings.  The DuckDB oracle deliberately
+computes the NAIVE ALL-PAIRS join, so a hash-match also certifies the
+prefix filter's recall (every qualifying pair was found), not just its
+precision.
+
+Reference parity: the reference ships no similarity join at all
+(dedup happens in user stages); this is the exact member of the dedup
+family alongside MinHash-LSH (probabilistic), SimHash (hamming), and
+SRP (cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _shingle_col(text_col: str, shingle_words: int):
+    """Row-local word n-gram shingle array (distinct), from a hoisted
+    split — the HOF lambda only concatenates (split stays outside,
+    per the repo-wide HOF rule)."""
+    ws = F.split(F.col(text_col), " ")
+    n = shingle_words
+    idx = F.when(F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(gram)
+
+
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    t_num: int = 7,
+    t_den: int = 10,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard >= t_num/t_den — exact, via
+    prefix filtering.  Returns ``(doc_a, doc_b, inter, na, nb,
+    jaccard)`` with ``doc_a < doc_b``."""
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    sets = docs.select(
+        F.col(id_col).alias("id"), _shingle_col(text_col, shingle_words).alias("sh")
+    )
+    toks = sets.select("id", F.size("sh").cast("bigint").alias("n"), F.explode("sh").alias("w"))
+    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(dfreq, "w").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "w")),
+    )
+    # prefix length p = n - ceil(t*n) + 1, all-integer
+    p = F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) DIV {t_den}") + F.lit(1)
+    prefix = ranked.filter(F.col("rn") <= p).select("id", "n", "w")
+    # The prefix frame feeds both sides of the self-join: checkpoint it
+    # once so the 3-shuffle build is not re-executed per side.
+    prefix = prefix.localCheckpoint(eager=True)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: Jaccard <= n_min/n_max, so qualifying pairs
+            # need t_den * n_min >= t_num * n_max
+            & (
+                F.lit(t_den) * F.least("a.n", "b.n")
+                >= F.lit(t_num) * F.greatest("a.n", "b.n")
+            ),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("doc_a"), F.col("sh").alias("__sa"))
+    sb = sets.select(F.col("id").alias("doc_b"), F.col("sh").alias("__sb"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__sa", "__sb")).cast("bigint").alias("inter"),
+            F.size("__sa").cast("bigint").alias("na"),
+            F.size("__sb").cast("bigint").alias("nb"),
+        )
+        .filter(
+            F.lit(t_den) * F.col("inter")
+            >= F.lit(t_num) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "na",
+        "nb",
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def allpairs_jaccard_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    t_num: int = 7,
+    t_den: int = 10,
+) -> str:
+    """DuckDB oracle: the NAIVE all-pairs shingle-Jaccard join.  A
+    hash-match against :func:`prefix_filter_jaccard_join` certifies
+    both precision and recall of the prefix filter."""
+    n = shingle_words
+    gram = " || ' ' || ".join(f"a[i + {j}]" for j in range(n))
+    return f"""
+    WITH ws AS (SELECT {id_col} AS id, string_split({text_col}, ' ') AS a FROM {table}),
+    sh AS (
+      SELECT DISTINCT id, {gram} AS w
+      FROM ws, UNNEST(range(1, len(a) - {n - 2})) AS t(i)
+    ),
+    sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT x.id AS doc_a, y.id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM sh x JOIN sh y ON x.w = y.w AND x.id < y.id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           CAST(za.n AS BIGINT) AS na, CAST(zb.n AS BIGINT) AS nb,
+           CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz za ON za.id = doc_a
+    JOIN sz zb ON zb.id = doc_b
+    WHERE {t_den} * inter >= {t_num} * (za.n + zb.n - inter)
+    """

@@ -21,6 +21,10 @@ from cosmos_xenna_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from cosmos_xenna_spark.operators.setsim import (
+    allpairs_jaccard_sql,
+    prefix_filter_jaccard_join,
+)
 from cosmos_xenna_spark.queries import register
 
 from cosmos_xenna_spark.operators.dedup import MERSENNE61, minhash_consts  # noqa: E402
@@ -553,3 +557,18 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return substring_dedup_report(docs, "text", k=30, stride=1)
+
+
+@register(
+    "q_setsim_prefix_join",
+    oracle=allpairs_jaccard_sql("documents", "doc_id", "text", 3, 7, 10),
+    description="EXACT set-similarity self-join (PPJoin-style prefix "
+    "filter): all pairs with word-3-gram-shingle Jaccard >= 0.7 — "
+    "rarest-first global token order, integer prefix/length filters, "
+    "row-local array_intersect verify; the oracle computes the naive "
+    "ALL-PAIRS join, so the hash-match certifies recall, not just "
+    "precision",
+)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_join(docs, "doc_id", "text", 3, 7, 10)

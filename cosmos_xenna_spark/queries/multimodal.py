@@ -141,3 +141,29 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
     return audio_spectral_features(attach_fake_audio(docs), window_samples=512)
+
+
+@register(
+    "q_image_phash_pairs",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id AND a.doc_id % 32 = b.doc_id % 32
+    """,
+    description="image near-dup pairs by perceptual average-hash (decode -> "
+    "8x8 integer aHash -> pigeonhole band join -> exact bit_count verify, "
+    "hamming <= 3); planted duplicate classes (id % 32) make the ground "
+    "truth arithmetic, so the oracle certifies the whole decode->hash->"
+    "band->verify chain end-to-end — distinct fake images sit ~32 bits "
+    "apart, so only the byte-identical plants pair up",
+)
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.multimodal import (
+        attach_fake_image_corpus,
+        image_ahash,
+        image_hash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = image_ahash(attach_fake_image_corpus(docs))
+    return image_hash_pairs(hashes, max_hamming=3, n_bands=4)

@@ -307,3 +307,65 @@ def test_substring_dedup_stride_catches_long_repeats(spark):
     got = {r.doc_id: r for r in substring_dedup_report(docs, k=20, stride=4).collect()}
     assert got[1].n_chars_removed == 0
     assert got[2].n_chars_removed >= 20  # the repeat is flagged
+
+
+def test_prefix_filter_join_matches_bruteforce_randomized(spark):
+    """Randomized equivalence: prefix-filtered exact join == brute-force
+    all-pairs Jaccard on random small-vocab docs (the repo's
+    randomized-vs-naive pattern)."""
+    from cosmos_xenna_spark.operators.setsim import prefix_filter_jaccard_join
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(60):
+        base = [rng.choice(vocab) for _ in range(rng.randint(1, 25))]
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.4:  # planted near-dup: light edit
+            mut = list(base)
+            if len(mut) > 4:
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.na, r.nb)
+        for r in prefix_filter_jaccard_join(df, t_num=1, t_den=2).collect()
+    }
+
+    # brute force in python
+    def shingles(t):
+        ws = t.split(" ")
+        return set(
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        ) if len(ws) >= 3 else set()
+
+    sh = {i: shingles(t) for i, t in docs}
+    want = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and 2 * inter >= union:
+                want[(a, b)] = (inter, len(sh[a]), len(sh[b]))
+    assert got == want
+    assert len(want) > 10  # the plant actually produced pairs
+
+
+def test_prefix_filter_join_threshold_one_is_exact_duplicates(spark):
+    from cosmos_xenna_spark.operators.setsim import prefix_filter_jaccard_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),       # identical shingle set as 1
+            (3, "a b c d e f"),     # superset: jaccard < 1
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_jaccard_join(df, t_num=1, t_den=1).collect()
+    )
+    assert got == [(1, 2, 1.0)]

@@ -504,3 +504,57 @@ def test_audio_spectral_pure_tone(spark):
         assert abs(r.centroid_hz - 1000.0) < 60.0, r.centroid_hz
         assert 950.0 <= r.rolloff_hz <= 1100.0
         assert 60.0 < r.rms < 90.0  # sin amplitude 100 -> rms ~70.7
+
+
+def test_image_ahash_real_bmp_and_pairs(spark):
+    """aHash over REAL BMP bytes: identical images hash identically
+    (hamming 0), a lightly-perturbed copy lands within the hamming
+    budget, and an unrelated image does not pair."""
+    from cosmos_xenna_spark.operators.multimodal import image_ahash, image_hash_pairs
+
+    # 8x8 half-bright/half-dark: ahash = low half 0, high half 1
+    base = [[(200, 200, 200)] * 8 if y < 4 else [(10, 10, 10)] * 8 for y in range(8)]
+    # perturb two cells -> hamming 2 from base
+    pert = [row[:] for row in base]
+    pert[0][0] = (0, 0, 0)
+    pert[7][7] = (255, 255, 255)
+    # unrelated: vertical stripes -> far away
+    other = [[(250, 250, 250), (5, 5, 5)] * 4 for _ in range(8)]
+    rows = [
+        (1, _make_bmp24(8, 8, base)),
+        (2, _make_bmp24(8, 8, base)),
+        (3, _make_bmp24(8, 8, pert)),
+        (4, _make_bmp24(8, 8, other)),
+    ]
+    df = spark.createDataFrame(rows, "id long, image binary")
+    hashes = image_ahash(df)
+    hv = {r.id: r.ahash for r in hashes.collect()}
+    assert hv[1] == hv[2]
+    assert bin((hv[1] ^ hv[3]) & ((1 << 64) - 1)).count("1") == 2
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in image_hash_pairs(hashes, max_hamming=3, n_bands=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 2 and pairs[(2, 3)] == 2
+    assert not any(4 in p for p in pairs)
+
+
+def test_image_hash_pairs_partitioning_invariant(spark):
+    from cosmos_xenna_spark.operators.multimodal import (
+        attach_fake_image_corpus,
+        image_ahash,
+        image_hash_pairs,
+    )
+
+    ids = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    hashes = image_ahash(attach_fake_image_corpus(ids))
+    p1 = set(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in image_hash_pairs(hashes.repartition(1)).collect()
+    )
+    p13 = set(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in image_hash_pairs(hashes.repartition(13, "id")).collect()
+    )
+    assert p1 == p13 and len(p1) > 0

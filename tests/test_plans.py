@@ -207,6 +207,9 @@ _BNLJ_ALLOWED = {
     "q_heavy_hitters_sketch",
     # single-row broadcast total attached to the top-n key counts
     "q_skew_report",
+    # single-row broadcast grand total attached to the domain-bounded
+    # contingency cells
+    "q_chi_squared",
 }
 
 
