@@ -60,9 +60,13 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       q_table_diff, q_winsorize, q_rolling_zscore, q_golden_record,
 #       q_multimodal_video_demux, q_label_propagation, q_zorder_key,
 #       q_substring_dedup, q_table_profile,
-#       q_trimmed_mean (all locally oracle-green at sf0.001 AND
-#       sf0.01 when added); rows-only by design: q_audio_spectral
-#       (FFT floats), q_bpe_encode (iterative merge loop).
+#       q_trimmed_mean, q_ohlc_bars, q_attribution_last_touch,
+#       q_chi_squared, q_lm_novelty, q_rrf_fusion,
+#       q_setsim_prefix_join, q_image_phash_pairs (all locally
+#       oracle-green at sf0.001 AND sf0.01 when added; the last seven
+#       also full-driver-sim green at sf0.01 repeatedly); rows-only by
+#       design: q_audio_spectral (FFT floats), q_bpe_encode (iterative
+#       merge loop).
 _R6_PROMOTIONS = (
     # never driver-verified (late-r5 additions) — the 16 promotions
     "q_minhash_containment",
