@@ -301,3 +301,72 @@ def table_profile_sql(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def fk_integrity(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each (name, child, fk_col,
+    parent, pk_col) relation, count child rows whose foreign key has
+    no matching parent key (NULL FKs are counted separately — SQL FK
+    semantics exempt them from the reference check).
+
+    Output: one row per relation — ``(relation, n_child, n_null_fk,
+    n_orphans, orphan_ppm)``, all exact BIGINTs (ppm is integer
+    division).
+
+    Scale shape: per relation, one distinct-key projection of the
+    parent (key-sized, not table-sized) and one shuffle anti-join of
+    the child against it; the per-relation single-row summaries union
+    into one tiny frame.  At web scale the anti-join is the place a
+    Bloom prefilter slots in (``operators/bloom.py``) — the exact
+    anti-join then runs only on the maybe-sliver.
+    """
+    parts = []
+    for name, child, fk_col, parent, pk_col in relations:
+        keys = parent.select(F.col(pk_col).alias("__pk")).distinct()
+        nonnull = child.filter(F.col(fk_col).isNotNull())
+        orphans = nonnull.join(
+            keys, nonnull[fk_col] == keys["__pk"], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        totals = child.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col(fk_col).isNull().cast("bigint")).alias("n_null_fk"),
+        )
+        parts.append(
+            totals.crossJoin(orphans).select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                F.expr("1000000 * n_orphans DIV n_child").alias("orphan_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fk_integrity_sql(relations: list[tuple[str, str, str, str, str]]) -> str:
+    """DuckDB mirror over table names: (name, child_table, fk_col,
+    parent_table, pk_col)."""
+    selects = []
+    for name, child, fk, parent, pk in relations:
+        selects.append(
+            f"""
+      SELECT '{name}' AS relation,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child,
+             (SELECT CAST(COUNT(*) FILTER ({fk} IS NULL) AS BIGINT) FROM {child}) AS n_null_fk,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+               WHERE c.{fk} IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) AS n_orphans
+            """
+        )
+        # ppm appended below from the scalar subqueries
+    body = " UNION ALL ".join(selects)
+    return f"""
+    SELECT relation, n_child, n_null_fk, n_orphans,
+           (1000000 * n_orphans) // n_child AS orphan_ppm
+    FROM ({body})
+    """

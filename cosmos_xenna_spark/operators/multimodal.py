@@ -34,7 +34,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _MAGIC = b"FAKEIMG1"
@@ -817,7 +817,11 @@ def audio_spectral_features(
 
 
 def image_ahash(
-    df: DataFrame, id_col: str = "id", image_col: str = "image", grid: int = 8
+    df: DataFrame,
+    id_col: str = "id",
+    image_col: str = "image",
+    grid: int = 8,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Perceptual average-hash per image: decode -> nearest-neighbor
     downsample to ``grid`` x ``grid`` -> one bit per cell (1 iff the
@@ -837,6 +841,9 @@ def image_ahash(
     """
     decode = get_image_decoder()
     n_cells = grid * grid
+    extras = list(extra_cols)
+    dtypes = dict(df.dtypes)
+    schema = "id long, ahash long" + "".join(f", {c} {dtypes[c]}" for c in extras)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -855,9 +862,12 @@ def image_ahash(
                     v -= 1 << 64
                 ids.append(i)
                 hashes.append(v)
-            yield pd.DataFrame({"id": ids, "ahash": pd.array(hashes, dtype="int64")})
+            out = {"id": ids, "ahash": pd.array(hashes, dtype="int64")}
+            for c in extras:
+                out[c] = list(pdf[c])
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(fn, schema="id long, ahash long")
+    return df.mapInPandas(fn, schema=schema)
 
 
 def image_hash_pairs(
@@ -941,3 +951,63 @@ def attach_fake_image_corpus(
     from cosmos_xenna_spark.operators.dedup import ensure_parallelism
 
     return ensure_parallelism(df).mapInPandas(fn, schema="id long, image binary")
+
+
+def video_scene_cuts(
+    videos: DataFrame,
+    min_hamming: int = 8,
+    id_col: str = "id",
+    video_col: str = "video",
+) -> DataFrame:
+    """Scene-change detection: demux each video, perceptual-hash each
+    frame (:func:`image_ahash`), and flag frames whose hash sits at
+    least ``min_hamming`` bits from the previous frame's —
+    ``(id, frame_idx, ts_us, hamming)`` with one row per detected cut
+    (frame 0 is never a cut; identical consecutive frames are hamming
+    0 and never fire).
+
+    Scale shape: demux + hashing are executor-side Arrow passes (one
+    row per frame, 8 bytes of hash each — pixels never shuffle); the
+    temporal comparison is one ``lag`` over a (video, frame order)
+    keyed window.  The composition IS the point: container demux ->
+    codec decode -> perceptual hash -> window analytics, all existing
+    engine operators.
+    """
+    frames = video_to_frames(videos, id_col=id_col, video_col=video_col)
+    hashed = image_ahash(
+        frames, id_col="id", image_col="frame", extra_cols=("frame_idx", "ts_us")
+    )
+    w = Window.partitionBy("id").orderBy("frame_idx")
+    prev = F.lag("ahash").over(w)
+    return (
+        hashed.withColumn("__prev", prev)
+        .filter(F.col("__prev").isNotNull())
+        .withColumn("hamming", F.expr("CAST(bit_count(ahash ^ __prev) AS BIGINT)"))
+        .filter(F.col("hamming") >= min_hamming)
+        .select("id", "frame_idx", "ts_us", "hamming")
+    )
+
+
+def attach_fake_videos_scenes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fake AVI corpus with SCENE STRUCTURE: frame ``j`` uses payload
+    seed ``j // 2``, so frames arrive in identical pairs — scene cuts
+    sit exactly at even frame indices >= 2, making the ground truth
+    arithmetic for the oracle (the ``attach_fake_videos`` pattern)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vids = [], []
+            for i in pdf[id_col]:
+                n = int(i) % 4 + 2
+                frames = [
+                    fake_image(8, 6, seed=int(i) * 10 + j // 2) for j in range(n)
+                ]
+                ids.append(int(i))
+                vids.append(build_avi_mjpeg(frames, 8, 6))
+            yield pd.DataFrame({"id": ids, "video": vids})
+
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        fn, schema="id long, video binary"
+    )

@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.dq import (
+    fk_integrity,
+    fk_integrity_sql,
     fd_violations,
     fd_violations_sql,
     table_profile,
@@ -111,3 +113,31 @@ _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return table_profile(orders, _PROFILE_COLS)
+
+
+@register(
+    "q_fk_integrity",
+    oracle=fk_integrity_sql(
+        [
+            ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+            ("events_user", "events", "user_id", "customer", "c_custkey"),
+        ]
+    ),
+    description="referential-integrity audit across three FK relations: "
+    "orphan child rows counted via distinct-parent-key anti-joins (NULL "
+    "FKs exempt, counted separately); one tiny summary row per relation, "
+    "exact integer ppm — the Bloom prefilter is the web-scale slot-in",
+)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return fk_integrity(
+        [
+            ("lineitem_orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("orders_customer", orders, "o_custkey", cust, "c_custkey"),
+            ("events_user", ev, "user_id", cust, "c_custkey"),
+        ]
+    )

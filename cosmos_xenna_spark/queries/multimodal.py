@@ -167,3 +167,29 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     hashes = image_ahash(attach_fake_image_corpus(docs))
     return image_hash_pairs(hashes, max_hamming=3, n_bands=4)
+
+
+@register(
+    "q_video_scene_cuts",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(g.j AS BIGINT) AS frame_idx,
+           CAST(g.j * 40000 AS BIGINT) AS ts_us
+    FROM documents, UNNEST(range(2, doc_id % 4 + 2, 2)) AS g(j)
+    """,
+    description="video scene-change detection: AVI demux -> per-frame "
+    "perceptual aHash -> lag window per video, cut when consecutive "
+    "hashes differ by >= 5 bits; the fake corpus repeats frames in "
+    "pairs, so cuts sit exactly at even frame indices — the oracle "
+    "recomputes that arithmetically, certifying that identical frames "
+    "never fire and scene changes always do",
+)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.multimodal import (
+        attach_fake_videos_scenes,
+        video_scene_cuts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cuts = video_scene_cuts(attach_fake_videos_scenes(docs), min_hamming=5)
+    return cuts.select("id", "frame_idx", "ts_us")

@@ -81,3 +81,16 @@ def test_k_anonymity(spark):
     assert out == {("en", "book"): 2, ("fr", "web"): 1}
     with pytest.raises(ValueError):
         k_anonymity_violations(df, ["lang"], 1)
+
+
+def test_fk_integrity_planted_orphans(spark):
+    from cosmos_xenna_spark.operators.dq import fk_integrity
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 9), (13, None), (14, 9)],
+        "id long, fk long",
+    )
+    row = fk_integrity([("c_p", child, "fk", parent, "pk")]).collect()[0]
+    assert (row.relation, row.n_child, row.n_null_fk, row.n_orphans) == ("c_p", 5, 1, 2)
+    assert row.orphan_ppm == 1000000 * 2 // 5

@@ -558,3 +558,22 @@ def test_image_hash_pairs_partitioning_invariant(spark):
         for r in image_hash_pairs(hashes.repartition(13, "id")).collect()
     )
     assert p1 == p13 and len(p1) > 0
+
+
+def test_video_scene_cuts_planted(spark):
+    """A video of [A, A, B, B, A] must cut exactly at frames 2 and 4."""
+    from cosmos_xenna_spark.operators.multimodal import (
+        build_avi_mjpeg,
+        fake_image,
+        video_scene_cuts,
+    )
+
+    a = fake_image(8, 6, seed=1)
+    b = fake_image(8, 6, seed=2)
+    video = build_avi_mjpeg([a, a, b, b, a], 8, 6)
+    df = spark.createDataFrame([(7, video)], "id long, video binary")
+    cuts = sorted(
+        (r.frame_idx, r.hamming > 0) for r in video_scene_cuts(df, min_hamming=5).collect()
+    )
+    assert [i for i, _ in cuts] == [2, 4]
+    assert all(h for _, h in cuts)
