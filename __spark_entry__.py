@@ -62,7 +62,9 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       q_substring_dedup, q_table_profile,
 #       q_trimmed_mean, q_ohlc_bars, q_attribution_last_touch,
 #       q_chi_squared, q_lm_novelty, q_rrf_fusion,
-#       q_setsim_prefix_join, q_image_phash_pairs (all locally
+#       q_setsim_prefix_join, q_image_phash_pairs, q_fk_integrity,
+#       q_video_scene_cuts, q_incremental_join, q_linreg_per_group,
+#       q_mode_per_group (all locally
 #       oracle-green at sf0.001 AND sf0.01 when added; the last seven
 #       also full-driver-sim green at sf0.01 repeatedly); rows-only by
 #       design: q_audio_spectral (FFT floats), q_bpe_encode (iterative

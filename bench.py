@@ -91,6 +91,13 @@ HEADLINE = [
     # cluster survivorship merge
     "q_substring_dedup",
     "q_golden_record",
+    # r6 batch 4: the EXACT prefix-filter similarity join (the dedup
+    # family's only guaranteed-recall member), the bigram-LM reference
+    # join, and the perceptual-hash image dedup (decode -> hash ->
+    # band join over 5k images)
+    "q_setsim_prefix_join",
+    "q_lm_novelty",
+    "q_image_phash_pairs",
 ]
 
 

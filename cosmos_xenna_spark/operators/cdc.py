@@ -214,3 +214,43 @@ def table_diff_sql(
                WHEN n.__in_new IS NULL THEN 'D'
                WHEN {neq} THEN 'U' END IS NOT NULL
     """
+
+
+def incremental_join_merge(
+    base_join: DataFrame,
+    fact_changelog: DataFrame,
+    dim: DataFrame,
+    fact_keys: Sequence[str],
+    join_on,
+    op_col: str = "op",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Maintain a materialized JOIN view (``fact JOIN dim``) from a
+    fact-side changelog without rescanning the fact table — the join
+    sibling of :func:`incremental_agg_merge`.
+
+    ``base_join`` is the current materialization keyed by
+    ``fact_keys`` (one row per fact row, already joined); the
+    changelog carries 'I'/'D' rows with the full fact payload (an
+    update is D + I, the standard CDC encoding).  Maintenance:
+
+    - D / updated keys: dropped from the base by an anti-join on the
+      (small) changed-key set;
+    - I rows: joined against the dim ONCE (changelog-sized join, not
+      fact-sized) and unioned back.
+
+    Scale shape: the 100 TB materialization never shuffles — the
+    anti-join key set is broadcast (changelog-sized by contract); the
+    only real join touches changelog rows, so maintenance cost tracks
+    the CHANGE RATE, not the table size — the whole point of keeping a
+    join materialized.  The dim is assumed current; dim-side changes
+    are a backfill (recompute affected dim keys), not this fast path.
+    """
+    fk = list(fact_keys)
+    changed_keys = fact_changelog.select(*fk).distinct()
+    if broadcast:
+        changed_keys = F.broadcast(changed_keys)
+    survivors = base_join.join(changed_keys, on=fk, how="left_anti")
+    inserts = fact_changelog.filter(F.col(op_col) == "I").drop(op_col)
+    fresh = inserts.join(dim, on=join_on)
+    return survivors.unionByName(fresh.select(*base_join.columns))

@@ -83,14 +83,38 @@ def prefix_filter_jaccard_join(
     jaccard)`` with ``doc_a < doc_b``."""
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
-    sets = docs.select(
-        F.col(id_col).alias("id"), _shingle_col(text_col, shingle_words).alias("sh")
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+    # ensure_parallelism BEFORE the shingle transform: HOF lambdas are
+    # interpreted per element, and a small parquet split count would
+    # run the whole corpus's shingling on a few cores (measured 9 s ->
+    # 0.4 s at sf0.1).  The set size n is NOT computed as size(sh)
+    # next to explode(sh) — projection collapse would inline the
+    # transform into both and evaluate it twice per row; the count
+    # window below rides the rank window's exchange instead.
+    #
+    # The shingle-array frame feeds THREE consumers (the token stream
+    # and both verify sides); un-materialized, projection duplication
+    # re-runs the interpreted transform once per consumer (measured:
+    # verify alone cost 8.7 s at sf0.1 rebuilding it twice).  One eager
+    # checkpoint makes it a single pass.  At extreme scale where
+    # materializing the shingle arrays is worse than recomputing them,
+    # this is the knob to expose — the r6 Jaccard-verify lesson, but
+    # the measured crossover here favors materializing.
+    sets = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("id"), _shingle_col(text_col, shingle_words).alias("sh")
+        )
+        .localCheckpoint(eager=True)
     )
-    toks = sets.select("id", F.size("sh").cast("bigint").alias("n"), F.explode("sh").alias("w"))
+    toks = sets.select("id", F.explode("sh").alias("w"))
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    ranked = toks.join(dfreq, "w").withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("id").orderBy("df", "w")),
+    wid = Window.partitionBy("id")
+    ranked = (
+        toks.join(dfreq, "w")
+        .withColumn("n", F.count(F.lit(1)).over(wid).cast("bigint"))
+        .withColumn("rn", F.row_number().over(wid.orderBy("df", "w")))
     )
     # prefix length p = n - ceil(t*n) + 1, all-integer
     p = F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) DIV {t_den}") + F.lit(1)

@@ -889,3 +889,109 @@ def chi_squared_sql(table: str, a_col: str, b_col: str) -> str:
            / ((CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(n_total AS DOUBLE)) AS contrib
     FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# grouped ordinary-least-squares regression
+# ---------------------------------------------------------------------------
+
+
+def grouped_linreg(df: DataFrame, group_cols: list[str], x: str, y: str) -> DataFrame:
+    """Per-group simple OLS fit ``y = slope * x + intercept`` (+ R^2),
+    from the same decimal-exact moment sums as :func:`grouped_corr` —
+    one scan, one shuffle on the group key, and a fixed double-op
+    finish on per-group scalars, so the fit is order-independent and
+    engine-exact (the built-in ``regr_slope`` is an incremental
+    co-moment update whose last ulps depend on row order).
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy - slope*Sx) / n
+        r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    Groups with zero x-variance emit NULL slope/intercept/r2.
+    Returns ``(group_cols..., n_rows, slope, intercept, r2)``.
+    """
+    agg = df.groupBy(*group_cols).agg(*_moment_aggs(x, y))
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = F.when(den != 0.0, num / den)
+    return agg.select(
+        *group_cols,
+        F.col("__n").alias("n_rows"),
+        slope.alias("slope"),
+        F.when(den != 0.0, (sy - (num / den) * sx) / n).alias("intercept"),
+        F.when((den != 0.0) & (deny != 0.0), (num * num) / (den * deny)).alias("r2"),
+    )
+
+
+def grouped_linreg_sql(table: str, group_cols: list[str], x: str, y: str) -> str:
+    """DuckDB mirror: identical moment sums (DECIMAL(19,4) operands,
+    string-routed decimal->double) and identical finish sequence."""
+    g = ", ".join(group_cols)
+    xc = f"CAST({x} AS DECIMAL(19,4))"
+    yc = f"CAST({y} AS DECIMAL(19,4))"
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    sx = dec_to_double_sql(f"SUM({xc})")
+    sy = dec_to_double_sql(f"SUM({yc})")
+    sxx = dec_to_double_sql(f"SUM(CAST(({xc} * {xc}) AS DECIMAL(38,8)))")
+    syy = dec_to_double_sql(f"SUM(CAST(({yc} * {yc}) AS DECIMAL(38,8)))")
+    sxy = dec_to_double_sql(f"SUM(CAST(({xc} * {yc}) AS DECIMAL(38,8)))")
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    den = f"({n} * {sxx} - {sx} * {sx})"
+    deny = f"({n} * {syy} - {sy} * {sy})"
+    return f"""
+    SELECT {g}, COUNT(*) AS n_rows,
+           CASE WHEN {den} <> 0.0 THEN {num} / {den} END AS slope,
+           CASE WHEN {den} <> 0.0
+                THEN ({sy} - ({num} / {den}) * {sx}) / {n} END AS intercept,
+           CASE WHEN {den} <> 0.0 AND {deny} <> 0.0
+                THEN ({num} * {num}) / ({den} * {deny}) END AS r2
+    FROM {table}
+    GROUP BY {g}
+    """
+
+
+# ---------------------------------------------------------------------------
+# per-group categorical mode
+# ---------------------------------------------------------------------------
+
+
+def grouped_mode(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """Most frequent value per group, ties broken by SMALLEST value —
+    a total, engine-independent rule (the built-in ``mode()`` leaves
+    ties implementation-defined in both engines).
+
+    Two aggregations, both on fine-grained keys: value counts on
+    (group, value), then an ``arg-min`` reduction over a zero-padded
+    ``(max_count - count, value)`` string key (the portable composite-
+    order trick from ``operators/dedup.keep_best``).  Returns
+    ``(group_cols..., mode_value, mode_count)``.
+    """
+    counts = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # invert the count into the key so lexicographic MIN = (max count,
+    # then smallest value); 10^18 bounds any count
+    key = f"printf('%020d|%s', 1000000000000000000 - __cnt, CAST({value_col} AS STRING))"
+    return counts.groupBy(*group_cols).agg(
+        F.expr(f"min_by({value_col}, {key})").alias("mode_value"),
+        F.max("__cnt").alias("mode_count"),
+    )
+
+
+def grouped_mode_sql(table: str, group_cols: list[str], value_col: str) -> str:
+    g = ", ".join(group_cols)
+    key = f"printf('%020d|%s', 1000000000000000000 - cnt, CAST({value_col} AS STRING))"
+    return f"""
+    WITH counts AS (
+      SELECT {g}, {value_col}, COUNT(*) AS cnt FROM {table} GROUP BY {g}, {value_col}
+    )
+    SELECT {g}, arg_min({value_col}, {key}) AS mode_value,
+           CAST(MAX(cnt) AS BIGINT) AS mode_count
+    FROM counts GROUP BY {g}
+    """

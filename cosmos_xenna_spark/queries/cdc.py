@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.cdc import (
+    incremental_join_merge,
     OP_COL,
     incremental_agg_merge,
     table_diff,
@@ -247,3 +248,58 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
     )
     return table_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+@register(
+    "q_incremental_join",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           c.c_name, c.c_nationkey
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '{_DEL_CUT}'
+    """,
+    description="materialized JOIN-view maintenance: orders x customer kept "
+    "current from an insert/delete changelog — changed keys anti-joined out "
+    "(broadcast, changelog-sized), inserts joined against the dim once; "
+    "maintenance cost tracks the change rate, never the view size; oracle "
+    "= straight recompute of the repaired join",
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    base_cut = F.lit(_BASE_CUT).cast("timestamp")
+    del_cut = F.lit(_DEL_CUT).cast("timestamp")
+    fact_cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    base = (
+        orders.filter(F.col("o_orderdate") < base_cut)
+        .select(*fact_cols)
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+    )
+    ins = (
+        orders.filter(F.col("o_orderdate") >= base_cut)
+        .select(*fact_cols)
+        .withColumn(OP_COL, F.lit("I"))
+    )
+    dels = (
+        orders.filter(F.col("o_orderdate") < del_cut)
+        .select(*fact_cols)
+        .withColumn(OP_COL, F.lit("D"))
+    )
+    merged = incremental_join_merge(
+        base,
+        ins.unionByName(dels),
+        cust,
+        fact_keys=["o_orderkey"],
+        join_on=F.col("c_custkey") == F.col("o_custkey"),
+        op_col=OP_COL,
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "c_name",
+        "c_nationkey",
+    )

@@ -9,6 +9,10 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.stats import (
+    grouped_linreg,
+    grouped_linreg_sql,
+    grouped_mode,
+    grouped_mode_sql,
     chi_squared,
     chi_squared_sql,
     rolling_zscore,
@@ -283,3 +287,37 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return chi_squared(docs, "lang", "source")
+
+
+@register(
+    "q_linreg_per_group",
+    oracle=grouped_linreg_sql(
+        "(SELECT o_custkey % 10 AS bucket, CAST(o_orderkey % 1000 AS DOUBLE) AS x, "
+        "CAST(o_totalprice AS DOUBLE) AS y FROM orders)",
+        ["bucket"], "x", "y",
+    ),
+    description="per-group simple OLS (slope/intercept/R^2) from decimal-"
+    "exact moment sums — one scan, one shuffle, order-independent where "
+    "the built-in regr_* incremental co-moments are not; zero-variance "
+    "groups emit NULLs",
+)
+def q_linreg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 10).alias("bucket"),
+        (F.col("o_orderkey") % 1000).cast("double").alias("x"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    return grouped_linreg(orders, ["bucket"], "x", "y")
+
+
+@register(
+    "q_mode_per_group",
+    oracle=grouped_mode_sql("events", ["user_id"], "event_type"),
+    description="most frequent event type per user with a total tiebreak "
+    "(max count, then smallest value) via the portable padded-key arg-min "
+    "— two fine-grained aggregations, engine-independent where built-in "
+    "mode() tie behavior is not",
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_mode(ev, ["user_id"], "event_type")

@@ -47,6 +47,11 @@ QUERIES = [
     "q_simhash_pairs",
     "q_incremental_dedup",
     "q_substring_dedup",
+    # r6 batch 4: the exact prefix-filter join (guaranteed-recall
+    # dedup — the shape most sensitive to token-frequency skew) and
+    # the bigram-LM reference join (vocabulary-sized shuffle join)
+    "q_setsim_prefix_join",
+    "q_lm_novelty",
 ]
 
 

@@ -169,3 +169,34 @@ def test_table_diff_null_safe_classification(spark):
     )
     got = {(r.k, r.change) for r in table_diff(old, new, ["k"], ["price", "status"]).collect()}
     assert got == {(2, "U"), (3, "U"), (4, "D"), (5, "I")}
+
+
+def test_incremental_join_planted(spark):
+    from pyspark.sql import functions as F
+
+    from cosmos_xenna_spark.operators.cdc import incremental_join_merge
+
+    dim = spark.createDataFrame([(1, "n1"), (2, "n2")], ["k", "name"])
+    base = spark.createDataFrame(
+        [(10, 1, 5.0, "n1"), (11, 2, 6.0, "n2"), (12, 1, 7.0, "n1")],
+        ["fid", "k", "val", "name"],
+    )
+    # update fid=11 (D+I with new val), delete fid=12, insert fid=13
+    log = spark.createDataFrame(
+        [
+            (11, 2, 6.0, "D"),
+            (11, 2, 60.0, "I"),
+            (12, 1, 7.0, "D"),
+            (13, 2, 8.0, "I"),
+        ],
+        ["fid", "k", "val", "op"],
+    )
+    out = incremental_join_merge(
+        base,
+        log.select("fid", "k", "val", "op"),
+        dim.withColumnRenamed("k", "dk"),
+        fact_keys=["fid"],
+        join_on=F.col("dk") == F.col("k"),
+    )
+    got = sorted((r.fid, r.k, r.val, r.name) for r in out.collect())
+    assert got == [(10, 1, 5.0, "n1"), (11, 2, 60.0, "n2"), (13, 2, 8.0, "n2")]

@@ -132,3 +132,47 @@ def test_chi_squared_independent_table_is_zero(spark):
     df = spark.createDataFrame(rows, ["a", "b"])
     for r in chi_squared(df, "a", "b").collect():
         assert r.contrib == 0.0
+
+
+def test_grouped_linreg_vs_numpy(spark):
+    import numpy as np
+
+    from cosmos_xenna_spark.operators.stats import grouped_linreg
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for g in ["a", "b"]:
+        xs = rng.integers(0, 100, 40)
+        ys = 3 * xs + 7 + rng.integers(-5, 6, 40) if g == "a" else -2 * xs + rng.integers(0, 3, 40)
+        rows += [(g, float(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r.g: r for r in grouped_linreg(df, ["g"], "x", "y").collect()}
+    for g in ["a", "b"]:
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(got[g].slope - slope) < 1e-9
+        assert abs(got[g].intercept - intercept) < 1e-9
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got[g].r2 - r * r) < 1e-9
+
+
+def test_grouped_linreg_zero_variance_is_null(spark):
+    from cosmos_xenna_spark.operators.stats import grouped_linreg
+
+    df = spark.createDataFrame([("g", 5.0, float(i)) for i in range(4)], ["g", "x", "y"])
+    row = grouped_linreg(df, ["g"], "x", "y").collect()[0]
+    assert row.slope is None and row.intercept is None and row.r2 is None
+
+
+def test_grouped_mode_tiebreak(spark):
+    from cosmos_xenna_spark.operators.stats import grouped_mode
+
+    df = spark.createDataFrame(
+        [("u", "b"), ("u", "b"), ("u", "a"), ("u", "a"), ("u", "c"),
+         ("v", "z")],
+        ["g", "v"],
+    )
+    got = {r.g: (r.mode_value, r.mode_count) for r in grouped_mode(df, ["g"], "v").collect()}
+    # tie between a(2) and b(2) -> smallest value wins
+    assert got == {"u": ("a", 2), "v": ("z", 1)}
