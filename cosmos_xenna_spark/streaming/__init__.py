@@ -325,3 +325,41 @@ def streaming_fuzzy_dedup_probe(
         .dropDuplicates(["doc_id", "dup_of"])
     )
     return verified
+
+
+def streaming_ohlc_bars(
+    stream_df: DataFrame,
+    bucket: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Live OHLC bars: the streaming form of
+    ``operators.eventops.ohlc_bars`` — per (user, tumbling bucket)
+    open/high/low/close over a watermarked window aggregation.
+
+    Open/close use the same deterministic ``min_by``/``max_by`` on the
+    zero-padded (epoch, id) key as the batch operator, so a closed
+    bar is BIT-IDENTICAL to the batch computation over the same rows
+    (asserted by the parity test).  State per (user, bucket) is one
+    bar; the watermark bounds how many buckets stay open.
+    """
+    key = "printf('%020d|%020d', unix_micros(ts), event_id)"
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", bucket).alias("w"), "user_id")
+        .agg(
+            F.expr(f"min_by(value, {key})").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr(f"max_by(value, {key})").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("user_id").alias("entity"),
+            F.col("w.start").alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

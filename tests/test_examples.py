@@ -49,3 +49,9 @@ def test_tokenize_and_train_prep_example_runs():
     r = _run(["examples/tokenize_and_train_prep.py", SF])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "learned" in r.stdout and "training sequences" in r.stdout
+
+
+def test_quality_audit_and_fusion_example_runs():
+    r = _run(["examples/quality_audit_and_fusion.py", SF])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "hybrid top-" in r.stdout

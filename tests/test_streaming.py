@@ -500,3 +500,26 @@ def test_streaming_fuzzy_dedup_probe_matches_batch(spark, sf_dir):
     # and every emitted match is a genuine verified pair
     for r in spark.sql("SELECT * FROM t_fuzzy_probe").collect():
         assert r.jaccard >= 0.5
+
+
+def test_streaming_ohlc_bars_match_batch(spark, sf_dir, events_dir):
+    """Live OHLC parity: every closed streaming bar is bit-identical to
+    the batch ohlc_bars row over the same events — including the
+    min_by/max_by open/close selections, not just counts."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.eventops import ohlc_bars
+    from cosmos_xenna_spark.streaming import streaming_ohlc_bars
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(streaming_ohlc_bars(stream), "t_ohlc", "complete")
+    _drain(q)
+    got = sorted(
+        (r.entity, r.bucket_start, r.open, r.high, r.low, r.close, r.n_events)
+        for r in spark.sql("SELECT * FROM t_ohlc").collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        (r.entity, r.bucket_start, r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc_bars(ev).collect()
+    )
+    assert got == want and len(got) > 0
