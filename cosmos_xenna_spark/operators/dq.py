@@ -325,16 +325,22 @@ def fk_integrity(
     parts = []
     for name, child, fk_col, parent, pk_col in relations:
         keys = parent.select(F.col(pk_col).alias("__pk")).distinct()
-        nonnull = child.filter(F.col(fk_col).isNotNull())
-        orphans = nonnull.join(
-            keys, nonnull[fk_col] == keys["__pk"], "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
-        totals = child.agg(
+        # ONE pass over the child: a left join against the distinct
+        # parent keys carries an orphan indicator, and total/null/
+        # orphan counts ride a single aggregation (an anti-join +
+        # separate totals aggregate would scan the child twice).
+        joined = child.select(F.col(fk_col).alias("__fk")).join(
+            keys, F.col("__fk") == F.col("__pk"), "left"
+        )
+        summary = joined.agg(
             F.count(F.lit(1)).alias("n_child"),
-            F.sum(F.col(fk_col).isNull().cast("bigint")).alias("n_null_fk"),
+            F.sum(F.col("__fk").isNull().cast("bigint")).alias("n_null_fk"),
+            F.sum(
+                (F.col("__fk").isNotNull() & F.col("__pk").isNull()).cast("bigint")
+            ).alias("n_orphans"),
         )
         parts.append(
-            totals.crossJoin(orphans).select(
+            summary.select(
                 F.lit(name).alias("relation"),
                 "n_child",
                 "n_null_fk",
