@@ -403,3 +403,40 @@ def test_last_touch_attribution_planted(spark):
         5: (None, None, None),
         7: (None, None, None),
     }
+
+
+def test_ohlc_and_attribution_partitioning_invariant(spark, sf_dir):
+    """Randomized-equivalence guard: both event-sequence operators must
+    produce identical rows under any input partitioning (the total
+    (ts, id) order, not arrival order, decides selections)."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.eventops import last_touch_attribution, ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    for op in (ohlc_bars, last_touch_attribution):
+        a = set(map(tuple, op(ev.repartition(1)).collect()))
+        b = set(map(tuple, op(ev.repartition(17, "event_type")).collect()))
+        assert a == b and len(a) > 0
+
+
+def test_chi_squared_partitioning_invariant(spark, sf_dir):
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.stats import chi_squared
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = set(map(tuple, chi_squared(docs.repartition(1), "lang", "source").collect()))
+    b = set(map(tuple, chi_squared(docs.repartition(13, "doc_id"), "lang", "source").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_lm_novelty_partitioning_invariant(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.quality import bigram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source").isin("src0", "src1"))
+    a = set(map(tuple, bigram_novelty(docs.repartition(1), ref).collect()))
+    b = set(map(tuple, bigram_novelty(docs.repartition(11, "doc_id"), ref.repartition(3)).collect()))
+    assert a == b and len(a) > 0

@@ -369,3 +369,13 @@ def test_prefix_filter_join_threshold_one_is_exact_duplicates(spark):
         for r in prefix_filter_jaccard_join(df, t_num=1, t_den=1).collect()
     )
     assert got == [(1, 2, 1.0)]
+
+
+def test_prefix_filter_join_partitioning_invariant(spark, sf_dir):
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.setsim import prefix_filter_jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = set(map(tuple, prefix_filter_jaccard_join(docs.repartition(1)).collect()))
+    b = set(map(tuple, prefix_filter_jaccard_join(docs.repartition(13, "doc_id")).collect()))
+    assert a == b and len(a) > 0
