@@ -72,6 +72,7 @@ _MODULES = (
     "graph",
     "sharding",
     "timeseries",
+    "basket",
 )
 
 

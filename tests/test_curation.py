@@ -440,3 +440,35 @@ def test_lm_novelty_partitioning_invariant(spark, sf_dir):
     a = set(map(tuple, bigram_novelty(docs.repartition(1), ref).collect()))
     b = set(map(tuple, bigram_novelty(docs.repartition(11, "doc_id"), ref.repartition(3)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_frequent_item_pairs_planted(spark):
+    from cosmos_xenna_spark.operators.basket import frequent_item_pairs
+
+    rows = [
+        # baskets: {a,b,c}, {a,b}, {a,b}, {c}, duplicate line for a in b1
+        (1, "a"), (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r.item_a, r.item_b): (r.n_ab, r.n_a, r.n_b, r.n_baskets, r.confidence, r.lift)
+        for r in frequent_item_pairs(df, "basket", "item", min_support=2).collect()
+    }
+    # only (a,b) reaches support 2 (appears in 3 baskets); dup line ignored
+    assert got == {("a", "b"): (3, 3, 3, 4, 1.0, 3 * 4 / (3 * 3))}
+
+
+def test_frequent_item_pairs_mega_basket_dropped(spark):
+    from cosmos_xenna_spark.operators.basket import frequent_item_pairs
+
+    rows = [(1, f"i{k}") for k in range(10)] + [(2, "i0"), (2, "i1"), (3, "i0"), (3, "i1")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r.item_a, r.item_b): r.n_ab
+        for r in frequent_item_pairs(df, "basket", "item", 2, max_basket_size=5).collect()
+    }
+    # basket 1 (10 items) is dropped: (i0,i1) counts only baskets 2,3
+    assert got == {("i0", "i1"): 2}
