@@ -30,7 +30,7 @@ RefinedWeb / Gopher recipes (per-host caps, percentile quality gates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.functions import md5_long63
@@ -248,3 +248,74 @@ def heavy_hitters_sketch(
             (F.col("n").cast("double") / F.col("__total")).alias("frac"),
         )
     )
+
+
+def filter_funnel(
+    df: DataFrame,
+    gates: list[tuple[str, Column]],
+) -> DataFrame:
+    """Curation-cascade audit: how many rows survive each filter gate,
+    applied in order — the "where did my corpus go" report every
+    multi-stage cleaning pipeline needs before anyone trusts its
+    output.
+
+    ``gates`` is an ordered list of (name, boolean Column).  Survival
+    is CUMULATIVE (a row must pass every earlier gate to reach the
+    next), matching how the real pipeline chains filters.  NULL
+    predicates count as failures (SQL WHERE semantics).
+
+    Returns one row per gate: ``(gate_idx, gate, n_in, n_out,
+    n_killed)`` — and the whole report is ONE aggregation pass with
+    map-side partials (the dq_expectations discipline: 50 gates cost
+    the same scan as one).
+    """
+    if not gates:
+        raise ValueError("filter_funnel needs at least one gate")
+    names = [n for n, _ in gates]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate gate names: {names}")
+    aggs = [F.count(F.lit(1)).alias("__n0")]
+    cum = None
+    for i, (_, cond) in enumerate(gates):
+        passed = F.coalesce(cond.cast("boolean"), F.lit(False))
+        cum = passed if cum is None else (cum & passed)
+        aggs.append(F.sum(cum.cast("bigint")).alias(f"__s_{i}"))
+    wide = df.agg(*aggs)
+    parts: list[Column] = []
+    for i, name in enumerate(names):
+        n_in = F.col("__n0") if i == 0 else F.col(f"__s_{i - 1}")
+        parts += [
+            F.lit(i).cast("bigint"),
+            F.lit(name),
+            n_in,
+            F.col(f"__s_{i}"),
+            n_in - F.col(f"__s_{i}"),
+        ]
+    return wide.select(
+        F.stack(
+            F.lit(len(gates)), *parts
+        ).alias("gate_idx", "gate", "n_in", "n_out", "n_killed")
+    )
+
+
+def filter_funnel_sql(table: str, gates: list[tuple[str, str]]) -> str:
+    """DuckDB mirror over SQL predicate strings (cumulative survival,
+    NULL-as-fail)."""
+    selects = []
+    cum_terms: list[str] = []
+    prev = "COUNT(*)"
+    for i, (name, pred) in enumerate(gates):
+        cum_terms.append(f"COALESCE(({pred}), FALSE)")
+        cur = (
+            "SUM(CASE WHEN "
+            + " AND ".join(cum_terms)
+            + " THEN 1 ELSE 0 END)"
+        )
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS gate_idx, '{name}' AS gate, "
+            f"CAST({prev} AS BIGINT) AS n_in, CAST({cur} AS BIGINT) AS n_out, "
+            f"CAST({prev} AS BIGINT) - CAST({cur} AS BIGINT) AS n_killed "
+            f"FROM {table}"
+        )
+        prev = cur
+    return "\nUNION ALL\n".join(selects)

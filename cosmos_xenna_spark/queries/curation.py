@@ -4,9 +4,12 @@ percentile quality gates, corpus-wide heavy hitters."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.curation import (
+    filter_funnel,
+    filter_funnel_sql,
     domain_cap,
     domain_cap_sql,
     heavy_hitters,
@@ -83,3 +86,30 @@ def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return heavy_hitters_sketch(docs, "text", min_ppm=_HH_PPM)
+
+
+_FUNNEL_GATES_SQL = [
+    ("min_length", "n_chars >= 120"),
+    ("known_lang", "lang IN ('en', 'de', 'fr', 'es')"),
+    ("trusted_source", "source NOT IN ('src17', 'src18', 'src19')"),
+]
+
+
+@register(
+    "q_filter_funnel",
+    oracle=filter_funnel_sql("documents", _FUNNEL_GATES_SQL),
+    description="curation-cascade audit: cumulative survival counts through "
+    "an ordered gate list (length -> language -> source trust) — the whole "
+    "funnel report is ONE aggregation pass with map-side partials, "
+    "NULL-as-fail semantics",
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_funnel(
+        docs,
+        [
+            ("min_length", F.col("n_chars") >= 120),
+            ("known_lang", F.col("lang").isin("en", "de", "fr", "es")),
+            ("trusted_source", ~F.col("source").isin("src17", "src18", "src19")),
+        ],
+    )

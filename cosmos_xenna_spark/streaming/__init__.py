@@ -363,3 +363,67 @@ def streaming_ohlc_bars(
             "n_events",
         )
     )
+
+
+def streaming_last_touch_attribution(
+    stream_df: DataFrame,
+    conversion_type: str = "purchase",
+    source_types: tuple[str, ...] = ("click", "view"),
+    window_secs: int = 1800,
+) -> DataFrame:
+    """Custom stateful operator (A9/A3 streaming parity): last-touch
+    attribution as a live stream via ``applyInPandasWithState``.
+
+    Per-user state is ONE tuple — the latest source event's (id, type,
+    epoch) — regardless of stream length; each micro-batch's rows are
+    processed in event-time order within the batch, conversions emit
+    immediately with their attribution (or NULLs when the lookback
+    window is empty).  For a time-ordered stream the emitted rows are
+    BIT-IDENTICAL to the batch ``eventops.last_touch_attribution``
+    (the parity test pins full-row equality); out-of-order arrival
+    across micro-batches degrades to arrival-order semantics — the
+    same contract as streaming_time_window_dedup.
+    """
+    srcs = set(source_types)
+
+    def update(key, pdfs, state: GroupState):
+        sid, stype, sts = state.get if state.exists else (-1, "", -1)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        out = {
+            "conversion_id": [],
+            "entity": [],
+            "src_event_id": [],
+            "src_type": [],
+            "delay_us": [],
+        }
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            # force microsecond epoch regardless of the Arrow-side
+            # pandas dtype (datetime64[ns] vs [us])
+            batch["__us"] = batch["ts"].astype("datetime64[us]").astype("int64")
+            batch = batch.sort_values(["__us", "event_id"])
+            for eid, etype, us in zip(
+                batch["event_id"], batch["event_type"], batch["__us"]
+            ):
+                if etype == conversion_type:
+                    hit = sts >= 0 and us - sts <= window_secs * 1_000_000
+                    out["conversion_id"].append(int(eid))
+                    out["entity"].append(int(key[0]))
+                    out["src_event_id"].append(int(sid) if hit else None)
+                    out["src_type"].append(stype if hit else None)
+                    out["delay_us"].append(int(us - sts) if hit else None)
+                elif etype in srcs:
+                    sid, stype, sts = int(eid), str(etype), int(us)
+        state.update((sid, stype, sts))
+        yield pd.DataFrame(out)
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "conversion_id long, entity long, src_event_id long, "
+            "src_type string, delay_us long"
+        ),
+        stateStructType="src_id long, src_type string, src_ts long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -472,3 +472,26 @@ def test_frequent_item_pairs_mega_basket_dropped(spark):
     }
     # basket 1 (10 items) is dropped: (i0,i1) counts only baskets 2,3
     assert got == {("i0", "i1"): 2}
+
+
+def test_filter_funnel_planted_cumulative(spark):
+    from pyspark.sql import functions as F
+
+    from cosmos_xenna_spark.operators.curation import filter_funnel
+
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 200, "en"), (3, 300, None), (4, 400, "de"), (5, 500, "xx")],
+        ["id", "n", "lang"],
+    )
+    rows = filter_funnel(
+        df,
+        [
+            ("long_enough", F.col("n") >= 100),          # kills id 1
+            ("lang_known", F.col("lang").isin("en", "de")),  # kills 3 (NULL) and 5
+        ],
+    ).collect()
+    got = {(r.gate_idx, r.gate): (r.n_in, r.n_out, r.n_killed) for r in rows}
+    assert got == {
+        (0, "long_enough"): (5, 4, 1),
+        (1, "lang_known"): (4, 2, 2),
+    }

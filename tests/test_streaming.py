@@ -523,3 +523,28 @@ def test_streaming_ohlc_bars_match_batch(spark, sf_dir, events_dir):
         for r in ohlc_bars(ev).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_attribution_matches_batch(spark, sf_dir, events_dir):
+    """Custom stateful operator parity: the live applyInPandasWithState
+    last-touch attribution emits bit-identical rows to the batch window
+    operator over the same (time-ordered) event replay."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.eventops import last_touch_attribution
+    from cosmos_xenna_spark.streaming import streaming_last_touch_attribution
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(
+        streaming_last_touch_attribution(stream), "t_attr", "append"
+    )
+    _drain(q)
+    got = sorted(
+        (r.conversion_id, r.entity, r.src_event_id, r.src_type, r.delay_us)
+        for r in spark.sql("SELECT * FROM t_attr").collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        (r.conversion_id, r.entity, r.src_event_id, r.src_type, r.delay_us)
+        for r in last_touch_attribution(ev).collect()
+    )
+    assert got == want and len(got) > 0
