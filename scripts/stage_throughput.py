@@ -148,6 +148,39 @@ def serving_round_trip(spark, n_rows: int = 50_000, waves: int = 5) -> dict:
     }
 
 
+def image_decode_hash(spark, n_images: int = 50_000) -> dict:
+    """Multimodal decode-path throughput: images/s through the full
+    Arrow chain synth -> decode -> 8x8 perceptual hash (the
+    q_image_phash_pairs front end).  The decode kernel is the
+    pluggable-seam dispatch, so this is the number a deployment's real
+    codec slots into."""
+    from pyspark.sql import functions as F
+
+    from cosmos_xenna_spark.operators.multimodal import (
+        attach_fake_image_corpus,
+        image_ahash,
+    )
+
+    ids = (
+        spark.range(n_images)
+        .select(F.col("id").alias("doc_id"))
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    imgs = attach_fake_image_corpus(ids).localCheckpoint(eager=True)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        image_ahash(imgs).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    sec = sorted(runs)[1]
+    return {
+        "images_per_sec": round(n_images / sec, 1),
+        "sec": round(sec, 3),
+        "n_stage_passes": 1,
+    }
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     spark = get_spark(app_name="stage_throughput")
@@ -180,6 +213,7 @@ def main() -> None:
         }
 
     results["serving_round_trip"] = serving_round_trip(spark)
+    results["image_decode_hash"] = image_decode_hash(spark)
 
     payload = {
         "n_rows": n_rows,
