@@ -98,6 +98,8 @@ HEADLINE = [
     "q_setsim_prefix_join",
     "q_lm_novelty",
     "q_image_phash_pairs",
+    # r6 batch 5: basket-local pair mining over the lineitem fact table
+    "q_market_basket",
 ]
 
 

@@ -117,6 +117,18 @@ def bench(spark, reg, sf_dir: str, n: int = 3) -> dict[str, float]:
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
+    global COPIES, QUERIES
+    if len(sys.argv) > 2:
+        # multi-point scale curve: a non-default copy count benches the
+        # heaviest dedup shapes only and MERGES a curve entry into the
+        # existing artifact instead of replacing the 10x report.
+        COPIES = int(sys.argv[2])
+        QUERIES = [
+            "q_fuzzy_dedup_keep",
+            "q_setsim_prefix_join",
+            "q_bloom_decontaminate",
+            "q_substring_dedup",
+        ]
     spark = get_spark(app_name="scale_stress")
     apply_runtime_confs(spark)
     reg = load_registry()
@@ -124,7 +136,7 @@ def main() -> None:
     if not os.path.exists(f"{out_dir}/documents.parquet"):
         t0 = time.time()
         generate(spark, out_dir)
-        print(f"generated 10x corpus in {time.time() - t0:.0f}s -> {out_dir}")
+        print(f"generated {COPIES}x corpus in {time.time() - t0:.0f}s -> {out_dir}")
 
     base = bench(spark, reg, SF_BASE)
     big = bench(spark, reg, out_dir)
@@ -147,10 +159,21 @@ def main() -> None:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_STRESS.json"
     )
+    if len(sys.argv) > 2 and os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        existing[f"curve_{COPIES}x"] = {
+            "seconds": big,
+            "growth_ratio_vs_sf0.1": report["growth_ratio"],
+            "nonlinearity_flag_threshold": report["nonlinearity_flag_threshold"],
+            "metrics": metrics,
+        }
+        report = existing
     with open(path, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
-    print(json.dumps({k: report[k] for k in ("seconds_sf0.1", "seconds_10x", "growth_ratio")}))
-    flagged = {q: r for q, r in report["growth_ratio"].items() if r > COPIES**1.2}
+    ratios = {q: round(big[q] / base[q], 2) for q in QUERIES}
+    print(json.dumps({"base": base, f"{COPIES}x": big, "growth_ratio": ratios}))
+    flagged = {q: r for q, r in ratios.items() if r > COPIES**1.2}
     print("flagged (super-linear):", flagged or "none")
 
 

@@ -210,6 +210,8 @@ _BNLJ_ALLOWED = {
     # single-row broadcast grand total attached to the domain-bounded
     # contingency cells
     "q_chi_squared",
+    # single-row broadcast basket total attached to the frequent pairs
+    "q_market_basket",
 }
 
 
