@@ -366,3 +366,40 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "purchase", ("click", "view"), _ATTR_WINDOW_SECS,
         "user_id", "event_type", "ts", "event_id",
     )
+
+
+@register(
+    "q_conversion_lag_stats",
+    oracle=(
+        "SELECT src_type, CAST(COUNT(*) AS BIGINT) AS n_conversions, "
+        "CAST(FLOOR(quantile_cont(delay_us, 0.25)) AS BIGINT) AS p25_us, "
+        "CAST(FLOOR(quantile_cont(delay_us, 0.5)) AS BIGINT) AS p50_us, "
+        "CAST(FLOOR(quantile_cont(delay_us, 0.75)) AS BIGINT) AS p75_us "
+        "FROM ("
+        + last_touch_attribution_sql(
+            "events", "purchase", ("click", "view"), _ATTR_WINDOW_SECS,
+            "user_id", "event_type", "ts", "event_id",
+        )
+        + ") WHERE src_event_id IS NOT NULL GROUP BY src_type"
+    ),
+    description="time-to-convert profile per source type: exact quartiles "
+    "of the purchase delay over attributed conversions (integer micros -> "
+    "binary-exact interpolation fractions, engine-identical); composition "
+    "of the attribution window + one tiny grouped aggregate",
+)
+def q_conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    attr = last_touch_attribution(
+        ev, "purchase", ("click", "view"), _ATTR_WINDOW_SECS,
+        "user_id", "event_type", "ts", "event_id",
+    )
+    return (
+        attr.filter(F.col("src_event_id").isNotNull())
+        .groupBy("src_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.expr("CAST(FLOOR(percentile(delay_us, 0.25)) AS BIGINT)").alias("p25_us"),
+            F.expr("CAST(FLOOR(percentile(delay_us, 0.5)) AS BIGINT)").alias("p50_us"),
+            F.expr("CAST(FLOOR(percentile(delay_us, 0.75)) AS BIGINT)").alias("p75_us"),
+        )
+    )
