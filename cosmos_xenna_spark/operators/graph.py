@@ -350,4 +350,7 @@ def label_propagation_sql(edges_sql: str, n_iter: int = 2) -> str:
             )"""
         )
         prev = f"l{i}"
-    return "WITH " + ",\n".join(steps) + f"\nSELECT node, label FROM {prev}"
+    return (
+        "WITH " + ",\n".join(steps)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM {prev}"
+    )

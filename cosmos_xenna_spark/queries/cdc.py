@@ -255,7 +255,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o.o_orderkey, o.o_custkey,
            CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
-           c.c_name, c.c_nationkey
+           c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     WHERE o.o_orderdate >= TIMESTAMP '{_DEL_CUT}'
     """,
@@ -268,7 +268,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey"
+        "c_custkey", "c_name", F.col("c_nationkey").cast("bigint").alias("c_nationkey")
     )
     base_cut = F.lit(_BASE_CUT).cast("timestamp")
     del_cut = F.lit(_DEL_CUT).cast("timestamp")

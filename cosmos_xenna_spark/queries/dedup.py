@@ -511,7 +511,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cluster_id, COUNT(*) AS n_members,
            arg_max(text, printf('%020d|%s', n_chars, CAST(text AS STRING))) AS text,
            arg_max(doc_id, printf('%020d|%s', n_chars, CAST(doc_id AS STRING))) AS best_doc_id,
-           SUM(n_chars) AS sum_n_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
     FROM member_rows GROUP BY cluster_id
     """,
     description="survivorship merge: one golden row per duplicate cluster — "
