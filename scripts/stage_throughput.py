@@ -80,7 +80,7 @@ def run_chain(spark, df, stages, out_schema) -> float:
     return time.perf_counter() - t0
 
 
-def serving_round_trip(spark, n_rows: int = 50_000, waves: int = 5) -> dict:
+def serving_round_trip(spark, n_rows: int = 50_000, waves: int = 5) -> dict:  # noqa: D417
     """A2/A9 quantitative anchor: rows/s through the full serving loop —
     client queue push -> Python DataSource micro-batches -> a 2-stage A3
     chain -> foreachBatch collector sink.  The reference's matching
@@ -213,6 +213,11 @@ def main() -> None:
         }
 
     results["serving_round_trip"] = serving_round_trip(spark)
+    # throughput regime: one wave = one micro-batch cycle amortizes the
+    # per-batch planning cost over the whole payload — the serving
+    # path's rows/s ceiling (the 5-wave row above is the latency-
+    # regime number: cycle time dominated by micro-batch planning).
+    results["serving_throughput_regime"] = serving_round_trip(spark, waves=1)
     results["image_decode_hash"] = image_decode_hash(spark)
 
     payload = {
