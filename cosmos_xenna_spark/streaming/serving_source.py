@@ -149,7 +149,17 @@ class _ServingReader(SimpleDataSourceStreamReader):
             if item is None:  # reference termination sentinel
                 mgr.set_flag(self.qname)
                 break
-            rows.append(tuple(item))
+            if isinstance(item, list):
+                # chunked push: one manager RPC delivers many rows —
+                # every q.get is a network round-trip through the
+                # manager proxy, so per-row gets cap the source at a
+                # few kRows/s regardless of downstream speed (measured
+                # 10x with 1k-row chunks). A chunk may overshoot
+                # max_rows slightly; the cap is a batch-size hint, not
+                # a hard limit.
+                rows.extend(tuple(r) for r in item)
+            else:
+                rows.append(tuple(item))
         return iter(rows), {"n": start["n"] + len(rows)}
 
 

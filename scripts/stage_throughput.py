@@ -80,7 +80,7 @@ def run_chain(spark, df, stages, out_schema) -> float:
     return time.perf_counter() - t0
 
 
-def serving_round_trip(spark, n_rows: int = 50_000, waves: int = 5) -> dict:  # noqa: D417
+def serving_round_trip(spark, n_rows: int = 50_000, waves: int = 5, chunk: int = 0, max_rows_per_batch: int = 0) -> dict:  # noqa: D417
     """A2/A9 quantitative anchor: rows/s through the full serving loop —
     client queue push -> Python DataSource micro-batches -> a 2-stage A3
     chain -> foreachBatch collector sink.  The reference's matching
@@ -99,10 +99,13 @@ def serving_round_trip(spark, n_rows: int = 50_000, waves: int = 5) -> dict:  # 
     try:
         q = server.queue("bench")
         spark.dataSource.register(QueueServingDataSource)
+        opts = server.options("bench")
+        if max_rows_per_batch:
+            opts["maxrowsperbatch"] = str(max_rows_per_batch)
         stream = (
             spark.readStream.format("cxs_serving")
             .schema("id long, text string")
-            .options(**server.options("bench"))
+            .options(**opts)
             .load()
         )
         chain = run_stages_streaming(
@@ -125,9 +128,20 @@ def serving_round_trip(spark, n_rows: int = 50_000, waves: int = 5) -> dict:  # 
             row_id = 1
             n_batches = 0
             for _ in range(waves):
-                for _i in range(per_wave):
-                    q.put((row_id, f"serving request body text {row_id}"))
-                    row_id += 1
+                if chunk:
+                    buf = []
+                    for _i in range(per_wave):
+                        buf.append((row_id, f"serving request body text {row_id}"))
+                        row_id += 1
+                        if len(buf) >= chunk:
+                            q.put(buf)
+                            buf = []
+                    if buf:
+                        q.put(buf)
+                else:
+                    for _i in range(per_wave):
+                        q.put((row_id, f"serving request body text {row_id}"))
+                        row_id += 1
                 handle.processAllAvailable()
                 n_batches += 1
             sec = time.perf_counter() - t0
@@ -213,11 +227,14 @@ def main() -> None:
         }
 
     results["serving_round_trip"] = serving_round_trip(spark)
-    # throughput regime: one wave = one micro-batch cycle amortizes the
-    # per-batch planning cost over the whole payload — the serving
-    # path's rows/s ceiling (the 5-wave row above is the latency-
-    # regime number: cycle time dominated by micro-batch planning).
-    results["serving_throughput_regime"] = serving_round_trip(spark, waves=1)
+    # throughput regime: one wave + CHUNKED pushes (1k rows per queue
+    # item = one manager RPC per 1k rows instead of per row) — the
+    # serving path's rows/s ceiling. The 5-wave per-row variant above
+    # is the latency-regime number (true A2 parity: one push per
+    # request, cycle time dominated by micro-batch planning).
+    results["serving_throughput_regime"] = serving_round_trip(
+        spark, waves=1, chunk=1000, max_rows_per_batch=50_000
+    )
     results["image_decode_hash"] = image_decode_hash(spark)
 
     payload = {

@@ -548,3 +548,50 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, events_dir):
         for r in last_touch_attribution(ev).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_serving_queue_source_chunked_push(spark):
+    """Chunked pushes (list-valued queue items) deliver all rows in one
+    manager RPC and interleave freely with per-row pushes and the
+    None sentinel."""
+    import time as _time
+
+    from cosmos_xenna_spark.streaming.serving_source import (
+        QueueServingDataSource,
+        ServingQueueServer,
+    )
+
+    server = ServingQueueServer()
+    try:
+        q = server.queue("chunked")
+        q.put([(i, f"c-{i}") for i in range(100)])   # one chunk
+        q.put((100, "single"))                        # mixed single
+        q.put([(101, "tail-a"), (102, "tail-b")])     # second chunk
+
+        spark.dataSource.register(QueueServingDataSource)
+        stream = (
+            spark.readStream.format("cxs_serving")
+            .schema("id long, payload string")
+            .options(**server.options("chunked"))
+            .load()
+        )
+        handle = to_memory_sink(stream, "t_chunked", "append")
+        try:
+            handle.processAllAvailable()
+            rows = spark.sql("SELECT * FROM t_chunked").collect()
+            assert len(rows) == 103
+            got = {(r.id, r.payload) for r in rows}
+            assert (100, "single") in got and (0, "c-0") in got and (102, "tail-b") in got
+
+            q.put(None)
+            handle.processAllAvailable()
+            deadline = _time.time() + 10
+            while not server.sentinel_seen("chunked") and _time.time() < deadline:
+                _time.sleep(0.2)
+            assert server.sentinel_seen("chunked")
+        finally:
+            handle.stop()
+            handle.awaitTermination(30)
+            spark.streams.resetTerminated()
+    finally:
+        server.shutdown()
