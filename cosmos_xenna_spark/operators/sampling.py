@@ -176,3 +176,27 @@ __all__ = [
     "mixture_rebalance",
     "sample_anti_join",
 ]
+
+
+def fixed_size_per_group(
+    df: DataFrame, n: int, group_cols: list[str], key_col: str, salt: str = "fixedg:"
+) -> DataFrame:
+    """Exactly ``min(n, group size)`` rows PER GROUP — the n smallest
+    salted key hashes within each group (stratified fixed-size
+    sampling: "1000 docs per language" for eval-set construction).
+
+    One keyed window shuffle (rank over the group partition ordered by
+    the row-local hash); deterministic and partitioning-independent
+    like every sampler here — re-running on re-partitioned, re-ordered,
+    or incrementally-grown data re-selects the same rows per group.
+    """
+    from pyspark.sql import Window
+
+    h = md5_long63(F.col(key_col).cast("string"), salt)
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("__h"), F.asc(key_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__h", "__rn")
+    )

@@ -403,3 +403,44 @@ def q_conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(FLOOR(percentile(delay_us, 0.75)) AS BIGINT)").alias("p75_us"),
         )
     )
+
+
+@register(
+    "q_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS week_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_start, n,
+           LAG(n) OVER (PARTITION BY event_type ORDER BY week_start) AS prev_n,
+           CASE WHEN LAG(n) OVER (PARTITION BY event_type ORDER BY week_start) IS NOT NULL
+                THEN (1000000 * (n - LAG(n) OVER (PARTITION BY event_type ORDER BY week_start)))
+                     // LAG(n) OVER (PARTITION BY event_type ORDER BY week_start)
+           END AS growth_ppm
+    FROM weekly
+    """,
+    description="week-over-week growth per event type: weekly counts + lag "
+    "window + exact integer ppm change — the standard reporting shape, "
+    "one tiny keyed window over the aggregated frame",
+)
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    out = weekly.withColumn("prev_n", F.lag("n").over(w))
+    return out.select(
+        "event_type",
+        "week_start",
+        "n",
+        "prev_n",
+        F.when(
+            F.col("prev_n").isNotNull(),
+            F.expr("1000000 * (n - prev_n) DIV prev_n"),
+        ).alias("growth_ppm"),
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.functions import md5_long63_sql
 from cosmos_xenna_spark.operators.sampling import (
+    fixed_size_per_group,
     deterministic_sample,
     fixed_size_sample,
     mixture_rebalance,
@@ -156,3 +157,25 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = mixture_rebalance(docs, strata_col="source", key_col="doc_id")
     return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_H_FIXEDG = md5_long63_sql("CAST(doc_id AS VARCHAR)", "fixedg:")
+
+
+@register(
+    "q_sample_fixed_per_group",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {_H_FIXEDG} ASC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+    description="stratified fixed-size sample: exactly min(20, group size) "
+    "docs per language by the n smallest salted key hashes within each "
+    "group — one keyed window, deterministic under any partitioning",
+)
+def q_sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fixed_size_per_group(docs, 20, ["lang"], "doc_id").select("doc_id", "lang")

@@ -130,3 +130,22 @@ def test_semantic_dedup_keep_lowest_id_survives(spark):
     emb = spark.createDataFrame(rows)
     kept = {r.vec_id for r in semantic_dedup_keep(emb, threshold=0.95).collect()}
     assert kept == {0, 2, 3}
+
+
+def test_fixed_size_per_group_exact_and_invariant(spark, sf_dir):
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.sampling import fixed_size_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = fixed_size_per_group(docs, 20, ["lang"], "doc_id")
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    want = {r.lang: min(20, r.n) for r in docs.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert sizes == want
+    a = {(r.doc_id, r.lang) for r in out.collect()}
+    b = {(r.doc_id, r.lang) for r in fixed_size_per_group(
+        docs.repartition(13, "source"), 20, ["lang"], "doc_id").collect()}
+    assert a == b
