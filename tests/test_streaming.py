@@ -595,3 +595,58 @@ def test_serving_queue_source_chunked_push(spark):
             spark.streams.resetTerminated()
     finally:
         server.shutdown()
+
+
+def test_streaming_abandoned_carts_timers(spark, tmp_path):
+    """Event-time TIMEOUTS: a source event with no conversion inside
+    the timeout emits exactly one row when the watermark passes the
+    deadline; conversions and re-arms do not."""
+    from datetime import datetime
+
+    from cosmos_xenna_spark.streaming import streaming_abandoned_carts
+
+    d = str(tmp_path / "stream_in")
+    rows1 = [
+        # user 1: view, never purchases -> abandoned
+        (1, datetime(2024, 1, 1, 10, 0), 1, "view", 0.0, "{}"),
+        # user 2: view then purchase inside the 10-min timeout -> clean
+        (2, datetime(2024, 1, 1, 10, 0), 2, "view", 0.0, "{}"),
+        (3, datetime(2024, 1, 1, 10, 5), 2, "purchase", 0.0, "{}"),
+        # user 3: re-armed by a second view; abandoned from THAT one
+        (4, datetime(2024, 1, 1, 10, 0), 3, "view", 0.0, "{}"),
+        (5, datetime(2024, 1, 1, 10, 30), 3, "view", 0.0, "{}"),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = events_file_stream(spark, d, schema=schema)
+    out = streaming_abandoned_carts(
+        stream, timeout_secs=600, watermark="1 minute"
+    )
+    q = to_memory_sink(out, "t_abandoned", "append")
+    try:
+        q.processAllAvailable()
+        # heartbeat far in the future pushes the watermark past every
+        # deadline; timers fire on the induced batch
+        hb = [(99, datetime(2024, 1, 1, 12, 0), 99, "error", 0.0, "{}")]
+        spark.createDataFrame(hb, schema).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.src_event_id)
+            for r in spark.sql("SELECT * FROM t_abandoned").collect()
+        }
+        assert got == {(1, 1), (3, 5)}
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+        spark.streams.resetTerminated()
+
+
+def test_streaming_abandoned_carts_tws_requires_protobuf():
+    """The transformWithStateInPandas variant is gated on protobuf (the
+    TWS state-server protocol dep, absent in this container). When the
+    dependency exists this test should be extended to a full parity run
+    against streaming_abandoned_carts."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
