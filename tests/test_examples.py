@@ -55,3 +55,9 @@ def test_quality_audit_and_fusion_example_runs():
     r = _run(["examples/quality_audit_and_fusion.py", SF])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "hybrid top-" in r.stdout
+
+
+def test_streaming_analytics_example_runs():
+    r = _run(["examples/streaming_analytics.py", SF])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "live OHLC bars" in r.stdout and "attributed" in r.stdout
