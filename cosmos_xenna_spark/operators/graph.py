@@ -151,7 +151,7 @@ def pagerank_fixed_sql(
     ``edges_sql`` must yield columns ``src, dst`` (it is deduplicated
     here, matching the Spark side)."""
     head = f"""
-    WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
     nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
     outd AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
@@ -240,7 +240,7 @@ def pagerank_weighted_sql(
     """DuckDB mirror of the weighted path (``edges_sql`` must yield
     ``src, dst, w``): the same ppm-share quantization, unrolled."""
     head = f"""
-    WITH e0 AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+    WITH e0 AS MATERIALIZED (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
                 FROM ({edges_sql}) GROUP BY src, dst),
     ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e0 GROUP BY src),
     e AS (SELECT e0.src, e0.dst,
@@ -324,7 +324,7 @@ def label_propagation(
 def label_propagation_sql(edges_sql: str, n_iter: int = 2) -> str:
     prev = "l0"
     steps = [
-        f"""e AS (
+        f"""e AS MATERIALIZED (
           SELECT src AS a, dst AS b FROM ({edges_sql}) WHERE src <> dst
           UNION
           SELECT dst, src FROM ({edges_sql}) WHERE src <> dst

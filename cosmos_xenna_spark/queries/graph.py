@@ -57,7 +57,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_triangle_count",
     oracle=f"""
-    WITH und AS (
+    WITH und AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       FROM ({_EDGES_SQL}) WHERE src <> dst
     ),
