@@ -66,8 +66,8 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       q_video_scene_cuts, q_incremental_join, q_linreg_per_group,
 #       q_mode_per_group, q_market_basket, q_filter_funnel,
 #       q_conversion_lag_stats, q_sample_fixed_per_group,
-#       q_wow_growth (all locally
-#       oracle-green at sf0.001 AND sf0.01 when added; the 18
+#       q_wow_growth, q_histogram2d (all locally
+#       oracle-green at sf0.001 AND sf0.01 when added; the 19
 #       continuation-session additions are also repeatedly
 #       full-driver-sim green at sf0.01); rows-only by design:
 #       q_audio_spectral (FFT floats), q_bpe_encode (iterative

@@ -995,3 +995,74 @@ def grouped_mode_sql(table: str, group_cols: list[str], value_col: str) -> str:
            CAST(MAX(cnt) AS BIGINT) AS mode_count
     FROM counts GROUP BY {g}
     """
+
+
+# ---------------------------------------------------------------------------
+# 2-D histogram (density heatmap binning)
+# ---------------------------------------------------------------------------
+
+
+def histogram2d(
+    df: DataFrame,
+    x_col: str,
+    x_lo: float,
+    x_hi: float,
+    x_bins: int,
+    y_col: str,
+    y_lo: float,
+    y_hi: float,
+    y_bins: int,
+) -> DataFrame:
+    """Equal-width 2-D histogram — the density-heatmap reduction:
+    ``(x_bin, y_bin, n)`` for non-empty cells, bin ids BIGINT.
+
+    Both bucket ids are row-local expressions (one scan, map-side
+    partial counts, at most ``x_bins * y_bins`` output rows); values
+    outside a range clamp into the edge bins, the classic heatmap
+    convention, and the shared bucket arithmetic with
+    :func:`histogram` keeps both engines bit-identical (floor of one
+    double multiply-divide on exact inputs).
+    """
+
+    def bucket(col: str, lo: float, hi: float, n: int):
+        b = F.floor(
+            (F.col(col).cast("double") - F.lit(float(lo)))
+            * F.lit(float(n))
+            / F.lit(float(hi) - float(lo))
+        ).cast("bigint")
+        return F.least(F.greatest(b, F.lit(0)), F.lit(n - 1))
+
+    return (
+        df.groupBy(
+            bucket(x_col, x_lo, x_hi, x_bins).alias("x_bin"),
+            bucket(y_col, y_lo, y_hi, y_bins).alias("y_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram2d_sql(
+    table: str,
+    x_col: str,
+    x_lo: float,
+    x_hi: float,
+    x_bins: int,
+    y_col: str,
+    y_lo: float,
+    y_hi: float,
+    y_bins: int,
+) -> str:
+    def bucket(col: str, lo: float, hi: float, n: int) -> str:
+        b = (
+            f"CAST(FLOOR((CAST({col} AS DOUBLE) - {float(lo)!r}) * {float(n)!r} "
+            f"/ {float(hi) - float(lo)!r}) AS BIGINT)"
+        )
+        return f"LEAST(GREATEST({b}, 0), {n - 1})"
+
+    return f"""
+    SELECT {bucket(x_col, x_lo, x_hi, x_bins)} AS x_bin,
+           {bucket(y_col, y_lo, y_hi, y_bins)} AS y_bin,
+           COUNT(*) AS n
+    FROM {table}
+    GROUP BY 1, 2
+    """

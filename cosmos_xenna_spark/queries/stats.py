@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.stats import (
+    histogram2d,
+    histogram2d_sql,
     grouped_linreg,
     grouped_linreg_sql,
     grouped_mode,
@@ -321,3 +323,22 @@ def q_linreg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return grouped_mode(ev, ["user_id"], "event_type")
+
+
+@register(
+    "q_histogram2d",
+    oracle=histogram2d_sql(
+        "(SELECT value, CAST(extract(hour FROM ts) AS DOUBLE) AS hr FROM events)",
+        "value", 0.0, 10.0, 8,
+        "hr", 0.0, 24.0, 24,
+    ),
+    description="2-D density heatmap: (value x hour-of-day) equal-width "
+    "bin grid over events — both bucket ids row-local, one scan with "
+    "map-side partials, edge-clamped; bit-identical bucket arithmetic "
+    "on both engines",
+)
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", F.hour("ts").cast("double").alias("hr")
+    )
+    return histogram2d(ev, "value", 0.0, 10.0, 8, "hr", 0.0, 24.0, 24)

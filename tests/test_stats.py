@@ -176,3 +176,19 @@ def test_grouped_mode_tiebreak(spark):
     got = {r.g: (r.mode_value, r.mode_count) for r in grouped_mode(df, ["g"], "v").collect()}
     # tie between a(2) and b(2) -> smallest value wins
     assert got == {"u": ("a", 2), "v": ("z", 1)}
+
+
+def test_histogram2d_planted_and_clamped(spark):
+    from cosmos_xenna_spark.operators.stats import histogram2d
+
+    rows = [
+        (0.5, 0.5),   # cell (0, 0)
+        (0.9, 0.9),   # cell (0, 0)
+        (3.5, 1.5),   # cell (3, 1)
+        (-5.0, 9.9),  # x clamps into bin 0 -> (0, 9)
+        (99.0, -1.0), # both clamp -> (3, 0) with 4x10 grid
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {(r.x_bin, r.y_bin): r.n
+           for r in histogram2d(df, "x", 0.0, 4.0, 4, "y", 0.0, 10.0, 10).collect()}
+    assert got == {(0, 0): 2, (3, 1): 1, (0, 9): 1, (3, 0): 1}
