@@ -71,71 +71,74 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       continuation-session additions are also repeatedly
 #       full-driver-sim green at sf0.01); rows-only by design:
 #       q_audio_spectral (FFT floats), q_bpe_encode (iterative
-#       merge loop).
-_R6_PROMOTIONS = (
-    # never driver-verified (late-r5 additions) — the 16 promotions
-    "q_minhash_containment",
-    "q_edit_distance_pairs",
-    "q_fuzzy_dedup_keep_best",
-    "q_heavy_hitters_sketch",
-    "q_normalize_text",
-    "q_quantile_bin",
-    "q_quantile_profile",
-    "q_distribution_drift",
-    "q_ks_test",
-    "q_gaps_islands",
-    "q_skew_report",
-    "q_label_centroids",
-    "q_window_first_last",
-    "q_top_ngrams_per_lang",
-    "q_langid_confusion",
-    "q_merge_upsert_backfill",
-    # re-verification of the oldest r1/r2-era rows — core joins
-    "q_join_inner",
-    "q_join_left",
-    "q_join_full_outer",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_theta",
-    "q_join_range_bucketed",
-    # re-verification — set ops
-    "q_intersect",
-    "q_intersect_all",
-    "q_except",
-    "q_except_all",
-    "q_union_all",
+#       merge loop). CORRECTNESS_r06: 50/50 green.
+#   r7 (this window): ALL 35 operators added during r6 (the queue
+#       above, verbatim) — after this round every oracle-able registry
+#       query that existed at the r6 snapshot (209/209) has a hard
+#       driver verdict. The spare 15 slots re-verify the oldest
+#       remaining cumulative rows on current code: the r4-era window
+#       family (rank, lag/lead, rows-frame, ntile/pct, top-k,
+#       sessionization) and the r4-era aggregation/reshape family
+#       (percentile, pivot, unpivot, grouping sets, cube, rollup,
+#       recursive spine, sort-limit, approx-distinct).
+_R7_PROMOTIONS = (
+    # never driver-verified (r6-session additions) — 35 promotions
+    "q_simhash_pairs",
+    "q_vocab_coverage",
+    "q_decayed_sum",
+    "q_fd_violations",
+    "q_ngram_diversity",
+    "q_incremental_dedup",
+    "q_keyword_blocklist",
+    "q_table_diff",
+    "q_winsorize",
+    "q_rolling_zscore",
+    "q_golden_record",
+    "q_multimodal_video_demux",
+    "q_label_propagation",
+    "q_zorder_key",
+    "q_substring_dedup",
+    "q_table_profile",
+    "q_trimmed_mean",
+    "q_ohlc_bars",
+    "q_attribution_last_touch",
+    "q_chi_squared",
+    "q_lm_novelty",
+    "q_rrf_fusion",
+    "q_setsim_prefix_join",
+    "q_image_phash_pairs",
+    "q_fk_integrity",
+    "q_video_scene_cuts",
+    "q_incremental_join",
+    "q_linreg_per_group",
+    "q_mode_per_group",
+    "q_market_basket",
+    "q_filter_funnel",
+    "q_conversion_lag_stats",
+    "q_sample_fixed_per_group",
+    "q_wow_growth",
+    "q_histogram2d",
+    # re-verification of the oldest remaining rows — r4-era windows
+    "q_window_rank",
+    "q_window_lag_lead",
+    "q_window_rows_frame",
+    "q_window_ntile_pct",
+    "q_window_topk",
+    "q_sessionization",
+    # re-verification — r4-era aggregation / reshape
+    "q_percentile",
+    "q_approx_distinct",
+    "q_pivot",
+    "q_unpivot",
+    "q_grouping_sets",
+    "q_cube",
+    "q_rollup",
+    "q_recursive_spine",
+    "q_sort_limit",
 )
 
-# TPC-H re-verification aliases: zero-padded so q0_tpch01..q0_tpch22
-# sort numerically inside the q0_ block.
-_R6_TPCH = {
-    "q1_pricing_summary": "q0_tpch01_pricing_summary",
-    "q2_min_cost_supplier": "q0_tpch02_min_cost_supplier",
-    "q3_shipping_priority": "q0_tpch03_shipping_priority",
-    "q4_order_priority": "q0_tpch04_order_priority",
-    "q5_region_revenue": "q0_tpch05_region_revenue",
-    "q6_forecast_revenue": "q0_tpch06_forecast_revenue",
-    "q7_volume_shipping": "q0_tpch07_volume_shipping",
-    "q8_market_share": "q0_tpch08_market_share",
-    "q9_product_type_profit": "q0_tpch09_product_type_profit",
-    "q10_returned_items": "q0_tpch10_returned_items",
-    "q11_important_parts": "q0_tpch11_important_parts",
-    "q12_shipmode_priority": "q0_tpch12_shipmode_priority",
-    "q13_customer_distribution": "q0_tpch13_customer_distribution",
-    "q14_promo_revenue": "q0_tpch14_promo_revenue",
-    "q15_top_supplier": "q0_tpch15_top_supplier",
-    "q16_supplier_part_count": "q0_tpch16_supplier_part_count",
-    "q17_small_quantity_revenue": "q0_tpch17_small_quantity_revenue",
-    "q18_large_orders": "q0_tpch18_large_orders",
-    "q19_disjunctive_revenue": "q0_tpch19_disjunctive_revenue",
-    "q20_excess_suppliers": "q0_tpch20_excess_suppliers",
-    "q21_waiting_suppliers": "q0_tpch21_waiting_suppliers",
-    "q22_dormant_customers": "q0_tpch22_dormant_customers",
-}
-
 DRIVER_PRIORITY: dict[str, str] = {
-    **{name: f"q0_{name[2:]}" for name in _R6_PROMOTIONS},
-    **_R6_TPCH,
+    name: f"q0_{name[2:]}" for name in _R7_PROMOTIONS
 }
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 

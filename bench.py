@@ -172,12 +172,28 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        payload["errors"] = errors
-    vs_prev = _vs_prev(timings)
-    if vs_prev:
-        payload["vs_prev"] = vs_prev
-    print(json.dumps(payload))
+        payload["errors"] = {k: v[:120] for k, v in errors.items()}
+
+    # The driver captures a fixed-size tail of stdout; BENCH_r06 lost
+    # its headline to a line that outgrew it (vs_prev map + Spark's
+    # console-progress \r spam). Keep the final line compact (no
+    # vs_prev, no whitespace) and put the full detail — per-query
+    # ratios vs the previous round, raw samples, full errors — in a
+    # side artifact instead.
+    detail = {
+        "samples": {k: [round(s, 3) for s in v] for k, v in samples.items()},
+        "errors": errors,
+        "vs_prev": _vs_prev(timings),
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump({**payload, **detail}, f, indent=1)
+
     spark.stop()
+    # Final stdout line, after Spark is fully shut down so no executor
+    # logging can interleave with or follow it.
+    sys.stdout.flush()
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
 
 
 def _vs_prev(timings: dict[str, float]) -> dict[str, object] | None:

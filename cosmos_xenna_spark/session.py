@@ -69,6 +69,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # Console progress writes \r-laden lines to the terminal that
+        # corrupt fixed-size log-tail captures (BENCH_r06 was recorded
+        # as parsed:null because of it). Nothing local needs the bar.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     )
     for k, v in RUNTIME_CONFS.items():
