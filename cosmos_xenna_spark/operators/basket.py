@@ -43,11 +43,34 @@ def frequent_item_pairs(
     item_col: str,
     min_support: int = 3,
     max_basket_size: int = 100,
+    oversize_policy: str = "drop",
 ) -> DataFrame:
     """All item pairs appearing together in >= ``min_support`` baskets:
     ``(item_a, item_b, n_ab, n_a, n_b, n_baskets, confidence, lift)``
-    with ``item_a < item_b``; confidence is P(b | a)."""
+    with ``item_a < item_b``; confidence is P(b | a).
+
+    ``oversize_policy`` is the mega-basket contract:
+
+    - ``"drop"`` (default, exact): baskets larger than
+      ``max_basket_size`` are excluded entirely — from pairs, item
+      counts, and the basket total — so every reported number is exact
+      over the retained baskets.
+    - ``"sample"`` (approximate, for web-session-shaped data where
+      basket size is unbounded): oversized baskets keep a
+      DETERMINISTIC ``max_basket_size``-item subset (items ranked by
+      ``xxhash64(basket, item)`` — stable across runs and
+      partitionings, no RNG) and stay in every denominator. Per-basket
+      pair work is capped at ``max_basket_size**2`` regardless of true
+      basket size; a basket of k items sampled down to s contributes
+      ~``(s/k)^2`` of its true pair occurrences and ``s/k`` of its item
+      occurrences, so supports involving mega-baskets are
+      underestimates, never overestimates. Row-local (a slice of the
+      already-collected array) — no extra shuffle.
+    """
     from cosmos_xenna_spark.operators.cache import scoped_persist
+
+    if oversize_policy not in ("drop", "sample"):
+        raise ValueError(f"oversize_policy must be drop|sample, got {oversize_policy!r}")
 
     b = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
@@ -57,11 +80,35 @@ def frequent_item_pairs(
     # the raw stream) so dropped mega-baskets don't contribute to the
     # lift denominators either. The frame feeds three consumers —
     # persist scoped to the result's lifetime.
-    baskets = (
-        b.groupBy("basket")
-        .agg(F.array_sort(F.collect_list("item")).alias("items"))
-        .filter(F.size("items") <= max_basket_size)
-    )
+    if oversize_policy == "drop":
+        baskets = (
+            b.groupBy("basket")
+            .agg(F.array_sort(F.collect_list("item")).alias("items"))
+            .filter(F.size("items") <= max_basket_size)
+        )
+    else:
+        # Collect (hash, item) structs, sort by the hash, keep the
+        # first max_basket_size, then re-sort by item for the ordered
+        # combination explode. All array ops are row-local.
+        keyed = b.select(
+            "basket",
+            F.struct(F.xxhash64("basket", "item").alias("h"), "item").alias("hi"),
+        )
+        baskets = (
+            keyed.groupBy("basket")
+            .agg(
+                F.array_sort(
+                    F.transform(
+                        F.slice(
+                            F.array_sort(F.collect_list("hi")),
+                            1,
+                            max_basket_size,
+                        ),
+                        lambda s: s["item"],
+                    )
+                ).alias("items")
+            )
+        )
     combos = F.flatten(
         F.transform(
             "items",

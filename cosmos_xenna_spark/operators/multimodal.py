@@ -894,41 +894,76 @@ def image_hash_pairs(
         )
     from cosmos_xenna_spark.operators.cache import scoped_persist
 
+    # Collapse byte-identical hashes into CLUSTERS first: real corpora
+    # have mega-clusters of exact-duplicate images (blank frames, logo
+    # tiles), and banding raw doc ids puts n^2 candidate pairs through
+    # a shuffle + two hash joins per cluster. Banding DISTINCT hashes
+    # makes candidate generation, the joins, and the bit_count verify
+    # all scale with hash diversity; the (inherently quadratic) output
+    # for exact-dup clusters is produced by a row-local combination
+    # explode with nothing to verify. The r7 10x scale run measured the
+    # old shape at 61.9x growth; this one tracks output size.
     sig = hashes.select(F.col(id_col).alias("doc_id"), F.col(hash_col).alias("h"))
+    clusters = sig.groupBy("h").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+
+    def combos(col: str):
+        return F.flatten(
+            F.transform(
+                col,
+                lambda x, i: F.transform(
+                    F.slice(col, i + 2, F.size(col)),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+
+    exact = (
+        clusters.filter(F.size("ids") >= 2)
+        .select(F.explode(combos("ids")).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(0).cast("bigint").alias("hamming"))
+    )
+
     width = 64 // n_bands
     mask = (1 << width) - 1
     seg_exprs = ", ".join(
         f"{b}L, shiftrightunsigned(h, {b * width}) & {mask}L" for b in range(n_bands)
     )
-    bands = sig.selectExpr("doc_id", f"stack({n_bands}, {seg_exprs}) AS (band, seg)")
-    members = bands.groupBy("band", "seg").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
-    )
-    combos = F.flatten(
+    hbands = clusters.selectExpr("h", f"stack({n_bands}, {seg_exprs}) AS (band, seg)")
+    hcombos = F.flatten(
         F.transform(
-            "ids",
+            "hs",
             lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                F.slice("hs", i + 2, F.size("hs")),
+                lambda y: F.struct(x.alias("h_a"), y.alias("h_b")),
             ),
         )
     )
-    cands = (
-        members.filter(F.size("ids") >= 2)
-        .select(F.explode(combos).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+    hpairs = (
+        hbands.groupBy("band", "seg")
+        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
+        .filter(F.size("hs") >= 2)
+        .select(F.explode(hcombos).alias("p"))
+        .select("p.h_a", "p.h_b")
         .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("h_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h_b"))
-    out = (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .withColumn("hamming", F.expr("CAST(bit_count(h_a ^ h_b) AS BIGINT)"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
-    return scoped_persist(sig, out)
+    ca = clusters.select(F.col("h").alias("h_a"), F.col("ids").alias("ids_a"))
+    cb = clusters.select(F.col("h").alias("h_b"), F.col("ids").alias("ids_b"))
+    cross = (
+        hpairs.join(ca, "h_a")
+        .join(cb, "h_b")
+        .select(F.explode("ids_a").alias("a"), "ids_b", "hamming")
+        .select("a", F.explode("ids_b").alias("b"), "hamming")
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return scoped_persist(clusters, exact.unionByName(cross))
 
 
 def attach_fake_image_corpus(

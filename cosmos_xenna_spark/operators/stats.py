@@ -976,17 +976,39 @@ def grouped_mode(df: DataFrame, group_cols: list[str], value_col: str) -> DataFr
     """
     counts = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
     # invert the count into the key so lexicographic MIN = (max count,
-    # then smallest value); 10^18 bounds any count
-    key = f"printf('%020d|%s', 1000000000000000000 - __cnt, CAST({value_col} AS STRING))"
+    # then smallest value); 10^18 bounds any count. Integral values are
+    # offset-padded into the key too — a bare string cast would rank
+    # "10" before "4" (lexicographic), breaking the documented
+    # smallest-VALUE tiebreak (caught by the r7 randomized harness).
+    dtype = dict(df.dtypes)[value_col]
+    numeric = dtype in ("tinyint", "smallint", "int", "bigint")
+    key = _mode_key(value_col, numeric)
     return counts.groupBy(*group_cols).agg(
         F.expr(f"min_by({value_col}, {key})").alias("mode_value"),
         F.max("__cnt").alias("mode_count"),
     )
 
 
-def grouped_mode_sql(table: str, group_cols: list[str], value_col: str) -> str:
+def _mode_key(value_col: str, numeric: bool, cnt: str = "__cnt") -> str:
+    """The portable (max count, smallest value) composite MIN key.
+
+    Integral values are offset into the non-negative range then
+    zero-padded so the string order IS the numeric order; everything
+    else compares as its string cast. Identical SQL runs on both
+    engines (printf + || exist in Spark SQL and DuckDB).
+    """
+    if numeric:
+        val = f"printf('%020d', 500000000000000000 + {value_col})"
+    else:
+        val = f"CAST({value_col} AS STRING)"
+    return f"printf('%020d', 1000000000000000000 - {cnt}) || '|' || {val}"
+
+
+def grouped_mode_sql(
+    table: str, group_cols: list[str], value_col: str, numeric: bool = False
+) -> str:
     g = ", ".join(group_cols)
-    key = f"printf('%020d|%s', 1000000000000000000 - cnt, CAST({value_col} AS STRING))"
+    key = _mode_key(value_col, numeric, cnt="cnt")
     return f"""
     WITH counts AS (
       SELECT {g}, {value_col}, COUNT(*) AS cnt FROM {table} GROUP BY {g}, {value_col}

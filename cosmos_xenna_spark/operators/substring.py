@@ -27,6 +27,66 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def enumerate_grams(
+    docs: DataFrame, text_col: str = "text", k: int = 20, stride: int = 1
+) -> DataFrame:
+    """Row-local window enumeration: ``(doc_id, pos, h)`` for every
+    ``stride``-th length-``k`` character window, grams as xxhash64.
+    Shared by the batch operator and the streaming ingest form."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""CASE WHEN length({text_col}) >= {k} THEN
+                      transform(
+                        sequence(0, CAST(floor((length({text_col}) - {k}) / {stride}) AS INT)),
+                        i -> struct(
+                          i * {stride} AS pos,
+                          xxhash64(substring({text_col}, i * {stride} + 1, {k})) AS h))
+                    ELSE array() END"""
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.h")
+
+
+def merge_spans_report(
+    docs: DataFrame, spans: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Islands-merge + per-document accounting over removable spans:
+    ``(doc_id, doc_len, n_spans, n_chars_removed)``, zeros for clean
+    docs. Shared by the batch report and the streaming ingest form."""
+    w = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        spans.withColumn(
+            "new_island",
+            F.when(F.coalesce(prev_max_end, F.lit(-1)) < F.col("start"), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("n_chars_removed"),
+    )
+    return (
+        docs.select("doc_id", F.length(text_col).cast("bigint").alias("doc_len"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "doc_len",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_chars_removed", F.lit(0)).alias("n_chars_removed"),
+        )
+    )
+
+
 def repeated_substring_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -51,20 +111,7 @@ def repeated_substring_spans(
     # enumeration once per branch and paid a second shuffle (measured
     # 11.7 s -> ~2 s at sf0.1; the gram-hash partition key is
     # fine-grained at any scale).
-    pos_grams = ensure_parallelism(docs).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"""CASE WHEN length({text_col}) >= {k} THEN
-                      transform(
-                        sequence(0, CAST(floor((length({text_col}) - {k}) / {stride}) AS INT)),
-                        i -> struct(
-                          i * {stride} AS pos,
-                          xxhash64(substring({text_col}, i * {stride} + 1, {k})) AS h))
-                    ELSE array() END"""
-            )
-        ).alias("g"),
-    ).select("doc_id", "g.pos", "g.h")
+    pos_grams = enumerate_grams(ensure_parallelism(docs), text_col, k, stride)
     # first-occurrence key as a zero-padded printf string: identical
     # lexicographic semantics in Spark and DuckDB (struct MIN is not
     # portable to the oracle engine)
@@ -93,40 +140,108 @@ def substring_dedup_report(
     All integers — engine-exact.  Docs with no repeats report zeros.
     """
     spans = repeated_substring_spans(docs, text_col, k, stride)
-    w = Window.partitionBy("doc_id").orderBy("start", "end")
-    prev_max_end = F.max("end").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = (
-        spans.withColumn(
-            "new_island",
-            F.when(
-                F.coalesce(prev_max_end, F.lit(-1)) < F.col("start"), 1
-            ).otherwise(0),
+    return merge_spans_report(docs, spans, text_col)
+
+
+class IncrementalSubstringDedup:
+    """Arrival-order ExactSubstr over an ever-growing corpus: the
+    streaming/ingest form of :func:`substring_dedup_report`.
+
+    Holds the corpus GRAM-HASH index ``(h, cnt)`` across batches —
+    8 bytes per distinct window hash, the same working set the batch
+    operator shuffles, just persisted between arrivals. Each call to
+    :meth:`process_batch` reports the arriving documents' removable
+    spans under first-ARRIVAL-survives semantics (any gram already in
+    the index is an earlier occurrence; within the batch, (doc_id,
+    pos) order breaks ties — so replaying a corpus in arrival order
+    reproduces the batch operator's report exactly, see
+    ``tests/test_streaming.py``), then merges the batch's grams into
+    the index.
+
+    Index maintenance is a full-outer merge keyed by ``h`` with
+    localCheckpoint rotation (the BPE merge-table discipline): cost per
+    batch tracks the INDEX size, not corpus history length. At 100 TB
+    the index lives in a keyed store (state store / Delta MERGE); a
+    dependency-free single-session build keeps it as a checkpointed
+    DataFrame — same plan shape, same key.
+    """
+
+    def __init__(
+        self,
+        corpus: DataFrame | None,
+        text_col: str = "text",
+        k: int = 20,
+        stride: int = 1,
+    ) -> None:
+        from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+        self.text_col, self.k, self.stride = text_col, k, stride
+        if corpus is not None:
+            grams = enumerate_grams(ensure_parallelism(corpus), text_col, k, stride)
+            self._index = (
+                grams.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            self._index = None
+
+    def index_size(self) -> int:
+        return self._index.count() if self._index is not None else 0
+
+    def process_batch(self, batch_docs: DataFrame) -> DataFrame:
+        """Report ``(doc_id, doc_len, n_spans, n_chars_removed)`` for
+        the arriving docs, then fold their grams into the index.
+        Returns an EAGER (checkpointed) frame — the index mutates
+        underneath lazy plans otherwise."""
+        from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+        grams = enumerate_grams(
+            ensure_parallelism(batch_docs), self.text_col, self.k, self.stride
+        ).localCheckpoint(eager=True)
+
+        okey = F.expr("printf('%020d|%020d', doc_id, pos)")
+        wh = Window.partitionBy("h")
+        flagged = (
+            grams.withColumn("__k", okey)
+            .withColumn("__first", F.min("__k").over(wh))
+            .withColumn("__cnt", F.count(F.lit(1)).over(wh))
         )
-        .withColumn(
-            "island",
-            F.sum("new_island").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy("doc_id", "island")
-        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
-    )
-    per_doc = islands.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("e") - F.col("s")).alias("n_chars_removed"),
-    )
-    return (
-        docs.select("doc_id", F.length(text_col).cast("bigint").alias("doc_len"))
-        .join(per_doc, "doc_id", "left")
-        .select(
+        if self._index is not None:
+            flagged = flagged.join(
+                self._index.select("h", F.lit(True).alias("__in_corpus")), "h", "left"
+            )
+        else:
+            flagged = flagged.withColumn("__in_corpus", F.lit(None).cast("boolean"))
+        spans = flagged.filter(
+            F.col("__in_corpus").isNotNull()
+            | ((F.col("__cnt") > 1) & (F.col("__k") != F.col("__first")))
+        ).select(
             "doc_id",
-            "doc_len",
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-            F.coalesce("n_chars_removed", F.lit(0)).alias("n_chars_removed"),
+            F.col("pos").alias("start"),
+            (F.col("pos") + self.k).alias("end"),
         )
-    )
+        report = merge_spans_report(batch_docs, spans, self.text_col).localCheckpoint(
+            eager=True
+        )
+
+        batch_counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        if self._index is None:
+            merged = batch_counts
+        else:
+            merged = (
+                self._index.withColumnRenamed("cnt", "c0")
+                .join(batch_counts.withColumnRenamed("cnt", "c1"), "h", "full_outer")
+                .select(
+                    "h",
+                    (F.coalesce("c0", F.lit(0)) + F.coalesce("c1", F.lit(0))).alias("cnt"),
+                )
+            )
+        old = self._index
+        self._index = merged.localCheckpoint(eager=True)
+        if old is not None:
+            old.unpersist()
+        return report
 
 
 def substring_dedup_report_sql(

@@ -584,3 +584,126 @@ def streaming_abandoned_carts(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_substring_dedup(
+    stream_docs: DataFrame,
+    state,  # IncrementalSubstringDedup
+    sink,
+    checkpoint_dir: str | None = None,
+):
+    """Ingest-time repeated-substring dedup: the streaming form of
+    ``operators.substring.substring_dedup_report`` (VERDICT r6 #5).
+
+    Each micro-batch's documents are scored against the cumulative
+    gram index held by ``state``
+    (:class:`~cosmos_xenna_spark.operators.substring.IncrementalSubstringDedup`)
+    under first-ARRIVAL-survives semantics, and the per-doc report is
+    handed to ``sink(report_df, batch_id)`` — compose with
+    :func:`idempotent_sink` for exactly-once delivery.  Per-batch work
+    is the batch operator's plan over (batch grams x index); replaying
+    a corpus in arrival order reproduces the batch report bit-exactly
+    (parity test in ``tests/test_streaming.py``).
+
+    foreachBatch (not a stateless stream-static join) because the
+    index MUTATES as batches arrive — the corpus the next batch dedups
+    against includes this batch.  That is precisely the semantics the
+    reference's serving mode (A2) needs for continuous ingest.
+    """
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        report = state.process_batch(batch_df)
+        sink(report, batch_id)
+
+    writer = stream_docs.writeStream.outputMode("append").foreachBatch(fb)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def streaming_golden_record(
+    stream_df: DataFrame,
+    cluster_col: str = "cluster_id",
+    best_by: dict[str, str] | None = None,
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Live survivorship merge: the streaming form of
+    ``operators.dedup.golden_record`` (VERDICT r6 #5).
+
+    State per cluster is ONE golden record — member count, the current
+    winning (key, value) per ``best_by`` field, and the running sums —
+    so state size is bounded by the number of clusters, never by
+    member history.  Each micro-batch emits the UPDATED golden row for
+    every cluster it touched (update semantics; ``n_members`` is
+    strictly increasing, so the row with the max ``n_members`` per
+    cluster is always the current record).  Because the batch
+    operator's per-field rule is a total-order ``max_by`` over the
+    zero-padded ``(order, value)`` key, fold order cannot matter: the
+    final streamed record is BIT-IDENTICAL to the batch
+    ``golden_record`` over the same members regardless of how arrivals
+    split into batches (parity test pins this).
+    """
+    best_by = dict(best_by or {"text": "n_chars"})
+    sum_cols = list(sum_cols or [])
+    types = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+
+    out_fields = [f"{cluster_col} {types[cluster_col]}", "n_members long"]
+    state_fields = ["n long"]
+    for c in best_by:
+        out_fields.append(f"{c} {types[c]}")
+        state_fields += [f"k_{c} string", f"v_{c} {types[c]}"]
+    for c in sum_cols:
+        out_fields.append(f"sum_{c} long")
+        state_fields.append(f"s_{c} long")
+    best_cols = list(best_by)
+    int_best = {c for c in best_cols if types[c] in ("tinyint", "smallint", "int", "bigint")}
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [0] + [None, None] * len(best_cols) + [0] * len(sum_cols)
+        n = int(st[0])
+        best = {}
+        for i, c in enumerate(best_cols):
+            best[c] = (st[1 + 2 * i], st[2 + 2 * i])
+        sums = {c: int(st[1 + 2 * len(best_cols) + j]) for j, c in enumerate(sum_cols)}
+
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            n += len(pdf)
+            for c in best_cols:
+                order = best_by[c]
+                for val, o in zip(pdf[c], pdf[order]):
+                    # the batch operator's composite max_by key
+                    k = "%020d|%s" % (int(o), str(val))
+                    if best[c][0] is None or k > best[c][0]:
+                        best[c] = (k, val)
+            for c in sum_cols:
+                sums[c] += int(pdf[c].sum())
+
+        new_state = [n]
+        for c in best_cols:
+            new_state += [best[c][0], best[c][1]]
+        new_state += [sums[c] for c in sum_cols]
+        state.update(tuple(new_state))
+
+        if touched:
+            row = {cluster_col: [key[0]], "n_members": [n]}
+            for c in best_cols:
+                v = best[c][1]
+                row[c] = [int(v) if (c in int_best and v is not None) else v]
+            for c in sum_cols:
+                row[f"sum_{c}"] = [sums[c]]
+            yield pd.DataFrame(row)
+
+    return stream_df.groupBy(cluster_col).applyInPandasWithState(
+        update,
+        outputStructType=", ".join(out_fields),
+        stateStructType=", ".join(state_fields),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -105,6 +105,21 @@ def generate(spark, out_dir: str) -> None:
     big_emb.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
+def generate_lineitem(spark, out_dir: str) -> None:
+    """Replicate lineitem for the basket-mining scale point: every copy
+    shifts l_orderkey (so the basket COUNT scales with the corpus) but
+    keeps l_partkey (so item-pair support also scales and the
+    frequent-pair working set grows with the data, the worst case for
+    the pair-explode)."""
+    li = spark.read.parquet(f"{SF_BASE}/lineitem.parquet")
+    copies = spark.range(COPIES).withColumnRenamed("id", "copy")
+    big = li.crossJoin(F.broadcast(copies)).select(
+        (F.col("l_orderkey") + F.col("copy") * 100_000_000).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+    big.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+
 def bench(spark, reg, sf_dir: str, n: int = 3) -> dict[str, float]:
     times: dict[str, list[float]] = {q: [] for q in QUERIES}
     for _ in range(n):
@@ -115,9 +130,23 @@ def bench(spark, reg, sf_dir: str, n: int = 3) -> dict[str, float]:
     return {q: round(statistics.median(ts), 2) for q, ts in times.items()}
 
 
+# The round-7 extension set (VERDICT r6 #4): the heaviest shapes added
+# during round 6 that the 4-query dedup curve does not cover — basket
+# pair mining, image decode->hash->band, survivorship merge over CC
+# clusters, LSH+Levenshtein verify, and the PQ ANN ladder.
+R7_QUERIES = [
+    "q_market_basket",
+    "q_image_phash_pairs",
+    "q_golden_record",
+    "q_edit_distance_pairs",
+    "q_knn_ivf_pq",
+]
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
     global COPIES, QUERIES
+    qset = "dedup"
     if len(sys.argv) > 2:
         # multi-point scale curve: a non-default copy count benches the
         # heaviest dedup shapes only and MERGES a curve entry into the
@@ -129,6 +158,9 @@ def main() -> None:
             "q_bloom_decontaminate",
             "q_substring_dedup",
         ]
+    if len(sys.argv) > 3 and sys.argv[3] == "r7":
+        qset = "r7"
+        QUERIES = R7_QUERIES
     spark = get_spark(app_name="scale_stress")
     apply_runtime_confs(spark)
     reg = load_registry()
@@ -137,6 +169,10 @@ def main() -> None:
         t0 = time.time()
         generate(spark, out_dir)
         print(f"generated {COPIES}x corpus in {time.time() - t0:.0f}s -> {out_dir}")
+    if qset == "r7" and not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        t0 = time.time()
+        generate_lineitem(spark, out_dir)
+        print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
 
     base = bench(spark, reg, SF_BASE)
     big = bench(spark, reg, out_dir)
@@ -162,7 +198,8 @@ def main() -> None:
     if len(sys.argv) > 2 and os.path.exists(path):
         with open(path) as f:
             existing = json.load(f)
-        existing[f"curve_{COPIES}x"] = {
+        key = f"curve_{COPIES}x" if qset == "dedup" else f"curve_{COPIES}x_{qset}"
+        existing[key] = {
             "seconds": big,
             "growth_ratio_vs_sf0.1": report["growth_ratio"],
             "nonlinearity_flag_threshold": report["nonlinearity_flag_threshold"],

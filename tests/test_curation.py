@@ -474,6 +474,59 @@ def test_frequent_item_pairs_mega_basket_dropped(spark):
     assert got == {("i0", "i1"): 2}
 
 
+def test_frequent_item_pairs_mega_basket_sampled(spark):
+    """The web-session escape hatch: a planted 10k-item basket must
+    complete under the sample policy with its pair contribution capped
+    at cap^2 (the drop policy would discard it; the naive path would
+    explode ~5e7 pairs). The sampled subset is deterministic
+    (xxhash64-ranked), so the expected output is computed exactly by a
+    python reimplementation."""
+    import pyspark.sql.functions as F
+
+    from cosmos_xenna_spark.operators.basket import frequent_item_pairs
+
+    cap = 40
+    mega = [(1, f"i{k:05d}") for k in range(10_000)]
+    small = [(2, "i00000"), (2, "i00001"), (3, "i00000"), (3, "i00001")]
+    df = spark.createDataFrame(mega + small, ["basket", "item"])
+
+    got = {
+        (r.item_a, r.item_b): (r.n_ab, r.n_a, r.n_b, r.n_baskets)
+        for r in frequent_item_pairs(
+            df, "basket", "item", min_support=1, max_basket_size=cap,
+            oversize_policy="sample",
+        ).collect()
+    }
+    # every pair the mega basket contributes comes from its cap-sized
+    # deterministic sample; reproduce that sample with the same hash
+    hashes = spark.createDataFrame(mega, ["basket", "item"]).select(
+        "item", F.xxhash64("basket", "item").alias("h")
+    ).collect()
+    kept = sorted(sorted(hashes, key=lambda r: (r.h, r.item))[:cap], key=lambda r: r.item)
+    kept_items = [r.item for r in kept]
+    assert len(kept_items) == cap
+
+    want = {}
+    baskets = {1: kept_items, 2: ["i00000", "i00001"], 3: ["i00000", "i00001"]}
+    item_n: dict[str, int] = {}
+    for items in baskets.values():
+        for it in items:
+            item_n[it] = item_n.get(it, 0) + 1
+        for i, a in enumerate(items):
+            for b in items[i + 1:]:
+                want[(a, b)] = want.get((a, b), 0) + 1
+    expect = {
+        p: (n, item_n[p[0]], item_n[p[1]], 3) for p, n in want.items()
+    }
+    assert got == expect
+    # contribution capped: the mega basket adds exactly C(cap, 2)
+    # pairs, not C(10000, 2)
+    mega_pairs = sum(
+        1 for (a, b) in want if a in set(kept_items) and b in set(kept_items)
+    )
+    assert mega_pairs <= cap * (cap - 1) // 2 + 1  # +1 if (i00000,i00001) survives the sample
+
+
 def test_filter_funnel_planted_cumulative(spark):
     from pyspark.sql import functions as F
 

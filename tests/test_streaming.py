@@ -650,3 +650,120 @@ def test_streaming_abandoned_carts_tws_requires_protobuf():
     import pytest
 
     pytest.importorskip("google.protobuf")
+
+
+def test_streaming_substring_dedup_matches_batch(spark, sf_dir):
+    """Arrival-order ExactSubstr parity: replaying a doc corpus through
+    the streaming ingest dedup (static corpus -> index; stream docs in
+    one micro-batch) reproduces the BATCH substring report bit-exactly
+    on the arriving docs."""
+    import tempfile
+
+    from cosmos_xenna_spark.operators.substring import (
+        IncrementalSubstringDedup,
+        substring_dedup_report,
+    )
+    from cosmos_xenna_spark.streaming import streaming_substring_dedup
+
+    K = 20
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    # stream ids remapped above the corpus range so the batch ground
+    # truth's (doc_id, pos) order equals arrival order
+    stream_docs = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+
+    want = {
+        r.doc_id: (r.doc_len, r.n_spans, r.n_chars_removed)
+        for r in substring_dedup_report(corpus.unionByName(stream_docs), k=K)
+        .filter(F.col("doc_id") >= 1_000_000)
+        .collect()
+    }
+    assert any(v[1] > 0 for v in want.values())  # the corpus must exercise repeats
+
+    d = tempfile.mkdtemp(prefix="cxs_substr_stream_")
+    stream_docs.coalesce(1).write.mode("overwrite").parquet(d)
+    state = IncrementalSubstringDedup(corpus, k=K)
+    results: list = []
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    q = streaming_substring_dedup(
+        stream, state, lambda report, bid: results.extend(report.collect())
+    )
+    _drain(q)
+    got = {r.doc_id: (r.doc_len, r.n_spans, r.n_chars_removed) for r in results}
+    assert got == want
+
+
+def test_incremental_substring_dedup_multi_batch_matches_batch(spark, sf_dir):
+    """Cross-batch index maintenance: three arrival-ordered batches
+    through IncrementalSubstringDedup == the batch operator over the
+    whole corpus (repeats across batches must be caught by the index,
+    not just within-batch windows)."""
+    from cosmos_xenna_spark.operators.substring import (
+        IncrementalSubstringDedup,
+        substring_dedup_report,
+    )
+
+    K = 20
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    want = {
+        r.doc_id: (r.doc_len, r.n_spans, r.n_chars_removed)
+        for r in substring_dedup_report(docs, k=K).collect()
+    }
+
+    state = IncrementalSubstringDedup(None, k=K)
+    got: dict = {}
+    bounds = docs.approxQuantile("doc_id", [0.33, 0.66], 0.0)
+    lo, hi = int(bounds[0]), int(bounds[1])
+    for cond in (
+        F.col("doc_id") <= lo,
+        (F.col("doc_id") > lo) & (F.col("doc_id") <= hi),
+        F.col("doc_id") > hi,
+    ):
+        report = state.process_batch(docs.filter(cond))
+        got.update(
+            {r.doc_id: (r.doc_len, r.n_spans, r.n_chars_removed) for r in report.collect()}
+        )
+    assert got == want
+    assert state.index_size() > 0
+
+
+def test_streaming_golden_record_matches_batch(spark, sf_dir):
+    """Live survivorship parity: members replayed in micro-batches
+    through the stateful streaming golden record converge to rows
+    bit-identical to the batch golden_record, however arrivals split."""
+    import tempfile
+
+    from cosmos_xenna_spark.operators.dedup import golden_record
+    from cosmos_xenna_spark.streaming import streaming_golden_record
+
+    members = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 37).alias("cluster_id"), "text", "n_chars", "doc_id"
+    )
+    want = {
+        r.cluster_id: (r.n_members, r.text, r.doc_id, r.sum_n_chars)
+        for r in golden_record(
+            members, "cluster_id", {"text": "n_chars", "doc_id": "n_chars"}, ["n_chars"]
+        ).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="cxs_golden_stream_")
+    members.repartition(3).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "cluster_id long, text string, n_chars long, doc_id long"
+    ).parquet(d)
+    out = streaming_golden_record(
+        stream, "cluster_id", {"text": "n_chars", "doc_id": "n_chars"}, ["n_chars"]
+    )
+    q = to_memory_sink(out, "t_golden", "update")
+    _drain(q)
+    rows = spark.sql("SELECT * FROM t_golden").collect()
+    latest: dict = {}
+    for r in rows:
+        if r.cluster_id not in latest or r.n_members > latest[r.cluster_id].n_members:
+            latest[r.cluster_id] = r
+    got = {
+        c: (r.n_members, r.text, r.doc_id, r.sum_n_chars) for c, r in latest.items()
+    }
+    assert got == want and len(got) > 0
