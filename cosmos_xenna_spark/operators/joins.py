@@ -122,3 +122,64 @@ def asof_join(
     else:
         value_exprs = [F.col(f"__v_{c}").alias(c) for c in vcols]
     return rows.select(*[F.col(c) for c in lcols], *value_exprs)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval x interval overlap join: all (left, right) row pairs
+    whose CLOSED intervals intersect (``l_lo <= r_hi AND r_lo <=
+    l_hi``) — session-vs-campaign overlap, downtime-vs-deploy windows,
+    temporal-validity joins.
+
+    A raw theta join plans as a broadcast-nested-loop; this is the
+    grid-bucket rewrite (both sides explode to the ``bucket_width``
+    cells they touch, equi-join on the cell id, residual overlap
+    filter). A pair overlapping several shared cells would emit once
+    per cell, so the join keeps ONLY the cell containing the overlap's
+    START (``floor(greatest(l_lo, r_lo) / w)``) — exactly-once without
+    a distinct (no post-join dedup shuffle, the pair-emission trick
+    from spatial join literature).
+
+    ``bucket_width`` near the typical interval length keeps the
+    explode factor ~1-2 cells per row. One equi-join shuffle on the
+    cell id; AQE handles cell skew (a hot cell is a genuine data
+    hotspot, same contract as range_join_bucketed).
+    """
+    w = F.lit(float(bucket_width))
+    lb = left.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_lo) / w).cast("long"),
+                F.floor(F.col(l_hi) / w).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_lo) / w).cast("long"),
+                F.floor(F.col(r_hi) / w).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "__cell")
+        .filter(
+            (F.col(l_lo) <= F.col(r_hi))
+            & (F.col(r_lo) <= F.col(l_hi))
+            & (
+                F.col("__cell")
+                == F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / w).cast("long")
+            )
+        )
+        .drop("__cell")
+    )

@@ -167,3 +167,84 @@ def decayed_sum_sql(
       SELECT *, CAST(FLOOR({value_col} * 100) AS BIGINT) AS __c FROM ({table_sql})
     )
     """
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    n_prev: int = 4,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Seasonal-baseline anomaly score: each value compared to the mean
+    of its previous ``n_prev`` observations in the SAME seasonal slot
+    (same hour-of-day x day-of-week per key) — "is this Tuesday-9am
+    unusual for Tuesday 9am", the metrics-monitoring shape a flat
+    trailing window gets wrong on anything with a daily/weekly cycle.
+
+    Exactness contract (the rolling_zscore discipline): values
+    quantize to integer cents, the frame sum is an exact integer, and
+    the deviation is a fixed double-op sequence on exact integers —
+    bit-identical across engines and partitionings. Rows with no
+    history in their slot emit NULL baseline/deviation.
+
+    Scale shape: ONE keyed window partitioned by (key, seasonal slot)
+    with a bounded rows-frame — no self-join against history, facts
+    shuffle once on the fine-grained (key, slot) composite.
+
+    Adds ``slot_how`` (hour-of-week), ``baseline`` and ``deviation``.
+    """
+    slot = F.dayofweek(ts_col) * 24 + F.hour(ts_col)
+    base = df.withColumn("slot_how", slot.cast("bigint")).withColumn(
+        "__c", F.floor(F.col(value_col) * 100).cast("bigint")
+    )
+    w = (
+        Window.partitionBy(*key_cols, "slot_how")
+        .orderBy(ts_col, *(order_tiebreak or []))
+        .rowsBetween(-n_prev, -1)
+    )
+    n = F.count("__c").over(w)
+    s = F.sum("__c").over(w)
+    baseline = s.cast("double") / (n.cast("double") * 100.0)
+    deviation = F.col("__c").cast("double") / 100.0 - baseline
+    return (
+        base.withColumn("baseline", F.when(n >= 1, baseline))
+        .withColumn("deviation", F.when(n >= 1, deviation))
+        .drop("__c")
+    )
+
+
+def seasonal_baseline_sql(
+    table: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    n_prev: int = 4,
+    order_tiebreak: list[str] | None = None,
+) -> str:
+    """DuckDB mirror. DuckDB ``dayofweek`` is 0-6 (Sunday=0) where
+    Spark's is 1-7 (Sunday=1) — the SQL adds 1 to line the slots up."""
+    keys = ", ".join(key_cols)
+    order = ", ".join([ts_col, *(order_tiebreak or [])])
+    return f"""
+    WITH base AS (
+      SELECT *,
+             (dayofweek({ts_col}) + 1) * 24 + hour({ts_col}) AS slot_how,
+             CAST(floor({value_col} * 100) AS BIGINT) AS c
+      FROM {table}
+    ),
+    win AS (
+      SELECT *,
+             COUNT(c) OVER w AS n,
+             SUM(c) OVER w AS s
+      FROM base
+      WINDOW w AS (PARTITION BY {keys}, slot_how ORDER BY {order}
+                   ROWS BETWEEN {n_prev} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT * EXCLUDE (n, s, c),
+           CASE WHEN n >= 1 THEN CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) END AS baseline,
+           CASE WHEN n >= 1 THEN CAST(c AS DOUBLE) / 100.0
+                - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) END AS deviation
+    FROM win
+    """

@@ -140,3 +140,60 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("label").cast("bigint").alias("label"),
     )
+
+
+def _doc_pairs_edges_sql() -> str:
+    from cosmos_xenna_spark.queries.dedup import _BUCKETS_SQL
+
+    return f"""
+    SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+    FROM ({_BUCKETS_SQL}) a JOIN ({_BUCKETS_SQL}) b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+def _doc_pairs_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
+
+
+from cosmos_xenna_spark.operators.graph import bfs_hops_sql, k_core_sql  # noqa: E402
+
+
+@register(
+    "q_kcore",
+    oracle=k_core_sql(_doc_pairs_edges_sql(), k=2, n_sweeps=4),
+    description="2-core of the document near-duplicate graph (LSH candidate "
+    "pairs as edges): 4 synchronous peel sweeps dropping degree<2 nodes — "
+    "chains and pendant docs peel away, near-clique duplicate communities "
+    "survive; fixed-sweep result bit-exact vs the unrolled SQL oracle",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import k_core
+
+    edges = _doc_pairs_edges(spark, sf_dir)
+    return k_core(edges, k=2, n_sweeps=4, src_col="doc_a", dst_col="doc_b")
+
+
+@register(
+    "q_bfs_hops",
+    oracle=bfs_hops_sql(
+        _doc_pairs_edges_sql(),
+        "SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0",
+        n_hops=3,
+    ),
+    description="multi-source BFS hop distance on the document "
+    "near-duplicate graph from a seed set (doc_id % 97 == 0): 3 min-plus "
+    "sweeps, frontier table one row per reached node; exact integer "
+    "parity with the unrolled SQL oracle",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import bfs_hops
+
+    edges = _doc_pairs_edges(spark, sf_dir)
+    seeds = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 97 == 0
+    ).select(F.col("doc_id").alias("node"))
+    return bfs_hops(edges, seeds, n_hops=3, src_col="doc_a", dst_col="doc_b")

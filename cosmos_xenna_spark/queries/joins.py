@@ -337,3 +337,51 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_id").alias("last_click_id"),
         F.col("c_value").alias("last_click_value"),
     )
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH l AS (
+      SELECT l_returnflag,
+             CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS l_lo,
+             CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT)
+               + CAST(l_quantity AS BIGINT) AS l_hi
+      FROM lineitem WHERE l_suppkey % 50 = 0
+    ),
+    r AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS r_lo,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) + 14 AS r_hi
+      FROM orders WHERE o_custkey % 100 = 0
+    )
+    SELECT l_returnflag, o_orderpriority, COUNT(*) AS n_overlaps
+    FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
+    GROUP BY l_returnflag, o_orderpriority
+    """,
+    description="interval x interval overlap join (shipping windows of "
+    "l_quantity days vs 14-day order windows) via the grid-bucket "
+    "rewrite: both sides explode to touched cells, equi-join on cell id, "
+    "exactly-once pair emission at the overlap-start cell — no BNL, no "
+    "post-join distinct; oracle is the plain theta join",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.joins import interval_overlap_join
+
+    epoch = "1992-01-01"
+    day = F.datediff("l_shipdate", F.lit(epoch)).cast("bigint")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 50 == 0).select(
+        "l_returnflag",
+        day.alias("l_lo"),
+        (day + F.col("l_quantity").cast("bigint")).alias("l_hi"),
+    )
+    oday = F.datediff("o_orderdate", F.lit(epoch)).cast("bigint")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0).select(
+        "o_orderpriority",
+        oday.alias("r_lo"),
+        (oday + 14).alias("r_hi"),
+    )
+    pairs = interval_overlap_join(li, orders, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=32.0)
+    return pairs.groupBy("l_returnflag", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.timeseries import (
+    seasonal_baseline,
+    seasonal_baseline_sql,
     decayed_sum,
     decayed_sum_sql,
     interpolate_linear,
@@ -70,3 +72,29 @@ def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = decayed_sum(ev, ["user_id"], "ts", "value", horizon=20, order_tiebreak=["event_id"])
     return out.select("event_id", "user_id", "decayed")
+
+
+@register(
+    "q_seasonal_anomaly",
+    oracle=(
+        "SELECT event_id, user_id, slot_how, baseline, deviation FROM ("
+        + seasonal_baseline_sql(
+            "(SELECT event_id, user_id, ts, value FROM events)",
+            ["user_id"],
+            "ts",
+            "value",
+            n_prev=4,
+            order_tiebreak=["event_id"],
+        )
+        + ")"
+    ),
+    description="seasonal-baseline anomaly score: each event vs the mean of "
+    "its previous 4 observations in the same (user, hour-of-week) slot — "
+    "one keyed window on the fine-grained composite key, cent-quantized "
+    "integer sums so both engines agree bit-for-bit; the monitoring shape "
+    "a flat trailing window gets wrong on cyclic data",
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = seasonal_baseline(ev, ["user_id"], "ts", "value", n_prev=4, order_tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "slot_how", "baseline", "deviation")

@@ -161,7 +161,21 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r7":
         qset = "r7"
         QUERIES = R7_QUERIES
-    spark = get_spark(app_name="scale_stress")
+    # 100x on one node needs headroom a production DRIVER never would
+    # (local mode = driver heap IS the executor heap x32 threads), and
+    # the status-listener's task history must stay bounded over the
+    # hundreds of thousands of tasks a 100x sweep schedules (it OOM'd
+    # the r7 first attempt at the default retention).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    spark = get_spark(
+        app_name="scale_stress",
+        extra_confs={
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "200",
+            "spark.ui.retainedTasks": "5000",
+            "spark.sql.ui.retainedExecutions": "50",
+        },
+    )
     apply_runtime_confs(spark)
     reg = load_registry()
 

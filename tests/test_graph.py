@@ -130,3 +130,74 @@ def test_label_propagation_partitioning_invariant(spark):
     a = sorted(map(tuple, label_propagation(df.repartition(1), n_iter=2).collect()))
     b = sorted(map(tuple, label_propagation(df.repartition(32), n_iter=2).collect()))
     assert a == b
+
+
+def test_k_core_matches_python_peel(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(40), rng.randrange(40)) for _ in range(120)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    from cosmos_xenna_spark.operators.graph import k_core
+
+    got = {r.node: r.degree for r in k_core(df, k=3, n_sweeps=12).collect()}
+
+    # python fixpoint peel (12 sweeps is >= convergence on 40 nodes)
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < 3}
+        if not drop:
+            break
+        alive -= drop
+    want = {n: len(adj[n] & alive) for n in alive}
+    assert got == want
+
+
+def test_k_core_fixed_sweeps_deterministic(spark):
+    """Partitioning must not change the fixed-sweep result."""
+    from cosmos_xenna_spark.operators.graph import k_core
+
+    edges = [(i, i + 1) for i in range(30)] + [(0, 2), (1, 3), (5, 7), (6, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, k_core(df.repartition(1), 2, n_sweeps=3).collect()))
+    b = sorted(map(tuple, k_core(df.repartition(13, "src"), 2, n_sweeps=3).collect()))
+    assert a == b
+
+
+def test_bfs_hops_matches_python_bfs(spark):
+    import random
+    from collections import deque
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(100)})
+    edges = [(a, b) for a, b in edges if a != b]
+    seeds = [0, 17, 42]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+
+    from cosmos_xenna_spark.operators.graph import bfs_hops
+
+    n_hops = 4
+    got = {r.node: r.hops for r in bfs_hops(df, sdf, n_hops=n_hops).collect()}
+
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        n = dq.popleft()
+        if dist[n] >= n_hops:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                dq.append(m)
+    assert got == dist

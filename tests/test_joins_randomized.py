@@ -73,3 +73,30 @@ def test_asof_join_matches_bruteforce(spark):
             ).collect()
         }
         assert got == brute(tol_s), f"tolerance={tol}"
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    import random
+
+    from cosmos_xenna_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(23)
+    left = [(i, rng.randrange(1000), rng.randrange(1, 60)) for i in range(150)]
+    right = [(j, rng.randrange(1000), rng.randrange(1, 25)) for j in range(120)]
+    ldf = spark.createDataFrame(
+        [(i, lo, lo + w) for i, lo, w in left], "lid long, l_lo long, l_hi long"
+    )
+    rdf = spark.createDataFrame(
+        [(j, lo, lo + w) for j, lo, w in right], "rid long, r_lo long, r_hi long"
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(ldf, rdf, "l_lo", "l_hi", "r_lo", "r_hi", 16.0).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, llo, lw in left
+        for j, rlo, rw in right
+        if llo <= rlo + rw and rlo <= llo + lw
+    )
+    assert got == want  # exactly-once: no duplicates from multi-cell overlap

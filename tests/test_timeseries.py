@@ -57,3 +57,51 @@ def test_observed_values_untouched(spark):
     rows = [("a", i, float(i * i)) for i in range(6)]
     got = _filled(spark, rows)
     assert all(got[("a", i)] == i * i for i in range(6))
+
+
+def test_seasonal_baseline_matches_python(spark):
+    import datetime as dt
+    import random
+
+    from cosmos_xenna_spark.operators.timeseries import seasonal_baseline
+
+    rng = random.Random(31)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            f"u{rng.randrange(3)}",
+            base + dt.timedelta(hours=rng.randrange(24 * 28)),
+            round(rng.uniform(0, 50), 2),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, u string, ts timestamp, v double")
+    out = seasonal_baseline(df, ["u"], "ts", "v", n_prev=3, order_tiebreak=["event_id"])
+    got = {r.event_id: (r.slot_how, r.baseline, r.deviation) for r in out.collect()}
+
+    import math
+
+    hist: dict[tuple, list] = {}
+    for i, u, ts, v in sorted(rows, key=lambda r: (r[2], r[0])):
+        # Spark dayofweek: Sunday=1..Saturday=7; python weekday(): Monday=0
+        dow = (ts.weekday() + 1) % 7 + 1
+        slot = dow * 24 + ts.hour
+        key = (u, slot)
+        prev = hist.setdefault(key, [])
+        window = prev[-3:]
+        c = math.floor(v * 100)
+        if window:
+            s = sum(window)
+            n = len(window)
+            baseline = s / (n * 100.0)
+            deviation = c / 100.0 - baseline
+        else:
+            baseline = deviation = None
+        g_slot, g_base, g_dev = got[i]
+        assert g_slot == slot, (i, g_slot, slot)
+        if baseline is None:
+            assert g_base is None and g_dev is None
+        else:
+            assert g_base == baseline and g_dev == deviation
+        prev.append(c)
