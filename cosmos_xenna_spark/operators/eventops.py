@@ -338,3 +338,62 @@ def last_touch_attribution_sql(
       )
     ) WHERE etype = '{conversion_type}'
     """
+
+
+def rolling_distinct_count(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window_rows: int,
+    order_tiebreak: list[str] | None = None,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact distinct count over a trailing event window: per key,
+    ordered by ``order_col``, the number of DISTINCT ``value_col``
+    values among the last ``window_rows`` rows INCLUDING the current
+    one — behavioral-diversity signals (distinct event types / pages /
+    items in the user's recent activity), feature-store style.
+
+    Implementation: the frame's values ride ONE keyed window as a
+    ``collect_list``; ``array_distinct`` + ``size`` finish row-locally.
+    Per-row state is bounded by ``window_rows`` (this is the exact
+    form — for unbounded frames use ``approx_count_distinct`` over a
+    grouped rollup instead; an unbounded exact distinct frame cannot
+    be O(1) state).
+
+    Scale shape: one shuffle on the key, frame state O(window_rows)
+    per row, finish is row-local — no self-join against history.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col, *(order_tiebreak or []))
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.withColumn(
+        out_col,
+        F.size(F.array_distinct(F.collect_list(value_col).over(w))).cast("bigint"),
+    )
+
+
+def rolling_distinct_count_sql(
+    table_sql: str,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window_rows: int,
+    order_tiebreak: list[str] | None = None,
+    out_col: str = "n_distinct",
+) -> str:
+    """DuckDB mirror — DuckDB supports DISTINCT aggregates over frames
+    directly, so the oracle is the declarative form of the same count."""
+    part = ", ".join(key_cols)
+    order = ", ".join([order_col, *(order_tiebreak or [])])
+    return f"""
+    SELECT *,
+           CAST(COUNT(DISTINCT {value_col}) OVER (
+             PARTITION BY {part} ORDER BY {order}
+             ROWS BETWEEN {window_rows - 1} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS {out_col}
+    FROM ({table_sql})
+    """

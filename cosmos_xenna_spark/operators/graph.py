@@ -512,3 +512,110 @@ def bfs_hops_sql(edges_sql: str, seeds_sql: str, n_hops: int) -> str:
     return (
         "WITH " + ",\n".join(steps) + f"\nSELECT node, CAST(hops AS BIGINT) AS hops FROM {prev}"
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    n_sweeps: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-truss peeling: repeatedly drop edges supported by fewer than
+    ``k - 2`` triangles in the surviving subgraph — the EDGE-level
+    analogue of :func:`k_core` and the standard community-mining
+    tightener (a duplicate "community" that survives the 3-truss is
+    triangle-certified, not just chained through hubs).
+
+    Fixed synchronous ``n_sweeps`` (the :func:`label_propagation` /
+    :func:`k_core` determinism contract): each sweep recomputes
+    per-edge triangle support over the surviving canonical edge set
+    and keeps edges with ``support >= k - 2``, so the result is
+    bit-exact vs the unrolled SQL oracle whether or not the peel has
+    converged.
+
+    Returns canonical surviving edges ``(src, dst, support)`` with
+    ``src < dst`` and their in-truss support.
+
+    Scale shape: support is the two-join wedge count (edge endpoints
+    against the symmetrized survivor adjacency) — each sweep shuffles
+    the edge list twice on node keys plus once for the (a, b) count;
+    the per-sweep frames are edge-sized and eagerly checkpointed so
+    the static plan stays linear in ``n_sweeps`` (the PageRank
+    loop-invariant lesson). Hot-node skew lands in the wedge join,
+    where AQE skew-split applies — same contract as triangle_count's
+    degree-ordered wedges.
+    """
+    if n_sweeps < 1:
+        raise ValueError("k_truss needs n_sweeps >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_sweeps):
+        cur = e.select("a", "b")
+        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        wedges = (
+            cur.join(sym.select(F.col("a").alias("a"), F.col("b").alias("w")), "a")
+            .join(
+                sym.select(F.col("a").alias("b"), F.col("b").alias("w")),
+                ["b", "w"],
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("__sup"))
+        )
+        e = (
+            cur.join(wedges, ["a", "b"], "left")
+            .withColumn("support", F.coalesce(F.col("__sup"), F.lit(0)))
+            .drop("__sup")
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint(eager=True)
+        )
+    return e.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.col("support").cast("bigint").alias("support"),
+    )
+
+
+def k_truss_sql(edges_sql: str, k: int, n_sweeps: int = 4) -> str:
+    steps = [
+        f"""e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM ({edges_sql}) WHERE src <> dst
+        )"""
+    ]
+    prev = "e0"
+    for i in range(1, n_sweeps + 1):
+        steps.append(
+            f"""sym{i} AS MATERIALIZED (
+              SELECT a, b FROM {prev} UNION ALL SELECT b, a FROM {prev}
+            )"""
+        )
+        steps.append(
+            f"""sup{i} AS MATERIALIZED (
+              SELECT e.a, e.b, COUNT(*) AS support
+              FROM {prev} e
+              JOIN sym{i} s1 ON e.a = s1.a
+              JOIN sym{i} s2 ON e.b = s2.a AND s1.b = s2.b
+              GROUP BY e.a, e.b
+            )"""
+        )
+        steps.append(
+            f"""e{i} AS MATERIALIZED (
+              SELECT e.a, e.b, COALESCE(s.support, 0) AS support
+              FROM {prev} e LEFT JOIN sup{i} s ON e.a = s.a AND e.b = s.b
+              WHERE COALESCE(s.support, 0) >= {k - 2}
+            )"""
+        )
+        prev = f"e{i}"
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"\nSELECT a AS src, b AS dst, CAST(support AS BIGINT) AS support FROM {prev}"
+    )

@@ -183,3 +183,82 @@ def interval_overlap_join(
         )
         .drop("__cell")
     )
+
+
+def grid_neighbor_join(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+    cell: int | None = None,
+) -> DataFrame:
+    """All point pairs within Euclidean distance ``radius`` — the 2-D
+    spatial self-join (geo proximity, 2-D embedding projections,
+    layout QA), via the grid-cell rewrite.
+
+    Coordinates must be INTEGERS (callers quantize floats first —
+    ``floor(x * 10^k)`` — so the squared distance is exact and
+    cross-engine comparable). Each point lands in its home
+    ``cell x cell`` grid cell; the probe side explodes to the 3x3
+    neighborhood, the equi-join runs on the cell id, and the exact
+    ``dist2 <= radius^2`` filter verifies row-locally. With
+    ``cell >= radius`` (enforced), every qualifying pair shares a
+    probe/home cell in exactly one way and ``id_a < id_b`` keeps one
+    orientation — exactly-once with NO post-join distinct (the
+    interval_overlap_join contract, one dimension up).
+
+    Returns ``(id_a, id_b, dist2)``.
+
+    Scale shape: one equi-join shuffle on (cell_x, cell_y); the probe
+    side carries a fixed 9x explode. Cell population skew is data
+    skew (a dense cell is a genuine hotspot) — AQE skew-join splits
+    it; candidate count tracks the true neighbor density because the
+    grid bounds the search to ~(3 cell / radius)^2 x the true pairs.
+    """
+    if cell is None:
+        cell = radius
+    if cell < radius:
+        raise ValueError(f"cell ({cell}) must be >= radius ({radius})")
+    cw = F.lit(int(cell))
+    home = points.select(
+        F.col(id_col).alias("id_b"),
+        F.col(x_col).alias("bx"),
+        F.col(y_col).alias("by"),
+        F.floor(F.col(x_col) / cw).alias("cx"),
+        F.floor(F.col(y_col) / cw).alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = (
+        points.select(
+            F.col(id_col).alias("id_a"),
+            F.col(x_col).alias("ax"),
+            F.col(y_col).alias("ay"),
+            F.floor(F.col(x_col) / cw).alias("hx"),
+            F.floor(F.col(y_col) / cw).alias("hy"),
+        )
+        .withColumn("__o", F.explode(offsets))
+        .select(
+            "id_a",
+            "ax",
+            "ay",
+            (F.col("hx") + F.col("__o.dx")).alias("cx"),
+            (F.col("hy") + F.col("__o.dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        probe.join(home, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist2", d2.cast("bigint"))
+        .filter(F.col("dist2") <= radius * radius)
+        .select("id_a", "id_b", "dist2")
+    )

@@ -1088,3 +1088,133 @@ def histogram2d_sql(
     FROM {table}
     GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# higher moments: skewness / excess kurtosis from exact integer power sums
+# ---------------------------------------------------------------------------
+
+
+def grouped_moments(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    scale: int = 1,
+) -> DataFrame:
+    """Per-group population skewness and excess kurtosis — the
+    distribution-shape profile a corpus-QA pass runs next to mean/
+    stddev (is the length distribution long-tailed? peaked?).
+
+    Exactness contract: values quantize to integers
+    (``floor(x * scale)``; pass ``scale=1`` for already-integral
+    columns), the four power sums accumulate in DECIMAL(38,0) — exact
+    and order-independent — and the finish is a FIXED sequence of
+    double ops on per-group scalars, so the result is bit-identical
+    across engines and partitionings.  Skewness/kurtosis are invariant
+    under the quantization scale (both engines run the identical IEEE
+    sequence, so they agree bit-for-bit even where the estimator
+    itself is scale-sensitive in the last ulp).
+
+    Raw->central moment finish (population form, mirrored verbatim in
+    :func:`grouped_moments_sql` — op order is part of the contract)::
+
+        m1 = s1/n; t2 = s2/n; t3 = s3/n; t4 = s4/n
+        m2 = t2 - m1*m1
+        m3 = t3 - 3.0*m1*t2 + 2.0*m1*m1*m1
+        m4 = t4 - 4.0*m1*t3 + 6.0*m1*m1*t2 - 3.0*m1*m1*m1*m1
+        skewness = m3 / (m2 * sqrt(m2))
+        kurtosis_excess = m4 / (m2*m2) - 3.0
+
+    Groups with zero variance (or n == 0) emit NULL for both shapes.
+
+    Scale shape: one scan, one shuffle on the group key, all four
+    power sums ride the same map-side-partial aggregation; the finish
+    runs on the group-count-sized table.
+    """
+    c = F.floor(F.col(value_col) * scale).cast("decimal(38,0)") if scale != 1 else F.col(
+        value_col
+    ).cast("decimal(38,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(c).alias("__s1"),
+        F.sum(c * c).alias("__s2"),
+        F.sum(c * c * c).alias("__s3"),
+        F.sum(c * c * c * c).alias("__s4"),
+    )
+    n = F.col("n_rows").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    s3 = F.col("__s3").cast("double")
+    s4 = F.col("__s4").cast("double")
+    m1 = s1 / n
+    t2 = s2 / n
+    t3 = s3 / n
+    t4 = s4 / n
+    m2 = t2 - m1 * m1
+    m3 = t3 - F.lit(3.0) * m1 * t2 + F.lit(2.0) * m1 * m1 * m1
+    m4 = (
+        t4
+        - F.lit(4.0) * m1 * t3
+        + F.lit(6.0) * m1 * m1 * t2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    ok = m2 > 0
+    return agg.withColumns(
+        {
+            "skewness": F.when(ok, m3 / (m2 * F.sqrt(m2))),
+            "kurtosis_excess": F.when(ok, m4 / (m2 * m2) - F.lit(3.0)),
+        }
+    ).drop("__s1", "__s2", "__s3", "__s4")
+
+
+def grouped_moments_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    scale: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`grouped_moments`.
+
+    SUM(BIGINT) is HUGEINT in DuckDB (int128 — same exactness class as
+    Spark's DECIMAL(38,0) sums); every HUGEINT->DOUBLE conversion goes
+    through the string round-trip (:func:`dec_to_double_sql`) because
+    DuckDB's direct cast divides in floating point.
+    """
+    g = ", ".join(group_cols)
+    c = (
+        f"CAST(FLOOR({value_col} * {scale}) AS BIGINT)"
+        if scale != 1
+        else f"CAST({value_col} AS BIGINT)"
+    )
+    s1 = dec_to_double_sql("__s1")
+    s2 = dec_to_double_sql("__s2")
+    s3 = dec_to_double_sql("__s3")
+    s4 = dec_to_double_sql("__s4")
+    return f"""
+    WITH sums AS (
+      SELECT {g}, COUNT(*) AS n_rows,
+             SUM(c) AS __s1, SUM(c * c) AS __s2,
+             SUM(c * c * c) AS __s3, SUM(c * c * c * c) AS __s4
+      FROM (SELECT {g}, {c} AS c FROM {table})
+      GROUP BY {g}
+    ),
+    fin AS (
+      SELECT {g}, n_rows,
+             {s1} / CAST(n_rows AS DOUBLE) AS m1,
+             {s2} / CAST(n_rows AS DOUBLE) AS t2,
+             {s3} / CAST(n_rows AS DOUBLE) AS t3,
+             {s4} / CAST(n_rows AS DOUBLE) AS t4
+      FROM sums
+    ),
+    cm AS (
+      SELECT {g}, n_rows,
+             t2 - m1 * m1 AS m2,
+             t3 - 3.0 * m1 * t2 + 2.0 * m1 * m1 * m1 AS m3,
+             t4 - 4.0 * m1 * t3 + 6.0 * m1 * m1 * t2 - 3.0 * m1 * m1 * m1 * m1 AS m4
+      FROM fin
+    )
+    SELECT {g}, n_rows,
+           CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+           CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_excess
+    FROM cm
+    """

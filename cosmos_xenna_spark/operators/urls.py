@@ -1,0 +1,143 @@
+"""URL canonicalization for web-corpus pipelines.
+
+Every large web-scale curation pipeline (CommonCrawl-style) needs a
+deterministic URL canonicalizer before URL-keyed dedup, domain capping
+and domain-mix rebalancing: the same page arrives as
+``HTTPS://WWW.Site.com:443/a/?utm_source=x&b=1`` and
+``https://site.com/a?b=1`` and must key identically.
+
+All steps are row-local Spark built-ins (regexp + array HOFs, JVM-side
+whole-stage codegen — no Python, no shuffle): this is a projection,
+so it composes with any downstream keyed operator at zero plan cost.
+
+Normalization contract (applied in order):
+1. scheme lowercased;
+2. host lowercased, userinfo-free, leading ``www.`` stripped;
+3. default ports dropped (``:80`` for http, ``:443`` for https),
+   non-default ports kept;
+4. trailing slashes stripped from the path (``/a/`` == ``/a``; the
+   root path collapses to empty);
+5. query parameters: tracking params dropped (``utm_*`` prefixes and
+   the exact keys in ``TRACKING_PREFIXES``), the rest sorted
+   byte-lexicographically and re-joined (param order never
+   distinguishes pages);
+6. fragment dropped.
+
+``registered_domain`` is the last-two-labels heuristic — correct for
+``example.com`` / ``site.org``, wrong for multi-label public suffixes
+(``example.co.uk`` -> ``co.uk``); a production deployment swaps in a
+broadcast public-suffix table (same join shape as the keyword
+blocklist), which this container does not carry.
+
+Reference parity: the reference has no URL handling (its pipelines
+treat web metadata inside user Stage code); this is engine surface a
+curation pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# exact-prefix matches against "key=value" strings
+TRACKING_PREFIXES = ("utm_", "gclid=", "fbclid=", "ref=", "mc_cid=", "mc_eid=")
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def _is_tracking(x: Column) -> Column:
+    cond = x.startswith(TRACKING_PREFIXES[0])
+    for p in TRACKING_PREFIXES[1:]:
+        cond = cond | x.startswith(p)
+    return cond
+
+
+def _norm_query(url: Column) -> Column:
+    raw = F.regexp_extract(url, _QUERY_RE, 1)
+    parts = F.split(raw, "&")
+    keep = F.filter(parts, lambda x: (x != "") & ~_is_tracking(x))
+    return F.array_join(F.array_sort(keep), "&")
+
+
+def with_normalized_urls(df: DataFrame, url_col: str) -> DataFrame:
+    """Add ``url_norm``, ``url_host`` and ``registered_domain``.
+
+    Rows whose value does not parse as ``scheme://...`` pass through
+    with ``url_norm`` equal to the raw value and NULL host/domain (a
+    malformed URL must never be silently rewritten into a valid one).
+    """
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host_nw = F.regexp_replace(host, r"^www\.", "")
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = F.when((port == "") | default, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    path = F.regexp_replace(F.regexp_extract(url, _PATH_RE, 1), r"/+$", "")
+    q = _norm_query(url)
+    qpart = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    norm = F.concat(scheme, F.lit("://"), host_nw, portpart, path, qpart)
+    parsed = scheme != ""
+    return df.withColumns(
+        {
+            "url_norm": F.when(parsed, norm).otherwise(url),
+            "url_host": F.when(parsed, host_nw),
+            "registered_domain": F.when(
+                parsed, F.regexp_extract(host_nw, r"([^.]+\.[^.]+)$", 1)
+            ),
+        }
+    )
+
+
+def with_normalized_urls_sql(table_sql: str, url_col: str) -> str:
+    """DuckDB mirror of :func:`with_normalized_urls` — identical
+    regexes and the same filter/sort/join pipeline via list HOFs."""
+    drop = " OR ".join(f"starts_with(x, '{p}')" for p in TRACKING_PREFIXES)
+    return f"""
+    WITH raw AS (
+      SELECT *,
+             lower(regexp_extract({url_col}, '{_SCHEME_RE}', 1)) AS __scheme,
+             lower(regexp_extract({url_col}, '{_HOSTPORT_RE}', 1)) AS __hostport,
+             regexp_replace(regexp_extract({url_col}, '{_PATH_RE}', 1),
+                            '/+$', '') AS __path,
+             COALESCE(list_aggregate(
+               list_sort(list_filter(
+                 string_split(regexp_extract({url_col}, '{_QUERY_RE}', 1), '&'),
+                 x -> x <> '' AND NOT ({drop})
+               )), 'string_agg', '&'), '') AS __q
+      FROM ({table_sql})
+    ),
+    hp AS (
+      SELECT *,
+             regexp_replace(regexp_replace(__hostport, ':[0-9]+$', ''),
+                            '^www\\.', '') AS __host,
+             regexp_extract(__hostport, ':([0-9]+)$', 1) AS __port
+      FROM raw
+    ),
+    np AS (
+      SELECT *,
+             CASE WHEN __port = '' OR (__scheme = 'http' AND __port = '80')
+                       OR (__scheme = 'https' AND __port = '443')
+                  THEN '' ELSE ':' || __port END AS __portpart,
+             CASE WHEN __q = '' THEN '' ELSE '?' || __q END AS __qpart
+      FROM hp
+    )
+    SELECT * EXCLUDE (__scheme, __hostport, __path, __q, __host, __port,
+                      __portpart, __qpart),
+           CASE WHEN __scheme <> ''
+                THEN __scheme || '://' || __host || __portpart || __path || __qpart
+                ELSE {url_col} END AS url_norm,
+           CASE WHEN __scheme <> '' THEN __host END AS url_host,
+           CASE WHEN __scheme <> ''
+                THEN regexp_extract(__host, '([^.]+\\.[^.]+)$', 1) END
+             AS registered_domain
+    FROM np
+    """

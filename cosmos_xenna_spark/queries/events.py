@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.functions import dec
 from cosmos_xenna_spark.operators.eventops import (
+    rolling_distinct_count_sql,
     last_touch_attribution,
     last_touch_attribution_sql,
     ohlc_bars,
@@ -444,3 +445,31 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * (n - prev_n) DIV prev_n"),
         ).alias("growth_ppm"),
     )
+
+
+@register(
+    "q_rolling_distinct",
+    oracle=rolling_distinct_count_sql(
+        "SELECT event_id, user_id, ts, event_type FROM events",
+        ["user_id"],
+        "ts",
+        "event_type",
+        window_rows=5,
+        order_tiebreak=["event_id"],
+    ).replace("SELECT *", "SELECT event_id, user_id", 1),
+    description="exact distinct event-type count over each user's "
+    "trailing 5-event window (behavioral-diversity feature): one keyed "
+    "window carrying the frame as collect_list, row-local "
+    "array_distinct+size finish — O(window) state, no history self-join; "
+    "oracle is DuckDB's native COUNT(DISTINCT) OVER frame",
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.eventops import rolling_distinct_count
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = rolling_distinct_count(
+        ev, ["user_id"], "ts", "event_type", window_rows=5, order_tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", "n_distinct")

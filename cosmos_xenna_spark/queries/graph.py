@@ -197,3 +197,23 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 97 == 0
     ).select(F.col("doc_id").alias("node"))
     return bfs_hops(edges, seeds, n_hops=3, src_col="doc_a", dst_col="doc_b")
+
+
+from cosmos_xenna_spark.operators.graph import k_truss_sql  # noqa: E402
+
+
+@register(
+    "q_ktruss",
+    oracle=k_truss_sql(_doc_pairs_edges_sql(), k=3, n_sweeps=3),
+    description="3-truss of the document near-duplicate graph: 3 "
+    "synchronous peel sweeps dropping edges in no surviving triangle — "
+    "triangle-certified duplicate communities remain, hub-chained "
+    "false positives fall away; per-edge support via the two-join "
+    "wedge count, edge frames checkpointed per sweep, bit-exact vs "
+    "the unrolled SQL oracle",
+)
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import k_truss
+
+    edges = _doc_pairs_edges(spark, sf_dir)
+    return k_truss(edges, k=3, n_sweeps=3, src_col="doc_a", dst_col="doc_b")

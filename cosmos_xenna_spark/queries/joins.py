@@ -385,3 +385,43 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("l_returnflag", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_overlaps")
     )
+
+
+_SPATIAL_Q = 10000
+_SPATIAL_R = 200
+
+
+@register(
+    "q_spatial_neighbors",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id AS id,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * {_SPATIAL_Q}) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * {_SPATIAL_Q}) AS BIGINT) AS y
+      FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {_SPATIAL_R * _SPATIAL_R}
+    """,
+    description="2-D spatial self-join: all embedding pairs within "
+    "Euclidean radius 0.02 in the first-two-dims projection, via the "
+    "3x3 grid-cell rewrite (quantized integer coords, one equi-join "
+    "shuffle on the cell id, exact integer dist2 verify, exactly-once "
+    "emission) — oracle is the brute-force all-pairs theta join",
+)
+def q_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.joins import grid_neighbor_join
+
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.floor(F.element_at("embedding", 1).cast("double") * _SPATIAL_Q)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.element_at("embedding", 2).cast("double") * _SPATIAL_Q)
+        .cast("bigint")
+        .alias("y"),
+    )
+    return grid_neighbor_join(pts, "id", "x", "y", radius=_SPATIAL_R)

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.catalog import load_table
 from cosmos_xenna_spark.operators.stats import (
+    grouped_moments,
+    grouped_moments_sql,
     histogram2d,
     histogram2d_sql,
     grouped_linreg,
@@ -342,3 +344,16 @@ def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.hour("ts").cast("double").alias("hr")
     )
     return histogram2d(ev, "value", 0.0, 10.0, 8, "hr", 0.0, 24.0, 24)
+
+
+@register(
+    "q_moments_per_group",
+    oracle=grouped_moments_sql("documents", ["lang"], "n_chars"),
+    description="per-language population skewness + excess kurtosis of "
+    "document length from exact DECIMAL(38,0)/HUGEINT power sums (one "
+    "scan, one shuffle, fixed double-op finish mirrored verbatim in both "
+    "engines — bit-exact and partitioning-independent)",
+)
+def q_moments_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return grouped_moments(docs, ["lang"], "n_chars")

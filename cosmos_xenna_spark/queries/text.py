@@ -24,6 +24,7 @@ from cosmos_xenna_spark.operators.text import (
     stopword_count_col,
 )
 from cosmos_xenna_spark.functions import md5_long63_sql
+from cosmos_xenna_spark.operators.urls import with_normalized_urls_sql
 from cosmos_xenna_spark.queries import register
 
 _SW = ",".join(f"'{w}'" for w in STOPWORDS)
@@ -248,3 +249,82 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=8, min_pair_count=2)
     return bpe_encode(docs, merges)
+
+
+def _synth_url_spark() -> F.Column:
+    # Deterministic URL corpus exercising every canonicalization rule:
+    # shouting scheme/host + default https port + tracking params +
+    # fragment (0), non-default port (1), subdomain + .org + mixed
+    # params (2), default http port + ref tracking key (3).
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    return (
+        F.when(
+            m == 0,
+            F.format_string(
+                "HTTPS://WWW.%s.Example.COM:443/a/%d/?utm_source=feed&b=%d&a=1#frag",
+                F.col("source"),
+                F.pmod(F.col("doc_id"), F.lit(7)),
+                F.pmod(F.col("doc_id"), F.lit(13)),
+            ),
+        )
+        .when(
+            m == 1,
+            F.format_string(
+                "http://%s.example.com:8080/p/%d",
+                F.col("source"),
+                F.pmod(F.col("doc_id"), F.lit(5)),
+            ),
+        )
+        .when(
+            m == 2,
+            F.format_string(
+                "https://News.%s.org/x/%d/?z=9&y=2&utm_campaign=c",
+                F.col("source"),
+                F.pmod(F.col("doc_id"), F.lit(11)),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "http://%s.example.com:80/q?id=%d&ref=tw",
+                F.col("source"),
+                F.col("doc_id"),
+            )
+        )
+    )
+
+
+_SYNTH_URL_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN printf('HTTPS://WWW.%s.Example.COM:443/a/%d/?utm_source=feed&b=%d&a=1#frag',
+                            source, doc_id % 7, doc_id % 13)
+         WHEN 1 THEN printf('http://%s.example.com:8080/p/%d', source, doc_id % 5)
+         WHEN 2 THEN printf('https://News.%s.org/x/%d/?z=9&y=2&utm_campaign=c',
+                            source, doc_id % 11)
+         ELSE printf('http://%s.example.com:80/q?id=%d&ref=tw', source, doc_id)
+       END AS url
+FROM documents
+"""
+
+
+@register(
+    "q_url_normalize",
+    oracle=(
+        "SELECT doc_id, url, url_norm, url_host, registered_domain FROM ("
+        + with_normalized_urls_sql(_SYNTH_URL_SQL, "url")
+        + ")"
+    ),
+    description="URL canonicalization (scheme/host lowercasing, www + "
+    "default-port stripping, trailing-slash collapse, tracking-param "
+    "removal, query-param sorting, fragment drop) + registered-domain "
+    "extraction — all row-local JVM regexp/array HOFs, zero shuffle; "
+    "the dedup/domain-cap key for web corpora",
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.urls import with_normalized_urls
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_spark().alias("url")
+    )
+    out = with_normalized_urls(docs, "url")
+    return out.select("doc_id", "url", "url_norm", "url_host", "registered_domain")

@@ -201,3 +201,45 @@ def test_bfs_hops_matches_python_bfs(spark):
                 dist[m] = dist[n] + 1
                 dq.append(m)
     assert got == dist
+
+
+def test_k_truss_matches_python_peel(spark):
+    import itertools
+    import random
+
+    rng = random.Random(19)
+    edges = list({tuple(sorted((rng.randrange(30), rng.randrange(30)))) for _ in range(90)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    from cosmos_xenna_spark.operators.graph import k_truss
+
+    got = {(r.src, r.dst): r.support for r in k_truss(df, k=3, n_sweeps=10).collect()}
+
+    # python fixpoint truss peel (10 sweeps >= convergence at this size)
+    cur = set(edges)
+    while True:
+        adj: dict[int, set] = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in cur}
+        drop = {e for e, s in sup.items() if s < 1}
+        if not drop:
+            break
+        cur -= drop
+    want = {e: len(adj[e[0]] & adj[e[1]]) for e in cur}
+    assert got == want
+
+
+def test_k_truss_partitioning_invariant(spark):
+    from cosmos_xenna_spark.operators.graph import k_truss
+
+    # two triangles sharing a vertex + a pendant chain
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, k_truss(df.repartition(1), 3, n_sweeps=2).collect()))
+    b = sorted(map(tuple, k_truss(df.repartition(7, "src"), 3, n_sweeps=2).collect()))
+    assert a == b
+    # the chain edges are gone, both triangles survive with support 1
+    assert {(s, d) for s, d, _ in a} == {(0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (3, 4)}

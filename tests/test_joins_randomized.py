@@ -100,3 +100,35 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         if llo <= rlo + rw and rlo <= llo + lw
     )
     assert got == want  # exactly-once: no duplicates from multi-cell overlap
+
+
+def test_grid_neighbor_join_matches_bruteforce(spark):
+    import random
+
+    from cosmos_xenna_spark.operators.joins import grid_neighbor_join
+
+    rng = random.Random(29)
+    pts = [(i, rng.randrange(-500, 500), rng.randrange(-500, 500)) for i in range(250)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    for radius, cell in [(60, 60), (60, 100), (37, 37)]:
+        got = sorted(
+            (r.id_a, r.id_b, r.dist2)
+            for r in grid_neighbor_join(df, "id", "x", "y", radius, cell).collect()
+        )
+        want = sorted(
+            (i, j, (xi - xj) ** 2 + (yi - yj) ** 2)
+            for (i, xi, yi) in pts
+            for (j, xj, yj) in pts
+            if i < j and (xi - xj) ** 2 + (yi - yj) ** 2 <= radius * radius
+        )
+        assert got == want, f"radius={radius} cell={cell}"  # incl. exactly-once
+
+
+def test_grid_neighbor_join_rejects_small_cell(spark):
+    import pytest
+
+    from cosmos_xenna_spark.operators.joins import grid_neighbor_join
+
+    df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    with pytest.raises(ValueError):
+        grid_neighbor_join(df, "id", "x", "y", radius=100, cell=50)

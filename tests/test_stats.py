@@ -192,3 +192,48 @@ def test_histogram2d_planted_and_clamped(spark):
     got = {(r.x_bin, r.y_bin): r.n
            for r in histogram2d(df, "x", 0.0, 4.0, 4, "y", 0.0, 10.0, 10).collect()}
     assert got == {(0, 0): 2, (3, 1): 1, (0, 9): 1, (3, 0): 1}
+
+
+def test_grouped_moments_matches_python(spark):
+    import math
+    import random
+
+    from cosmos_xenna_spark.operators.stats import grouped_moments
+
+    rng = random.Random(41)
+    rows = [(f"g{i % 3}", rng.randrange(10, 5000)) for i in range(500)]
+    rows += [("const", 7)] * 5  # zero-variance group -> NULLs
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: (r.n_rows, r.skewness, r.kurtosis_excess)
+        for r in grouped_moments(df, ["g"], "v").collect()
+    }
+
+    by_g: dict[str, list] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        n = float(len(vs))
+        s1, s2 = float(sum(vs)), float(sum(v * v for v in vs))
+        s3, s4 = float(sum(v**3 for v in vs)), float(sum(v**4 for v in vs))
+        m1, t2, t3, t4 = s1 / n, s2 / n, s3 / n, s4 / n
+        m2 = t2 - m1 * m1
+        m3 = t3 - 3.0 * m1 * t2 + 2.0 * m1 * m1 * m1
+        m4 = t4 - 4.0 * m1 * t3 + 6.0 * m1 * m1 * t2 - 3.0 * m1 * m1 * m1 * m1
+        gn, gskew, gkurt = got[g]
+        assert gn == len(vs)
+        if m2 > 0:
+            assert gskew == m3 / (m2 * math.sqrt(m2))
+            assert gkurt == m4 / (m2 * m2) - 3.0
+        else:
+            assert gskew is None and gkurt is None
+
+
+def test_grouped_moments_partitioning_invariant(spark):
+    from cosmos_xenna_spark.operators.stats import grouped_moments
+
+    rows = [(f"g{i % 2}", (i * 37) % 211 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    a = sorted(map(tuple, grouped_moments(df.repartition(1), ["g"], "v").collect()))
+    b = sorted(map(tuple, grouped_moments(df.repartition(17, "v"), ["g"], "v").collect()))
+    assert a == b

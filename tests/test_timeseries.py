@@ -105,3 +105,22 @@ def test_seasonal_baseline_matches_python(spark):
         else:
             assert g_base == baseline and g_dev == deviation
         prev.append(c)
+
+
+def test_rolling_distinct_matches_python(spark):
+    import random
+
+    from cosmos_xenna_spark.operators.eventops import rolling_distinct_count
+
+    rng = random.Random(53)
+    rows = [(i, f"u{rng.randrange(4)}", i * 10 + rng.randrange(5), f"t{rng.randrange(6)}") for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, u string, ts long, t string")
+    out = rolling_distinct_count(df, ["u"], "ts", "t", window_rows=4, order_tiebreak=["i"])
+    got = {r.i: r.n_distinct for r in out.collect()}
+
+    by_u: dict[str, list] = {}
+    for i, u, ts, t in sorted(rows, key=lambda r: (r[2], r[0])):
+        seq = by_u.setdefault(u, [])
+        seq.append((i, t))
+        window = [t2 for _, t2 in seq[-4:]]
+        assert got[i] == len(set(window)), (i, window)

@@ -1,0 +1,64 @@
+"""URL canonicalization: planted fixtures covering every rule, plus the
+malformed-input passthrough contract."""
+
+from __future__ import annotations
+
+from cosmos_xenna_spark.operators.urls import with_normalized_urls
+
+CASES = [
+    # (raw, norm, host, domain)
+    (
+        "HTTPS://WWW.Site.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+        "https://site.example.com/a/b?a=1&b=2",
+        "site.example.com",
+        "example.com",
+    ),
+    ("http://ex.com:80/p/", "http://ex.com/p", "ex.com", "ex.com"),
+    ("http://ex.com:8080/p", "http://ex.com:8080/p", "ex.com", "ex.com"),
+    ("https://ex.com:80/p", "https://ex.com:80/p", "ex.com", "ex.com"),
+    ("https://news.site.org/x//", "https://news.site.org/x", "news.site.org", "site.org"),
+    # userinfo stripped from the host; tracking-only query vanishes
+    (
+        "https://user:pw@ex.com/p?gclid=abc&fbclid=z",
+        "https://ex.com/p",
+        "ex.com",
+        "ex.com",
+    ),
+    # empty query/fragment markers collapse away
+    ("http://ex.com/", "http://ex.com", "ex.com", "ex.com"),
+    # param sorting is byte-lexicographic
+    ("http://ex.com/p?z=1&y=2&x=3", "http://ex.com/p?x=3&y=2&z=1", "ex.com", "ex.com"),
+    # ref= is tracking, href= and pref= are NOT (prefix match on whole key=)
+    (
+        "http://ex.com/p?ref=tw&href=a&pref=b",
+        "http://ex.com/p?href=a&pref=b",
+        "ex.com",
+        "ex.com",
+    ),
+    # single-label host: no registered domain
+    ("http://localhost:9000/x", "http://localhost:9000/x", "localhost", ""),
+    # malformed: no scheme -> passthrough, NULL host/domain
+    ("not a url at all", "not a url at all", None, None),
+    ("/relative/path?a=1", "/relative/path?a=1", None, None),
+]
+
+
+def test_url_normalization_fixture(spark):
+    df = spark.createDataFrame([(i, raw) for i, (raw, _, _, _) in enumerate(CASES)], "i long, url string")
+    got = {
+        r.i: (r.url_norm, r.url_host, r.registered_domain)
+        for r in with_normalized_urls(df, "url").collect()
+    }
+    for i, (raw, norm, host, domain) in enumerate(CASES):
+        assert got[i] == (norm, host, domain), f"case {i}: {raw!r} -> {got[i]}"
+
+
+def test_url_normalization_idempotent(spark):
+    """Canonicalizing an already-canonical URL is a no-op."""
+    df = spark.createDataFrame(
+        [(i, norm) for i, (_, norm, _, d) in enumerate(CASES) if d is not None],
+        "i long, url string",
+    )
+    out = with_normalized_urls(df, "url").collect()
+    for r in out:
+        assert r.url_norm == r.url, r
