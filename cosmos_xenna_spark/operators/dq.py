@@ -376,3 +376,99 @@ def fk_integrity_sql(relations: list[tuple[str, str, str, str, str]]) -> str:
            (1000000 * n_orphans) // n_child AS orphan_ppm
     FROM ({body})
     """
+
+
+# Benford first-digit probabilities log10(1 + 1/d), injected as exact
+# repr() doubles so both engines parse the identical binary64 constant.
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_test(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law conformance per group: the first-significant-digit
+    distribution of ``value_col`` (rows with ``value >= 1``) against
+    the Benford expectation ``p_d = log10(1 + 1/d)`` — the standard
+    fabricated-data / unit-mixup screen for financial and telemetry
+    columns (a synthetic column pegged to uniform digits lights up
+    instantly).
+
+    Emits one row per (group, digit 1..9) on a dense spine (absent
+    digits appear with ``n_obs = 0`` — they still contribute to the
+    chi-squared): ``(group..., digit, n_group, n_obs, expected,
+    chi2_contrib)``.  ``expected = n_group * p_d`` and
+    ``chi2_contrib = (n_obs - expected)^2 / expected`` are fixed
+    double-op sequences on exact integers, so both engines agree
+    bit-for-bit; callers sum ``chi2_contrib`` per group and compare
+    against the chi-squared(8 df) critical value.
+
+    Scale shape: facts aggregate once on (group, digit) with map-side
+    partials; the dense spine is (n_groups x 9) rows built from the
+    already-aggregated table — facts never join the spine.
+    """
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = (
+        df.filter(F.col(value_col) >= 1)
+        .withColumn("digit", digit)
+        .groupBy(*group_cols, "digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    totals = obs.groupBy(*group_cols).agg(F.sum("n_obs").alias("n_group"))
+    spine = totals.withColumn(
+        "digit", F.explode(F.sequence(F.lit(1), F.lit(9)).cast("array<bigint>"))
+    )
+    dense = spine.join(obs, [*group_cols, "digit"], "left").withColumn(
+        "n_obs", F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
+    )
+    p = F.element_at(
+        F.array(*[F.lit(_BENFORD_P[d]) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    expected = F.col("n_group").cast("double") * p
+    diff = F.col("n_obs").cast("double") - expected
+    return dense.withColumns(
+        {
+            "expected": expected,
+            "chi2_contrib": diff * diff / expected,
+        }
+    )
+
+
+def benford_test_sql(table_sql: str, group_cols: list[str], value_col: str) -> str:
+    """DuckDB mirror — identical digit extraction, dense spine and
+    fixed finish; Benford constants injected via repr()."""
+    keys = ", ".join(group_cols)
+    p_case = " ".join(
+        f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10)
+    )
+    return f"""
+    WITH obs AS (
+      SELECT {keys},
+             CAST(substr(CAST(CAST(FLOOR({value_col}) AS BIGINT) AS STRING), 1, 1)
+                  AS BIGINT) AS digit,
+             COUNT(*) AS n_obs
+      FROM ({table_sql}) WHERE {value_col} >= 1
+      GROUP BY ALL
+    ),
+    totals AS (
+      SELECT {keys}, CAST(SUM(n_obs) AS BIGINT) AS n_group FROM obs GROUP BY {keys}
+    ),
+    spine AS (
+      SELECT {keys}, n_group, CAST(UNNEST(range(1, 10)) AS BIGINT) AS digit FROM totals
+    ),
+    dense AS (
+      SELECT s.*, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+             CAST(s.n_group AS DOUBLE) * (CASE s.digit {p_case} END) AS expected
+      FROM spine s LEFT JOIN obs o USING ({keys}, digit)
+    )
+    SELECT {keys}, digit, n_group, n_obs, expected,
+           (CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected)
+             / expected AS chi2_contrib
+    FROM dense
+    """

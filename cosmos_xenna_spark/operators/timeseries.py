@@ -248,3 +248,219 @@ def seasonal_baseline_sql(
                 - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) END AS deviation
     FROM win
     """
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    drift_cents: int,
+    threshold_cents: int,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """One-sided CUSUM change detection per series: the classic Page
+    statistic ``S_t = max(0, S_{t-1} + x_t - k)`` with alarm at
+    ``S_t >= h`` — level-shift detection for metric streams (a mean
+    shift of d is flagged fastest with ``k ~ d/2``).
+
+    The recurrence is non-associative, which normally forces a
+    sequential scan — but it has the exact closed form
+
+        S_t = cum_t - min(0, min_{j<=t} cum_j),   cum_t = sum_{i<=t}(x_i - k)
+
+    so the whole statistic is TWO frame functions over ONE keyed
+    window (running sum + running min), fully distributed, no
+    recursion, no state.  Values quantize to integer cents and ``k``/
+    ``h`` are given in cents (``drift_cents``, ``threshold_cents``),
+    so the statistic is an exact integer — bit-identical across
+    engines and partitionings.
+
+    Adds ``cusum`` (cents, BIGINT) and ``alarm`` (0/1 BIGINT).
+
+    Scale shape: one shuffle on the series key; both frames ride the
+    same window exchange; O(1) per-row state.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col, *(order_tiebreak or []))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = F.floor(F.col(value_col) * 100).cast("bigint") - F.lit(int(drift_cents))
+    base = df.withColumn("__d", c)
+    cum = F.sum("__d").over(w)
+    s = cum - F.least(F.lit(0).cast("bigint"), F.min(cum).over(w))
+    return (
+        base.withColumn("cusum", s.cast("bigint"))
+        .withColumn("alarm", (F.col("cusum") >= threshold_cents).cast("bigint"))
+        .drop("__d")
+    )
+
+
+def cusum_changepoint_sql(
+    table_sql: str,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    drift_cents: int,
+    threshold_cents: int,
+    order_tiebreak: list[str] | None = None,
+) -> str:
+    """DuckDB mirror — same closed form over the same frames."""
+    part = ", ".join(key_cols)
+    order = ", ".join([time_col, *(order_tiebreak or [])])
+    w = (
+        f"OVER (PARTITION BY {part} ORDER BY {order} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+    WITH d AS (
+      SELECT *, CAST(FLOOR({value_col} * 100) AS BIGINT) - {int(drift_cents)} AS __d
+      FROM ({table_sql})
+    ),
+    c AS (
+      SELECT *, CAST(SUM(__d) {w} AS BIGINT) AS __cum FROM d
+    )
+    SELECT * EXCLUDE (__d, __cum),
+           CAST(__cum - LEAST(0, MIN(__cum) {w}) AS BIGINT) AS cusum,
+           CAST(__cum - LEAST(0, MIN(__cum) {w}) >= {int(threshold_cents)} AS BIGINT) AS alarm
+    FROM c
+    """
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    max_lag: int,
+    order_tiebreak: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Sample autocorrelation per series at lags ``1..max_lag`` — the
+    periodicity / burstiness profile (is user activity self-similar at
+    lag 7? is a metric mean-reverting?).
+
+    Per (key, lag) the Pearson correlation over the aligned pair set
+    ``{(x_t, x_{t-lag})}``: values quantize to integers
+    (``floor(x * scale)``), the five cross/power sums accumulate in
+    DECIMAL(38,0) — exact, order-independent — and the finish
+
+        r = (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+
+    is a fixed double-op sequence on per-group scalars (mirrored
+    verbatim in :func:`autocorrelation_sql`), so results are
+    bit-identical across engines and partitionings.  Degenerate pair
+    sets (n < 2 or zero variance on either margin) emit NULL.
+
+    Returns one row per (key, lag): ``(key..., lag, n_pairs, acf)``.
+
+    Scale shape: all ``max_lag`` lag columns ride ONE keyed window
+    pass, the stack/explode is row-local (x max_lag, bounded), and the
+    aggregation shuffles once on the fine-grained (key, lag) composite
+    — no self-join of the series against itself.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(time_col, *(order_tiebreak or []))
+    c = F.floor(F.col(value_col) * scale).cast("bigint")
+    base = df.withColumn("__c", c)
+    lagged = base.select(
+        *key_cols,
+        "__c",
+        *[F.lag("__c", j).over(w).alias(f"__l{j}") for j in range(1, max_lag + 1)],
+    )
+    pairs = lagged.select(
+        *key_cols,
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("bigint").alias("lag"),
+                        F.col("__c").alias("x"),
+                        F.col(f"__l{j}").alias("y"),
+                    )
+                    for j in range(1, max_lag + 1)
+                ]
+            )
+        ),
+    ).filter(F.col("y").isNotNull())
+    x = F.col("x").cast("decimal(38,0)")
+    y = F.col("y").cast("decimal(38,0)")
+    agg = pairs.groupBy(*key_cols, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    ok = (F.col("n_pairs") >= 2) & (varx > 0) & (vary > 0)
+    return agg.withColumn(
+        "acf", F.when(ok, (n * sxy - sx * sy) / F.sqrt(varx * vary))
+    ).drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+
+
+def autocorrelation_sql(
+    table_sql: str,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    max_lag: int,
+    order_tiebreak: list[str] | None = None,
+    scale: int = 100,
+) -> str:
+    """DuckDB mirror: one window CTE computing every lag, stacked by
+    UNION ALL; HUGEINT sums go to DOUBLE through the string round-trip
+    (same exactness class as Spark's DECIMAL(38,0))."""
+    from cosmos_xenna_spark.operators.stats import dec_to_double_sql
+
+    keys = ", ".join(key_cols)
+    order = ", ".join([time_col, *(order_tiebreak or [])])
+    w = f"OVER (PARTITION BY {keys} ORDER BY {order})"
+    lag_cols = ", ".join(
+        f"LAG(__c, {j}) {w} AS __l{j}" for j in range(1, max_lag + 1)
+    )
+    stack = "\n      UNION ALL ".join(
+        f"SELECT {keys}, CAST({j} AS BIGINT) AS lag, __c AS x, __l{j} AS y FROM lagged"
+        for j in range(1, max_lag + 1)
+    )
+    sx = dec_to_double_sql("__sx")
+    sy = dec_to_double_sql("__sy")
+    sxx = dec_to_double_sql("__sxx")
+    syy = dec_to_double_sql("__syy")
+    sxy = dec_to_double_sql("__sxy")
+    return f"""
+    WITH lagged AS (
+      SELECT {keys}, CAST(FLOOR({value_col} * {scale}) AS BIGINT) AS __c, {lag_cols}
+      FROM (SELECT * FROM ({table_sql}))
+    ),
+    pairs AS (
+      {stack}
+    ),
+    sums AS (
+      SELECT {keys}, lag, COUNT(*) AS n_pairs,
+             SUM(x) AS __sx, SUM(y) AS __sy,
+             SUM(x * x) AS __sxx, SUM(y * y) AS __syy, SUM(x * y) AS __sxy
+      FROM pairs WHERE y IS NOT NULL
+      GROUP BY {keys}, lag
+    ),
+    fin AS (
+      SELECT {keys}, lag, n_pairs,
+             CAST(n_pairs AS DOUBLE) AS n,
+             {sx} AS sx, {sy} AS sy, {sxx} AS sxx, {syy} AS syy, {sxy} AS sxy
+      FROM sums
+    )
+    SELECT {keys}, lag, n_pairs,
+           CASE WHEN n_pairs >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN (n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+           END AS acf
+    FROM fin
+    """

@@ -141,3 +141,25 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("events_user", ev, "user_id", cust, "c_custkey"),
         ]
     )
+
+
+from cosmos_xenna_spark.operators.dq import benford_test, benford_test_sql  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@register(
+    "q_benford_digits",
+    oracle=benford_test_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        ["l_returnflag"],
+        "l_extendedprice",
+    ),
+    description="Benford's-law first-digit conformance of extended price per "
+    "return flag (fabricated-data / unit-mixup screen): one aggregation on "
+    "(group, digit) with map-side partials, dense 9-digit spine built from "
+    "the aggregated table (facts never join the spine), fixed double-op "
+    "chi-squared contributions on exact integer counts",
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return benford_test(li, ["l_returnflag"], "l_extendedprice")

@@ -98,3 +98,71 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = seasonal_baseline(ev, ["user_id"], "ts", "value", n_prev=4, order_tiebreak=["event_id"])
     return out.select("event_id", "user_id", "slot_how", "baseline", "deviation")
+
+
+from cosmos_xenna_spark.operators.timeseries import (  # noqa: E402
+    autocorrelation,
+    autocorrelation_sql,
+    cusum_changepoint,
+    cusum_changepoint_sql,
+)
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle=(
+        "SELECT event_id, user_id, cusum, alarm FROM ("
+        + cusum_changepoint_sql(
+            "SELECT event_id, user_id, ts, value FROM events",
+            ["user_id"],
+            "ts",
+            "value",
+            drift_cents=550,
+            threshold_cents=2500,
+            order_tiebreak=["event_id"],
+        )
+        + ")"
+    ),
+    description="one-sided CUSUM level-shift detection per user (Page "
+    "statistic, k=5.50, h=25.00): the non-associative recurrence "
+    "S_t=max(0,S_{t-1}+x_t-k) rewritten to its exact closed form "
+    "cum_t - min(0, running_min(cum)) — two frame functions on ONE "
+    "keyed window, fully distributed, integer-cent exact on both engines",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = cusum_changepoint(
+        ev,
+        ["user_id"],
+        "ts",
+        "value",
+        drift_cents=550,
+        threshold_cents=2500,
+        order_tiebreak=["event_id"],
+    )
+    return out.select("event_id", "user_id", "cusum", "alarm")
+
+
+@register(
+    "q_autocorrelation",
+    oracle=autocorrelation_sql(
+        "SELECT event_id, user_id % 16 AS series, ts, value FROM events",
+        ["series"],
+        "ts",
+        "value",
+        max_lag=5,
+        order_tiebreak=["event_id"],
+    ),
+    description="sample autocorrelation per series at lags 1..5 (burstiness/"
+    "periodicity profile): all lag columns in ONE keyed window pass, "
+    "row-local inline stack, one aggregation on the (series, lag) composite "
+    "with exact DECIMAL(38,0)/HUGEINT cross sums and a fixed double-op "
+    "Pearson finish — bit-identical across engines, no series self-join",
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 16).alias("series"), "ts", "value"
+    )
+    return autocorrelation(
+        ev, ["series"], "ts", "value", max_lag=5, order_tiebreak=["event_id"]
+    )

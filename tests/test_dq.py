@@ -94,3 +94,39 @@ def test_fk_integrity_planted_orphans(spark):
     row = fk_integrity([("c_p", child, "fk", parent, "pk")]).collect()[0]
     assert (row.relation, row.n_child, row.n_null_fk, row.n_orphans) == ("c_p", 5, 1, 2)
     assert row.orphan_ppm == 1000000 * 2 // 5
+
+
+def test_benford_matches_python(spark):
+    import math
+    import random
+
+    from cosmos_xenna_spark.operators.dq import benford_test
+
+    rng = random.Random(71)
+    # group "b": benford-ish (log-uniform); group "u": uniform (non-conforming)
+    rows = [("b", math.exp(rng.uniform(0, 12))) for _ in range(800)]
+    rows += [("u", rng.uniform(100, 999)) for _ in range(800)]
+    rows += [("b", 0.4)]  # sub-1 value: excluded
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = benford_test(df, ["g"], "v").collect()
+    got = {(r.g, r.digit): (r.n_group, r.n_obs, r.expected, r.chi2_contrib) for r in out}
+    assert len(got) == 18  # dense spine: 2 groups x 9 digits
+
+    counts: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for g, v in rows:
+        if v >= 1:
+            d = int(str(int(math.floor(v)))[0])
+            counts[(g, d)] = counts.get((g, d), 0) + 1
+            totals[g] = totals.get(g, 0) + 1
+    chi2: dict[str, float] = {}
+    for (g, d), (n_group, n_obs, expected, contrib) in got.items():
+        assert n_group == totals[g]
+        assert n_obs == counts.get((g, d), 0)
+        p = math.log10(1.0 + 1.0 / d)
+        e = float(totals[g]) * p
+        assert expected == e
+        assert contrib == (float(n_obs) - e) ** 2 / e
+        chi2[g] = chi2.get(g, 0.0) + contrib
+    # chi2 critical value at 8 df, alpha=0.001 is 26.12: uniform digits fail hard
+    assert chi2["u"] > 100.0 > chi2["b"]

@@ -124,3 +124,66 @@ def test_rolling_distinct_matches_python(spark):
         seq.append((i, t))
         window = [t2 for _, t2 in seq[-4:]]
         assert got[i] == len(set(window)), (i, window)
+
+
+def test_cusum_matches_python_recurrence(spark):
+    import random
+
+    from cosmos_xenna_spark.operators.timeseries import cusum_changepoint
+
+    rng = random.Random(61)
+    rows = [
+        (i, f"u{i % 5}", i * 10, round(rng.uniform(0, 12), 2)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "i long, u string, ts long, v double")
+    out = cusum_changepoint(
+        df, ["u"], "ts", "v", drift_cents=600, threshold_cents=2000, order_tiebreak=["i"]
+    )
+    got = {r.i: (r.cusum, r.alarm) for r in out.collect()}
+
+    state: dict[str, int] = {}
+    import math
+    for i, u, ts, v in sorted(rows, key=lambda r: (r[2], r[0])):
+        c = math.floor(v * 100) - 600
+        s = max(0, state.get(u, 0) + c)
+        state[u] = s
+        assert got[i] == (s, 1 if s >= 2000 else 0), (i, u)
+
+
+def test_autocorrelation_matches_python(spark):
+    import math
+    import random
+
+    from cosmos_xenna_spark.operators.timeseries import autocorrelation
+
+    rng = random.Random(67)
+    rows = []
+    prev = {f"s{j}": 50.0 for j in range(3)}
+    for i in range(600):
+        k = f"s{i % 3}"
+        prev[k] = 0.7 * prev[k] + rng.uniform(0, 30)  # AR(1) per series
+        rows.append((i, k, i, round(prev[k], 2)))
+    df = spark.createDataFrame(rows, "i long, k string, ts long, v double")
+    got = {
+        (r.k, r.lag): (r.n_pairs, r.acf)
+        for r in autocorrelation(df, ["k"], "ts", "v", max_lag=3, order_tiebreak=["i"]).collect()
+    }
+
+    series: dict[str, list[int]] = {}
+    for i, k, ts, v in sorted(rows, key=lambda r: (r[2], r[0])):
+        series.setdefault(k, []).append(math.floor(v * 100))
+    for k, xs in series.items():
+        for lag in (1, 2, 3):
+            pairs = [(xs[t], xs[t - lag]) for t in range(lag, len(xs))]
+            n = float(len(pairs))
+            sx = float(sum(p[0] for p in pairs))
+            sy = float(sum(p[1] for p in pairs))
+            sxx = float(sum(p[0] * p[0] for p in pairs))
+            syy = float(sum(p[1] * p[1] for p in pairs))
+            sxy = float(sum(p[0] * p[1] for p in pairs))
+            r = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            gn, gr = got[(k, lag)]
+            assert gn == len(pairs)
+            assert gr == r, (k, lag)
+            assert gr > 0.0  # AR(1) with phi>0: positive at every lag
+        assert got[(k, 1)][1] > 0.5  # lag-1 acf ~ phi = 0.7
