@@ -397,3 +397,81 @@ def rolling_distinct_count_sql(
            ) AS BIGINT) AS {out_col}
     FROM ({table_sql})
     """
+
+
+def audience_overlap(
+    df: DataFrame,
+    entity_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Pairwise audience overlap between groups: for every pair of
+    groups sharing at least one entity, the distinct-entity overlap
+    and Jaccard similarity — "how much do the audiences of event types
+    / domains / campaigns overlap", the segmentation-QA and
+    near-duplicate-source signal at the GROUP level.
+
+    Returns ``(group_a, group_b, n_a, n_b, n_both, jaccard)`` with
+    ``group_a < group_b``; ``jaccard`` is one double division of exact
+    integer counts (bit-identical across engines).
+
+    Scale shape: the co-membership pairs are generated ENTITY-locally
+    (sorted distinct group set per entity -> row-local combination
+    explode), never by self-joining the membership table — per-entity
+    cost is ``k_groups_per_entity choose 2``, which is bounded by the
+    group vocabulary, not the corpus (the market-basket contract one
+    level up).  One shuffle to distinct, one to the per-entity set,
+    one on the pair key; the group-size table is group-count-sized and
+    broadcasts back.
+    """
+    eg = df.select(
+        F.col(group_col).alias("g"), F.col(entity_col).alias("e")
+    ).distinct()
+    sizes = eg.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    per_entity = eg.groupBy("e").agg(F.array_sort(F.collect_set("g")).alias("gs"))
+    pairs = per_entity.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(gs, (x, i) ->"
+                " transform(slice(gs, i + 2, size(gs)),"
+                " y -> struct(x AS ga, y AS gb))))"
+            )
+        ).alias("p")
+    ).select("p.ga", "p.gb")
+    both = pairs.groupBy("ga", "gb").agg(F.count(F.lit(1)).alias("n_both"))
+    sa = sizes.select(F.col("g").alias("ga"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("gb"), F.col("n").alias("n_b"))
+    out = both.join(F.broadcast(sa), "ga").join(F.broadcast(sb), "gb")
+    return out.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_both").cast("bigint").alias("n_both"),
+        (
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def audience_overlap_sql(table_sql: str, entity_col: str, group_col: str) -> str:
+    """DuckDB mirror — the all-pairs membership self-join (the oracle
+    certifies the entity-local combination explode emits exactly the
+    co-membership pairs)."""
+    return f"""
+    WITH eg AS (
+      SELECT DISTINCT {group_col} AS g, {entity_col} AS e FROM ({table_sql})
+    ),
+    sizes AS (SELECT g, COUNT(*) AS n FROM eg GROUP BY g),
+    both_t AS (
+      SELECT a.g AS ga, b.g AS gb, COUNT(*) AS n_both
+      FROM eg a JOIN eg b ON a.e = b.e AND a.g < b.g
+      GROUP BY a.g, b.g
+    )
+    SELECT ga AS group_a, gb AS group_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE) AS jaccard
+    FROM both_t JOIN sizes sa ON both_t.ga = sa.g
+                JOIN sizes sb ON both_t.gb = sb.g
+    """

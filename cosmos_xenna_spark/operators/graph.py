@@ -619,3 +619,156 @@ def k_truss_sql(edges_sql: str, k: int, n_sweeps: int = 4) -> str:
         + ",\n".join(steps)
         + f"\nSELECT a AS src, b AS dst, CAST(support AS BIGINT) AS support FROM {prev}"
     )
+
+
+HITS_ONE = 10**9  # hub/authority fixed-point unit (int64-safe for ~9e9 in-edges)
+
+
+def hits_fixed(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """``n_iter`` HITS (hubs & authorities) iterations over the
+    directed edge set (deduplicated) — the link-analysis complement to
+    PageRank: a node is a good HUB if it points at good authorities,
+    a good AUTHORITY if good hubs point at it (supplier/consumer roles
+    in a citation, trade or crawl graph).
+
+    Update rule per iteration, in exact int64 fixed point (scores
+    scaled by ``HITS_ONE``; the :func:`pagerank_fixed` determinism
+    contract):
+
+        a_raw(v) = sum_{u->v} h(u);   a = a_raw // (max(a_raw) // HITS_ONE)
+        h_raw(u) = sum_{u->v} a(v);   h = h_raw // (max(h_raw) // HITS_ONE)
+
+    Normalization is by the max (infinity norm) rather than the
+    textbook L2 norm — sqrt would leave integer arithmetic — and the
+    divisor is quantized (``max // HITS_ONE``, >= 1 by the invariant
+    that each step's max raw score is >= HITS_ONE) so the rescale is a
+    single int64 floor-division: the naive ``raw * HITS_ONE // max``
+    overflows int64 once a node has ~10 full-strength in-edges.
+    Scores stay in [0, 2 * HITS_ONE); the iteration converges to the
+    same principal eigenvectors up to scale, and every intermediate is
+    an exact BIGINT, so results are bit-identical across engines and
+    partitionings.
+
+    Returns ``(node, auth_fp, hub_fp)`` for every node.
+
+    Scale shape: per iteration two edge equi-joins + two aggregations
+    on node keys (all map-side partial); the edge list and node frame
+    are checkpointed once (loop-invariant), score frames are
+    checkpointed and released per iteration so the static plan stays
+    linear in ``n_iter``.  The norm is a driver-side 1-row scalar per
+    half-step (the bounded-scalar pattern, like pagerank's node
+    count).
+    """
+    if n_iter < 1:
+        raise ValueError("hits_fixed needs n_iter >= 1")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = nodes.withColumn("h", F.lit(HITS_ONE).cast("bigint"))
+    auths = nodes.withColumn("a", F.lit(HITS_ONE).cast("bigint"))
+    h_holder: DataFrame | None = None
+    a_holder: DataFrame | None = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        amax = a_raw.agg(F.max("raw")).collect()[0][0] or HITS_ONE
+        ad = max(1, amax // HITS_ONE)
+        auths = (
+            nodes.join(a_raw, "node", "left")
+            .select(
+                "node",
+                F.expr(f"coalesce(raw, 0L) div {ad}L").alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if a_holder is not None:
+            release_local_checkpoint(a_holder)
+        a_holder = auths
+        h_raw = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        hmax = h_raw.agg(F.max("raw")).collect()[0][0] or HITS_ONE
+        hd = max(1, hmax // HITS_ONE)
+        hubs = (
+            nodes.join(h_raw, "node", "left")
+            .select(
+                "node",
+                F.expr(f"coalesce(raw, 0L) div {hd}L").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if h_holder is not None:
+            release_local_checkpoint(h_holder)
+        h_holder = hubs
+    out = auths.join(hubs, "node").select(
+        "node",
+        F.col("a").cast("bigint").alias("auth_fp"),
+        F.col("h").cast("bigint").alias("hub_fp"),
+    )
+    release_local_checkpoint(e)
+    return out
+
+
+def hits_fixed_sql(edges_sql: str, n_iter: int = 3) -> str:
+    """DuckDB mirror: unrolled CTE chain, max norms as scalar
+    subqueries, integer // division throughout."""
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT node, CAST({HITS_ONE} AS BIGINT) AS h FROM nodes)
+    """
+    steps = []
+    for i in range(n_iter):
+        steps.append(
+            f""",
+    ar{i} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(p.h) AS raw
+      FROM e JOIN h{i} p ON e.src = p.node GROUP BY e.dst
+    ),
+    a{i + 1} AS (
+      SELECT n.node,
+             CAST(COALESCE(r.raw, 0)
+                  // GREATEST(1, (SELECT MAX(raw) FROM ar{i}) // {HITS_ONE})
+                  AS BIGINT) AS a
+      FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT e.src AS node, SUM(p.a) AS raw
+      FROM e JOIN a{i + 1} p ON e.dst = p.node GROUP BY e.src
+    ),
+    h{i + 1} AS (
+      SELECT n.node,
+             CAST(COALESCE(r.raw, 0)
+                  // GREATEST(1, (SELECT MAX(raw) FROM hr{i}) // {HITS_ONE})
+                  AS BIGINT) AS h
+      FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT CAST(a.node AS BIGINT) AS node, a.a AS auth_fp, h.h AS hub_fp
+    FROM a{n_iter} a JOIN h{n_iter} h ON a.node = h.node"""
+    )

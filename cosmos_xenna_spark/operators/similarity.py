@@ -388,3 +388,67 @@ def semantic_dedup_srp(
         tagged, threshold, block_col="__srp_block", id_col=id_col,
         vec_col=vec_col, max_block_size=max_block_size,
     ).drop("__srp_block")
+
+
+def mutual_nearest_pairs(candidates: DataFrame) -> DataFrame:
+    """Reciprocal-best-match reduction: from a scored candidate-pair
+    table ``(id_a, id_b, sim)`` (undirected, one orientation per
+    pair), keep exactly the pairs where each side is the other's
+    single best match — the high-precision linkage rule for entity
+    resolution and cross-lingual/bitext mining (a match that is
+    best-in-BOTH-directions survives; hub vectors that are "best" for
+    many probes but prefer someone else are cut).
+
+    Composable with any candidate generator: brute-force all-pairs for
+    a bounded set, LSH/IVF candidates at scale — the reduction itself
+    is one symmetrization, one (id, sim desc) window for top-1, and
+    one self-join of the top-1 table against itself.
+
+    Ties on ``sim`` break toward the smaller partner id
+    (deterministic).  Returns ``(id_a, id_b, sim)``, ``id_a < id_b``.
+
+    Scale shape: the window partitions on the id (fine-grained); the
+    mutual check joins the id-count-sized top-1 table to itself on the
+    partner id — no quadratic step beyond the candidate input.
+    """
+    sym = candidates.select("id_a", "id_b", "sim").unionByName(
+        candidates.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "sim"
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+    top1 = (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("id_a").alias("id"), F.col("id_b").alias("best"), "sim")
+    )
+    other = top1.select(F.col("id").alias("o_id"), F.col("best").alias("o_best"))
+    return (
+        top1.join(
+            other,
+            (F.col("best") == F.col("o_id")) & (F.col("o_best") == F.col("id")),
+        )
+        .filter(F.col("id") < F.col("best"))
+        .select(F.col("id").alias("id_a"), F.col("best").alias("id_b"), "sim")
+    )
+
+
+def mutual_nearest_pairs_sql(candidates_sql: str) -> str:
+    """DuckDB mirror over the same candidate relation."""
+    return f"""
+    WITH cand AS ({candidates_sql}),
+    sym AS (
+      SELECT id_a, id_b, sim FROM cand
+      UNION ALL SELECT id_b, id_a, sim FROM cand
+    ),
+    top1 AS (
+      SELECT id_a AS id, id_b AS best, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY id_a
+                                     ORDER BY sim DESC, id_b) AS rn
+        FROM sym
+      ) WHERE rn = 1
+    )
+    SELECT a.id AS id_a, a.best AS id_b, a.sim
+    FROM top1 a JOIN top1 b ON a.best = b.id AND b.best = a.id
+    WHERE a.id < a.best
+    """

@@ -473,3 +473,25 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], "ts", "event_type", window_rows=5, order_tiebreak=["event_id"]
     )
     return out.select("event_id", "user_id", "n_distinct")
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    audience_overlap,
+    audience_overlap_sql,
+)
+
+
+@register(
+    "q_audience_overlap",
+    oracle=audience_overlap_sql(
+        "SELECT user_id, event_type FROM events", "user_id", "event_type"
+    ),
+    description="pairwise audience Jaccard between event types (distinct-user "
+    "overlap): co-membership pairs generated entity-locally (sorted distinct "
+    "group set per user -> row-local combination explode, bounded by the "
+    "group vocabulary) — never a membership self-join; group sizes broadcast "
+    "back; oracle is the all-pairs self-join",
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return audience_overlap(ev, "user_id", "event_type")

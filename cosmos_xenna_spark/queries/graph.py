@@ -217,3 +217,32 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _doc_pairs_edges(spark, sf_dir)
     return k_truss(edges, k=3, n_sweeps=3, src_col="doc_a", dst_col="doc_b")
+
+
+from cosmos_xenna_spark.operators.graph import hits_fixed_sql  # noqa: E402
+
+_TRADE_EDGES_SQL = """
+    SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@register(
+    "q_hits",
+    oracle=hits_fixed_sql(_TRADE_EDGES_SQL, n_iter=3),
+    description="HITS hubs & authorities on the directed supplier->customer "
+    "trade graph (3 iterations, int64 fixed point, quantized-divisor max "
+    "norm — no overflow, bit-exact vs the unrolled SQL oracle): per "
+    "iteration two edge equi-joins + two keyed aggregations, loop-invariant "
+    "edge list checkpointed once, score frames rotated per iteration",
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import hits_fixed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + 1000000).alias("dst"),
+    )
+    return hits_fixed(edges, n_iter=3)

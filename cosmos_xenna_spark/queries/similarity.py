@@ -308,3 +308,42 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_v"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+from cosmos_xenna_spark.operators.similarity import (  # noqa: E402
+    cosine,
+    mutual_nearest_pairs,
+    mutual_nearest_pairs_sql,
+)
+
+_MNN_N = 300
+
+
+@register(
+    "q_mutual_nn",
+    oracle=mutual_nearest_pairs_sql(
+        f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < {_MNN_N} AND b.vec_id < {_MNN_N}
+        """
+    ),
+    description="reciprocal-best-match (mutual nearest neighbor) pairs by "
+    "cosine over a bounded vector subset: each side is the other's single "
+    "best match — the high-precision entity-linkage rule; the reduction "
+    "(symmetrize, per-id top-1 window, id-count-sized self-join) composes "
+    "with any candidate generator (LSH/IVF at scale); float sims are "
+    "bit-exact vs DuckDB's list_cosine_similarity",
+)
+def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _MNN_N)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cand = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine("va", "vb"))
+        .select("id_a", "id_b", "sim")
+    )
+    return mutual_nearest_pairs(cand)

@@ -243,3 +243,43 @@ def test_k_truss_partitioning_invariant(spark):
     assert a == b
     # the chain edges are gone, both triangles survive with support 1
     assert {(s, d) for s, d, _ in a} == {(0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (3, 4)}
+
+
+def test_hits_matches_python_power_iteration(spark):
+    import random
+
+    from cosmos_xenna_spark.operators.graph import HITS_ONE, hits_fixed
+
+    rng = random.Random(23)
+    edges = list({(rng.randrange(20), 20 + rng.randrange(15)) for _ in range(80)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.auth_fp, r.hub_fp) for r in hits_fixed(df, n_iter=4).collect()}
+
+    nodes = {n for e in edges for n in e}
+    h = {n: HITS_ONE for n in nodes}
+    a = {n: HITS_ONE for n in nodes}
+    for _ in range(4):
+        a_raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            a_raw[d] += h[s]
+        ad = max(1, max(a_raw.values()) // HITS_ONE)
+        a = {n: v // ad for n, v in a_raw.items()}
+        h_raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            h_raw[s] += a[d]
+        hd = max(1, max(h_raw.values()) // HITS_ONE)
+        h = {n: v // hd for n, v in h_raw.items()}
+    assert got == {n: (a[n], h[n]) for n in nodes}
+    # bipartite source side: pure hubs (auth 0); target side: pure authorities
+    srcs = {s for s, _ in edges} - {d for _, d in edges}
+    assert all(got[s][0] == 0 for s in srcs)
+
+
+def test_hits_partitioning_invariant(spark):
+    from cosmos_xenna_spark.operators.graph import hits_fixed
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    x = sorted(map(tuple, hits_fixed(df.repartition(1), n_iter=3).collect()))
+    y = sorted(map(tuple, hits_fixed(df.repartition(5, "dst"), n_iter=3).collect()))
+    assert x == y

@@ -525,3 +525,60 @@ def test_histogram2d_matches_numpy(spark, seed):
     want = Counter((bucket(x, 0.0, 100.0, 10), bucket(y, 0.0, 10.0, 5)) for x, y in rows)
     assert got == dict(want)
     assert sum(got.values()) == len(rows)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_audience_overlap_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.eventops import audience_overlap
+
+    rng = random.Random(seed)
+    rows = [(rng.randrange(120), f"g{rng.randrange(8)}") for _ in range(900)]
+    df = spark.createDataFrame(rows, "e long, g string")
+    got = {
+        (r.group_a, r.group_b): (r.n_a, r.n_b, r.n_both, r.jaccard)
+        for r in audience_overlap(df, "e", "g").collect()
+    }
+
+    members: dict[str, set] = {}
+    for e, g in rows:
+        members.setdefault(g, set()).add(e)
+    want = {}
+    gs = sorted(members)
+    for i, ga in enumerate(gs):
+        for gb in gs[i + 1 :]:
+            both = len(members[ga] & members[gb])
+            if both:
+                na, nb = len(members[ga]), len(members[gb])
+                want[(ga, gb)] = (na, nb, both, float(both) / float(na + nb - both))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [9, 21])
+def test_mutual_nearest_pairs_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.similarity import mutual_nearest_pairs
+
+    rng = random.Random(seed)
+    n = 60
+    cand = [
+        (i, j, round(rng.uniform(0, 1), 6))
+        for i in range(n)
+        for j in range(i + 1, n)
+        if rng.random() < 0.3
+    ]
+    df = spark.createDataFrame(cand, "id_a long, id_b long, sim double")
+    got = sorted((r.id_a, r.id_b, r.sim) for r in mutual_nearest_pairs(df).collect())
+
+    best: dict[int, tuple] = {}
+    for i, j, s in cand:
+        for a, b in ((i, j), (j, i)):
+            cur = best.get(a)
+            # order by sim desc, partner asc
+            if cur is None or (s, -b) > (cur[0], -cur[1]):
+                best[a] = (s, b)
+    want = sorted(
+        (a, best[a][1], best[a][0])
+        for a in best
+        if a < best[a][1] and best.get(best[a][1], (None, None))[1] == a
+    )
+    assert got == want
+    assert got  # non-degenerate: some mutual pairs exist
