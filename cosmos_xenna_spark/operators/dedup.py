@@ -870,3 +870,82 @@ def minhash_bands_rowlocal(
     return mins.selectExpr(
         "doc_id", f"stack({n_bands}, {', '.join(band_exprs)}) AS (band, bucket)"
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_key_col: str,
+    window: int,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) candidate generation — the classic
+    entity-resolution blocking alternative to LSH: sort records by a
+    fuzzy key (normalized name/title prefix), slide a ``window``-row
+    neighborhood, and emit every pair that co-occupies a window.
+    Records whose keys are typo-close sort near each other, so the
+    candidate set is ~``window`` pairs per record regardless of corpus
+    size — no corpus self-join, no banding tables.
+
+    ``block_col`` partitions the sort (the scale path: a global sort
+    becomes per-block keyed windows, one shuffle on the block key; the
+    classic trade-off is that cross-block typos in the block key
+    itself are missed — run a second pass with a different block, the
+    standard multi-pass SNM remedy).  With ``block_col=None`` the sort
+    is global — correct, but a single-partition window: only for
+    bounded inputs.
+
+    Returns ``(id_a, id_b)`` with the ids ordered by (sort key, id) —
+    each pair emitted exactly once, by its earlier member.
+
+    Scale shape: one shuffle on the block key, ``window - 1`` flat
+    ``lead`` terms in ONE window pass, row-local explode of at most
+    ``window - 1`` partners per record.
+    """
+    if window < 2:
+        raise ValueError("sorted_neighborhood_pairs needs window >= 2")
+    w = (
+        Window.partitionBy(block_col).orderBy(sort_key_col, id_col)
+        if block_col is not None
+        else Window.partitionBy().orderBy(sort_key_col, id_col)
+    )
+    leads = F.array(
+        *[F.lead(id_col, j).over(w) for j in range(1, window)]
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id_a"),
+            *( [F.col(block_col)] if block_col is not None else [] ),
+            F.col(sort_key_col).alias("__sk"),
+            leads.alias("__partners"),
+        )
+        .select(
+            "id_a", F.explode(F.filter("__partners", lambda x: x.isNotNull())).alias("id_b")
+        )
+    )
+
+
+def sorted_neighborhood_pairs_sql(
+    table_sql: str,
+    id_col: str,
+    sort_key_col: str,
+    window: int,
+    block_col: str | None = None,
+) -> str:
+    """DuckDB mirror: same per-block window, LEAD terms stacked by
+    UNION ALL (the lateral-free form)."""
+    part = f"PARTITION BY {block_col} " if block_col is not None else ""
+    w = f"OVER ({part}ORDER BY {sort_key_col}, {id_col})"
+    lead_cols = ", ".join(
+        f"LEAD({id_col}, {j}) {w} AS __p{j}" for j in range(1, window)
+    )
+    stack = "\n      UNION ALL ".join(
+        f"SELECT id_a, __p{j} AS id_b FROM leads WHERE __p{j} IS NOT NULL"
+        for j in range(1, window)
+    )
+    return f"""
+    WITH leads AS (
+      SELECT {id_col} AS id_a, {lead_cols} FROM ({table_sql})
+    )
+    {stack}
+    """

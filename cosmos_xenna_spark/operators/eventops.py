@@ -475,3 +475,62 @@ def audience_overlap_sql(table_sql: str, entity_col: str, group_col: str) -> str
     FROM both_t JOIN sizes sa ON both_t.ga = sa.g
                 JOIN sizes sb ON both_t.gb = sb.g
     """
+
+
+def event_path_ngrams(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    type_col: str,
+    n: int = 3,
+    order_tiebreak: list[str] | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent behavioral path segments: every run of ``n``
+    consecutive event types per key (user/session), counted across the
+    corpus — "what are the common 3-step journeys", the sequence-
+    mining workhorse one level up from the pairwise transition matrix.
+
+    Returns ``(path, n_occurrences)`` where ``path`` is the
+    ``sep``-joined type n-gram.
+
+    Scale shape: the n-gram is ``n - 1`` flat ``lead`` terms in ONE
+    keyed window pass (no session self-join, no explode), then one
+    count aggregation on the path string with map-side partials.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col, *(order_tiebreak or []))
+    parts = [F.col(type_col)] + [
+        F.lead(type_col, j).over(w) for j in range(1, n)
+    ]
+    path = F.concat_ws(sep, *parts)
+    last = F.lead(type_col, n - 1).over(w)
+    return (
+        df.withColumn("__path", path)
+        .withColumn("__ok", last.isNotNull())
+        .filter(F.col("__ok"))
+        .groupBy(F.col("__path").alias("path"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def event_path_ngrams_sql(
+    table_sql: str,
+    key_cols: list[str],
+    order_col: str,
+    type_col: str,
+    n: int = 3,
+    order_tiebreak: list[str] | None = None,
+    sep: str = ">",
+) -> str:
+    part = ", ".join(key_cols)
+    order = ", ".join([order_col, *(order_tiebreak or [])])
+    w = f"OVER (PARTITION BY {part} ORDER BY {order})"
+    cols = [type_col] + [f"LEAD({type_col}, {j}) {w}" for j in range(1, n)]
+    path = (" || '" + sep + "' || ").join(cols)
+    last = f"LEAD({type_col}, {n - 1}) {w}"
+    return f"""
+    SELECT path, COUNT(*) AS n_occurrences FROM (
+      SELECT {path} AS path, {last} AS __last FROM ({table_sql})
+    ) WHERE __last IS NOT NULL
+    GROUP BY path
+    """

@@ -283,3 +283,94 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(topk)
     )
+
+
+# RBO weights (1-p) * p^(d-1) for p = 1/2: exact dyadic doubles, so the
+# repr-injected constants parse to identical binary64 in both engines.
+def _rbo_coef(d: int) -> float:
+    return 0.5 * (0.5 ** (d - 1))
+
+
+def rbo_agreement(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "item",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between two top-``k``
+    rankings per query, with persistence ``p = 1/2`` — the standard
+    top-weighted agreement metric for comparing retrieval systems
+    (did the BM25 -> hybrid swap actually change what users see?).
+
+        RBO_k = (1-p) * sum_{d=1..k} p^(d-1) * |A_1..d ∩ B_1..d| / d
+
+    ``p = 1/2`` keeps every weight an exact dyadic double and the sum
+    is a FIXED left-to-right chain of ``k`` terms, each one integer
+    division — bit-identical across engines (the decayed-sum
+    discipline applied to ranking eval).
+
+    Inputs are ``(query, item, rank)`` relations with ranks ``1..k``;
+    queries present in only one ranking are dropped (inner join).
+    Returns ``(query, rbo)``.
+
+    Scale shape: one aggregation per side to rank-ordered arrays (map-
+    side partial), one equi-join on the query id, all depth
+    intersections row-local array HOFs over length-<=k lists.
+    """
+    def lists(r: DataFrame, out: str) -> DataFrame:
+        return r.groupBy(F.col(query_col).alias("q")).agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(rank_col).alias("r"), F.col(item_col).alias("i")))
+                ),
+                lambda s: s["i"],
+            ).alias(out)
+        )
+
+    la, lb = lists(ranked_a, "a"), lists(ranked_b, "b")
+    joined = la.join(lb, "q")
+    terms = [
+        F.lit(_rbo_coef(d))
+        * (
+            F.size(
+                F.array_intersect(F.slice("a", 1, d), F.slice("b", 1, d))
+            ).cast("double")
+            / F.lit(float(d))
+        )
+        for d in range(1, k + 1)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return joined.select(F.col("q").alias(query_col), total.alias("rbo"))
+
+
+def rbo_agreement_sql(
+    ranked_a_sql: str,
+    ranked_b_sql: str,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "item",
+    rank_col: str = "rank",
+) -> str:
+    """DuckDB mirror: ORDER BY inside array_agg builds the rank-ordered
+    lists; identical coefficient constants and term order."""
+    terms = " + ".join(
+        f"{_rbo_coef(d)!r} * (CAST(len(list_intersect(a[1:{d}], b[1:{d}])) AS DOUBLE)"
+        f" / {float(d)!r})"
+        for d in range(1, k + 1)
+    )
+    return f"""
+    WITH la AS (
+      SELECT {query_col} AS q, array_agg({item_col} ORDER BY {rank_col}) AS a
+      FROM ({ranked_a_sql}) GROUP BY {query_col}
+    ),
+    lb AS (
+      SELECT {query_col} AS q, array_agg({item_col} ORDER BY {rank_col}) AS b
+      FROM ({ranked_b_sql}) GROUP BY {query_col}
+    )
+    SELECT q AS {query_col}, {terms} AS rbo
+    FROM la JOIN lb USING (q)
+    """

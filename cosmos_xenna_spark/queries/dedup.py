@@ -572,3 +572,63 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filter_jaccard_join(docs, "doc_id", "text", 3, 7, 10)
+
+
+from cosmos_xenna_spark.operators.dedup import (  # noqa: E402
+    sorted_neighborhood_pairs,
+    sorted_neighborhood_pairs_sql,
+)
+
+_SNM_KEYED_SQL = """
+    SELECT doc_id, lang || substr(lower(text), 1, 1) AS blk,
+           lower(substr(text, 1, 40)) AS sk, substr(text, 1, 60) AS pfx
+    FROM documents
+"""
+
+
+@register(
+    "q_snm_pairs",
+    oracle=f"""
+    WITH keyed AS ({_SNM_KEYED_SQL}),
+    cand AS (
+      {sorted_neighborhood_pairs_sql("SELECT doc_id, blk, sk FROM keyed", "doc_id", "sk", window=6, block_col="blk")}
+    )
+    SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+           CAST(levenshtein(ka.pfx, kb.pfx) AS BIGINT) AS dist
+    FROM cand c
+    JOIN keyed ka ON c.id_a = ka.doc_id
+    JOIN keyed kb ON c.id_b = kb.doc_id
+    WHERE levenshtein(ka.pfx, kb.pfx) <= 15
+    """,
+    description="sorted-neighborhood (SNM) near-duplicate detection: records "
+    "sorted by a fuzzy key (40-char lowercased prefix) inside "
+    "(lang, first-char) blocks, window-6 neighborhood pairing — ~window "
+    "candidates per record with NO corpus self-join and no banding tables; "
+    "early-abandon levenshtein(<=15) verify on the 60-char prefix; the "
+    "multi-pass remedy for cross-block typos is a second pass with a "
+    "different block key (documented SNM contract)",
+)
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.concat(F.col("lang"), F.substring(F.lower("text"), 1, 1)).alias("blk"),
+        F.lower(F.substring("text", 1, 40)).alias("sk"),
+        F.substring("text", 1, 60).alias("pfx"),
+    )
+    cand = sorted_neighborhood_pairs(
+        keyed.select("doc_id", "blk", "sk"), "doc_id", "sk", window=6, block_col="blk"
+    )
+    ka = keyed.select(F.col("doc_id").alias("id_a"), F.col("pfx").alias("pa"))
+    kb = keyed.select(F.col("doc_id").alias("id_b"), F.col("pfx").alias("pb"))
+    return (
+        cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .withColumn("dist", F.levenshtein("pa", "pb", 15))
+        .filter(F.col("dist") >= 0)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+    )

@@ -495,3 +495,33 @@ from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
     return audience_overlap(ev, "user_id", "event_type")
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    event_path_ngrams,
+    event_path_ngrams_sql,
+)
+
+
+@register(
+    "q_event_paths",
+    oracle=event_path_ngrams_sql(
+        "SELECT user_id, ts, event_id, event_type FROM events",
+        ["user_id"],
+        "ts",
+        "event_type",
+        n=3,
+        order_tiebreak=["event_id"],
+    ),
+    description="frequent 3-step behavioral paths: every run of 3 consecutive "
+    "event types per user, counted corpus-wide — 2 flat lead terms in ONE "
+    "keyed window pass (no session self-join, no explode), one count "
+    "aggregation on the path string with map-side partials",
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return event_path_ngrams(
+        ev, ["user_id"], "ts", "event_type", n=3, order_tiebreak=["event_id"]
+    )

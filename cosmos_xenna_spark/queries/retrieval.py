@@ -269,3 +269,72 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_RRF_K,
         topk=_RRF_TOPK,
     )
+
+
+from cosmos_xenna_spark.operators.retrieval import (  # noqa: E402
+    rbo_agreement,
+    rbo_agreement_sql,
+)
+
+_RBO_K = 5
+
+_RANK_BY_COUNT_SQL = f"""
+    SELECT cohort AS query_id, event_type AS item, rank FROM (
+      SELECT cohort, event_type,
+             row_number() OVER (PARTITION BY cohort ORDER BY n DESC, event_type) AS rank
+      FROM (
+        SELECT user_id % 50 AS cohort, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rank <= {_RBO_K}
+"""
+
+_RANK_BY_VALUE_SQL = f"""
+    SELECT cohort AS query_id, event_type AS item, rank FROM (
+      SELECT cohort, event_type,
+             row_number() OVER (PARTITION BY cohort ORDER BY cents DESC, event_type) AS rank
+      FROM (
+        SELECT user_id % 50 AS cohort, event_type,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rank <= {_RBO_K}
+"""
+
+
+@register(
+    "q_rbo_rankings",
+    oracle=rbo_agreement_sql(_RANK_BY_COUNT_SQL, _RANK_BY_VALUE_SQL, k=_RBO_K),
+    description="rank-biased overlap (p=1/2, top-5) between two per-cohort "
+    "event-type rankings (by count vs by total value): top-weighted ranking "
+    "agreement with exact dyadic weights and a fixed left-to-right term "
+    "chain — bit-identical across engines; one aggregation per side to "
+    "rank-ordered arrays, one equi-join, row-local depth intersections",
+)
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("cohort"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def ranked(metric_agg, metric_name):
+        agg = ev.groupBy("cohort", "event_type").agg(metric_agg.alias(metric_name))
+        w = Window.partitionBy("cohort").orderBy(
+            F.desc(metric_name), F.asc("event_type")
+        )
+        return (
+            agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _RBO_K)
+            .select(
+                F.col("cohort").alias("query_id"),
+                F.col("event_type").alias("item"),
+                "rank",
+            )
+        )
+
+    ra = ranked(F.count(F.lit(1)), "n")
+    rb = ranked(F.sum("cents"), "c")
+    return rbo_agreement(ra, rb, k=_RBO_K)

@@ -582,3 +582,85 @@ def test_mutual_nearest_pairs_matches_python(spark, seed):
     )
     assert got == want
     assert got  # non-degenerate: some mutual pairs exist
+
+
+@pytest.mark.parametrize("seed", [13, 27])
+def test_sorted_neighborhood_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rng = random.Random(seed)
+    rows = [
+        (i, f"b{rng.randrange(4)}", f"{rng.randrange(1000):04d}x{i}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, sk string")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(df, "id", "sk", window=5, block_col="blk").collect()
+    )
+
+    by_blk: dict[str, list] = {}
+    for i, b, k in rows:
+        by_blk.setdefault(b, []).append((k, i))
+    want = []
+    for b, items in by_blk.items():
+        items.sort()
+        for x in range(len(items)):
+            for j in range(1, 5):
+                if x + j < len(items):
+                    want.append((items[x][1], items[x + j][1]))
+    assert got == sorted(want)
+
+
+@pytest.mark.parametrize("seed", [15, 31])
+def test_rbo_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.retrieval import rbo_agreement
+
+    rng = random.Random(seed)
+    k = 4
+    items = [f"i{j}" for j in range(8)]
+    ra, rb, want = [], [], {}
+    for q in range(20):
+        la = rng.sample(items, k)
+        lb = rng.sample(items, k)
+        ra += [(q, it, r + 1) for r, it in enumerate(la)]
+        rb += [(q, it, r + 1) for r, it in enumerate(lb)]
+        total = 0.0
+        for d in range(1, k + 1):
+            x = len(set(la[:d]) & set(lb[:d]))
+            total = total + (0.5 * 0.5 ** (d - 1)) * (float(x) / float(d))
+        want[q] = total
+    dfa = spark.createDataFrame(ra, "query_id long, item string, rank long")
+    dfb = spark.createDataFrame(rb, "query_id long, item string, rank long")
+    got = {r.query_id: r.rbo for r in rbo_agreement(dfa, dfb, k=k).collect()}
+    assert got == want
+    # identical lists => rbo == sum of full weights
+    full = sum(0.5 * 0.5 ** (d - 1) for d in range(1, k + 1))
+    same = spark.createDataFrame(ra, "query_id long, item string, rank long")
+    g2 = {r.query_id: r.rbo for r in rbo_agreement(dfa, same, k=k).collect()}
+    assert all(abs(v - full) < 1e-12 for v in g2.values())
+
+
+@pytest.mark.parametrize("seed", [19, 37])
+def test_event_path_ngrams_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.eventops import event_path_ngrams
+
+    rng = random.Random(seed)
+    rows = [
+        (i, f"u{rng.randrange(10)}", i, f"t{rng.randrange(4)}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "i long, u string, ts long, t string")
+    got = {
+        r.path: r.n_occurrences
+        for r in event_path_ngrams(df, ["u"], "ts", "t", n=3, order_tiebreak=["i"]).collect()
+    }
+
+    seqs: dict[str, list] = {}
+    for i, u, ts, t in sorted(rows, key=lambda r: (r[2], r[0])):
+        seqs.setdefault(u, []).append(t)
+    want: dict[str, int] = {}
+    for u, s in seqs.items():
+        for x in range(len(s) - 2):
+            p = ">".join(s[x : x + 3])
+            want[p] = want.get(p, 0) + 1
+    assert got == want
