@@ -707,3 +707,53 @@ def streaming_golden_record(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cusum(
+    stream_df: DataFrame,
+    drift_cents: int,
+    threshold_cents: int,
+) -> DataFrame:
+    """Live CUSUM change detection: the streaming form of
+    ``operators.timeseries.cusum_changepoint`` via
+    ``applyInPandasWithState``.
+
+    Per-user state is TWO integers — the running cumulative sum of
+    (cents - k) and its running minimum — regardless of stream length;
+    each row emits its Page statistic ``S_t = cum_t - min(0,
+    running_min)`` and alarm flag immediately.  For a time-ordered
+    replay the emitted rows are BIT-IDENTICAL to the batch closed-form
+    operator (parity test); out-of-order arrival across micro-batches
+    degrades to arrival-order semantics (the streaming_time_window_
+    dedup contract).  This is the monitoring loop the batch operator's
+    closed form cannot give you live: O(1) state, per-event output.
+    """
+    import math
+
+    def update(key, pdfs, state: GroupState):
+        cum, runmin = state.get if state.exists else (0, 0)
+        out = {"event_id": [], "entity": [], "cusum": [], "alarm": []}
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            batch["__us"] = batch["ts"].astype("datetime64[us]").astype("int64")
+            batch = batch.sort_values(["__us", "event_id"])
+            for eid, v in zip(batch["event_id"], batch["value"]):
+                c = math.floor(v * 100) - drift_cents
+                cum += c
+                runmin = min(runmin, cum)
+                s = cum - min(0, runmin)
+                out["event_id"].append(int(eid))
+                out["entity"].append(int(key[0]))
+                out["cusum"].append(int(s))
+                out["alarm"].append(1 if s >= threshold_cents else 0)
+        state.update((int(cum), int(runmin)))
+        yield pd.DataFrame(out)
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="event_id long, entity long, cusum long, alarm long",
+        stateStructType="cum long, runmin long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -767,3 +767,32 @@ def test_streaming_golden_record_matches_batch(spark, sf_dir):
         c: (r.n_members, r.text, r.doc_id, r.sum_n_chars) for c, r in latest.items()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_cusum_matches_batch(spark, sf_dir, events_dir):
+    """O(1)-state CUSUM parity: the live recurrence (cum, runmin state)
+    emits bit-identical Page statistics to the batch closed-form
+    (prefix-sum minus running-min) operator over the same replay."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.timeseries import cusum_changepoint
+    from cosmos_xenna_spark.streaming import streaming_cusum
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(
+        streaming_cusum(stream, drift_cents=550, threshold_cents=2500), "t_cusum", "append"
+    )
+    _drain(q)
+    got = sorted(
+        (r.event_id, r.entity, r.cusum, r.alarm)
+        for r in spark.sql("SELECT * FROM t_cusum").collect()
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    want = sorted(
+        (r.event_id, r.user_id, r.cusum, r.alarm)
+        for r in cusum_changepoint(
+            ev, ["user_id"], "ts", "value",
+            drift_cents=550, threshold_cents=2500, order_tiebreak=["event_id"],
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    assert any(a == 1 for _, _, _, a in got)  # alarms actually fire
