@@ -212,6 +212,10 @@ _BNLJ_ALLOWED = {
     "q_chi_squared",
     # single-row broadcast basket total attached to the frequent pairs
     "q_market_basket",
+    # intentional bounded brute-force candidate generation (300-vector
+    # subset; the mutual-NN REDUCTION is equi-join-only and composes
+    # with LSH/IVF candidates at scale — the knn_bruteforce contract)
+    "q_mutual_nn",
 }
 
 
