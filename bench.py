@@ -100,6 +100,15 @@ HEADLINE = [
     "q_image_phash_pairs",
     # r6 batch 5: basket-local pair mining over the lineitem fact table
     "q_market_basket",
+    # r7 additions: the 2-D grid-cell spatial self-join, the two
+    # iterative graph kernels (edge-peeling truss, HITS power steps),
+    # SNM window blocking + levenshtein verify, and the entity-local
+    # audience-overlap pair mining
+    "q_spatial_neighbors",
+    "q_ktruss",
+    "q_hits",
+    "q_snm_pairs",
+    "q_audience_overlap",
 ]
 
 

@@ -534,3 +534,99 @@ def event_path_ngrams_sql(
     ) WHERE __last IS NOT NULL
     GROUP BY path
     """
+
+
+def temporal_cooccurrence(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    type_col: str,
+    types: list[str],
+    window_secs: int,
+) -> DataFrame:
+    """Temporal co-occurrence matrix: for every ordered type pair
+    (a, b), how many times a ``b`` event STRICTLY follows an ``a``
+    event within ``window_secs`` for the same key — "what happens
+    within an hour of a click", the lead/lag association mining step
+    behind trigger detection and next-event models.
+
+    ``types`` is the (bounded) type vocabulary to count into — one
+    conditional range-frame count per type, ALL riding one keyed
+    window exchange; pairs at zero time distance (ties) are excluded
+    so the count is orientation-unambiguous.
+
+    Returns ``(type_a, type_b, n_pairs)`` for pairs with n >= 1.
+
+    Scale shape: one shuffle on the key; the per-row frame state is
+    bounded by event density within ``window_secs``; the final
+    aggregation reduces to a |types|^2 matrix with map-side partials —
+    no event self-join.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(1, window_secs * 1_000_000)
+    )
+    cnt_cols = [
+        F.sum(F.when(F.col(type_col) == t, 1).otherwise(0))
+        .over(w)
+        .alias(f"__n_{i}")
+        for i, t in enumerate(types)
+    ]
+    base = df.select(F.col(type_col).alias("type_a"), *cnt_cols)
+    per_type = base.groupBy("type_a").agg(
+        *[F.sum(f"__n_{i}").alias(f"__s_{i}") for i in range(len(types))]
+    )
+    stacked = per_type.select(
+        "type_a",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("type_b"),
+                        F.coalesce(F.col(f"__s_{i}"), F.lit(0))
+                        .cast("bigint")
+                        .alias("n_pairs"),
+                    )
+                    for i, t in enumerate(types)
+                ]
+            )
+        ),
+    )
+    return stacked.filter(F.col("n_pairs") >= 1)
+
+
+def temporal_cooccurrence_sql(
+    table_sql: str,
+    key_cols: list[str],
+    ts_col: str,
+    type_col: str,
+    types: list[str],
+    window_secs: int,
+) -> str:
+    """DuckDB mirror — identical conditional range-frame counts."""
+    part = ", ".join(key_cols)
+    w = (
+        f"OVER (PARTITION BY {part} ORDER BY epoch_us({ts_col}) "
+        f"RANGE BETWEEN 1 FOLLOWING AND {window_secs * 1_000_000} FOLLOWING)"
+    )
+    cnts = ", ".join(
+        f"SUM(CASE WHEN {type_col} = '{t}' THEN 1 ELSE 0 END) {w} AS n_{i}"
+        for i, t in enumerate(types)
+    )
+    sums = ", ".join(
+        f"CAST(COALESCE(SUM(n_{i}), 0) AS BIGINT) AS s_{i}" for i in range(len(types))
+    )
+    stack = "\n      UNION ALL ".join(
+        f"SELECT type_a, '{t}' AS type_b, s_{i} AS n_pairs FROM per_type"
+        for i, t in enumerate(types)
+    )
+    return f"""
+    WITH base AS (
+      SELECT {type_col} AS type_a, {cnts} FROM ({table_sql})
+    ),
+    per_type AS (
+      SELECT type_a, {sums} FROM base GROUP BY type_a
+    )
+    SELECT * FROM ({stack}) WHERE n_pairs >= 1
+    """

@@ -374,3 +374,66 @@ def rbo_agreement_sql(
     SELECT q AS {query_col}, {terms} AS rbo
     FROM la JOIN lb USING (q)
     """
+
+
+def boolean_and_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive boolean retrieval: documents containing ALL of
+    ``query_terms`` — the posting-intersection primitive under every
+    filtered-search and decontamination pass (AND of required
+    keywords), without materializing per-term posting lists.
+
+    Implementation is one scan: tokenize, keep only query-term hits
+    (the filter prunes the explode output to |terms| rows per doc max),
+    count DISTINCT matched terms per doc, keep docs where the count
+    equals |terms|.  Returns ``(doc_id, n_terms_matched)`` (constant
+    column kept for auditability).
+
+    Scale shape: the term filter makes the shuffled relation at most
+    |query_terms| rows per matching doc; one aggregation on the doc id
+    with map-side partials — no join against a terms table, no
+    per-term passes.
+    """
+    if not query_terms:
+        raise ValueError("boolean_and_search needs at least one term")
+    terms = [t.lower() for t in query_terms]
+    hits = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)")
+            ).alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .distinct()
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"))
+        .filter(F.col("n_terms_matched") == len(terms))
+    )
+
+
+def boolean_and_search_sql(
+    table_sql: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror — same tokenizer regex and distinct-count gate."""
+    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    return f"""
+    SELECT {id_col}, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms_matched
+    FROM (
+      SELECT {id_col},
+             UNNEST(regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)) AS term
+      FROM ({table_sql})
+    )
+    WHERE term IN ({terms})
+    GROUP BY {id_col}
+    HAVING COUNT(DISTINCT term) = {len(query_terms)}
+    """

@@ -1218,3 +1218,87 @@ def grouped_moments_sql(
            CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_excess
     FROM cm
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-group quantile normalization (distribution matching)
+# ---------------------------------------------------------------------------
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_cols: list[str],
+    out_col: str = "value_qnorm",
+) -> DataFrame:
+    """Quantile normalization: replace each value with the GLOBAL value
+    at the same quantile position, so every group's distribution maps
+    onto the pooled distribution — batch-effect correction for mixed
+    sources (a verbose source's length histogram lines up with the
+    corpus before percentile gates are applied).
+
+    Per row: within-group rank ``r`` (of ``n``) maps to the global
+    value at rank ``ceil(r * N / n)`` of ``N``.  Pure integer rank
+    arithmetic on a total order (``value, id_cols`` breaks ties), so
+    the mapping is exact and engine-identical.  ``r * N`` must fit
+    int64 (group size x corpus size < 2^63) — beyond that the mapping
+    needs DECIMAL rank math; the operator keeps int64 and documents
+    the bound.
+
+    Scale shape: the within-group rank and group count ride ONE keyed
+    window exchange; the global rank uses the distributed
+    quantile-bucketed ``global_row_number`` (never a single-partition
+    window); the final equi-join is on the computed rank.  The corpus
+    size ``N`` is one driver-side count (bounded-scalar pattern).
+    """
+    from cosmos_xenna_spark.operators.ranking import global_row_number
+
+    order = [F.col(value_col), *[F.col(c) for c in id_cols]]
+    wg = Window.partitionBy(*group_cols).orderBy(*order)
+    wn = Window.partitionBy(*group_cols)
+    base = df.withColumn("__r", F.row_number().over(wg)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    n_total = df.count()
+    glob = global_row_number(
+        df.select(F.col(value_col).alias("__gv"), *[F.col(c) for c in id_cols]),
+        ["__gv", *id_cols],
+        out_col="__rn",
+    ).select("__gv", "__rn")
+    target = F.expr(f"(__r * {n_total}L + __n - 1L) div __n")
+    return (
+        base.withColumn("__t", target)
+        .join(glob, F.col("__t") == F.col("__rn"))
+        .withColumn(out_col, F.col("__gv"))
+        .drop("__r", "__n", "__t", "__rn", "__gv")
+    )
+
+
+def quantile_normalize_sql(
+    table_sql: str,
+    group_cols: list[str],
+    value_col: str,
+    id_cols: list[str],
+    out_col: str = "value_qnorm",
+) -> str:
+    """DuckDB mirror — plain windows (the oracle runs single-node)."""
+    keys = ", ".join(group_cols)
+    order = ", ".join([value_col, *id_cols])
+    return f"""
+    WITH t AS ({table_sql}),
+    base AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY {keys} ORDER BY {order}) AS r,
+             COUNT(*) OVER (PARTITION BY {keys}) AS n
+      FROM t
+    ),
+    gq AS (
+      SELECT {value_col} AS gv,
+             row_number() OVER (ORDER BY {order}) AS rn
+      FROM t
+    )
+    SELECT base.* EXCLUDE (r, n), gq.gv AS {out_col}
+    FROM base JOIN gq
+      ON (r * (SELECT COUNT(*) FROM t) + n - 1) // n = gq.rn
+    """

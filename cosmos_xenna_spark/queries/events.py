@@ -525,3 +525,34 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_path_ngrams(
         ev, ["user_id"], "ts", "event_type", n=3, order_tiebreak=["event_id"]
     )
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    temporal_cooccurrence,
+    temporal_cooccurrence_sql,
+)
+
+_COOC_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_temporal_cooccurrence",
+    oracle=temporal_cooccurrence_sql(
+        "SELECT user_id, ts, event_type FROM events",
+        ["user_id"],
+        "ts",
+        "event_type",
+        _COOC_TYPES,
+        window_secs=3600,
+    ),
+    description="temporal co-occurrence matrix: for each ordered type pair "
+    "(a, b), how often b strictly follows a within 1 hour for the same user "
+    "— one conditional range-frame count per type, ALL riding one keyed "
+    "window exchange (no event self-join); output reduces to the "
+    "|types|^2 matrix with map-side partials",
+)
+def q_temporal_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return temporal_cooccurrence(
+        ev, ["user_id"], "ts", "event_type", _COOC_TYPES, window_secs=3600
+    )

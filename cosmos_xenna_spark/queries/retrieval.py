@@ -338,3 +338,24 @@ def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra = ranked(F.count(F.lit(1)), "n")
     rb = ranked(F.sum("cents"), "c")
     return rbo_agreement(ra, rb, k=_RBO_K)
+
+
+from cosmos_xenna_spark.operators.retrieval import (  # noqa: E402
+    boolean_and_search,
+    boolean_and_search_sql,
+)
+
+_BOOL_TERMS = ["hash", "join", "scan"]
+
+
+@register(
+    "q_boolean_search",
+    oracle=boolean_and_search_sql("SELECT doc_id, text FROM documents", _BOOL_TERMS),
+    description="conjunctive boolean retrieval (docs containing ALL query "
+    "terms): one tokenize scan, term filter prunes the shuffled relation to "
+    "<= |terms| rows per matching doc, one distinct-count gate per doc — no "
+    "posting-list materialization, no per-term passes",
+)
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return boolean_and_search(docs, _BOOL_TERMS)

@@ -357,3 +357,34 @@ def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_moments_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return grouped_moments(docs, ["lang"], "n_chars")
+
+
+from cosmos_xenna_spark.operators.stats import (  # noqa: E402
+    quantile_normalize,
+    quantile_normalize_sql,
+)
+
+
+@register(
+    "q_quantile_normalize",
+    oracle=(
+        "SELECT doc_id, lang, n_chars, value_qnorm FROM ("
+        + quantile_normalize_sql(
+            "SELECT doc_id, lang, n_chars FROM documents",
+            ["lang"],
+            "n_chars",
+            ["doc_id"],
+        )
+        + ")"
+    ),
+    description="cross-group quantile normalization: each document's length "
+    "mapped to the GLOBAL length at the same quantile position (batch-effect "
+    "correction before percentile gates) — exact integer rank arithmetic, "
+    "within-group rank+count on one keyed window exchange, distributed "
+    "quantile-bucketed global rank (never a single-partition window), one "
+    "equi-join on the computed rank",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = quantile_normalize(docs, ["lang"], "n_chars", ["doc_id"])
+    return out.select("doc_id", "lang", "n_chars", "value_qnorm")

@@ -664,3 +664,86 @@ def test_event_path_ngrams_matches_python(spark, seed):
             p = ">".join(s[x : x + 3])
             want[p] = want.get(p, 0) + 1
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [23, 41])
+def test_temporal_cooccurrence_matches_python(spark, seed):
+    import datetime
+
+    from cosmos_xenna_spark.operators.eventops import temporal_cooccurrence
+
+    rng = random.Random(seed)
+    types = ["a", "b", "c"]
+    rows = [
+        (
+            f"u{rng.randrange(6)}",
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=rng.randrange(50000)),
+            types[rng.randrange(3)],
+        )
+        for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, t string")
+    got = {
+        (r.type_a, r.type_b): r.n_pairs
+        for r in temporal_cooccurrence(df, ["u"], "ts", "t", types, window_secs=600).collect()
+    }
+
+    want: dict[tuple, int] = {}
+    by_u: dict[str, list] = {}
+    for u, ts, t in rows:
+        by_u.setdefault(u, []).append((ts, t))
+    for u, evs in by_u.items():
+        for ts_i, t_i in evs:
+            for ts_j, t_j in evs:
+                d = (ts_j - ts_i).total_seconds()
+                if 1 <= d <= 600:
+                    want[(t_i, t_j)] = want.get((t_i, t_j), 0) + 1
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [29, 43])
+def test_boolean_and_search_matches_python(spark, seed):
+    import re
+
+    from cosmos_xenna_spark.operators.retrieval import boolean_and_search
+
+    rng = random.Random(seed)
+    vocab = ["apple", "banana", "cherry", "date", "elder"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 10))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ["apple", "cherry"]
+    got = sorted(r.doc_id for r in boolean_and_search(df, terms).collect())
+    want = sorted(
+        i for i, t in docs if all(q in re.findall("[a-z]+", t) for q in terms)
+    )
+    assert got == want and got
+
+
+@pytest.mark.parametrize("seed", [31, 47])
+def test_quantile_normalize_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.stats import quantile_normalize
+
+    rng = random.Random(seed)
+    rows = [(i, f"g{i % 3}", rng.randrange(0, 10000)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = {r.id: r.value_qnorm for r in quantile_normalize(df, ["g"], "v", ["id"]).collect()}
+
+    N = len(rows)
+    gsorted = sorted(rows, key=lambda r: (r[2], r[0]))
+    by_g: dict[str, list] = {}
+    for i, g, v in sorted(rows, key=lambda r: (r[2], r[0])):
+        by_g.setdefault(g, []).append(i)
+    want = {}
+    for g, ids in by_g.items():
+        n = len(ids)
+        for r0, i in enumerate(ids, start=1):
+            target = (r0 * N + n - 1) // n
+            want[i] = gsorted[target - 1][2]
+    assert got == want
+    # distribution matching: each group's max maps to the global max
+    gmax = max(v for _, _, v in rows)
+    for g, ids in by_g.items():
+        assert got[ids[-1]] == gmax
