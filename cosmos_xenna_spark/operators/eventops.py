@@ -630,3 +630,111 @@ def temporal_cooccurrence_sql(
     )
     SELECT * FROM ({stack}) WHERE n_pairs >= 1
     """
+
+
+def audience_overlap_minhash(
+    df: DataFrame,
+    entity_col: str,
+    group_col: str,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """MinHash-sketch twin of :func:`audience_overlap` — the scale path
+    when audiences are huge: each group's entity SET compresses to an
+    ``n_hashes``-component signature (min of a universal hash per
+    permutation), and Jaccard is estimated as the fraction of matching
+    components.  The entity-locality contract of the exact form caps
+    pair cost by groups-per-entity; this one goes further — after one
+    aggregation pass the CORPUS is out of the picture entirely, and
+    group pairs compare fixed 8*n_hashes-byte signatures.
+
+    Deterministic end-to-end (one independent md5-derived permutation
+    per component, no RNG), so the estimator COMPUTATION is bit-exact
+    and SQL-oracle-able; its statistical accuracy (est ~ true Jaccard
+    +- 1/sqrt(n_hashes)) is pinned by a separate test against the
+    exact operator.
+
+    Returns ``(group_a, group_b, est_jaccard_ppm)`` for all group
+    pairs (including zero-overlap ones — a sketch cannot distinguish
+    true zero from small).
+
+    Scale shape: one distinct + one aggregation over (group, entity)
+    with map-side partial mins; the signature table is group-count-
+    sized; pairs come from a driver-built literal of the (bounded)
+    group vocabulary joined twice by equi-join — no cartesian, no
+    membership self-join, nothing downstream touches the corpus.
+    """
+    from cosmos_xenna_spark.functions import md5_long63
+
+    # Each signature component is an INDEPENDENT md5-derived
+    # permutation (md5 of "i:entity").  The cheap split-linear
+    # universal family the LSH banding uses is NOT min-wise sound on
+    # its own: only the high 33 bits get multiplied, the value wraps
+    # the Mersenne prime at most ~4 times, and the argmin ends up
+    # driven by the same few entities under every permutation —
+    # measured estimate 0.195 for a pair whose true Jaccard is 0.52
+    # (a truly random permutation reads 0.48).  Banding only needs
+    # collision-on-equal, so the cheap family is fine THERE; an
+    # estimator needs min-wise independence, so it pays one md5 per
+    # (row, component) — the classic MinHash cost.
+    eg = df.select(
+        F.col(group_col).alias("g"),
+        F.col(entity_col).cast("string").alias("e"),
+    ).distinct()
+    sigs = eg.groupBy("g").agg(
+        *[
+            F.min(
+                md5_long63(F.concat(F.lit(f"{i}:"), F.col("e")))
+            ).alias(f"__s{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    groups = sorted(r.g for r in eg.select("g").distinct().collect())
+    spark = df.sparkSession
+    pairs = spark.createDataFrame(
+        [(ga, gb) for i, ga in enumerate(groups) for gb in groups[i + 1 :]],
+        "group_a string, group_b string",
+    )
+    sa = sigs.select(F.col("g").alias("group_a"), *[F.col(f"__s{i}").alias(f"__a{i}") for i in range(n_hashes)])
+    sb = sigs.select(F.col("g").alias("group_b"), *[F.col(f"__s{i}").alias(f"__b{i}") for i in range(n_hashes)])
+    joined = pairs.join(F.broadcast(sa), "group_a").join(F.broadcast(sb), "group_b")
+    matches = " + ".join(
+        f"(CASE WHEN __a{i} = __b{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return joined.select(
+        "group_a",
+        "group_b",
+        F.expr(
+            f"CAST(CAST(({matches}) AS BIGINT) * 1000000L div {n_hashes} AS BIGINT)"
+        ).alias("est_jaccard_ppm"),
+    )
+
+
+def audience_overlap_minhash_sql(
+    table_sql: str,
+    entity_col: str,
+    group_col: str,
+    n_hashes: int = 64,
+) -> str:
+    """DuckDB mirror — identical hash constants and match counting."""
+    from cosmos_xenna_spark.functions import md5_long63_sql
+
+    mins = ", ".join(
+        f"MIN({md5_long63_sql('e', prefix=f'{i}:')}) AS s{i}"
+        for i in range(n_hashes)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return f"""
+    WITH eg AS (
+      SELECT DISTINCT {group_col} AS g, CAST({entity_col} AS STRING) AS e
+      FROM ({table_sql})
+    ),
+    sigs AS (
+      SELECT g, {mins} FROM eg GROUP BY g
+    )
+    SELECT a.g AS group_a, b.g AS group_b,
+           CAST(CAST(({matches}) AS BIGINT) * 1000000 // {n_hashes} AS BIGINT)
+             AS est_jaccard_ppm
+    FROM sigs a JOIN sigs b ON a.g < b.g
+    """

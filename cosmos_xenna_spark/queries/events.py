@@ -556,3 +556,27 @@ def q_temporal_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_cooccurrence(
         ev, ["user_id"], "ts", "event_type", _COOC_TYPES, window_secs=3600
     )
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    audience_overlap_minhash,
+    audience_overlap_minhash_sql,
+)
+
+
+@register(
+    "q_audience_overlap_sketch",
+    oracle=audience_overlap_minhash_sql(
+        "SELECT user_id, event_type FROM events", "user_id", "event_type", n_hashes=64
+    ),
+    description="MinHash-sketch audience overlap (64 components): each "
+    "group's entity set compresses to a fixed signature in ONE aggregation "
+    "pass with map-side partial mins, pairs compare 512-byte signatures "
+    "from a driver-built vocabulary literal (equi-joins only, corpus never "
+    "touched downstream) — the scale path of q_audience_overlap; "
+    "deterministic seeded hashes make the estimator itself SQL-oracle-able, "
+    "and a test pins its accuracy against the exact operator",
+)
+def q_audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return audience_overlap_minhash(ev, "user_id", "event_type", n_hashes=64)

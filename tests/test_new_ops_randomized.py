@@ -747,3 +747,35 @@ def test_quantile_normalize_matches_python(spark, seed):
     gmax = max(v for _, _, v in rows)
     for g, ids in by_g.items():
         assert got[ids[-1]] == gmax
+
+
+@pytest.mark.parametrize("seed", [35, 51])
+def test_audience_overlap_sketch_tracks_exact(spark, seed):
+    """The MinHash estimate lands within ~3/sqrt(n_hashes) of the exact
+    Jaccard for every group pair (and the signature computation itself
+    is deterministic across partitionings)."""
+    from cosmos_xenna_spark.operators.eventops import (
+        audience_overlap,
+        audience_overlap_minhash,
+    )
+
+    rng = random.Random(seed)
+    rows = [(rng.randrange(400), f"g{rng.randrange(5)}") for _ in range(2500)]
+    df = spark.createDataFrame(rows, "e long, g string")
+    exact = {
+        (r.group_a, r.group_b): r.jaccard
+        for r in audience_overlap(df, "e", "g").collect()
+    }
+    est = {
+        (r.group_a, r.group_b): r.est_jaccard_ppm / 1e6
+        for r in audience_overlap_minhash(df, "e", "g", n_hashes=128).collect()
+    }
+    assert set(exact) <= set(est)
+    for pair, j in exact.items():
+        assert abs(est[pair] - j) <= 3.0 / (128 ** 0.5), (pair, j, est[pair])
+    # partitioning invariance of the signatures
+    est2 = {
+        (r.group_a, r.group_b): r.est_jaccard_ppm
+        for r in audience_overlap_minhash(df.repartition(13, "e"), "e", "g", n_hashes=128).collect()
+    }
+    assert est2 == {k: int(v * 1e6 + 0.5) for k, v in est.items()}
