@@ -464,3 +464,127 @@ def autocorrelation_sql(
            END AS acf
     FROM fin
     """
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_secs: int,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Resample each series onto a regular ``step_secs`` grid with
+    forward-fill — the distributed ``resample().ffill()``: one row per
+    (key, grid instant) carrying the last observed value at or before
+    that instant.  Grid points span each key's OWN active range
+    (``ceil(min/step) .. floor(max/step)``), so every emitted point
+    has a preceding observation and the fill is total (no NULLs).
+
+    Implementation is the union-spine trick, NOT an as-of join: grid
+    rows (value NULL) union with the observations, ONE keyed window
+    ordered by (epoch, is_grid, tiebreak) forward-fills via
+    ``last(value) IGNORE NULLS``, and only grid rows are kept.  An
+    observation exactly on a grid instant sorts before it and wins.
+
+    Returns ``(key..., grid_ts, value_ffill)``.
+
+    Scale shape: one aggregation for the per-key bounds, a row-local
+    sequence explode (spine size = active span / step, per key), and
+    ONE keyed window over observations + spine — no join, no state
+    beyond the running last value.
+    """
+    step_us = step_secs * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    tie = [F.col(c) for c in (order_tiebreak or [])]
+    obs = df.select(
+        *[F.col(c) for c in key_cols],
+        us.alias("__us"),
+        F.lit(0).alias("__is_grid"),
+        F.col(value_col).alias("__v"),
+        *tie,
+    )
+    bounds = df.groupBy(*key_cols).agg(
+        F.ceil(F.min(us) / F.lit(step_us)).alias("__k_lo"),
+        F.floor(F.max(us) / F.lit(step_us)).alias("__k_hi"),
+    )
+    grid = (
+        bounds.filter(F.col("__k_lo") <= F.col("__k_hi"))
+        .select(
+            *[F.col(c) for c in key_cols],
+            F.explode(F.sequence("__k_lo", "__k_hi")).alias("__k"),
+        )
+        .select(
+            *[F.col(c) for c in key_cols],
+            (F.col("__k") * step_us).alias("__us"),
+            F.lit(1).alias("__is_grid"),
+            F.lit(None).cast(dict(df.dtypes)[value_col]).alias("__v"),
+            *[F.lit(None).cast(dict(df.dtypes)[c]).alias(c) for c in (order_tiebreak or [])],
+        )
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__us", "__is_grid", *(order_tiebreak or []))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        obs.unionByName(grid)
+        .withColumn("__fill", F.last("__v", ignorenulls=True).over(w))
+        .filter(F.col("__is_grid") == 1)
+        .select(
+            *key_cols,
+            F.timestamp_micros(F.col("__us")).alias("grid_ts"),
+            F.col("__fill").alias("value_ffill"),
+        )
+    )
+
+
+def resample_ffill_sql(
+    table_sql: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_secs: int,
+    order_tiebreak: list[str] | None = None,
+) -> str:
+    """DuckDB mirror — same union spine and IGNORE NULLS fill.  NULL
+    tiebreak columns on grid rows sort consistently because the order
+    is already total before them ((us, is_grid) pins grid rows)."""
+    step_us = step_secs * 1_000_000
+    keys = ", ".join(key_cols)
+    tie = ", ".join(order_tiebreak or [])
+    tie_sel = (", " + ", ".join(f"{c}" for c in order_tiebreak)) if order_tiebreak else ""
+    tie_null = (
+        ", " + ", ".join(f"NULL AS {c}" for c in order_tiebreak)
+    ) if order_tiebreak else ""
+    order = f"__us, __is_grid{', ' + tie if tie else ''}"
+    return f"""
+    WITH t AS ({table_sql}),
+    obs AS (
+      SELECT {keys}, epoch_us({ts_col}) AS __us, 0 AS __is_grid,
+             {value_col} AS __v{tie_sel}
+      FROM t
+    ),
+    bounds AS (
+      SELECT {keys},
+             CAST(CEIL(MIN(epoch_us({ts_col})) / {step_us}.0) AS BIGINT) AS k_lo,
+             CAST(FLOOR(MAX(epoch_us({ts_col})) / {step_us}.0) AS BIGINT) AS k_hi
+      FROM t GROUP BY {keys}
+    ),
+    grid AS (
+      SELECT {keys}, CAST(UNNEST(range(k_lo, k_hi + 1)) AS BIGINT) * {step_us} AS __us,
+             1 AS __is_grid, NULL AS __v{tie_null}
+      FROM bounds WHERE k_lo <= k_hi
+    ),
+    unioned AS (
+      SELECT * FROM obs UNION ALL SELECT * FROM grid
+    ),
+    filled AS (
+      SELECT *, last_value(__v IGNORE NULLS) OVER (
+               PARTITION BY {keys} ORDER BY {order}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __fill
+      FROM unioned
+    )
+    SELECT {keys}, make_timestamp(__us) AS grid_ts, __fill AS value_ffill
+    FROM filled WHERE __is_grid = 1
+    """

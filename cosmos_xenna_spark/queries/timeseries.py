@@ -166,3 +166,32 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorrelation(
         ev, ["series"], "ts", "value", max_lag=5, order_tiebreak=["event_id"]
     )
+
+
+from cosmos_xenna_spark.operators.timeseries import (  # noqa: E402
+    resample_ffill,
+    resample_ffill_sql,
+)
+
+
+@register(
+    "q_resample_ffill",
+    oracle=resample_ffill_sql(
+        "SELECT user_id, ts, value, event_id FROM events",
+        ["user_id"],
+        "ts",
+        "value",
+        step_secs=21600,
+        order_tiebreak=["event_id"],
+    ),
+    description="resample each user's series onto a regular 6h grid with "
+    "forward-fill (the distributed resample().ffill()): union-spine trick — "
+    "grid rows union with observations, ONE keyed window forward-fills via "
+    "last IGNORE NULLS, no as-of join; per-key spine spans only the active "
+    "range so the fill is total",
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    return resample_ffill(
+        ev, ["user_id"], "ts", "value", step_secs=21600, order_tiebreak=["event_id"]
+    )

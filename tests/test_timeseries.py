@@ -187,3 +187,43 @@ def test_autocorrelation_matches_python(spark):
             assert gr == r, (k, lag)
             assert gr > 0.0  # AR(1) with phi>0: positive at every lag
         assert got[(k, 1)][1] > 0.5  # lag-1 acf ~ phi = 0.7
+
+
+def test_resample_ffill_matches_python(spark):
+    import datetime
+    import random
+
+    from cosmos_xenna_spark.operators.timeseries import resample_ffill
+
+    rng = random.Random(77)
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (
+            i,
+            f"u{rng.randrange(5)}",
+            base + datetime.timedelta(seconds=rng.randrange(0, 500000)),
+            round(rng.uniform(0, 100), 2),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "i long, u string, ts timestamp, v double")
+    step = 3600
+    out = resample_ffill(df, ["u"], "ts", "v", step_secs=step, order_tiebreak=["i"])
+    got = {(r.u, r.grid_ts): r.value_ffill for r in out.collect()}
+
+    by_u: dict[str, list] = {}
+    for i, u, ts, v in rows:
+        by_u.setdefault(u, []).append((ts, i, v))
+    want = {}
+    epoch = datetime.datetime(1970, 1, 1)
+    for u, evs in by_u.items():
+        evs.sort()
+        lo = min(e[0] for e in evs)
+        hi = max(e[0] for e in evs)
+        k_lo = -(-int((lo - epoch).total_seconds()) // step)
+        k_hi = int((hi - epoch).total_seconds()) // step
+        for k in range(k_lo, k_hi + 1):
+            t = epoch + datetime.timedelta(seconds=k * step)
+            last = max((e for e in evs if e[0] <= t), key=lambda e: (e[0], e[1]))
+            want[(u, t)] = last[2]
+    assert got == want and len(got) > 0
