@@ -629,6 +629,7 @@ def hits_fixed(
     n_iter: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_scores: bool = True,
 ) -> DataFrame:
     """``n_iter`` HITS (hubs & authorities) iterations over the
     directed edge set (deduplicated) — the link-analysis complement to
@@ -662,7 +663,12 @@ def hits_fixed(
     checkpointed and released per iteration so the static plan stays
     linear in ``n_iter``.  The norm is a driver-side 1-row scalar per
     half-step (the bounded-scalar pattern, like pagerank's node
-    count).
+    count).  With ``broadcast_scores=True`` (default) the node-sized
+    score frame broadcasts into each SpMV join, so the EDGE LIST never
+    re-shuffles across iterations (measured: SMJ re-exchanged the
+    586k-edge table twice per half-step); set False for graphs whose
+    node table exceeds executor memory — the join falls back to SMJ on
+    the same keys.
     """
     if n_iter < 1:
         raise ValueError("hits_fixed needs n_iter >= 1")
@@ -683,10 +689,17 @@ def hits_fixed(
     h_holder: DataFrame | None = None
     a_holder: DataFrame | None = None
     for _ in range(n_iter):
+        # Persist each half-step's raw-score frame: it feeds TWO
+        # consumers (the driver-side max scalar and the normalized
+        # checkpoint), and without the cache the join+agg subplan
+        # executes twice per half-step (measured ~2x wall on the
+        # bench graph).
+        h_side = hubs.withColumnRenamed("node", "src")
         a_raw = (
-            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            e.join(F.broadcast(h_side) if broadcast_scores else h_side, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("raw"))
+            .persist()
         )
         amax = a_raw.agg(F.max("raw")).collect()[0][0] or HITS_ONE
         ad = max(1, amax // HITS_ONE)
@@ -698,13 +711,16 @@ def hits_fixed(
             )
             .localCheckpoint(eager=True)
         )
+        a_raw.unpersist()
         if a_holder is not None:
             release_local_checkpoint(a_holder)
         a_holder = auths
+        a_side = auths.withColumnRenamed("node", "dst")
         h_raw = (
-            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            e.join(F.broadcast(a_side) if broadcast_scores else a_side, "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("raw"))
+            .persist()
         )
         hmax = h_raw.agg(F.max("raw")).collect()[0][0] or HITS_ONE
         hd = max(1, hmax // HITS_ONE)
@@ -716,6 +732,7 @@ def hits_fixed(
             )
             .localCheckpoint(eager=True)
         )
+        h_raw.unpersist()
         if h_holder is not None:
             release_local_checkpoint(h_holder)
         h_holder = hubs
