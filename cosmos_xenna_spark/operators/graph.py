@@ -41,6 +41,7 @@ def pagerank_fixed(
     n_iter: int = 3,
     damping_pct: int = 85,
     weight_col: str | None = None,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """``n_iter`` PageRank iterations over ``edges`` (deduplicated).
     Returns ``(node, rank_fp)`` where ``rank_fp`` is the rank scaled
@@ -109,8 +110,13 @@ def pagerank_fixed(
     ranks = nodes.withColumn("rank_fp", F.lit(init).cast("bigint"))
     holder: DataFrame | None = None  # checkpoint backing the current ranks
     for _ in range(n_iter):
+        # Broadcast the node-sized rank frame into the SpMV join so the
+        # edge list never re-shuffles across iterations (the hits_fixed
+        # lesson: SMJ re-exchanged the whole edge table every step).
+        # broadcast_ranks=False is the billion-node fallback.
+        r_side = ranks.withColumnRenamed("node", "src")
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), on="src", how="inner")
+            e.join(F.broadcast(r_side) if broadcast_ranks else r_side, on="src", how="inner")
             .select(
                 F.col("dst").alias("node"),
                 F.expr(give_expr).alias("give"),
