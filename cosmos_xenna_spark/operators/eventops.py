@@ -738,3 +738,119 @@ def audience_overlap_minhash_sql(
              AS est_jaccard_ppm
     FROM sigs a JOIN sigs b ON a.g < b.g
     """
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    source_types: tuple[str, ...] = ("click", "view"),
+    window_secs: int = 1800,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's credit is
+    split EQUALLY across every source event (click/view) by the same
+    entity within ``window_secs`` before it — the standard multi-touch
+    complement to :func:`last_touch_attribution` (which over-credits
+    the final touch).
+
+    One keyed RANGE-frame window carries the in-window sources as a
+    (epoch, id, type) struct list (``collect_list`` skips the
+    non-source NULLs); the list is sorted row-locally for determinism
+    and exploded to one row per (conversion, source).  Unattributed
+    conversions survive as a NULL-source row (``n_sources = 0``), the
+    last-touch contract.  ``share_ppm = 10^6 div n_sources`` — exact
+    integer division; the <=(n-1) ppm rounding remainder is documented
+    rather than redistributed.
+
+    Returns ``(conversion_id, entity, src_event_id, src_type,
+    n_sources, share_ppm)``.
+
+    Scale shape: ONE shuffle on the entity key; frame state is bounded
+    by source density within ``window_secs``; the explode is row-local
+    and bounded by the same density.  No event self-join.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(us)
+        .rangeBetween(-window_secs * 1_000_000, -1)
+    )
+    is_src = F.col(type_col).isin(*source_types)
+    srcs = F.array_sort(
+        F.collect_list(
+            F.when(
+                is_src,
+                F.struct(
+                    us.alias("us"),
+                    F.col(id_col).alias("id"),
+                    F.col(type_col).alias("t"),
+                ),
+            )
+        ).over(w)
+    )
+    conv = (
+        events.withColumn("__srcs", srcs)
+        .filter(F.col(type_col) == conversion_type)
+        .withColumn("__n", F.size("__srcs").cast("bigint"))
+    )
+    return conv.select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(entity_col).alias("entity"),
+        F.explode_outer("__srcs").alias("__s"),
+        "__n",
+    ).select(
+        "conversion_id",
+        "entity",
+        F.col("__s.id").alias("src_event_id"),
+        F.col("__s.t").alias("src_type"),
+        F.col("__n").alias("n_sources"),
+        F.when(F.col("__n") > 0, F.expr("1000000L div __n")).alias("share_ppm"),
+    )
+
+
+def linear_attribution_sql(
+    table_sql: str,
+    conversion_type: str = "purchase",
+    source_types: tuple[str, ...] = ("click", "view"),
+    window_secs: int = 1800,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB mirror — FILTER clause instead of collect_list's
+    NULL-skip; empty lists padded with a NULL struct to emulate
+    explode_outer."""
+    srcs = ", ".join(f"'{t}'" for t in source_types)
+    return f"""
+    WITH base AS (
+      SELECT *, epoch_us({ts_col}) AS __us FROM ({table_sql})
+    ),
+    win AS (
+      SELECT *,
+             list_sort(array_agg(
+               CASE WHEN {type_col} IN ({srcs})
+                    THEN {{'us': __us, 'id': {id_col}, 't': {type_col}}} END)
+               FILTER (WHERE {type_col} IN ({srcs}))
+               OVER (PARTITION BY {entity_col} ORDER BY __us
+                     RANGE BETWEEN {window_secs * 1_000_000} PRECEDING
+                     AND 1 PRECEDING)) AS __srcs
+      FROM base
+    ),
+    conv AS (
+      SELECT {id_col} AS conversion_id, {entity_col} AS entity,
+             COALESCE(len(__srcs), 0) AS __n,
+             CASE WHEN COALESCE(len(__srcs), 0) = 0
+                  THEN [NULL::STRUCT(us BIGINT, id BIGINT, t VARCHAR)]
+                  ELSE __srcs END AS __padded
+      FROM win WHERE {type_col} = '{conversion_type}'
+    )
+    SELECT conversion_id, entity,
+           s.id AS src_event_id, s.t AS src_type,
+           CAST(__n AS BIGINT) AS n_sources,
+           CASE WHEN __n > 0 THEN CAST(1000000 // __n AS BIGINT) END AS share_ppm
+    FROM conv, UNNEST(__padded) AS u(s)
+    """

@@ -262,3 +262,71 @@ def grid_neighbor_join(
         .filter(F.col("dist2") <= radius * radius)
         .select("id_a", "id_b", "dist2")
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Exact pre-flight join-size and skew profile WITHOUT executing
+    the join: ``|A JOIN B| = sum_k cA(k) * cB(k)`` over per-key counts
+    — the check a pipeline runs before an unfamiliar key join at
+    100 TB, where one hot key can make the output quadratic (the
+    classic accidental many-to-many).
+
+    Returns the ``top_n`` heaviest keys by output contribution:
+    ``(key..., rows_left, rows_right, join_rows, total_join_rows,
+    share_ppm)`` — ``total_join_rows`` repeated on every row so one
+    look answers "how big, and is it one key's fault".
+
+    Scale shape: two per-key count aggregations (map-side partial, each
+    output is key-cardinality-sized), one equi-join of the two count
+    tables, a global sum reduced to ONE row and broadcast back (the
+    heavy-hitters single-row pattern), and a top-n sort over the
+    matching-keys table — the fact tables are each scanned once and
+    never joined to each other.
+    """
+    ca = left.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("rows_left"))
+    cb = right.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("rows_right"))
+    prod = ca.join(cb, key_cols).withColumn(
+        "join_rows", (F.col("rows_left") * F.col("rows_right")).cast("bigint")
+    )
+    total = prod.groupBy().agg(F.sum("join_rows").alias("total_join_rows"))
+    return (
+        prod.join(F.broadcast(total))
+        .orderBy(F.desc("join_rows"), *key_cols)
+        .limit(top_n)
+        .select(
+            *key_cols,
+            F.col("rows_left").cast("bigint").alias("rows_left"),
+            F.col("rows_right").cast("bigint").alias("rows_right"),
+            "join_rows",
+            F.col("total_join_rows").cast("bigint").alias("total_join_rows"),
+            F.expr("join_rows * 1000000L div total_join_rows").alias("share_ppm"),
+        )
+    )
+
+
+def join_size_estimate_sql(
+    left_sql: str, right_sql: str, key_cols: list[str], top_n: int = 10
+) -> str:
+    keys = ", ".join(key_cols)
+    return f"""
+    WITH ca AS (SELECT {keys}, COUNT(*) AS rows_left FROM ({left_sql}) GROUP BY {keys}),
+    cb AS (SELECT {keys}, COUNT(*) AS rows_right FROM ({right_sql}) GROUP BY {keys}),
+    prod AS (
+      SELECT {keys}, rows_left, rows_right,
+             CAST(rows_left * rows_right AS BIGINT) AS join_rows
+      FROM ca JOIN cb USING ({keys})
+    )
+    SELECT {keys}, CAST(rows_left AS BIGINT) AS rows_left,
+           CAST(rows_right AS BIGINT) AS rows_right, join_rows,
+           CAST((SELECT SUM(join_rows) FROM prod) AS BIGINT) AS total_join_rows,
+           CAST(join_rows * 1000000 // (SELECT SUM(join_rows) FROM prod) AS BIGINT)
+             AS share_ppm
+    FROM prod
+    ORDER BY join_rows DESC, {keys}
+    LIMIT {top_n}
+    """

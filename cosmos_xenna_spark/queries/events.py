@@ -580,3 +580,24 @@ from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
 def q_audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
     return audience_overlap_minhash(ev, "user_id", "event_type", n_hashes=64)
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    linear_attribution,
+    linear_attribution_sql,
+)
+
+
+@register(
+    "q_attribution_linear",
+    oracle=linear_attribution_sql("SELECT * FROM events"),
+    description="linear multi-touch attribution: each purchase's credit "
+    "split equally (exact integer ppm) across every click/view by the same "
+    "user within 30 min before it — ONE keyed range-frame window carries "
+    "in-window sources as a sorted struct list, row-local explode; "
+    "unattributed conversions survive as NULL-source rows; no event "
+    "self-join",
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return linear_attribution(ev)

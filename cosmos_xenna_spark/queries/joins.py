@@ -425,3 +425,28 @@ def q_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return grid_neighbor_join(pts, "id", "x", "y", radius=_SPATIAL_R)
+
+
+from cosmos_xenna_spark.operators.joins import (  # noqa: E402
+    join_size_estimate,
+    join_size_estimate_sql,
+)
+
+
+@register(
+    "q_join_size_estimate",
+    oracle=join_size_estimate_sql(
+        "SELECT user_id FROM events",
+        "SELECT user_id FROM events",
+        ["user_id"],
+        top_n=10,
+    ),
+    description="exact pre-flight join-size + skew profile without running "
+    "the join (sum of per-key count products — the accidental many-to-many "
+    "detector): two per-key aggregations, one count-table equi-join, "
+    "single-row total broadcast back; fact tables scanned once each and "
+    "never joined; top-10 keys by output contribution with exact ppm shares",
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return join_size_estimate(ev, ev, ["user_id"], top_n=10)

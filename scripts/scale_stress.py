@@ -120,6 +120,37 @@ def generate_lineitem(spark, out_dir: str) -> None:
     big.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
 
+def generate_orders(spark, out_dir: str) -> None:
+    """Replicate orders to line up with the replicated lineitem: the
+    o_orderkey shift matches generate_lineitem's, and o_custkey shifts
+    per copy so the trade graph's authority side (customers) grows with
+    the corpus while the hub side (suppliers) stays fixed — in-degree
+    skew grows linearly, the worst realistic case for the HITS SpMV."""
+    o = spark.read.parquet(f"{SF_BASE}/orders.parquet")
+    copies = spark.range(COPIES).withColumnRenamed("id", "copy")
+    big = o.crossJoin(F.broadcast(copies)).select(
+        (F.col("o_orderkey") + F.col("copy") * 100_000_000).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("copy") * 10_000_000).alias("o_custkey"),
+        *[c for c in o.columns if c not in ("o_orderkey", "o_custkey")],
+    )
+    big.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+
+def generate_events(spark, out_dir: str) -> None:
+    """Replicate events with per-copy user/event id shifts: the keyed-
+    window partition COUNT grows with the corpus while each series
+    keeps its length — the intended scaling regime for per-key window
+    operators (state per key constant, keys ~linear)."""
+    ev = spark.read.parquet(f"{SF_BASE}/events.parquet")
+    copies = spark.range(COPIES).withColumnRenamed("id", "copy")
+    big = ev.crossJoin(F.broadcast(copies)).select(
+        (F.col("event_id") + F.col("copy") * 1_000_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("copy") * 10_000_000).alias("user_id"),
+        *[c for c in ev.columns if c not in ("event_id", "user_id")],
+    )
+    big.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+
 def bench(spark, reg, sf_dir: str, n: int = 3) -> dict[str, float]:
     times: dict[str, list[float]] = {q: [] for q in QUERIES}
     for _ in range(n):
@@ -142,6 +173,19 @@ R7_QUERIES = [
     "q_knn_ivf_pq",
 ]
 
+# Round-7 session additions: the heaviest NEW shapes — the two
+# iterative graph kernels (HITS over the replicated trade graph whose
+# authority side grows with the corpus; k-truss over the doc
+# near-dup graph), SNM window blocking, and the two keyed-window
+# event operators whose partition count scales with users.
+R7B_QUERIES = [
+    "q_hits",
+    "q_ktruss",
+    "q_snm_pairs",
+    "q_temporal_cooccurrence",
+    "q_resample_ffill",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -161,6 +205,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r7":
         qset = "r7"
         QUERIES = R7_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r7b":
+        qset = "r7b"
+        QUERIES = R7B_QUERIES
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
     # the status-listener's task history must stay bounded over the
@@ -187,6 +234,15 @@ def main() -> None:
         t0 = time.time()
         generate_lineitem(spark, out_dir)
         print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
+    if qset == "r7b":
+        t0 = time.time()
+        if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+            generate_lineitem(spark, out_dir)
+        if not os.path.exists(f"{out_dir}/orders.parquet"):
+            generate_orders(spark, out_dir)
+        if not os.path.exists(f"{out_dir}/events.parquet"):
+            generate_events(spark, out_dir)
+        print(f"generated r7b tables in {time.time() - t0:.0f}s")
 
     base = bench(spark, reg, SF_BASE)
     big = bench(spark, reg, out_dir)

@@ -779,3 +779,78 @@ def test_audience_overlap_sketch_tracks_exact(spark, seed):
         for r in audience_overlap_minhash(df.repartition(13, "e"), "e", "g", n_hashes=128).collect()
     }
     assert est2 == {k: int(v * 1e6 + 0.5) for k, v in est.items()}
+
+
+@pytest.mark.parametrize("seed", [39, 53])
+def test_linear_attribution_matches_python(spark, seed):
+    import datetime
+
+    from cosmos_xenna_spark.operators.eventops import linear_attribution
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 5, 1)
+    types = ["click", "view", "purchase", "other"]
+    rows = [
+        (
+            i,
+            f"u{rng.randrange(8)}",
+            base + datetime.timedelta(seconds=rng.randrange(0, 40000)),
+            types[rng.randrange(4)],
+        )
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp, event_type string")
+    got = sorted(
+        (r.conversion_id, r.entity, r.src_event_id, r.src_type, r.n_sources, r.share_ppm)
+        for r in linear_attribution(df, window_secs=900).collect()
+    )
+
+    want = []
+    by_u: dict[str, list] = {}
+    for i, u, ts, t in rows:
+        by_u.setdefault(u, []).append((ts, i, t))
+    for u, evs in by_u.items():
+        for ts, i, t in evs:
+            if t != "purchase":
+                continue
+            # frame is [ts - 900s, ts - 1us]: strictly-before sources only
+            srcs = sorted(
+                (ts2, i2, t2)
+                for ts2, i2, t2 in evs
+                if t2 in ("click", "view")
+                and 1 <= round((ts - ts2).total_seconds() * 1_000_000) <= 900 * 1_000_000
+            )
+            if not srcs:
+                want.append((i, u, None, None, 0, None))
+            else:
+                n = len(srcs)
+                for _, i2, t2 in srcs:
+                    want.append((i, u, i2, t2, n, 1000000 // n))
+    assert got == sorted(want)
+    assert any(w[4] and w[4] > 1 for w in want)  # multi-source conversions exist
+    assert any(w[4] == 0 for w in want)  # unattributed conversions survive
+
+
+@pytest.mark.parametrize("seed", [45, 59])
+def test_join_size_estimate_matches_real_join(spark, seed):
+    from cosmos_xenna_spark.operators.joins import join_size_estimate
+
+    rng = random.Random(seed)
+    left = [(f"k{rng.randrange(30)}",) for _ in range(400)]
+    right = [(f"k{rng.randrange(40)}",) for _ in range(300)]
+    dl = spark.createDataFrame(left, "k string")
+    dr = spark.createDataFrame(right, "k string")
+    rows = join_size_estimate(dl, dr, ["k"], top_n=5).collect()
+    real = dl.join(dr, "k").count()
+    assert rows[0].total_join_rows == real
+    # per-key products are exact and ordered desc
+    from collections import Counter
+
+    cl, cr = Counter(k for (k,) in left), Counter(k for (k,) in right)
+    prods = sorted(
+        ((cl[k] * cr[k], k) for k in cl.keys() & cr.keys()), reverse=True
+    )
+    assert [(r.k, r.join_rows) for r in rows] == [
+        (k, p) for p, k in sorted(prods, key=lambda x: (-x[0], x[1]))[:5]
+    ]
+    assert all(r.share_ppm == r.join_rows * 1000000 // real for r in rows)
