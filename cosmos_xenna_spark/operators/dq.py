@@ -472,3 +472,62 @@ def benford_test_sql(table_sql: str, group_cols: list[str], value_col: str) -> s
              / expected AS chi2_contrib
     FROM dense
     """
+
+
+def anonymity_ladder_sql(
+    table_sql: str, levels: list[list[str]], k: int
+) -> str:
+    """Shared SQL for :func:`anonymity_ladder` — identical text runs on
+    both engines (only the input relation differs)."""
+    all_cols = []
+    for lv in levels:
+        for c in lv:
+            if c not in all_cols:
+                all_cols.append(c)
+    sets = ", ".join("(" + ", ".join(lv) + ")" for lv in levels)
+    level_case = " ".join(
+        "WHEN "
+        + " AND ".join(
+            f"GROUPING({c}) = {0 if c in lv else 1}" for c in all_cols
+        )
+        + f" THEN {i}"
+        for i, lv in enumerate(levels)
+    )
+    return f"""
+    WITH g AS (
+      SELECT CASE {level_case} END AS level, COUNT(*) AS n
+      FROM ({table_sql})
+      GROUP BY GROUPING SETS ({sets})
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+           CAST(COALESCE(SUM(CASE WHEN n < {k} THEN n END), 0) AS BIGINT) AS rows_at_risk
+    FROM g GROUP BY level
+    """
+
+
+def anonymity_ladder(
+    df: DataFrame, levels: list[list[str]], k: int, view_name: str = "__anon_ladder"
+) -> DataFrame:
+    """Generalization-ladder k-anonymity profile: for each candidate
+    quasi-identifier generalization level (finest first, e.g. exact
+    size band -> coarse band -> drop the band), how many groups exist,
+    how many hold fewer than ``k`` rows, and how many rows those small
+    groups expose — the privacy-utility readout that picks the minimal
+    generalization satisfying k-anonymity, computed in ONE pass.
+
+    Every level is a branch of a single GROUPING SETS aggregation (one
+    shuffle with map-side partials — L levels cost the same scan as
+    one); the level id is decoded from the GROUPING() flag pattern, and
+    the per-level rollup runs on the group-count-sized frame.  The SQL
+    text is engine-shared, so the oracle is literal.
+
+    ``levels`` must be distinct column subsets (the flag pattern is the
+    discriminator).
+    """
+    pats = [tuple(sorted(lv)) for lv in levels]
+    if len(set(pats)) != len(pats):
+        raise ValueError("anonymity_ladder levels must be distinct column sets")
+    df.createOrReplaceTempView(view_name)
+    return df.sparkSession.sql(anonymity_ladder_sql(f"SELECT * FROM {view_name}", levels, k))

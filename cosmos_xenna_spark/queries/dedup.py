@@ -632,3 +632,44 @@ def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("bigint").alias("dist"),
         )
     )
+
+
+@register(
+    "q_dedup_cluster_profile",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ({_BUCKETS_SQL}) a JOIN ({_BUCKETS_SQL}) b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    description="duplicate-cluster size profile: the corpus-QA readout over "
+    "the LSH near-dup graph's connected components (how much of the corpus "
+    "is duplicated, and in what cluster shapes — a few mega-clusters vs "
+    "many pairs); two group-count-sized aggregations on top of the CC "
+    "operator, oracle via recursive-CTE transitive closure",
+)
+def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    ).select(F.col("cluster_size").cast("bigint").alias("cluster_size"), "n_clusters", "n_docs")

@@ -163,3 +163,39 @@ from pyspark.sql import functions as F  # noqa: E402
 def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     return benford_test(li, ["l_returnflag"], "l_extendedprice")
+
+
+from cosmos_xenna_spark.operators.dq import anonymity_ladder, anonymity_ladder_sql  # noqa: E402
+
+_LADDER_LEVELS = [
+    ["lang", "source", "band25"],
+    ["lang", "source", "band100"],
+    ["lang", "source"],
+    ["lang"],
+]
+
+
+@register(
+    "q_anonymity_ladder",
+    oracle=anonymity_ladder_sql(
+        "SELECT lang, source, n_chars // 25 AS band25, n_chars // 100 AS band100"
+        " FROM documents",
+        _LADDER_LEVELS,
+        k=5,
+    ),
+    description="k-anonymity generalization ladder: four quasi-identifier "
+    "generalization levels profiled in ONE GROUPING SETS pass (one shuffle, "
+    "map-side partials — the ladder costs the same scan as one level); per "
+    "level: group count, under-k groups, rows at risk — the privacy-utility "
+    "readout that picks the minimal safe generalization",
+)
+def q_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr("n_chars div 25").alias("band25"),
+        F.expr("n_chars div 100").alias("band100"),
+    )
+    return anonymity_ladder(docs, _LADDER_LEVELS, k=5)

@@ -130,3 +130,43 @@ def test_benford_matches_python(spark):
         chi2[g] = chi2.get(g, 0.0) + contrib
     # chi2 critical value at 8 df, alpha=0.001 is 26.12: uniform digits fail hard
     assert chi2["u"] > 100.0 > chi2["b"]
+
+
+def test_anonymity_ladder_matches_python(spark):
+    import random
+
+    from cosmos_xenna_spark.operators.dq import anonymity_ladder
+
+    rng = random.Random(83)
+    rows = [
+        (f"l{rng.randrange(3)}", f"s{rng.randrange(4)}", rng.randrange(20))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "lang string, src string, band long")
+    levels = [["lang", "src", "band"], ["lang", "src"], ["lang"]]
+    k = 5
+    got = {
+        r.level: (r.n_groups, r.n_small_groups, r.rows_at_risk)
+        for r in anonymity_ladder(df, levels, k=k).collect()
+    }
+
+    for i, lv in enumerate(levels):
+        idx = [("lang", "src", "band").index(c if c != "src" else "src") for c in lv]
+        proj = {}
+        for row in rows:
+            key = tuple(row[("lang", "src", "band").index(c)] for c in lv)
+            proj[key] = proj.get(key, 0) + 1
+        small = {g: n for g, n in proj.items() if n < k}
+        assert got[i] == (len(proj), len(small), sum(small.values())), (i, lv)
+    # monotone: coarser levels cannot have more groups
+    assert got[0][0] >= got[1][0] >= got[2][0]
+
+
+def test_anonymity_ladder_rejects_duplicate_levels(spark):
+    import pytest
+
+    from cosmos_xenna_spark.operators.dq import anonymity_ladder
+
+    df = spark.createDataFrame([("a", 1)], "lang string, band long")
+    with pytest.raises(ValueError):
+        anonymity_ladder(df, [["lang"], ["lang"]], k=2)
