@@ -200,3 +200,60 @@ def fixed_size_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__h", "__rn")
     )
+
+
+def group_aware_split(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    salt: str = "gsplit:",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: rows are assigned to splits
+    by their GROUP (duplicate cluster, source domain, author...), so
+    near-duplicates can never straddle the train/eval boundary — THE
+    contamination failure mode of row-hash splits on web corpora (a
+    doc and its 98%-identical twin landing in train and test makes the
+    eval score a memorization probe).
+
+    ``group_col`` may be NULL for ungrouped rows (singletons) — they
+    fall back to their own id, keeping the assignment total.  The
+    split hash is the same deterministic md5 machinery as
+    :func:`split_weighted`, applied to the group key: deterministic
+    under any partitioning, reproducible across runs and engines.
+
+    Scale shape: row-local (one hash + threshold CASE per row, zero
+    shuffles beyond whatever produced ``group_col``); composes with
+    ``dedup.connected_components`` output or any blocking key.
+    """
+    key = F.coalesce(
+        F.col(group_col).cast("string"), F.col(id_col).cast("string")
+    )
+    return split_weighted(
+        df.withColumn("__gkey", key), weights, "__gkey", salt=salt, out_col=out_col
+    ).drop("__gkey")
+
+
+def group_aware_split_sql(
+    table_sql: str,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    salt: str = "gsplit:",
+    out_col: str = "split",
+) -> str:
+    """DuckDB mirror of :func:`group_aware_split`."""
+    from cosmos_xenna_spark.functions import md5_long63_sql
+
+    h = f"{md5_long63_sql(f'CAST(COALESCE(CAST({group_col} AS STRING), CAST({id_col} AS STRING)) AS STRING)', prefix=salt)} % {_DENOM}"
+    items = sorted(weights.items())
+    acc = 0.0
+    cases = []
+    for name, w in items[:-1]:
+        acc += w
+        cases.append(f"WHEN {h} < {int(acc * _DENOM)} THEN '{name}'")
+    return f"""
+    SELECT *, CASE {' '.join(cases)} ELSE '{items[-1][0]}' END AS {out_col}
+    FROM ({table_sql})
+    """

@@ -179,3 +179,57 @@ _H_FIXEDG = md5_long63_sql("CAST(doc_id AS VARCHAR)", "fixedg:")
 def q_sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return fixed_size_per_group(docs, 20, ["lang"], "doc_id").select("doc_id", "lang")
+
+
+from cosmos_xenna_spark.operators.sampling import (  # noqa: E402
+    group_aware_split,
+    group_aware_split_sql,
+)
+
+
+@register(
+    "q_split_leakage_safe",
+    oracle=group_aware_split_sql(
+        """
+        SELECT d.doc_id, cc.cluster_id
+        FROM documents d LEFT JOIN (
+          WITH RECURSIVE pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ({buckets}) a JOIN ({buckets}) b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          ),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+          ),
+          reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+          )
+          SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        ) cc ON d.doc_id = cc.doc_id
+        """.format(buckets=__import__("cosmos_xenna_spark.queries.dedup", fromlist=["_BUCKETS_SQL"])._BUCKETS_SQL),
+        "doc_id",
+        "cluster_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ),
+    description="leakage-safe train/val/test split: every near-duplicate "
+    "CLUSTER (LSH candidate graph connected component) lands wholly in one "
+    "split — the contamination guard row-hash splits lack; singletons fall "
+    "back to their own id; deterministic md5 split hash, row-local after "
+    "the CC join",
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3)
+    cc = connected_components(pairs)
+    base = docs.select("doc_id").join(cc, "doc_id", "left")
+    return group_aware_split(
+        base, "doc_id", "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )

@@ -149,3 +149,29 @@ def test_fixed_size_per_group_exact_and_invariant(spark, sf_dir):
     b = {(r.doc_id, r.lang) for r in fixed_size_per_group(
         docs.repartition(13, "source"), 20, ["lang"], "doc_id").collect()}
     assert a == b
+
+
+def test_group_aware_split_no_leakage(spark):
+    import random
+
+    from cosmos_xenna_spark.operators.sampling import group_aware_split
+
+    rng = random.Random(91)
+    # 60 clustered rows across 12 clusters + 40 singletons (NULL group)
+    rows = [(i, f"c{rng.randrange(12)}") for i in range(60)]
+    rows += [(100 + i, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = group_aware_split(df, "id", "grp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {(r.id): (r.grp, r.split) for r in out.collect()}
+    # every member of a cluster shares the split
+    by_g: dict[str, set] = {}
+    for _id, (g, s) in got.items():
+        if g is not None:
+            by_g.setdefault(g, set()).add(s)
+    assert by_g and all(len(s) == 1 for s in by_g.values())
+    # total assignment, deterministic under repartitioning
+    out2 = group_aware_split(
+        df.repartition(7, "id"), "id", "grp", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert got == {(r.id): (r.grp, r.split) for r in out2.collect()}
+    assert {s for _, s in got.values()} == {"train", "val", "test"}
