@@ -141,3 +141,73 @@ def with_normalized_urls_sql(table_sql: str, url_col: str) -> str:
              AS registered_domain
     FROM np
     """
+
+
+def with_parsed_ips(df: DataFrame, ip_col: str) -> DataFrame:
+    """Parse dotted-quad IPv4 strings into the fields a web-log
+    curation pass keys on: ``ip_u32`` (numeric form, range-joinable
+    against geo/CIDR tables), ``cidr24`` / ``cidr16`` (the standard
+    abuse-rate and dedup aggregation prefixes, as canonical
+    ``a.b.c.0/24`` strings), and ``is_private`` (RFC1918 + loopback +
+    link-local — traffic to drop before any public-corpus statistics).
+
+    All row-local JVM regexp + integer arithmetic (zero shuffle, whole-
+    stage codegen).  Malformed addresses (wrong field count, values >
+    255, empty octets) yield NULLs across the board — never a silently
+    wrong prefix.
+    """
+    ip = F.col(ip_col)
+    octs = [
+        F.regexp_extract(ip, r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$", i)
+        for i in (1, 2, 3, 4)
+    ]
+    valid = (F.regexp_extract(ip, r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$", 1) != "")
+    for o in octs:
+        valid = valid & (o.cast("int") <= 255)
+    a, b, c, d = [o.cast("bigint") for o in octs]
+    u32 = a * 16777216 + b * 65536 + c * 256 + d
+    private = (
+        (a == 10)
+        | ((a == 172) & (b >= 16) & (b <= 31))
+        | ((a == 192) & (b == 168))
+        | (a == 127)
+        | ((a == 169) & (b == 254))
+    )
+    return df.withColumns(
+        {
+            "ip_u32": F.when(valid, u32),
+            "cidr24": F.when(
+                valid,
+                F.concat_ws(".", octs[0], octs[1], octs[2], F.lit("0/24")),
+            ),
+            "cidr16": F.when(
+                valid,
+                F.concat_ws(".", octs[0], octs[1], F.lit("0"), F.lit("0/16")),
+            ),
+            "is_private": F.when(valid, private.cast("bigint")),
+        }
+    )
+
+
+def with_parsed_ips_sql(table_sql: str, ip_col: str) -> str:
+    """DuckDB mirror — identical regex and arithmetic."""
+    rx = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+    octs = [f"regexp_extract({ip_col}, '{rx}', {i})" for i in (1, 2, 3, 4)]
+    valid = f"({octs[0]} <> ''" + "".join(
+        f" AND CAST({o} AS INTEGER) <= 255" for o in octs
+    ) + ")"
+    a, b, c, d = [f"CAST({o} AS BIGINT)" for o in octs]
+    u32 = f"{a} * 16777216 + {b} * 65536 + {c} * 256 + {d}"
+    private = (
+        f"({a} = 10 OR ({a} = 172 AND {b} >= 16 AND {b} <= 31)"
+        f" OR ({a} = 192 AND {b} = 168) OR {a} = 127"
+        f" OR ({a} = 169 AND {b} = 254))"
+    )
+    return f"""
+    SELECT *,
+           CASE WHEN {valid} THEN {u32} END AS ip_u32,
+           CASE WHEN {valid} THEN {octs[0]} || '.' || {octs[1]} || '.' || {octs[2]} || '.0/24' END AS cidr24,
+           CASE WHEN {valid} THEN {octs[0]} || '.' || {octs[1]} || '.0.0/16' END AS cidr16,
+           CASE WHEN {valid} THEN CAST({private} AS BIGINT) END AS is_private
+    FROM ({table_sql})
+    """

@@ -328,3 +328,49 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = with_normalized_urls(docs, "url")
     return out.select("doc_id", "url", "url_norm", "url_host", "registered_domain")
+
+
+from cosmos_xenna_spark.operators.urls import with_parsed_ips, with_parsed_ips_sql  # noqa: E402
+
+# Deterministic IP corpus: public ranges, RFC1918 privates, loopback,
+# link-local and three malformed shapes — every branch exercised.
+_SYNTH_IP_SQL = """
+SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN printf('%d.%d.%d.%d', 20 + doc_id % 80, doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256)
+         WHEN 1 THEN printf('10.%d.%d.%d', doc_id % 256, (doc_id * 3) % 256, (doc_id * 5) % 256)
+         WHEN 2 THEN printf('172.%d.0.%d', 16 + doc_id % 16, doc_id % 256)
+         WHEN 3 THEN printf('192.168.%d.%d', doc_id % 256, (doc_id * 11) % 256)
+         WHEN 4 THEN '127.0.0.1'
+         WHEN 5 THEN printf('169.254.%d.1', doc_id % 256)
+         WHEN 6 THEN printf('999.1.1.%d', doc_id % 256)
+         ELSE 'not-an-ip'
+       END AS ip
+FROM documents
+"""
+
+
+@register(
+    "q_ip_parse",
+    oracle=with_parsed_ips_sql(_SYNTH_IP_SQL, "ip"),
+    description="IPv4 parsing for web-log curation: numeric u32 form "
+    "(geo/CIDR range-joinable), /24 + /16 aggregation prefixes, RFC1918/"
+    "loopback/link-local private flag — all row-local regexp + integer "
+    "arithmetic, zero shuffle; malformed addresses yield NULLs, never a "
+    "silently wrong prefix",
+)
+def q_ip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.pmod(F.col("doc_id"), F.lit(8))
+    d = F.col("doc_id")
+    ip = (
+        F.when(m == 0, F.format_string("%d.%d.%d.%d", F.lit(20) + d % 80, d % 256, (d * 7) % 256, (d * 13) % 256))
+        .when(m == 1, F.format_string("10.%d.%d.%d", d % 256, (d * 3) % 256, (d * 5) % 256))
+        .when(m == 2, F.format_string("172.%d.0.%d", F.lit(16) + d % 16, d % 256))
+        .when(m == 3, F.format_string("192.168.%d.%d", d % 256, (d * 11) % 256))
+        .when(m == 4, F.lit("127.0.0.1"))
+        .when(m == 5, F.format_string("169.254.%d.1", d % 256))
+        .when(m == 6, F.format_string("999.1.1.%d", d % 256))
+        .otherwise(F.lit("not-an-ip"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", ip.alias("ip"))
+    return with_parsed_ips(docs, "ip")

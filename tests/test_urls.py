@@ -62,3 +62,30 @@ def test_url_normalization_idempotent(spark):
     out = with_normalized_urls(df, "url").collect()
     for r in out:
         assert r.url_norm == r.url, r
+
+
+def test_parsed_ips_branches(spark):
+    from cosmos_xenna_spark.operators.urls import with_parsed_ips
+
+    rows = [
+        (0, "8.8.8.8"),
+        (1, "10.1.2.3"),
+        (2, "172.16.0.9"),
+        (3, "172.32.0.9"),   # NOT private (172.32 is public)
+        (4, "192.168.255.1"),
+        (5, "127.0.0.1"),
+        (6, "169.254.9.1"),
+        (7, "256.1.1.1"),    # octet out of range
+        (8, "1.2.3"),        # wrong field count
+        (9, "not-an-ip"),
+        (10, "01.2.3.4"),    # leading zero: still parses (regex allows)
+    ]
+    df = spark.createDataFrame(rows, "i long, ip string")
+    got = {r.i: (r.ip_u32, r.cidr24, r.cidr16, r.is_private) for r in with_parsed_ips(df, "ip").collect()}
+    assert got[0] == (8 * 16777216 + 8 * 65536 + 8 * 256 + 8, "8.8.8.0/24", "8.8.0.0/16", 0)
+    assert got[1][3] == 1 and got[2][3] == 1 and got[4][3] == 1
+    assert got[3][3] == 0
+    assert got[5][3] == 1 and got[6][3] == 1
+    for i in (7, 8, 9):
+        assert got[i] == (None, None, None, None), i
+    assert got[10][0] == 1 * 16777216 + 2 * 65536 + 3 * 256 + 4
