@@ -319,3 +319,92 @@ def filter_funnel_sql(table: str, gates: list[tuple[str, str]]) -> str:
         )
         prev = cur
     return "\nUNION ALL\n".join(selects)
+
+
+def _pareto2d_pandas(pdf, x_col: str, y_col: str):
+    """Staircase scan: the 2-D Pareto frontier (maximize both) of one
+    pandas frame.  Equal-(x, y) duplicates are mutually non-dominating
+    and all survive; within an x value only the max-y rows can survive
+    (higher y strictly dominates); across decreasing x the surviving y
+    must STRICTLY increase (equal y from a greater x dominates)."""
+    import numpy as np
+
+    s = pdf.sort_values([x_col, y_col], ascending=False, kind="mergesort")
+    xs = s[x_col].to_numpy()
+    ys = s[y_col].to_numpy()
+    n = len(s)
+    keep = np.zeros(n, dtype=bool)
+    best_y = None
+    i = 0
+    while i < n:
+        j = i
+        while j < n and xs[j] == xs[i]:
+            j += 1
+        top_y = ys[i]
+        if best_y is None or top_y > best_y:
+            k = i
+            while k < j and ys[k] == top_y:
+                keep[k] = True
+                k += 1
+            best_y = top_y
+        i = j
+    return s[keep]
+
+
+def skyline2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, both dimensions MAXIMIZED): rows
+    not dominated by any other row — multi-criteria curation's
+    primitive ("keep documents on the quality-vs-recency frontier";
+    negate a column to minimize it).  A row q dominates p when q >= p
+    on both dims and > on at least one; equal-(x, y) duplicates are
+    mutually non-dominating and all survive.
+
+    Distributed via the skyline's closure property:
+    ``skyline(union of local skylines) == global skyline`` — phase 1
+    computes per-bucket frontiers (Arrow-batched staircase scan,
+    O(n log n) per bucket), phase 2 re-runs the same kernel over the
+    union of survivors.  The phase-2 frame is frontier-sized; a
+    pathological input whose frontier is the whole table (perfectly
+    anti-correlated dims) degrades phase 2 to one worker — the
+    documented contract, shared with every skyline partitioning
+    scheme in the literature.
+
+    Scale shape: one shuffle on the salt bucket, one on the constant
+    phase-2 key over the (tiny) survivor set; the staircase kernel is
+    a sort + linear scan, never O(n^2).
+    """
+    cols = df.columns
+    salt = F.pmod(F.xxhash64(F.col(x_col), F.col(y_col)), F.lit(salt_buckets))
+    schema = df.schema
+
+    def local(key, pdf):
+        return _pareto2d_pandas(pdf[cols], x_col, y_col)
+
+    survivors = (
+        df.withColumn("__b", salt)
+        .groupBy("__b")
+        .applyInPandas(local, schema=schema)
+    )
+    return (
+        survivors.withColumn("__b", F.lit(0))
+        .groupBy("__b")
+        .applyInPandas(local, schema=schema)
+    )
+
+
+def skyline2d_sql(table_sql: str, x_col: str, y_col: str) -> str:
+    """DuckDB mirror: the quadratic NOT EXISTS dominance definition —
+    the oracle certifies the two-phase staircase exactly."""
+    return f"""
+    SELECT * FROM ({table_sql}) a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({table_sql}) b
+      WHERE b.{x_col} >= a.{x_col} AND b.{y_col} >= a.{y_col}
+        AND (b.{x_col} > a.{x_col} OR b.{y_col} > a.{y_col})
+    )
+    """

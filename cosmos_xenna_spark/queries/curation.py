@@ -113,3 +113,31 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("trusted_source", ~F.col("source").isin("src17", "src18", "src19")),
         ],
     )
+
+
+from cosmos_xenna_spark.operators.curation import skyline2d, skyline2d_sql  # noqa: E402
+
+
+@register(
+    "q_skyline",
+    oracle=skyline2d_sql(
+        "SELECT o_orderkey, CAST(o_totalprice * 100 AS BIGINT) AS price_c,"
+        " CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS odate_s"
+        " FROM orders",
+        "price_c",
+        "odate_s",
+    ),
+    description="2-D skyline / Pareto frontier (orders not dominated on "
+    "(value, recency)): distributed via the skyline closure property — "
+    "per-salt-bucket staircase frontiers (Arrow kernel, sort + linear "
+    "scan, never O(n^2)), then the same kernel over the frontier-sized "
+    "survivor union; oracle is the quadratic NOT-EXISTS dominance "
+    "definition",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).cast("bigint").alias("odate_s"),
+    )
+    return skyline2d(orders, "price_c", "odate_s")

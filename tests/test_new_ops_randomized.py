@@ -854,3 +854,26 @@ def test_join_size_estimate_matches_real_join(spark, seed):
         (k, p) for p, k in sorted(prods, key=lambda x: (-x[0], x[1]))[:5]
     ]
     assert all(r.share_ppm == r.join_rows * 1000000 // real for r in rows)
+
+
+@pytest.mark.parametrize("seed", [49, 61])
+def test_skyline2d_matches_bruteforce(spark, seed):
+    from cosmos_xenna_spark.operators.curation import skyline2d
+
+    rng = random.Random(seed)
+    # small value domain => plenty of ties and exact duplicates
+    rows = [(i, rng.randrange(40), rng.randrange(40)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted((r.id, r.x, r.y) for r in skyline2d(df, "x", "y", salt_buckets=8).collect())
+
+    def dominated(p, q):
+        return q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+
+    want = sorted(p for p in rows if not any(dominated(p, q) for q in rows))
+    assert got == want and got
+    # partitioning invariance
+    got2 = sorted(
+        (r.id, r.x, r.y)
+        for r in skyline2d(df.repartition(17, "id"), "x", "y", salt_buckets=3).collect()
+    )
+    assert got2 == got
