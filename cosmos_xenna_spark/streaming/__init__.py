@@ -757,3 +757,49 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_rolling_distinct(
+    stream_df: DataFrame,
+    window_rows: int = 5,
+) -> DataFrame:
+    """Live rolling distinct count: the streaming form of
+    ``operators.eventops.rolling_distinct_count`` — per event, the
+    number of DISTINCT event types among the user's last
+    ``window_rows`` events including it.
+
+    Per-user state is the last ``window_rows`` event types as one
+    '\\x1f'-joined string (bounded by the window, independent of
+    stream length).  Time-ordered replays emit rows bit-identical to
+    the batch keyed-window operator (parity test); cross-micro-batch
+    out-of-order arrival degrades to arrival order — the standing
+    streaming contract.
+    """
+    SEP = "\x1f"
+
+    def update(key, pdfs, state: GroupState):
+        (joined,) = state.get if state.exists else ("",)
+        recent = joined.split(SEP) if joined else []
+        out = {"event_id": [], "entity": [], "n_distinct": []}
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            batch["__us"] = batch["ts"].astype("datetime64[us]").astype("int64")
+            batch = batch.sort_values(["__us", "event_id"])
+            for eid, etype in zip(batch["event_id"], batch["event_type"]):
+                recent.append(str(etype))
+                if len(recent) > window_rows:
+                    recent = recent[-window_rows:]
+                out["event_id"].append(int(eid))
+                out["entity"].append(int(key[0]))
+                out["n_distinct"].append(len(set(recent)))
+        state.update((SEP.join(recent),))
+        yield pd.DataFrame(out)
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="event_id long, entity long, n_distinct long",
+        stateStructType="recent string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

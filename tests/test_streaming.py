@@ -796,3 +796,28 @@ def test_streaming_cusum_matches_batch(spark, sf_dir, events_dir):
     )
     assert got == want and len(got) > 0
     assert any(a == 1 for _, _, _, a in got)  # alarms actually fire
+
+
+def test_streaming_rolling_distinct_matches_batch(spark, sf_dir, events_dir):
+    """Bounded-state rolling distinct parity: the live last-N-types
+    state emits bit-identical counts to the batch keyed-window
+    collect_list form over the same replay."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.eventops import rolling_distinct_count
+    from cosmos_xenna_spark.streaming import streaming_rolling_distinct
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(streaming_rolling_distinct(stream, window_rows=5), "t_rdist", "append")
+    _drain(q)
+    got = sorted(
+        (r.event_id, r.entity, r.n_distinct)
+        for r in spark.sql("SELECT * FROM t_rdist").collect()
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    want = sorted(
+        (r.event_id, r.user_id, r.n_distinct)
+        for r in rolling_distinct_count(
+            ev, ["user_id"], "ts", "event_type", window_rows=5, order_tiebreak=["event_id"]
+        ).collect()
+    )
+    assert got == want and len(got) > 0
