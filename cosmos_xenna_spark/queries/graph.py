@@ -246,3 +246,36 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") + 1000000).alias("dst"),
     )
     return hits_fixed(edges, n_iter=3)
+
+
+from cosmos_xenna_spark.operators.graph import personalized_pagerank_sql  # noqa: E402
+
+
+@register(
+    "q_ppr",
+    oracle=personalized_pagerank_sql(
+        f"""SELECT src, dst FROM ({_doc_pairs_edges_sql()})
+            UNION ALL
+            SELECT dst, src FROM ({_doc_pairs_edges_sql()})""",
+        "SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % 97 = 0",
+        n_iter=3,
+    ),
+    description="personalized PageRank from a seed document set over the "
+    "near-duplicate graph (seed-expansion / related-item retrieval): "
+    "teleport mass restarts only at seeds, unreachable nodes score exactly "
+    "0; int64 fixed point, broadcast SpMV, per-iteration checkpoints — "
+    "bit-exact vs the unrolled SQL oracle",
+)
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import personalized_pagerank
+
+    edges = _doc_pairs_edges(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 97 == 0
+    ).select(F.col("doc_id").alias("node"))
+    return personalized_pagerank(sym, seeds, n_iter=3)

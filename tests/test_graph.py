@@ -283,3 +283,46 @@ def test_hits_partitioning_invariant(spark):
     x = sorted(map(tuple, hits_fixed(df.repartition(1), n_iter=3).collect()))
     y = sorted(map(tuple, hits_fixed(df.repartition(5, "dst"), n_iter=3).collect()))
     assert x == y
+
+
+def test_personalized_pagerank_matches_python(spark):
+    import random
+
+    from cosmos_xenna_spark.operators.graph import ONE, personalized_pagerank
+
+    rng = random.Random(101)
+    edges = list({(rng.randrange(15), rng.randrange(15)) for _ in range(50)})
+    edges = [(a, b) for a, b in edges if a != b]
+    # add an isolated component unreachable from seeds
+    edges += [(100, 101), (101, 100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    got = {r.node: r.rank_fp for r in personalized_pagerank(df, seeds, n_iter=3).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    out: dict[int, int] = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    sset = {0, 1}
+    base = 15 * ONE // 100 // len(sset)
+    rank = {v: (ONE // len(sset) if v in sset else 0) for v in nodes}
+    for _ in range(3):
+        got_mass = {v: 0 for v in nodes}
+        for a, b in edges:
+            got_mass[b] += rank[a] // out[a]
+        rank = {
+            v: (base if v in sset else 0) + got_mass[v] * 85 // 100 for v in nodes
+        }
+    assert got == rank
+    assert got[100] == 0 and got[101] == 0  # unreachable: exactly zero
+
+
+def test_personalized_pagerank_requires_seed(spark):
+    import pytest
+
+    from cosmos_xenna_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")  # not in graph
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, seeds, n_iter=1)
