@@ -949,3 +949,81 @@ def sorted_neighborhood_pairs_sql(
     )
     {stack}
     """
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+) -> DataFrame:
+    """Blocking-scheme evaluation: PAIR COMPLETENESS (what fraction of
+    true duplicate pairs the blocking surfaced — recall of the
+    candidate generator) and REDUCTION RATIO (what fraction of the
+    n-choose-2 comparison space it pruned) — the two numbers every
+    entity-resolution blocking decision (LSH bands vs SNM window vs
+    both) is made on.
+
+    Inputs are canonical ``(id_a, id_b)`` pair relations (one
+    orientation).  Both metrics are exact integer ppm.
+
+    Scale shape: union-tag + ONE aggregation on the pair key (no
+    candidate x truth join), then a single global reduce row; the
+    comparison-space denominator is driver-side arithmetic on
+    ``n_records``.
+    """
+    c = candidates.select("id_a", "id_b").withColumn("__c", F.lit(1)).withColumn(
+        "__t", F.lit(0)
+    )
+    t = truth.select("id_a", "id_b").withColumn("__c", F.lit(0)).withColumn(
+        "__t", F.lit(1)
+    )
+    per_pair = (
+        c.unionByName(t)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("__c").alias("__c"), F.max("__t").alias("__t"))
+    )
+    total_space = n_records * (n_records - 1) // 2
+    return per_pair.agg(
+        F.sum("__c").cast("bigint").alias("n_candidates"),
+        F.sum("__t").cast("bigint").alias("n_truth"),
+        F.sum(F.col("__c") * F.col("__t")).cast("bigint").alias("n_found"),
+    ).select(
+        "n_candidates",
+        "n_truth",
+        "n_found",
+        F.expr(
+            "CASE WHEN n_truth > 0 THEN n_found * 1000000L div n_truth END"
+        ).alias("pair_completeness_ppm"),
+        F.expr(f"1000000L - n_candidates * 1000000L div {total_space}L").alias(
+            "reduction_ratio_ppm"
+        ),
+    )
+
+
+def blocking_quality_sql(
+    candidates_sql: str, truth_sql: str, n_records_sql: str
+) -> str:
+    """DuckDB mirror; ``n_records_sql`` is a scalar subquery."""
+    return f"""
+    WITH per_pair AS (
+      SELECT id_a, id_b, MAX(c) AS c, MAX(t) AS t FROM (
+        SELECT id_a, id_b, 1 AS c, 0 AS t FROM ({candidates_sql})
+        UNION ALL
+        SELECT id_a, id_b, 0 AS c, 1 AS t FROM ({truth_sql})
+      ) GROUP BY id_a, id_b
+    ),
+    sums AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_candidates,
+             CAST(SUM(t) AS BIGINT) AS n_truth,
+             CAST(SUM(c * t) AS BIGINT) AS n_found
+      FROM per_pair
+    )
+    SELECT n_candidates, n_truth, n_found,
+           CASE WHEN n_truth > 0
+                THEN CAST(n_found * 1000000 // n_truth AS BIGINT)
+           END AS pair_completeness_ppm,
+           CAST(1000000 - n_candidates * 1000000
+                // (({n_records_sql}) * (({n_records_sql}) - 1) // 2) AS BIGINT)
+             AS reduction_ratio_ppm
+    FROM sums
+    """

@@ -673,3 +673,64 @@ def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
     ).select(F.col("cluster_size").cast("bigint").alias("cluster_size"), "n_clusters", "n_docs")
+
+
+from cosmos_xenna_spark.operators.dedup import blocking_quality, blocking_quality_sql  # noqa: E402
+
+_PREFIX_DUP_PAIRS_SQL = """
+    SELECT p.ids[i] AS id_a, p.ids[j] AS id_b
+    FROM (
+      SELECT list_sort(array_agg(doc_id)) AS ids
+      FROM (
+        SELECT doc_id,
+               array_to_string((string_split(text, ' '))[1:8], ' ') AS k
+        FROM documents
+      ) GROUP BY k
+      HAVING COUNT(*) > 1
+    ) p, UNNEST(range(1, len(p.ids) + 1)) AS u1(i),
+         UNNEST(range(1, len(p.ids) + 1)) AS u2(j)
+    WHERE i < j
+"""
+
+
+@register(
+    "q_blocking_quality",
+    oracle=blocking_quality_sql(
+        f"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ({_BUCKETS_SQL}) a JOIN ({_BUCKETS_SQL}) b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY 1, 2""",
+        _PREFIX_DUP_PAIRS_SQL,
+        "SELECT COUNT(*) FROM documents",
+    ),
+    description="blocking-scheme audit: pair completeness + reduction ratio "
+    "of the LSH banding against a shared-opening-8-words proxy truth — the "
+    "two numbers every blocking decision (bands vs SNM window vs both) is "
+    "made on; union-tag + ONE pair-key aggregation, no candidate x truth "
+    "join; exact integer ppm, NULL-safe on an empty truth set",
+)
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs, "text", n_hashes=16, band_size=4, k=3).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    groups = (
+        docs.select(
+            "doc_id",
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("__k"),
+        )
+        .groupBy("__k")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    truth = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)),"
+                " y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    n = docs.count()
+    return blocking_quality(cand, truth, n)

@@ -379,3 +379,26 @@ def test_prefix_filter_join_partitioning_invariant(spark, sf_dir):
     a = set(map(tuple, prefix_filter_jaccard_join(docs.repartition(1)).collect()))
     b = set(map(tuple, prefix_filter_jaccard_join(docs.repartition(13, "doc_id")).collect()))
     assert a == b and len(a) > 0
+
+
+def test_blocking_quality_matches_python(spark):
+    import random
+
+    from cosmos_xenna_spark.operators.dedup import blocking_quality
+
+    rng = random.Random(107)
+    n = 50
+    truth = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(40)})
+    cand = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(120)})
+    dt = spark.createDataFrame(truth, "id_a long, id_b long")
+    dc = spark.createDataFrame(cand, "id_a long, id_b long")
+    row = blocking_quality(dc, dt, n).collect()[0]
+    found = len(set(cand) & set(truth))
+    space = n * (n - 1) // 2
+    assert (row.n_candidates, row.n_truth, row.n_found) == (len(cand), len(truth), found)
+    assert row.pair_completeness_ppm == found * 1000000 // len(truth)
+    assert row.reduction_ratio_ppm == 1000000 - len(cand) * 1000000 // space
+    # empty truth: NULL completeness instead of a crash
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    row2 = blocking_quality(dc, empty, n).collect()[0]
+    assert row2.pair_completeness_ppm is None and row2.n_truth == 0

@@ -216,6 +216,9 @@ _BNLJ_ALLOWED = {
     # subset; the mutual-NN REDUCTION is equi-join-only and composes
     # with LSH/IVF candidates at scale — the knn_bruteforce contract)
     "q_mutual_nn",
+    # single-row broadcast grand total attached to the per-key join
+    # products (the heavy-hitters pattern)
+    "q_join_size_estimate",
 }
 
 
