@@ -330,3 +330,100 @@ def join_size_estimate_sql(
     ORDER BY join_rows DESC, {keys}
     LIMIT {top_n}
     """
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key_cols: list[str],
+    fact_time_col: str,
+    version_time_col: str,
+    version_cols: list[str],
+    fact_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-time (as-of) dimension join: each fact row picks up the
+    dimension attributes from the LATEST version effective at or
+    before the fact's timestamp — the SCD2 lookup every warehouse
+    fact pipeline runs ("the customer's segment AS OF the order
+    date"), with NULL attributes for facts predating the first
+    version.
+
+    Implemented as the union-spine, NOT a range join: version rows and
+    fact rows union into one relation, ONE keyed window ordered by
+    (time, is_fact) carries each version attribute forward via
+    ``last(...) IGNORE NULLS``, and only fact rows are kept.  A
+    version effective exactly at the fact time sorts before it and
+    wins.  Cost is one shuffle on the dimension key regardless of
+    version count — a validity-interval range join would shuffle the
+    same data AND need interval bucketing.
+
+    Returns all fact columns plus ``version_cols``.
+    """
+    f_cols = facts.columns
+    dim_types = dict(versions.dtypes)
+    obs = versions.select(
+        *[F.col(c) for c in key_cols],
+        F.col(version_time_col).alias("__t"),
+        F.lit(0).alias("__is_fact"),
+        *[F.col(c) for c in version_cols],
+        *[F.lit(None).cast(t).alias(f"__f_{c}") for c, t in facts.dtypes if c not in key_cols],
+    )
+    fct = facts.select(
+        *[F.col(c) for c in key_cols],
+        F.col(fact_time_col).alias("__t"),
+        F.lit(1).alias("__is_fact"),
+        *[F.lit(None).cast(dim_types[c]).alias(c) for c in version_cols],
+        *[F.col(c).alias(f"__f_{c}") for c in f_cols if c not in key_cols],
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__t", "__is_fact", *[f"__f_{c}" for c in (fact_tiebreak or [])])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = obs.unionByName(fct).select(
+        *key_cols,
+        "__is_fact",
+        *[F.col(f"__f_{c}").alias(c) for c in f_cols if c not in key_cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in version_cols],
+    )
+    return filled.filter(F.col("__is_fact") == 1).drop("__is_fact")
+
+
+def point_in_time_join_sql(
+    facts_sql: str,
+    versions_sql: str,
+    key_cols: list[str],
+    fact_time_col: str,
+    version_time_col: str,
+    version_cols: list[str],
+    fact_cols: list[str],
+    fact_tiebreak: list[str] | None = None,
+) -> str:
+    """DuckDB mirror — same union spine and IGNORE NULLS carry.
+    ``fact_cols`` lists the non-key fact columns to carry through."""
+    keys = ", ".join(key_cols)
+    vnull = ", ".join(f"NULL AS {c}" for c in version_cols)
+    fnull = ", ".join(f"NULL AS {c}" for c in fact_cols)
+    vsel = ", ".join(version_cols)
+    fsel = ", ".join(fact_cols)
+    tie = ", " + ", ".join(fact_tiebreak) if fact_tiebreak else ""
+    carry = ", ".join(
+        f"last_value({c} IGNORE NULLS) OVER (PARTITION BY {keys} "
+        f"ORDER BY __t, __is_fact{tie} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {c}"
+        for c in version_cols
+    )
+    return f"""
+    WITH unioned AS (
+      SELECT {keys}, {version_time_col} AS __t, 0 AS __is_fact, {vsel}, {fnull}
+      FROM ({versions_sql})
+      UNION ALL BY NAME
+      SELECT {keys}, {fact_time_col} AS __t, 1 AS __is_fact, {vnull}, {fsel}
+      FROM ({facts_sql})
+    ),
+    filled AS (
+      SELECT {keys}, __is_fact, {fsel}, {carry}
+      FROM unioned
+    )
+    SELECT * EXCLUDE (__is_fact) FROM filled WHERE __is_fact = 1
+    """

@@ -450,3 +450,63 @@ from cosmos_xenna_spark.operators.joins import (  # noqa: E402
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
     return join_size_estimate(ev, ev, ["user_id"], top_n=10)
+
+
+from cosmos_xenna_spark.operators.joins import (  # noqa: E402
+    point_in_time_join,
+    point_in_time_join_sql,
+)
+
+# Deterministic versioned dimension: 3 segment versions per customer at
+# fixed epochs — versions effective 1992/1995/1998, segment value a pure
+# function of (custkey, version).
+_CUST_VERSIONS_SQL = """
+    SELECT c_custkey,
+           CAST(printf('%d-01-01', 1992 + 3 * v) AS DATE) AS valid_from,
+           c_custkey * 10 + v AS segment
+    FROM customer, UNNEST(range(0, 3)) AS t(v)
+"""
+
+
+@register(
+    "q_pit_join",
+    oracle=point_in_time_join_sql(
+        "SELECT o_orderkey, o_custkey AS c_custkey, o_orderdate FROM orders",
+        _CUST_VERSIONS_SQL,
+        ["c_custkey"],
+        "o_orderdate",
+        "valid_from",
+        ["segment"],
+        ["o_orderkey", "o_orderdate"],
+        fact_tiebreak=["o_orderkey"],
+    ),
+    description="point-in-time (as-of) dimension join: each order picks up "
+    "the customer segment version effective AT the order date (SCD2 lookup) "
+    "— union-spine form, ONE keyed window carrying versions forward via "
+    "last IGNORE NULLS; one shuffle on the dimension key, no "
+    "validity-interval range join",
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    versions = cust.select(
+        "c_custkey",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("v"),
+    ).select(
+        "c_custkey",
+        F.concat(
+            (F.lit(1992) + F.col("v") * 3).cast("string"), F.lit("-01-01")
+        ).cast("date").alias("valid_from"),
+        (F.col("c_custkey") * 10 + F.col("v")).alias("segment"),
+    )
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_orderdate"
+    )
+    return point_in_time_join(
+        facts,
+        versions,
+        ["c_custkey"],
+        "o_orderdate",
+        "valid_from",
+        ["segment"],
+        fact_tiebreak=["o_orderkey"],
+    )

@@ -132,3 +132,30 @@ def test_grid_neighbor_join_rejects_small_cell(spark):
     df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
     with pytest.raises(ValueError):
         grid_neighbor_join(df, "id", "x", "y", radius=100, cell=50)
+
+
+def test_point_in_time_join_matches_bruteforce(spark):
+    import random
+
+    from cosmos_xenna_spark.operators.joins import point_in_time_join
+
+    rng = random.Random(113)
+    versions = [
+        (k, t, f"v{k}_{t}")
+        for k in range(20)
+        for t in sorted(rng.sample(range(100), rng.randrange(0, 4)))
+    ]
+    facts = [(i, rng.randrange(20), rng.randrange(100)) for i in range(300)]
+    dv = spark.createDataFrame(versions, "k long, vt long, attr string")
+    df = spark.createDataFrame(facts, "fid long, k long, ft long")
+    out = point_in_time_join(
+        df, dv, ["k"], "ft", "vt", ["attr"], fact_tiebreak=["fid"]
+    )
+    got = {r.fid: r.attr for r in out.collect()}
+
+    for fid, k, ft in facts:
+        eligible = [(t, a) for kk, t, a in versions if kk == k and t <= ft]
+        want = max(eligible)[1] if eligible else None
+        assert got[fid] == want, (fid, k, ft)
+    assert any(v is None for v in got.values())  # pre-first-version facts
+    assert any(v is not None for v in got.values())
