@@ -531,3 +531,72 @@ def anonymity_ladder(
         raise ValueError("anonymity_ladder levels must be distinct column sets")
     df.createOrReplaceTempView(view_name)
     return df.sparkSession.sql(anonymity_ladder_sql(f"SELECT * FROM {view_name}", levels, k))
+
+
+def schema_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Profile drift between two table versions/slices: per column, the
+    null-rate and distinct-cardinality movement plus min/max boundary
+    changes — the cheap pre-flight that catches a upstream schema or
+    semantics change (a column silently going half-NULL, an enum
+    growing a value, a date column jumping ranges) before it poisons a
+    training run.
+
+    Composes two one-scan :func:`table_profile` passes with a
+    column-name equi-join (profile tables are column-count-sized).
+    Rates are exact integer ppm; ``boundary_moved`` flags min/max
+    string changes.
+    """
+    po = table_profile(old, cols).select(
+        "col_name",
+        F.col("n_rows").alias("rows_old"),
+        F.col("n_null").alias("null_old"),
+        F.col("n_distinct").alias("nd_old"),
+        F.col("min_str").alias("min_old"),
+        F.col("max_str").alias("max_old"),
+    )
+    pn = table_profile(new, cols).select(
+        "col_name",
+        F.col("n_rows").alias("rows_new"),
+        F.col("n_null").alias("null_new"),
+        F.col("n_distinct").alias("nd_new"),
+        F.col("min_str").alias("min_new"),
+        F.col("max_str").alias("max_new"),
+    )
+    j = po.join(pn, "col_name")
+    null_rate_old = F.expr("null_old * 1000000L div rows_old")
+    null_rate_new = F.expr("null_new * 1000000L div rows_new")
+    return j.select(
+        "col_name",
+        F.col("rows_old").cast("bigint").alias("rows_old"),
+        F.col("rows_new").cast("bigint").alias("rows_new"),
+        (null_rate_new - null_rate_old).cast("bigint").alias("null_rate_delta_ppm"),
+        (F.col("nd_new") - F.col("nd_old")).cast("bigint").alias("distinct_delta"),
+        (
+            (~F.col("min_old").eqNullSafe(F.col("min_new")))
+            | (~F.col("max_old").eqNullSafe(F.col("max_new")))
+        ).cast("bigint").alias("boundary_moved"),
+    )
+
+
+def schema_drift_sql(
+    old_sql: str, new_sql: str, cols: list[str]
+) -> str:
+    """DuckDB mirror — two profile passes + the same deltas."""
+    po = table_profile_sql(f"({old_sql})", cols)
+    pn = table_profile_sql(f"({new_sql})", cols)
+    return f"""
+    WITH po AS ({po}), pn AS ({pn})
+    SELECT po.col_name,
+           CAST(po.n_rows AS BIGINT) AS rows_old,
+           CAST(pn.n_rows AS BIGINT) AS rows_new,
+           CAST(pn.n_null * 1000000 // pn.n_rows
+                - po.n_null * 1000000 // po.n_rows AS BIGINT) AS null_rate_delta_ppm,
+           CAST(pn.n_distinct - po.n_distinct AS BIGINT) AS distinct_delta,
+           CAST((po.min_str IS DISTINCT FROM pn.min_str)
+                OR (po.max_str IS DISTINCT FROM pn.max_str) AS BIGINT) AS boundary_moved
+    FROM po JOIN pn USING (col_name)
+    """

@@ -734,3 +734,84 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.id_a", "p.id_b")
     n = docs.count()
     return blocking_quality(cand, truth, n)
+
+
+_SNM2_KEYED_SQL = """
+    SELECT doc_id, lang || substr(lower(text), 1, 1) AS blk1,
+           lower(substr(text, 1, 40)) AS sk1,
+           lang || substr(reverse(lower(text)), 1, 1) AS blk2,
+           reverse(lower(substr(text, 1, 40))) AS sk2
+    FROM documents
+"""
+
+
+@register(
+    "q_snm_multipass",
+    oracle=blocking_quality_sql(
+        f"""
+        SELECT LEAST(id_a, id_b) AS id_a, GREATEST(id_a, id_b) AS id_b FROM (
+          SELECT * FROM ({sorted_neighborhood_pairs_sql("SELECT doc_id, blk1, sk1 FROM (" + _SNM2_KEYED_SQL + ")", "doc_id", "sk1", window=6, block_col="blk1")})
+          UNION ALL
+          SELECT * FROM ({sorted_neighborhood_pairs_sql("SELECT doc_id, blk2, sk2 FROM (" + _SNM2_KEYED_SQL + ")", "doc_id", "sk2", window=6, block_col="blk2")})
+        ) GROUP BY 1, 2
+        """,
+        _PREFIX_DUP_PAIRS_SQL,
+        "SELECT COUNT(*) FROM documents",
+    ),
+    description="multi-pass sorted-neighborhood blocking: the documented SNM "
+    "remedy made concrete — pass 1 sorts by the lowercased 40-char prefix, "
+    "pass 2 by its REVERSAL (catching leading-edge typos pass 1's blocks "
+    "split), pairs canonicalized and union-distinct'd, then audited with "
+    "pair completeness + reduction ratio against the shared-opening proxy "
+    "truth; two window passes, still ~2*window candidates per record",
+)
+def q_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.dedup import (
+        blocking_quality,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.concat(F.col("lang"), F.substring(F.lower("text"), 1, 1)).alias("blk1"),
+        F.lower(F.substring("text", 1, 40)).alias("sk1"),
+        F.concat(
+            F.col("lang"), F.substring(F.reverse(F.lower("text")), 1, 1)
+        ).alias("blk2"),
+        F.reverse(F.lower(F.substring("text", 1, 40))).alias("sk2"),
+    )
+    p1 = sorted_neighborhood_pairs(
+        keyed.select("doc_id", "blk1", "sk1"), "doc_id", "sk1", window=6, block_col="blk1"
+    )
+    p2 = sorted_neighborhood_pairs(
+        keyed.select("doc_id", "blk2", "sk2"), "doc_id", "sk2", window=6, block_col="blk2"
+    )
+    cand = (
+        p1.unionByName(p2)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    groups = (
+        docs.select(
+            "doc_id",
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("__k"),
+        )
+        .groupBy("__k")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    truth = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)),"
+                " y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    n = docs.count()
+    return blocking_quality(cand, truth, n)

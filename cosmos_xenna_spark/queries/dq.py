@@ -199,3 +199,27 @@ def q_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_chars div 100").alias("band100"),
     )
     return anonymity_ladder(docs, _LADDER_LEVELS, k=5)
+
+
+from cosmos_xenna_spark.operators.dq import schema_drift, schema_drift_sql  # noqa: E402
+
+_DRIFT_COLS = ["o_orderstatus", "o_totalprice", "o_orderpriority", "o_custkey"]
+_DRIFT_OLD = "SELECT * FROM orders WHERE o_orderdate < DATE '1995-01-01'"
+_DRIFT_NEW = "SELECT * FROM orders WHERE o_orderdate >= DATE '1995-01-01'"
+
+
+@register(
+    "q_schema_drift",
+    oracle=schema_drift_sql(_DRIFT_OLD, _DRIFT_NEW, _DRIFT_COLS),
+    description="profile drift between two table slices (null-rate delta "
+    "ppm, distinct-cardinality delta, min/max boundary movement per column) "
+    "— two one-scan profiles joined on the column-count-sized name key; the "
+    "pre-flight that catches upstream semantic changes before training",
+)
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < "1995-01-01")
+    new = orders.filter(F.col("o_orderdate") >= "1995-01-01")
+    return schema_drift(old, new, _DRIFT_COLS)
