@@ -61,3 +61,10 @@ def test_streaming_analytics_example_runs():
     r = _run(["examples/streaming_analytics.py", SF])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "live OHLC bars" in r.stdout and "attributed" in r.stdout
+
+
+def test_web_curation_pipeline_runs(tmp_path):
+    r = _run(["examples/web_curation_pipeline.py", SF])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "clusters straddling splits: 0" in r.stdout
+    assert "OK" in r.stdout
