@@ -81,6 +81,23 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       sessionization) and the r4-era aggregation/reshape family
 #       (percentile, pivot, unpivot, grouping sets, cube, rollup,
 #       recursive spine, sort-limit, approx-distinct).
+#       Operators added DURING r7 queue for the r8 rotation (all
+#       locally oracle-green at sf0.01 and full-driver-sim green when
+#       added): q_kcore, q_bfs_hops, q_join_interval_overlap,
+#       q_seasonal_anomaly, q_ktruss, q_spatial_neighbors,
+#       q_moments_per_group, q_rolling_distinct, q_url_normalize,
+#       q_cusum_changepoint, q_autocorrelation, q_benford_digits,
+#       q_hits, q_audience_overlap, q_mutual_nn, q_snm_pairs,
+#       q_rbo_rankings, q_event_paths, q_temporal_cooccurrence,
+#       q_boolean_search, q_quantile_normalize,
+#       q_audience_overlap_sketch, q_resample_ffill,
+#       q_attribution_linear, q_join_size_estimate,
+#       q_anonymity_ladder, q_dedup_cluster_profile,
+#       q_split_leakage_safe, q_ip_parse, q_ppr, q_skyline,
+#       q_blocking_quality, q_pit_join, q_schema_drift,
+#       q_snm_multipass — 35 queries, filling the r8 window exactly
+#       (plus streaming parity twins streaming_cusum and
+#       streaming_rolling_distinct, pytest-verified as always).
 _R7_PROMOTIONS = (
     # never driver-verified (r6-session additions) — 35 promotions
     "q_simhash_pairs",

@@ -109,6 +109,10 @@ HEADLINE = [
     "q_hits",
     "q_snm_pairs",
     "q_audience_overlap",
+    # r7 batch 2: the distributed-global-rank quantile matcher and the
+    # union-spine point-in-time dimension join over the orders fact
+    "q_quantile_normalize",
+    "q_pit_join",
 ]
 
 
