@@ -854,3 +854,56 @@ def linear_attribution_sql(
            CASE WHEN __n > 0 THEN CAST(1000000 // __n AS BIGINT) END AS share_ppm
     FROM conv, UNNEST(__padded) AS u(s)
     """
+
+
+def dwell_time(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    state_col: str,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Time-in-state profile: for each (key, state), the total dwell
+    time — each event's state holds until the entity's NEXT event
+    (the last event of a key contributes nothing: its dwell is
+    unobserved, not infinite).  The screen-time / funnel-stage-latency
+    reduction.
+
+    One keyed window (``lead`` of the epoch) + one aggregation on the
+    (key, state) composite; durations are exact integer microseconds.
+
+    Returns ``(key..., state, total_us, n_visits)``.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(*key_cols).orderBy(us, *(order_tiebreak or []))
+    base = df.withColumn("__d", F.lead(us.cast("bigint"), 1).over(w) - us)
+    return (
+        base.filter(F.col("__d").isNotNull())
+        .groupBy(*key_cols, F.col(state_col).alias("state"))
+        .agg(
+            F.sum("__d").cast("bigint").alias("total_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_visits"),
+        )
+    )
+
+
+def dwell_time_sql(
+    table_sql: str,
+    key_cols: list[str],
+    ts_col: str,
+    state_col: str,
+    order_tiebreak: list[str] | None = None,
+) -> str:
+    part = ", ".join(key_cols)
+    order = ", ".join([f"epoch_us({ts_col})", *(order_tiebreak or [])])
+    return f"""
+    SELECT {part}, {state_col} AS state,
+           CAST(SUM(__d) AS BIGINT) AS total_us,
+           CAST(COUNT(*) AS BIGINT) AS n_visits
+    FROM (
+      SELECT *, LEAD(epoch_us({ts_col})) OVER (PARTITION BY {part} ORDER BY {order})
+                - epoch_us({ts_col}) AS __d
+      FROM ({table_sql})
+    ) WHERE __d IS NOT NULL
+    GROUP BY {part}, {state_col}
+    """

@@ -1302,3 +1302,66 @@ def quantile_normalize_sql(
     FROM base JOIN gq
       ON (r * (SELECT COUNT(*) FROM t) + n - 1) // n = gq.rn
     """
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    scale: int = 100,
+    out_col: str = "te_loo",
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's categorical feature is
+    replaced by the mean target of OTHER rows in its category —
+    ``(sum_cat - own) / (n_cat - 1)`` — the leakage-safe form of the
+    classic high-cardinality encoder (including the row's own target
+    leaks the label straight into the feature; LOO is the standard
+    guard).  Categories with a single row emit NULL (no peers to
+    encode from).
+
+    Exactness: targets quantize to integers (``floor(t * scale)``),
+    category sums are exact BIGINTs broadcast back from the
+    category-count-sized table, and the finish is one double division
+    — bit-identical across engines and partitionings.
+
+    Scale shape: one aggregation on the category key (map-side
+    partial), the tiny sums table broadcast-joins back; facts never
+    shuffle.
+    """
+    c = F.floor(F.col(target_col) * scale).cast("bigint")
+    base = df.withColumn("__t", c)
+    sums = base.groupBy(category_col).agg(
+        F.sum("__t").alias("__sum"), F.count(F.lit(1)).alias("__n")
+    )
+    joined = base.join(F.broadcast(sums), category_col)
+    loo = (F.col("__sum") - F.col("__t")).cast("double") / (
+        (F.col("__n") - 1).cast("double") * F.lit(float(scale))
+    )
+    return joined.withColumn(
+        out_col, F.when(F.col("__n") > 1, loo)
+    ).drop("__t", "__sum", "__n")
+
+
+def target_encode_loo_sql(
+    table_sql: str,
+    category_col: str,
+    target_col: str,
+    scale: int = 100,
+    out_col: str = "te_loo",
+) -> str:
+    return f"""
+    WITH base AS (
+      SELECT *, CAST(FLOOR({target_col} * {scale}) AS BIGINT) AS __t
+      FROM ({table_sql})
+    ),
+    sums AS (
+      SELECT {category_col}, SUM(__t) AS __sum, COUNT(*) AS __n
+      FROM base GROUP BY {category_col}
+    )
+    SELECT base.* EXCLUDE (__t),
+           CASE WHEN __n > 1
+                THEN CAST(__sum - __t AS DOUBLE)
+                     / (CAST(__n - 1 AS DOUBLE) * {float(scale)!r})
+           END AS {out_col}
+    FROM base JOIN sums USING ({category_col})
+    """

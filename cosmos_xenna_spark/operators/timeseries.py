@@ -588,3 +588,72 @@ def resample_ffill_sql(
     SELECT {keys}, make_timestamp(__us) AS grid_ts, __fill AS value_ffill
     FROM filled WHERE __is_grid = 1
     """
+
+
+def rolling_median(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window_rows: int,
+    order_tiebreak: list[str] | None = None,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Exact rolling median over the trailing ``window_rows`` events
+    (inclusive) per key — the robust smoother for spiky series (a
+    single outlier moves a rolling MEAN but not this).
+
+    The frame's cent-quantized values ride ONE keyed window as a
+    ``collect_list``; ``array_sort`` + middle-element pick finish
+    row-locally.  Even-length frames average the two middles — exact
+    integers with ONE final division by 200.0, so both engines agree
+    bit-for-bit.  State is O(window_rows) per row (the
+    rolling_distinct_count contract).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col, *(order_tiebreak or []))
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    cents = F.floor(F.col(value_col) * 100).cast("bigint")
+    arr = F.array_sort(F.collect_list(cents).over(w))
+    n = F.size(arr)
+    # FLOOR the middle-index divisions before casting: a bare `/` +
+    # int cast truncates in Spark but ROUNDS in DuckDB (the
+    # quantile_cont lesson), which would pick the wrong element for
+    # odd frames
+    i_lo = F.floor((n + F.lit(1)) / F.lit(2)).cast("int")
+    i_hi = F.floor((n + F.lit(2)) / F.lit(2)).cast("int")
+    med = (
+        F.element_at(arr, i_lo) + F.element_at(arr, i_hi)
+    ).cast("double") / F.lit(200.0)
+    return df.withColumn(out_col, med)
+
+
+def rolling_median_sql(
+    table_sql: str,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window_rows: int,
+    order_tiebreak: list[str] | None = None,
+    out_col: str = "rolling_median",
+) -> str:
+    """DuckDB mirror — same sorted-frame middle pick."""
+    part = ", ".join(key_cols)
+    order = ", ".join([order_col, *(order_tiebreak or [])])
+    w = (
+        f"OVER (PARTITION BY {part} ORDER BY {order} "
+        f"ROWS BETWEEN {window_rows - 1} PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+    SELECT * EXCLUDE (__arr),
+           CAST(__arr[CAST(FLOOR((len(__arr) + 1) / 2) AS INTEGER)]
+                + __arr[CAST(FLOOR((len(__arr) + 2) / 2) AS INTEGER)] AS DOUBLE) / 200.0
+             AS {out_col}
+    FROM (
+      SELECT *,
+             list_sort(array_agg(CAST(FLOOR({value_col} * 100) AS BIGINT)) {w}) AS __arr
+      FROM ({table_sql})
+    )
+    """

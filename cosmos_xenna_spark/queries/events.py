@@ -601,3 +601,27 @@ from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
 def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return linear_attribution(ev)
+
+
+from cosmos_xenna_spark.operators.eventops import dwell_time, dwell_time_sql  # noqa: E402
+
+
+@register(
+    "q_dwell_time",
+    oracle=dwell_time_sql(
+        "SELECT user_id, ts, event_id, event_type FROM events",
+        ["user_id"],
+        "ts",
+        "event_type",
+        order_tiebreak=["event_id"],
+    ),
+    description="time-in-state profile: per (user, event type) total dwell "
+    "microseconds, each state held until the user's next event (trailing "
+    "event unobserved, not infinite) — one keyed lead window + one "
+    "fine-grained aggregation, exact integer durations",
+)
+def q_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return dwell_time(ev, ["user_id"], "ts", "event_type", order_tiebreak=["event_id"])

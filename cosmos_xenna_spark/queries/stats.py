@@ -388,3 +388,30 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     out = quantile_normalize(docs, ["lang"], "n_chars", ["doc_id"])
     return out.select("doc_id", "lang", "n_chars", "value_qnorm")
+
+
+from cosmos_xenna_spark.operators.stats import (  # noqa: E402
+    target_encode_loo,
+    target_encode_loo_sql,
+)
+
+
+@register(
+    "q_target_encode_loo",
+    oracle=(
+        "SELECT doc_id, source, te_loo FROM ("
+        + target_encode_loo_sql(
+            "SELECT doc_id, source, n_chars FROM documents", "source", "n_chars", scale=1
+        )
+        + ")"
+    ),
+    description="leave-one-out target encoding of the source column against "
+    "document length ((sum_cat - own) / (n_cat - 1) — the leakage-safe "
+    "high-cardinality encoder; own-row exclusion is the guard): one "
+    "category aggregation, tiny sums table broadcast back, facts never "
+    "shuffle; singleton categories emit NULL",
+)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = target_encode_loo(docs, "source", "n_chars", scale=1)
+    return out.select("doc_id", "source", "te_loo")

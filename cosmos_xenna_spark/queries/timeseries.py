@@ -195,3 +195,36 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(
         ev, ["user_id"], "ts", "value", step_secs=21600, order_tiebreak=["event_id"]
     )
+
+
+from cosmos_xenna_spark.operators.timeseries import (  # noqa: E402
+    rolling_median,
+    rolling_median_sql,
+)
+
+
+@register(
+    "q_rolling_median",
+    oracle=(
+        "SELECT event_id, user_id, rolling_median FROM ("
+        + rolling_median_sql(
+            "SELECT event_id, user_id, ts, value FROM events",
+            ["user_id"],
+            "ts",
+            "value",
+            window_rows=7,
+            order_tiebreak=["event_id"],
+        )
+        + ")"
+    ),
+    description="exact rolling median over each user's trailing 7 events "
+    "(robust smoother): cent-quantized frame rides one keyed window as "
+    "collect_list, row-local sorted middle pick with FLOOR'd index "
+    "divisions (cast-rounding differs between engines) — O(window) state",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling_median(
+        ev, ["user_id"], "ts", "value", window_rows=7, order_tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", "rolling_median")

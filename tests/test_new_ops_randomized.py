@@ -877,3 +877,83 @@ def test_skyline2d_matches_bruteforce(spark, seed):
         for r in skyline2d(df.repartition(17, "id"), "x", "y", salt_buckets=3).collect()
     )
     assert got2 == got
+
+
+@pytest.mark.parametrize("seed", [57, 63])
+def test_rolling_median_matches_python(spark, seed):
+    import math
+    import statistics
+
+    from cosmos_xenna_spark.operators.timeseries import rolling_median
+
+    rng = random.Random(seed)
+    rows = [(i, f"u{i % 4}", i, round(rng.uniform(0, 50), 2)) for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, u string, ts long, v double")
+    got = {r.i: r.rolling_median for r in rolling_median(df, ["u"], "ts", "v", 5, ["i"]).collect()}
+
+    hist: dict[str, list] = {}
+    for i, u, ts, v in sorted(rows, key=lambda r: (r[2], r[0])):
+        seq = hist.setdefault(u, [])
+        seq.append(math.floor(v * 100))
+        window = sorted(seq[-5:])
+        n = len(window)
+        want = (window[(n + 1) // 2 - 1] + window[(n + 2) // 2 - 1]) / 200.0
+        assert got[i] == want, (i, window)
+        assert got[i] == statistics.median(window) / 100.0
+
+
+@pytest.mark.parametrize("seed", [65, 71])
+def test_dwell_time_matches_python(spark, seed):
+    import datetime
+
+    from cosmos_xenna_spark.operators.eventops import dwell_time
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 6, 1)
+    rows = [
+        (i, f"u{rng.randrange(5)}",
+         base + datetime.timedelta(seconds=rng.randrange(100000)),
+         f"s{rng.randrange(3)}")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "i long, u string, ts timestamp, s string")
+    got = {(r.u, r.state): (r.total_us, r.n_visits)
+           for r in dwell_time(df, ["u"], "ts", "s", ["i"]).collect()}
+
+    by_u: dict[str, list] = {}
+    for i, u, ts, s in rows:
+        by_u.setdefault(u, []).append((ts, i, s))
+    want: dict[tuple, list] = {}
+    for u, evs in by_u.items():
+        evs.sort()
+        for (t1, _, s1), (t2, _, _) in zip(evs, evs[1:]):
+            d = int((t2 - t1).total_seconds() * 1_000_000)
+            acc = want.setdefault((u, s1), [0, 0])
+            acc[0] += d
+            acc[1] += 1
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+@pytest.mark.parametrize("seed", [69, 73])
+def test_target_encode_loo_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.stats import target_encode_loo
+
+    rng = random.Random(seed)
+    rows = [(i, f"c{rng.randrange(8)}", rng.randrange(1000)) for i in range(300)]
+    rows.append((999, "solo", 42))  # singleton category -> NULL
+    df = spark.createDataFrame(rows, "id long, cat string, t long")
+    got = {r.id: r.te_loo for r in target_encode_loo(df, "cat", "t", scale=1).collect()}
+
+    sums: dict[str, list] = {}
+    for _, c, t in rows:
+        acc = sums.setdefault(c, [0, 0])
+        acc[0] += t
+        acc[1] += 1
+    for i, c, t in rows:
+        s, n = sums[c]
+        if n == 1:
+            assert got[i] is None
+        else:
+            assert got[i] == (s - t) / float(n - 1)
+            # leakage guard: own target excluded
+            assert got[i] != s / float(n) or (s - t) * n == s * (n - 1)
