@@ -211,3 +211,122 @@ def with_parsed_ips_sql(table_sql: str, ip_col: str) -> str:
            CASE WHEN {valid} THEN CAST({private} AS BIGINT) END AS is_private
     FROM ({table_sql})
     """
+
+
+# Ordered (family, pattern) rules — first match wins, mirroring the
+# CASE chain in SQL.  Bot detection runs FIRST (a crawler UA often
+# embeds a browser token: "Mozilla/5.0 ... Googlebot/2.1").
+UA_BOT_RE = r"(?i)(bot|crawl|spider|slurp|curl|wget|python-requests)"
+UA_FAMILIES = (
+    ("edge", r"Edg(e|A|iOS)?/"),
+    ("opera", r"(OPR|Opera)/"),
+    ("chrome", r"Chrome/"),
+    ("firefox", r"Firefox/"),
+    ("safari", r"Safari/"),
+)
+UA_OSES = (
+    ("android", r"Android"),
+    ("ios", r"(iPhone|iPad|iOS)"),
+    ("windows", r"Windows"),
+    ("macos", r"Mac OS X"),
+    ("linux", r"Linux"),
+)
+
+
+def with_parsed_user_agents(df: DataFrame, ua_col: str) -> DataFrame:
+    """Classify user-agent strings into the buckets a traffic-curation
+    pass keys on: ``is_bot`` (crawler/tooling signatures — the rows a
+    human-traffic corpus drops first), ``browser_family`` and
+    ``os_family`` (first-match-wins rule chains; 'other' when nothing
+    matches).  Row-local regexps, zero shuffle, whole-stage codegen.
+
+    This is deliberately a RULE TABLE, not a full UA grammar: the
+    rules are data (``UA_FAMILIES`` / ``UA_OSES``), so a production
+    deployment extends them without touching the plan shape.
+    """
+    ua = F.col(ua_col)
+    is_bot = ua.rlike(UA_BOT_RE)
+    fam = F.lit("other")
+    for name, pat in reversed(UA_FAMILIES):
+        fam = F.when(ua.rlike(pat), name).otherwise(fam)
+    osf = F.lit("other")
+    for name, pat in reversed(UA_OSES):
+        osf = F.when(ua.rlike(pat), name).otherwise(osf)
+    return df.withColumns(
+        {
+            "is_bot": is_bot.cast("bigint"),
+            "browser_family": F.when(~is_bot, fam),
+            "os_family": F.when(~is_bot, osf),
+        }
+    )
+
+
+def with_parsed_user_agents_sql(table_sql: str, ua_col: str) -> str:
+    """DuckDB mirror — identical rule order and regexes."""
+    fam = " ".join(
+        f"WHEN regexp_matches({ua_col}, '{pat}') THEN '{name}'"
+        for name, pat in UA_FAMILIES
+    )
+    osf = " ".join(
+        f"WHEN regexp_matches({ua_col}, '{pat}') THEN '{name}'"
+        for name, pat in UA_OSES
+    )
+    bot = f"regexp_matches({ua_col}, '{UA_BOT_RE}')"
+    return f"""
+    SELECT *,
+           CAST({bot} AS BIGINT) AS is_bot,
+           CASE WHEN NOT {bot} THEN CASE {fam} ELSE 'other' END END AS browser_family,
+           CASE WHEN NOT {bot} THEN CASE {osf} ELSE 'other' END END AS os_family
+    FROM ({table_sql})
+    """
+
+
+def extract_outlink_domains(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Outlink extraction: every http(s) URL mentioned in the text,
+    reduced to its registered domain and counted per (doc, domain) —
+    the web-graph construction primitive behind citation analysis,
+    spam-farm detection and domain-level PageRank inputs.
+
+    One regexp explode (row-local) + one aggregation on the fine-
+    grained (doc, domain) key.  Returns ``(id, domain, n_links)``.
+    """
+    urls = F.expr(
+        f"regexp_extract_all({text_col}, 'https?://[^\\\\s/]+[^\\\\s]*', 0)"
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("__u"), _HOSTPORT_RE, 1)),
+        r"(:[0-9]+$)|(^www\.)",
+        "",
+    )
+    return (
+        df.select(F.col(id_col), F.explode(urls).alias("__u"))
+        .select(
+            id_col,
+            F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        )
+        .filter(F.col("domain") != "")
+        .groupBy(id_col, "domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
+    )
+
+
+def extract_outlink_domains_sql(table_sql: str, id_col: str, text_col: str) -> str:
+    return f"""
+    SELECT {id_col}, domain, CAST(COUNT(*) AS BIGINT) AS n_links
+    FROM (
+      SELECT {id_col},
+             regexp_extract(
+               regexp_replace(
+                 lower(regexp_extract(u, '{_HOSTPORT_RE}', 1)),
+                 '(:[0-9]+$)|(^www\\.)', ''),
+               '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM (
+        SELECT {id_col},
+               UNNEST(regexp_extract_all({text_col}, 'https?://[^\\s/]+[^\\s]*', 0)) AS u
+        FROM ({table_sql})
+      )
+    ) WHERE domain <> ''
+    GROUP BY {id_col}, domain
+    """

@@ -374,3 +374,81 @@ def q_ip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", ip.alias("ip"))
     return with_parsed_ips(docs, "ip")
+
+
+from cosmos_xenna_spark.operators.urls import (  # noqa: E402
+    extract_outlink_domains,
+    extract_outlink_domains_sql,
+    with_parsed_user_agents,
+    with_parsed_user_agents_sql,
+)
+
+_SYNTH_UA_SQL = """
+SELECT doc_id,
+       CASE doc_id % 7
+         WHEN 0 THEN printf('Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 Chrome/1%d.0 Safari/537.36', doc_id % 20)
+         WHEN 1 THEN printf('Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15) Gecko/20100101 Firefox/1%d.0', doc_id % 20)
+         WHEN 2 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 Safari/604.1'
+         WHEN 3 THEN printf('Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36 Edg/1%d.0', doc_id % 20)
+         WHEN 4 THEN 'Mozilla/5.0 (Linux; Android 14) Chrome/121.0 Mobile Safari/537.36 OPR/76.2'
+         WHEN 5 THEN printf('Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html) v%d', doc_id % 9)
+         ELSE printf('python-requests/2.%d', doc_id % 30)
+       END AS ua
+FROM documents
+"""
+
+
+@register(
+    "q_ua_parse",
+    oracle=with_parsed_user_agents_sql(_SYNTH_UA_SQL, "ua"),
+    description="user-agent classification for traffic curation: bot "
+    "detection first (crawler UAs embed browser tokens), then first-match "
+    "browser/OS family rule chains — row-local regexps, zero shuffle; the "
+    "rules are data, not plan shape",
+)
+def q_ua_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    m = F.pmod(d, F.lit(7))
+    ua = (
+        F.when(m == 0, F.format_string("Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 Chrome/1%d.0 Safari/537.36", d % 20))
+        .when(m == 1, F.format_string("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15) Gecko/20100101 Firefox/1%d.0", d % 20))
+        .when(m == 2, F.lit("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 Safari/604.1"))
+        .when(m == 3, F.format_string("Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36 Edg/1%d.0", d % 20))
+        .when(m == 4, F.lit("Mozilla/5.0 (Linux; Android 14) Chrome/121.0 Mobile Safari/537.36 OPR/76.2"))
+        .when(m == 5, F.format_string("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html) v%d", d % 9))
+        .otherwise(F.format_string("python-requests/2.%d", d % 30))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", ua.alias("ua"))
+    return with_parsed_user_agents(docs, "ua")
+
+
+@register(
+    "q_outlink_domains",
+    oracle=extract_outlink_domains_sql(
+        "SELECT doc_id, text || ' see https://WWW.Ref' || CAST(doc_id % 5 AS STRING)"
+        " || '.Example.org/a/' || CAST(doc_id AS STRING)"
+        " || ' and http://cdn' || CAST(doc_id % 3 AS STRING)"
+        " || '.example.com:8080/x?y=1 end' AS text FROM documents",
+        "doc_id",
+        "text",
+    ),
+    description="outlink extraction: every http(s) URL mentioned in text "
+    "reduced to its registered domain and counted per (doc, domain) — the "
+    "web-graph construction primitive (citation/spam-farm inputs); one "
+    "regexp explode + one fine-grained aggregation",
+)
+def q_outlink_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://WWW.Ref"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".Example.org/a/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://cdn"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.com:8080/x?y=1 end"),
+        ).alias("text"),
+    )
+    return extract_outlink_domains(docs, "doc_id", "text")

@@ -89,3 +89,47 @@ def test_parsed_ips_branches(spark):
     for i in (7, 8, 9):
         assert got[i] == (None, None, None, None), i
     assert got[10][0] == 1 * 16777216 + 2 * 65536 + 3 * 256 + 4
+
+
+def test_ua_parse_branches(spark):
+    from cosmos_xenna_spark.operators.urls import with_parsed_user_agents
+
+    rows = [
+        (0, "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36"),
+        (1, "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15) Firefox/115.0"),
+        (2, "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0) Safari/604.1"),
+        (3, "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36 Edg/120.0"),
+        (4, "Mozilla/5.0 (Linux; Android 14) Chrome/121.0 Safari/537.36 OPR/76.2"),
+        (5, "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"),
+        (6, "python-requests/2.31"),
+        (7, "SomethingEntirelyUnknown/1.0"),
+    ]
+    df = spark.createDataFrame(rows, "i long, ua string")
+    got = {r.i: (r.is_bot, r.browser_family, r.os_family)
+           for r in with_parsed_user_agents(df, "ua").collect()}
+    assert got[0] == (0, "chrome", "windows")
+    assert got[1] == (0, "firefox", "macos")
+    assert got[2] == (0, "safari", "ios")
+    assert got[3] == (0, "edge", "windows")       # Edg/ beats Chrome/
+    assert got[4] == (0, "opera", "android")      # OPR/ beats Chrome/
+    assert got[5][0] == 1 and got[5][1] is None   # bot despite Mozilla token
+    assert got[6][0] == 1
+    assert got[7] == (0, "other", "other")
+
+
+def test_outlink_domains_extraction(spark):
+    from cosmos_xenna_spark.operators.urls import extract_outlink_domains
+
+    rows = [
+        (1, "x https://www.A.Example.com/p http://b.example.org/q?z=1 plain text"),
+        (2, "no urls here"),
+        (3, "twice https://c.example.net/1 and https://sub.c.example.net/2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.domain): r.n_links
+           for r in extract_outlink_domains(df, "doc_id", "text").collect()}
+    assert got == {
+        (1, "example.com"): 1,
+        (1, "example.org"): 1,
+        (3, "example.net"): 2,
+    }
