@@ -95,8 +95,11 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       q_anonymity_ladder, q_dedup_cluster_profile,
 #       q_split_leakage_safe, q_ip_parse, q_ppr, q_skyline,
 #       q_blocking_quality, q_pit_join, q_schema_drift,
-#       q_snm_multipass — 35 queries, filling the r8 window exactly
-#       (plus streaming parity twins streaming_cusum and
+#       q_snm_multipass, q_rolling_median, q_dwell_time,
+#       q_target_encode_loo, q_ua_parse, q_outlink_domains — 40
+#       queries: promote all 40 in r8 and fill the spare ~10 slots
+#       re-verifying the oldest remaining cumulative rows (plus
+#       streaming parity twins streaming_cusum and
 #       streaming_rolling_distinct, pytest-verified as always).
 _R7_PROMOTIONS = (
     # never driver-verified (r6-session additions) — 35 promotions
