@@ -136,6 +136,18 @@ def generate_orders(spark, out_dir: str) -> None:
     big.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
 
+def generate_customer(spark, out_dir: str) -> None:
+    """Replicate customer with the same custkey shift as
+    generate_orders so dimension-side joins line up."""
+    c = spark.read.parquet(f"{SF_BASE}/customer.parquet")
+    copies = spark.range(COPIES).withColumnRenamed("id", "copy")
+    big = c.crossJoin(F.broadcast(copies)).select(
+        (F.col("c_custkey") + F.col("copy") * 10_000_000).alias("c_custkey"),
+        *[x for x in c.columns if x != "c_custkey"],
+    )
+    big.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+
+
 def generate_events(spark, out_dir: str) -> None:
     """Replicate events with per-copy user/event id shifts: the keyed-
     window partition COUNT grows with the corpus while each series
@@ -186,6 +198,18 @@ R7B_QUERIES = [
     "q_resample_ffill",
 ]
 
+# Round-7 session batch 2: the union-spine PIT join over the
+# replicated orders fact, the two-phase skyline, the range-frame
+# multi-touch attribution, the distributed-global-rank quantile
+# matcher, and the recursive-closure leakage-safe split.
+R7C_QUERIES = [
+    "q_pit_join",
+    "q_skyline",
+    "q_attribution_linear",
+    "q_quantile_normalize",
+    "q_split_leakage_safe",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -208,6 +232,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r7b":
         qset = "r7b"
         QUERIES = R7B_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r7c":
+        qset = "r7c"
+        QUERIES = R7C_QUERIES
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
     # the status-listener's task history must stay bounded over the
@@ -234,7 +261,7 @@ def main() -> None:
         t0 = time.time()
         generate_lineitem(spark, out_dir)
         print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
-    if qset == "r7b":
+    if qset in ("r7b", "r7c"):
         t0 = time.time()
         if not os.path.exists(f"{out_dir}/lineitem.parquet"):
             generate_lineitem(spark, out_dir)
@@ -242,7 +269,9 @@ def main() -> None:
             generate_orders(spark, out_dir)
         if not os.path.exists(f"{out_dir}/events.parquet"):
             generate_events(spark, out_dir)
-        print(f"generated r7b tables in {time.time() - t0:.0f}s")
+        if qset == "r7c" and not os.path.exists(f"{out_dir}/customer.parquet"):
+            generate_customer(spark, out_dir)
+        print(f"generated {qset} tables in {time.time() - t0:.0f}s")
 
     base = bench(spark, reg, SF_BASE)
     big = bench(spark, reg, out_dir)
