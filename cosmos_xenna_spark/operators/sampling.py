@@ -257,3 +257,51 @@ def group_aware_split_sql(
     SELECT *, CASE {' '.join(cases)} ELSE '{items[-1][0]}' END AS {out_col}
     FROM ({table_sql})
     """
+
+
+def weighted_sample_fixed(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    k: int,
+    id_cols: list[str],
+    salt: str = "wsample:",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``min(k, n)``
+    rows per group: the Efraimidis–Spirakis scheme with DETERMINISTIC
+    pseudo-randomness — each row's exponential arrival time is
+    ``-ln(u) / w`` with ``u`` derived from the md5 hash of (salt, id),
+    and the k smallest arrivals win.  P(row first) = w / sum(w), the
+    sequential weighted-without-replacement law; vary ``salt`` for an
+    independent redraw.  Deterministic under any partitioning and
+    reproducible across runs (the standing sampler contract); the
+    float ``ln`` makes it ROWS-ONLY for cross-engine oracles — its
+    law is pinned by frequency property tests instead.
+
+    Rows with non-positive or NULL weight are excluded (zero-weight
+    rows must never win).
+
+    Scale shape: priority is row-local; one keyed window (row_number
+    over priority) takes the top k per group — the
+    fixed_size_per_group shape with a weighted key.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample_fixed needs k >= 1")
+    from pyspark.sql import Window
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    h = md5_long63(key, salt)
+    # u in (0, 1]: (h + 1) / 2^60  (md5_long63 < 2^60)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    pri = -F.log(u) / w
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.asc("__pri"), *[F.asc(c) for c in id_cols]
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__pri", pri)
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__pri", "__rn")
+    )

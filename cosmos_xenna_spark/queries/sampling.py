@@ -233,3 +233,25 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_aware_split(
         base, "doc_id", "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
+
+
+from cosmos_xenna_spark.operators.sampling import weighted_sample_fixed  # noqa: E402
+
+
+@register(
+    "q_sample_weighted_fixed",
+    oracle=None,
+    description="weighted sampling WITHOUT replacement, exactly k per group "
+    "(Efraimidis-Spirakis exponential arrivals from deterministic md5 "
+    "uniforms — P(first) = w/sum(w), salt-redrawable, partitioning-"
+    "invariant): row-local priority + one keyed top-k window; rows-only by "
+    "design (float ln has no cross-engine oracle) — the sampling law is "
+    "pinned by the 150-draw frequency property test",
+)
+def q_sample_weighted_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+    )
+    return weighted_sample_fixed(docs, ["lang"], "w", k=20, id_cols=["doc_id"])

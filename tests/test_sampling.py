@@ -175,3 +175,40 @@ def test_group_aware_split_no_leakage(spark):
     )
     assert got == {(r.id): (r.grp, r.split) for r in out2.collect()}
     assert {s for _, s in got.values()} == {"train", "val", "test"}
+
+
+def test_weighted_sample_fixed_properties(spark):
+    from pyspark.sql import functions as F
+
+    from cosmos_xenna_spark.operators.sampling import weighted_sample_fixed
+
+    rows = [(g, i, float(wt)) for g in ("a", "b") for i, wt in enumerate([1, 1, 2, 4, 8])]
+    rows.append(("a", 99, 0.0))   # zero weight: never sampled
+    rows.append(("a", 98, None))  # NULL weight: never sampled
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+
+    out = weighted_sample_fixed(df, ["g"], "w", k=2, id_cols=["g", "id"])
+    got = sorted((r.g, r.id) for r in out.collect())
+    assert len([1 for g, _ in got if g == "a"]) == 2
+    assert len([1 for g, _ in got if g == "b"]) == 2
+    assert all(i not in (98, 99) for _, i in got)
+    # deterministic under repartitioning
+    out2 = weighted_sample_fixed(df.repartition(7, "id"), ["g"], "w", k=2, id_cols=["g", "id"])
+    assert got == sorted((r.g, r.id) for r in out2.collect())
+
+    # law check: over many independent salts, P(id wins a k=1 draw)
+    # tracks w / sum(w) (Efraimidis-Spirakis first-arrival property)
+    base = spark.createDataFrame(
+        [("g", i, float(wt)) for i, wt in enumerate([1, 2, 4, 8])], "g string, id long, w double"
+    ).cache()
+    n_draws = 150
+    wins = {i: 0 for i in range(4)}
+    for s in range(n_draws):
+        r = weighted_sample_fixed(base, ["g"], "w", k=1, id_cols=["g", "id"], salt=f"s{s}:").collect()
+        wins[r[0].id] += 1
+    total_w = 15.0
+    for i, wt in enumerate([1, 2, 4, 8]):
+        exp = n_draws * wt / total_w
+        # 4 sigma of a binomial around the expectation
+        sd = (n_draws * (wt / total_w) * (1 - wt / total_w)) ** 0.5
+        assert abs(wins[i] - exp) <= 4 * sd + 1, (i, wins[i], exp)
