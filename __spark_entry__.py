@@ -100,7 +100,9 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       queries: promote all 40 in r8 and fill the spare ~10 slots
 #       re-verifying the oldest remaining cumulative rows (plus
 #       streaming parity twins streaming_cusum and
-#       streaming_rolling_distinct, pytest-verified as always).
+#       streaming_rolling_distinct, pytest-verified as always;
+#       q_sample_weighted_fixed is rows-only by design — float ln —
+#       and stays outside the oracle window like q_knn_pq).
 _R7_PROMOTIONS = (
     # never driver-verified (r6-session additions) — 35 promotions
     "q_simhash_pairs",
