@@ -907,3 +907,72 @@ def dwell_time_sql(
     ) WHERE __d IS NOT NULL
     GROUP BY {part}, {state_col}
     """
+
+
+def dau_wau_stickiness(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Engagement stickiness timeline: per calendar day, DAU (distinct
+    entities active that day), WAU (distinct entities active in the
+    trailing ``window_days`` ending that day) and the DAU/WAU ratio —
+    the standard product-health metric, with WAU computed EXACTLY.
+
+    Distributed without any corpus- or calendar-global window: each
+    distinct (day, entity) row is EXPLODED to the ``window_days``
+    future days it contributes to, and the trailing distinct count
+    falls out of a fine-grained (day, entity) distinct + per-day count
+    — the shuffles stay keyed on (day, entity), never on the bare day.
+    Days with no activity emit no row (both engines agree); leading
+    days carry partial windows by construction.
+
+    Returns ``(day, dau, wau, stickiness_ppm)`` with ``day`` as the
+    integer day-since-epoch (cross-engine exact; callers render dates
+    downstream).
+    """
+    day = F.datediff(
+        F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    du = df.select(day.alias("day"), F.col(entity_col).alias("e")).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        du.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+            ).alias("day"),
+            "e",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return dau.join(contrib, "day").select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.expr("dau * 1000000L div wau").alias("stickiness_ppm"),
+    )
+
+
+def dau_wau_stickiness_sql(
+    table_sql: str, ts_col: str, entity_col: str, window_days: int = 7
+) -> str:
+    return f"""
+    WITH du AS (
+      SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST({ts_col} AS DATE)) AS day,
+             {entity_col} AS e
+      FROM ({table_sql})
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    contrib AS (
+      SELECT day, COUNT(*) AS wau FROM (
+        SELECT DISTINCT day + d AS day, e
+        FROM du, UNNEST(range(0, {window_days})) AS t(d)
+      ) GROUP BY day
+    )
+    SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN contrib USING (day)
+    """

@@ -625,3 +625,23 @@ def q_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     return dwell_time(ev, ["user_id"], "ts", "event_type", order_tiebreak=["event_id"])
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    dau_wau_stickiness,
+    dau_wau_stickiness_sql,
+)
+
+
+@register(
+    "q_dau_wau",
+    oracle=dau_wau_stickiness_sql("SELECT ts, user_id FROM events", "ts", "user_id"),
+    description="DAU/WAU stickiness timeline with EXACT trailing-7-day "
+    "distinct counts — each (day, user) exploded to the 7 days it "
+    "contributes to, so the trailing distinct is a fine-grained keyed "
+    "distinct + count (no calendar-global window, no HLL approximation); "
+    "integer day arithmetic, exact ppm ratio",
+)
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    return dau_wau_stickiness(ev, "ts", "user_id")

@@ -957,3 +957,36 @@ def test_target_encode_loo_matches_python(spark, seed):
             assert got[i] == (s - t) / float(n - 1)
             # leakage guard: own target excluded
             assert got[i] != s / float(n) or (s - t) * n == s * (n - 1)
+
+
+@pytest.mark.parametrize("seed", [77, 83])
+def test_dau_wau_matches_python(spark, seed):
+    import datetime
+
+    from cosmos_xenna_spark.operators.eventops import dau_wau_stickiness
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=rng.randrange(30), hours=rng.randrange(24)),
+         rng.randrange(40))
+        for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, u long")
+    got = {r.day: (r.dau, r.wau, r.stickiness_ppm)
+           for r in dau_wau_stickiness(df, "ts", "u").collect()}
+
+    by_day: dict[int, set] = {}
+    epoch = datetime.date(1970, 1, 1)
+    for ts, u in rows:
+        d = (ts.date() - epoch).days
+        by_day.setdefault(d, set()).add(u)
+    for d, users in by_day.items():
+        wau = set()
+        for j in range(7):
+            wau |= by_day.get(d - j, set())
+        dau = len(users)
+        assert got[d] == (dau, len(wau), dau * 1000000 // len(wau)), d
+    assert set(got) == set(by_day)
+    # stickiness bounded: dau <= wau always
+    assert all(v[0] <= v[1] for v in got.values())
