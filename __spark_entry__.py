@@ -96,8 +96,9 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       q_split_leakage_safe, q_ip_parse, q_ppr, q_skyline,
 #       q_blocking_quality, q_pit_join, q_schema_drift,
 #       q_snm_multipass, q_rolling_median, q_dwell_time,
-#       q_target_encode_loo, q_ua_parse, q_outlink_domains — 40
-#       queries: promote all 40 in r8 and fill the spare ~10 slots
+#       q_target_encode_loo, q_ua_parse, q_outlink_domains,
+#       q_dau_wau — 41 queries: promote all 41 in r8 and fill the
+#       spare ~9 slots
 #       re-verifying the oldest remaining cumulative rows (plus
 #       streaming parity twins streaming_cusum and
 #       streaming_rolling_distinct, pytest-verified as always;
