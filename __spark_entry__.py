@@ -97,71 +97,78 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       q_blocking_quality, q_pit_join, q_schema_drift,
 #       q_snm_multipass, q_rolling_median, q_dwell_time,
 #       q_target_encode_loo, q_ua_parse, q_outlink_domains,
-#       q_dau_wau — 41 queries: promote all 41 in r8 and fill the
-#       spare ~9 slots
-#       re-verifying the oldest remaining cumulative rows (plus
-#       streaming parity twins streaming_cusum and
-#       streaming_rolling_distinct, pytest-verified as always;
-#       q_sample_weighted_fixed is rows-only by design — float ln —
-#       and stays outside the oracle window like q_knn_pq).
-_R7_PROMOTIONS = (
-    # never driver-verified (r6-session additions) — 35 promotions
-    "q_simhash_pairs",
-    "q_vocab_coverage",
-    "q_decayed_sum",
-    "q_fd_violations",
-    "q_ngram_diversity",
-    "q_incremental_dedup",
-    "q_keyword_blocklist",
-    "q_table_diff",
-    "q_winsorize",
-    "q_rolling_zscore",
-    "q_golden_record",
-    "q_multimodal_video_demux",
-    "q_label_propagation",
-    "q_zorder_key",
-    "q_substring_dedup",
-    "q_table_profile",
-    "q_trimmed_mean",
-    "q_ohlc_bars",
-    "q_attribution_last_touch",
-    "q_chi_squared",
-    "q_lm_novelty",
-    "q_rrf_fusion",
-    "q_setsim_prefix_join",
-    "q_image_phash_pairs",
-    "q_fk_integrity",
-    "q_video_scene_cuts",
-    "q_incremental_join",
-    "q_linreg_per_group",
-    "q_mode_per_group",
-    "q_market_basket",
-    "q_filter_funnel",
-    "q_conversion_lag_stats",
-    "q_sample_fixed_per_group",
-    "q_wow_growth",
-    "q_histogram2d",
-    # re-verification of the oldest remaining rows — r4-era windows
-    "q_window_rank",
-    "q_window_lag_lead",
-    "q_window_rows_frame",
-    "q_window_ntile_pct",
-    "q_window_topk",
-    "q_sessionization",
-    # re-verification — r4-era aggregation / reshape
-    "q_percentile",
-    "q_approx_distinct",
-    "q_pivot",
-    "q_unpivot",
-    "q_grouping_sets",
-    "q_cube",
-    "q_rollup",
-    "q_recursive_spine",
-    "q_sort_limit",
+#       q_dau_wau — 41 queries: promoted in full in r8 (below).
+#   r8 (this window): ALL 41 operators added during r7 (the queue
+#       above, verbatim) — after this round every oracle-able registry
+#       query that existed at the r7 snapshot (250/250) has a hard
+#       driver verdict. The spare 9 slots re-verify the oldest
+#       remaining cumulative rows on current code: q_having_filter
+#       (the last r1-era row) and the 8 alphabetically-first r3-era
+#       rows (agg features, array funcs, both as-of joins, snowflake
+#       broadcast join, cohort retention, collect_list/set,
+#       conditional). Operators added DURING r8 queue for the r9
+#       rotation (tracked in _R9_QUEUE below as they land).
+_R8_PROMOTIONS = (
+    # never driver-verified (r7-session additions) — 41 promotions
+    "q_kcore",
+    "q_bfs_hops",
+    "q_join_interval_overlap",
+    "q_seasonal_anomaly",
+    "q_ktruss",
+    "q_spatial_neighbors",
+    "q_moments_per_group",
+    "q_rolling_distinct",
+    "q_url_normalize",
+    "q_cusum_changepoint",
+    "q_autocorrelation",
+    "q_benford_digits",
+    "q_hits",
+    "q_audience_overlap",
+    "q_mutual_nn",
+    "q_snm_pairs",
+    "q_rbo_rankings",
+    "q_event_paths",
+    "q_temporal_cooccurrence",
+    "q_boolean_search",
+    "q_quantile_normalize",
+    "q_audience_overlap_sketch",
+    "q_resample_ffill",
+    "q_attribution_linear",
+    "q_join_size_estimate",
+    "q_anonymity_ladder",
+    "q_dedup_cluster_profile",
+    "q_split_leakage_safe",
+    "q_ip_parse",
+    "q_ppr",
+    "q_skyline",
+    "q_blocking_quality",
+    "q_pit_join",
+    "q_schema_drift",
+    "q_snm_multipass",
+    "q_rolling_median",
+    "q_dwell_time",
+    "q_target_encode_loo",
+    "q_ua_parse",
+    "q_outlink_domains",
+    "q_dau_wau",
+    # re-verification of the oldest remaining rows — the r1 survivor
+    "q_having_filter",
+    # re-verification — the 8 alphabetically-first r3-era rows
+    "q_agg_features",
+    "q_array_funcs",
+    "q_asof_join",
+    "q_asof_join_tolerance",
+    "q_broadcast_snowflake",
+    "q_cohort_retention",
+    "q_collect_list_set",
+    "q_conditional",
 )
 
+# Operators added during the r8 session queue here for the r9 window.
+_R9_QUEUE: tuple[str, ...] = ()
+
 DRIVER_PRIORITY: dict[str, str] = {
-    name: f"q0_{name[2:]}" for name in _R7_PROMOTIONS
+    name: f"q0_{name[2:]}" for name in _R8_PROMOTIONS
 }
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 

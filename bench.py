@@ -116,6 +116,26 @@ HEADLINE = [
 ]
 
 
+def _sentinel(spark) -> None:
+    """Fixed-overhead calibration query (VERDICT r7 #3): a constant
+    CPU+shuffle workload independent of sf_dir and of the registry, so
+    per-round artifacts can separate ambient machine slowdown (sentinel
+    moves with the suite) from a real per-query regression (query moves,
+    sentinel doesn't). Shape: 200M-row range -> hash -> 1000-key agg —
+    one full shuffle, all 32 cores, zero I/O."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(200_000_000)
+        .select((F.xxhash64("id") % 1000).alias("k"))
+        .groupBy("k")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -149,8 +169,17 @@ def main() -> None:
     # entry instead of killing the whole bench (round-3 lost its entire
     # benchmark to a single AnalysisException at build time).
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    sentinel_samples: list[float] = []
     errors: dict[str, str] = {}
     for _pass in range(3):
+        # One sentinel sample per pass, interleaved like the queries,
+        # so it sees the same ambient-noise distribution.
+        try:
+            t0 = time.perf_counter()
+            _sentinel(spark)
+            sentinel_samples.append(time.perf_counter() - t0)
+        except Exception:  # noqa: BLE001 — calibration is best-effort
+            pass
         for name in HEADLINE:
             if name in errors:
                 continue
@@ -177,12 +206,18 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    sentinel_med = (
+        round(sorted(sentinel_samples)[len(sentinel_samples) // 2], 3)
+        if sentinel_samples
+        else None
+    )
     payload = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "sentinel": sentinel_med,
     }
     if errors:
         payload["errors"] = {k: v[:120] for k, v in errors.items()}
@@ -195,8 +230,9 @@ def main() -> None:
     # side artifact instead.
     detail = {
         "samples": {k: [round(s, 3) for s in v] for k, v in samples.items()},
+        "sentinel_samples": [round(s, 3) for s in sentinel_samples],
         "errors": errors,
-        "vs_prev": _vs_prev(timings),
+        "vs_prev": _vs_prev(timings, sentinel_med),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
@@ -209,10 +245,16 @@ def main() -> None:
     print(json.dumps(payload, separators=(",", ":")), flush=True)
 
 
-def _vs_prev(timings: dict[str, float]) -> dict[str, object] | None:
+def _vs_prev(
+    timings: dict[str, float], sentinel_med: float | None = None
+) -> dict[str, object] | None:
     """Per-query ratio vs the newest committed BENCH_r*.json, so a
     regression is visible in the round it happens instead of via a
-    by-hand diff of two artifacts (VERDICT r4 #9)."""
+    by-hand diff of two artifacts (VERDICT r4 #9). When both rounds
+    carry a sentinel, also emit sentinel-normalized ratios
+    (ratio / (sentinel_now / sentinel_prev)) — the number that stays
+    ~1.0 under uniform ambient inflation and moves only on a real
+    per-query regression (VERDICT r7 #3)."""
     here = os.path.dirname(os.path.abspath(__file__))
     benches = sorted(
         f for f in os.listdir(here)
@@ -233,7 +275,17 @@ def _vs_prev(timings: dict[str, float]) -> dict[str, object] | None:
             for q, t in timings.items()
             if q in prev and prev[q] > 0
         }
-        return {"baseline": prev_name, "ratios": ratios}
+        out: dict[str, object] = {"baseline": prev_name, "ratios": ratios}
+        prev_sentinel = doc.get("sentinel") or (doc.get("parsed") or {}).get(
+            "sentinel"
+        )
+        if sentinel_med and prev_sentinel:
+            drift = sentinel_med / prev_sentinel
+            out["sentinel_drift"] = round(drift, 3)
+            out["ratios_normalized"] = {
+                q: round(r / drift, 2) for q, r in ratios.items()
+            }
+        return out
     return None
 
 

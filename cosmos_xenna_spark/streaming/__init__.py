@@ -803,3 +803,128 @@ def streaming_rolling_distinct(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_rolling_median(
+    stream_df: DataFrame,
+    window_rows: int = 5,
+) -> DataFrame:
+    """Live exact rolling median: the streaming form of
+    ``operators.timeseries.rolling_median`` — per event, the median of
+    the user's last ``window_rows`` values (cent-quantized) including
+    it.
+
+    Per-user state is the last ``window_rows`` cent values as one
+    comma-joined string — bounded by the window, independent of stream
+    length (the streaming_rolling_distinct contract).  The middle-pick
+    arithmetic mirrors the batch operator exactly (sorted frame,
+    floor((n+1)/2) / floor((n+2)/2) picks, ONE final divide by 200.0),
+    so time-ordered replays emit rows bit-identical to the batch keyed
+    window (parity test); cross-micro-batch out-of-order arrival
+    degrades to arrival order — the standing streaming contract.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        (joined,) = state.get if state.exists else ("",)
+        recent = [int(x) for x in joined.split(",")] if joined else []
+        out = {"event_id": [], "entity": [], "rolling_median": []}
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            batch["__us"] = batch["ts"].astype("datetime64[us]").astype("int64")
+            batch = batch.sort_values(["__us", "event_id"])
+            for eid, v in zip(batch["event_id"], batch["value"]):
+                import math
+
+                recent.append(math.floor(v * 100))
+                if len(recent) > window_rows:
+                    recent = recent[-window_rows:]
+                s = sorted(recent)
+                n = len(s)
+                med = (s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]) / 200.0
+                out["event_id"].append(int(eid))
+                out["entity"].append(int(key[0]))
+                out["rolling_median"].append(med)
+        state.update((",".join(str(c) for c in recent),))
+        yield pd.DataFrame(out)
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="event_id long, entity long, rolling_median double",
+        stateStructType="recent string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_dau_wau(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Live DAU/WAU stickiness: the streaming form of
+    ``operators.eventops.dau_wau_stickiness``.
+
+    Uses the same contribution-explode decomposition as the batch
+    operator: each event contributes to the ``window_days`` calendar
+    days whose trailing window contains it, so the stream is exploded
+    STATELESSLY to (day, active_day, entity) rows and the stateful
+    group key is the calendar day — never a calendar-global window.
+    Per-day state is the exact DAU and WAU entity-id sets (joined
+    strings).  Update-mode emission: every micro-batch that touches a
+    day re-emits that day's current (dau, wau, stickiness_ppm); the
+    LAST row per day after a full replay equals the batch operator
+    row-for-row on days with dau > 0 (parity test; the batch form's
+    inner join drops zero-DAU days, so callers filter dau > 0).
+
+    State-size contract: O(distinct entities active in the trailing
+    ``window_days``) per day key — exact by design, like the batch
+    twin it must hash-match.  At 100 TB / billions of entities, swap
+    the set state for an HLL sketch register (the
+    ``q_audience_overlap_sketch`` pattern) and accept ~2% error; the
+    group key stays the day, so state never concentrates on one task.
+    """
+    SEP = "\x1f"
+    day = F.datediff(
+        F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    contrib = stream_df.select(
+        day.alias("active_day"),
+        F.col(entity_col).cast("long").alias("e"),
+    ).select(
+        F.explode(
+            F.sequence(F.col("active_day"), F.col("active_day") + (window_days - 1))
+        ).alias("day"),
+        "active_day",
+        "e",
+    )
+
+    def update(key, pdfs, state: GroupState):
+        dau_j, wau_j = state.get if state.exists else ("", "")
+        dau_set = set(dau_j.split(SEP)) if dau_j else set()
+        wau_set = set(wau_j.split(SEP)) if wau_j else set()
+        for pdf in pdfs:
+            for active_day, e in zip(pdf["active_day"], pdf["e"]):
+                ent = str(int(e))
+                wau_set.add(ent)
+                if int(active_day) == int(key[0]):
+                    dau_set.add(ent)
+        state.update((SEP.join(sorted(dau_set)), SEP.join(sorted(wau_set))))
+        dau, wau = len(dau_set), len(wau_set)
+        yield pd.DataFrame(
+            {
+                "day": [int(key[0])],
+                "dau": [dau],
+                "wau": [wau],
+                "stickiness_ppm": [dau * 1_000_000 // wau if wau else 0],
+            }
+        )
+
+    return contrib.groupBy("day").applyInPandasWithState(
+        update,
+        outputStructType="day long, dau long, wau long, stickiness_ppm long",
+        stateStructType="dau_set string, wau_set string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -67,7 +67,13 @@ def _green_rows(path: str) -> list[str]:
     return out
 
 
-def main() -> None:
+def build() -> dict:
+    """Reconstruct the full ledger doc from artifacts + git history.
+
+    Pure: returns the doc without writing it, so the freshness gate in
+    ``tests/test_monitoring_artifacts.py`` can rebuild and diff against
+    the committed VERIFIED.json (VERDICT r7 #2).
+    """
     # Round artifact -> the commit that introduced it (the rotation in
     # force when the driver ran is the parent tree's entry file, which
     # is identical at that commit).
@@ -91,7 +97,7 @@ def main() -> None:
     from cosmos_xenna_spark.queries import load_registry  # noqa: E402
 
     reg = load_registry()
-    doc = {
+    return {
         "queries": {
             name: ledger.get(
                 name,
@@ -104,6 +110,10 @@ def main() -> None:
         "total": len(reg),
         "oracle_able": sum(1 for n in reg if reg[n].oracle is not None),
     }
+
+
+def main() -> None:
+    doc = build()
     with open(os.path.join(HERE, "VERIFIED.json"), "w") as f:
         json.dump(doc, f, indent=1, sort_keys=False)
     print(json.dumps({k: doc[k] for k in ("verified", "total", "oracle_able")}))

@@ -821,3 +821,60 @@ def test_streaming_rolling_distinct_matches_batch(spark, sf_dir, events_dir):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_rolling_median_matches_batch(spark, sf_dir, events_dir):
+    """Bounded-state rolling median parity: the live last-N-cents state
+    emits bit-identical medians to the batch keyed-window sorted-frame
+    operator over the same replay (VERDICT r7 #6)."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.timeseries import rolling_median
+    from cosmos_xenna_spark.streaming import streaming_rolling_median
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(
+        streaming_rolling_median(stream, window_rows=5), "t_rmed", "append"
+    )
+    _drain(q)
+    got = sorted(
+        (r.event_id, r.entity, r.rolling_median)
+        for r in spark.sql("SELECT * FROM t_rmed").collect()
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.rolling_median)
+        for r in rolling_median(
+            ev, ["user_id"], "ts", "value", window_rows=5,
+            order_tiebreak=["event_id"],
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dau_wau_matches_batch(spark, sf_dir, events_dir):
+    """Contribution-explode DAU/WAU parity: the final update-mode row
+    per day equals the batch operator on days with dau > 0
+    (VERDICT r7 #6). Exact-set state; the docstring carries the HLL
+    swap contract for billion-entity scale."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.eventops import dau_wau_stickiness
+    from cosmos_xenna_spark.streaming import streaming_dau_wau
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(streaming_dau_wau(stream), "t_dauwau", "update")
+    _drain(q)
+    rows = spark.sql(
+        "SELECT day, dau, wau, stickiness_ppm FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY day ORDER BY wau DESC, dau DESC) AS rn"
+        "  FROM t_dauwau) WHERE rn = 1 AND dau > 0"
+    ).collect()
+    got = sorted((r.day, r.dau, r.wau, r.stickiness_ppm) for r in rows)
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    want = sorted(
+        (r.day, r.dau, r.wau, r.stickiness_ppm)
+        for r in dau_wau_stickiness(ev, "ts", "user_id").collect()
+    )
+    assert got == want and len(got) > 0
