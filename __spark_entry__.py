@@ -165,7 +165,19 @@ _R8_PROMOTIONS = (
 )
 
 # Operators added during the r8 session queue here for the r9 window.
-_R9_QUEUE: tuple[str, ...] = ()
+_R9_QUEUE: tuple[str, ...] = (
+    "q_scc",
+    "q_sssp_weighted",
+    "q_link_prediction_ra",
+    "q_simpson_diversity",
+    "q_gini_concentration",
+    "q_er_score_fs",
+    "q_cdc_chunks",
+    "q_readability",
+    "q_burst_days",
+    "q_twap",
+    "q_winnow_pairs",
+)
 
 DRIVER_PRIORITY: dict[str, str] = {
     name: f"q0_{name[2:]}" for name in _R8_PROMOTIONS

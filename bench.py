@@ -113,6 +113,12 @@ HEADLINE = [
     # union-spine point-in-time dimension join over the orders fact
     "q_quantile_normalize",
     "q_pit_join",
+    # r8 additions: per-position window hashing + chunk assembly (the
+    # corpus-heaviest new shape), the capped wedge join over the dedup
+    # graph, and the double-closure SCC kernel
+    "q_cdc_chunks",
+    "q_link_prediction_ra",
+    "q_scc",
 ]
 
 

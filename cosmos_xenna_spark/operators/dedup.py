@@ -1027,3 +1027,87 @@ def blocking_quality_sql(
              AS reduction_ratio_ppm
     FROM sums
     """
+
+
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    rules: list[tuple[str, int, int]],
+    t_match: int,
+    t_possible: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring (the 1969 probabilistic
+    ER framework, integerized): for each candidate pair, every rule
+    ``(field, w_agree, w_disagree)`` contributes ``w_agree`` when the
+    two records' field values are equal (both-NULL counts as
+    agreement of unknowns: contributes 0) and ``w_disagree``
+    otherwise; the summed score classifies the pair —
+    ``'match'`` (>= ``t_match``), ``'possible'`` (>= ``t_possible``),
+    else ``'non_match'`` — the clerical-review triage every dedup /
+    MDM pipeline runs between blocking and survivorship.
+
+    Integer log-odds-style weights are DATA, not plan shape: a
+    production deployment re-estimates them (EM over agreement
+    patterns) without touching the query.  Shape: two hash joins of
+    the pair table against the keyed record frame (the SNM-verify
+    pattern), all comparisons row-local, score integer-exact.
+    """
+    fields = [f for f, _, _ in rules]
+    ra = records.select(
+        F.col(id_col).alias(id_a), *[F.col(f).alias(f"__a_{f}") for f in fields]
+    )
+    rb = records.select(
+        F.col(id_col).alias(id_b), *[F.col(f).alias(f"__b_{f}") for f in fields]
+    )
+    joined = pairs.select(id_a, id_b).join(ra, id_a).join(rb, id_b)
+    score = F.lit(0)
+    for f, w_agree, w_disagree in rules:
+        a, b = F.col(f"__a_{f}"), F.col(f"__b_{f}")
+        score = score + (
+            F.when(a.isNull() & b.isNull(), 0)
+            .when(a.eqNullSafe(b), w_agree)
+            .otherwise(w_disagree)
+        )
+    return joined.select(
+        F.col(id_a).cast("bigint").alias(id_a),
+        F.col(id_b).cast("bigint").alias(id_b),
+        score.cast("bigint").alias("fs_score"),
+        F.when(score >= t_match, "match")
+        .when(score >= t_possible, "possible")
+        .otherwise("non_match")
+        .alias("decision"),
+    )
+
+
+def fellegi_sunter_scores_sql(
+    pairs_sql: str,
+    records_sql: str,
+    id_col: str,
+    rules: list[tuple[str, int, int]],
+    t_match: int,
+    t_possible: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> str:
+    terms = []
+    for f, w_agree, w_disagree in rules:
+        terms.append(
+            f"""CASE WHEN ra.{f} IS NULL AND rb.{f} IS NULL THEN 0
+                     WHEN ra.{f} IS NOT DISTINCT FROM rb.{f} THEN {w_agree}
+                     ELSE {w_disagree} END"""
+        )
+    score = " + ".join(terms)
+    return f"""
+    WITH p AS ({pairs_sql}), r AS MATERIALIZED ({records_sql})
+    SELECT CAST(p.{id_a} AS BIGINT) AS {id_a},
+           CAST(p.{id_b} AS BIGINT) AS {id_b},
+           CAST({score} AS BIGINT) AS fs_score,
+           CASE WHEN ({score}) >= {t_match} THEN 'match'
+                WHEN ({score}) >= {t_possible} THEN 'possible'
+                ELSE 'non_match' END AS decision
+    FROM p JOIN r ra ON p.{id_a} = ra.{id_col}
+           JOIN r rb ON p.{id_b} = rb.{id_col}
+    """

@@ -976,3 +976,157 @@ def dau_wau_stickiness_sql(
            CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
     FROM dau JOIN contrib USING (day)
     """
+
+
+def burst_days(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    mult_ppt: int = 2000,
+    min_base: int = 7,
+    window_days: int = 7,
+) -> DataFrame:
+    """Burst detection (Kleinberg-lite): per (type, calendar day), flag
+    days whose event count clears ``mult_ppt``/1000 × the trailing
+    ``window_days``-day DAILY AVERAGE (window strictly BEFORE the day,
+    so the burst can't dilute its own baseline) — trend/incident
+    surfacing over event streams.
+
+    Calendar-gap safe: the trailing sum uses a RANGE frame over the
+    integer day key, so missing days weigh zero instead of silently
+    stretching a rows-frame.  Burst test in integers:
+    ``n * window_days * 1000 >= mult_ppt * prev_sum`` — no float
+    ratios; the reported ``ratio_ppt`` is the div-exact thousandths.
+    Baselines with fewer than ``min_base`` events are skipped (a 2-
+    event baseline makes everything a burst).
+
+    Shape: one fine-grained (type, day) count, one keyed RANGE window,
+    row-local test.
+    """
+    day = F.datediff(
+        F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    daily = df.select(F.col(type_col).alias("etype"), day.alias("day")).groupBy(
+        "etype", "day"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("etype")
+        .orderBy("day")
+        .rangeBetween(-window_days, -1)
+    )
+    return (
+        daily.withColumn("prev_sum", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .filter(
+            (F.col("prev_sum") >= min_base)
+            & (F.col("n") * window_days * 1000 >= mult_ppt * F.col("prev_sum"))
+        )
+        .select(
+            "etype",
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("prev_sum").cast("bigint").alias("prev_sum"),
+            F.expr(f"1000 * n * {window_days} div prev_sum").alias("ratio_ppt"),
+        )
+    )
+
+
+def burst_days_sql(
+    table_sql: str,
+    ts_col: str,
+    type_col: str,
+    mult_ppt: int = 2000,
+    min_base: int = 7,
+    window_days: int = 7,
+) -> str:
+    return f"""
+    SELECT etype, day, CAST(n AS BIGINT) AS n,
+           CAST(prev_sum AS BIGINT) AS prev_sum,
+           CAST(1000 * n * {window_days} // prev_sum AS BIGINT) AS ratio_ppt
+    FROM (
+      SELECT etype, day, n,
+             COALESCE(SUM(n) OVER (PARTITION BY etype ORDER BY day
+               RANGE BETWEEN {window_days} PRECEDING AND 1 PRECEDING), 0) AS prev_sum
+      FROM (
+        SELECT {type_col} AS etype,
+               date_diff('day', DATE '1970-01-01', CAST({ts_col} AS DATE)) AS day,
+               COUNT(*) AS n
+        FROM ({table_sql}) GROUP BY 1, 2
+      )
+    )
+    WHERE prev_sum >= {min_base}
+      AND n * {window_days} * 1000 >= {mult_ppt} * prev_sum
+    """
+
+
+def time_weighted_average(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Time-weighted average (TWAP) per key and calendar day: each
+    observation's cent-quantized value weighted by the microseconds
+    until the key's NEXT observation that day — the honest mean for
+    irregularly sampled series (an arithmetic mean over-weights chatty
+    periods).  The day's last observation has no observed duration and
+    is excluded (the ``dwell_time`` contract).
+
+    Integers end-to-end: ``twap_cents = sum(cents * dur_us) div
+    sum(dur_us)``.  One keyed lead window + one aggregation.
+    """
+    day = F.datediff(
+        F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*key_cols, "day").orderBy("__us", id_col)
+    base = df.select(
+        *key_cols,
+        day.alias("day"),
+        us.alias("__us"),
+        F.floor(F.col(value_col) * 100).cast("bigint").alias("__cents"),
+        F.col(id_col),
+    ).withColumn("__dur", F.lead("__us").over(w) - F.col("__us"))
+    return (
+        base.filter(F.col("__dur").isNotNull())
+        .groupBy(*key_cols, "day")
+        .agg(
+            F.sum(F.col("__cents") * F.col("__dur")).alias("__num"),
+            F.sum("__dur").alias("__den"),
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        )
+        .filter(F.col("__den") > 0)
+        .select(
+            *key_cols,
+            "day",
+            "n_obs",
+            F.expr("__num div __den").cast("bigint").alias("twap_cents"),
+        )
+    )
+
+
+def time_weighted_average_sql(
+    table_sql: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> str:
+    g = ", ".join(key_cols)
+    return f"""
+    SELECT {g}, day, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(cents * dur) // SUM(dur) AS BIGINT) AS twap_cents
+    FROM (
+      SELECT {g}, day, cents,
+             LEAD(us) OVER (PARTITION BY {g}, day ORDER BY us, {id_col}) - us AS dur
+      FROM (
+        SELECT {g},
+               date_diff('day', DATE '1970-01-01', CAST({ts_col} AS DATE)) AS day,
+               epoch_us({ts_col}) AS us,
+               CAST(FLOOR({value_col} * 100) AS BIGINT) AS cents,
+               {id_col}
+        FROM ({table_sql})
+      )
+    ) WHERE dur IS NOT NULL
+    GROUP BY {g}, day HAVING SUM(dur) > 0
+    """

@@ -918,3 +918,267 @@ def personalized_pagerank_sql(
         + "".join(steps)
         + f"\nSELECT CAST(node AS BIGINT) AS node, rank_fp FROM r{n_iter}"
     )
+
+
+def scc_labels(
+    edges: DataFrame,
+    n_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-bounded strongly connected components of a DIRECTED graph:
+    each node's SCC label is the minimum node id in the intersection
+    of its ``n_hops``-bounded forward and backward closures — the
+    cycle-structure primitive behind dependency-graph collapse,
+    spam-ring detection and trade-loop analysis.
+
+    Why min-of-intersection and not the (F, B) min-pair: the pair is
+    NOT sufficient (nodes 2->0 and 3->0 with 1->2, 1->3 share
+    (F, B) = (0, 1) but are different SCCs).  ``m = min(fwd(u) ∩
+    bwd(u))`` always contains ``u`` itself, and any ``m`` in the
+    intersection is mutually reachable with ``u``, so equal labels
+    certify the same SCC exactly once closures are complete (``n_hops``
+    >= the component diameter; with smaller ``n_hops`` the result is
+    the documented k-bounded refinement, still bit-exact vs the
+    unrolled SQL oracle).
+
+    Scale shape: the closure tables hold one row per (node, reached)
+    pair within ``n_hops`` — suited to graphs whose REACHABLE sets are
+    bounded (small-world components, entity graphs after blocking,
+    nation-sized rollups), NOT to grid-like graphs with huge closures;
+    each hop is one equi-join onto the checkpointed edge list + a
+    distinct.  Reference: cosmos-xenna has no graph ops; this extends
+    the Spark-native analytics surface (SURVEY §2.B).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    fwd = nodes.withColumn("reach", F.col("node"))
+    bwd = nodes.withColumn("reach", F.col("node"))
+    for _ in range(n_hops):
+        fwd = fwd.localCheckpoint(eager=True)
+        bwd = bwd.localCheckpoint(eager=True)
+        fstep = fwd.join(e, fwd.reach == e.src).select("node", F.col("dst").alias("reach"))
+        bstep = bwd.join(e, bwd.reach == e.dst).select("node", F.col("src").alias("reach"))
+        fwd = fwd.union(fstep).distinct()
+        bwd = bwd.union(bstep).distinct()
+    return (
+        fwd.join(bwd, ["node", "reach"])
+        .groupBy("node")
+        .agg(F.min("reach").cast("bigint").alias("scc_id"))
+        .select(F.col("node").cast("bigint").alias("node"), "scc_id")
+    )
+
+
+def scc_labels_sql(edges_sql: str, n_hops: int = 4) -> str:
+    """DuckDB mirror — unrolled closure sweeps, same min-of-intersection."""
+    steps = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "f0 AS (SELECT node, node AS reach FROM nodes)",
+        "b0 AS (SELECT node, node AS reach FROM nodes)",
+    ]
+    for i in range(1, n_hops + 1):
+        steps.append(
+            f"""f{i} AS (
+              SELECT node, reach FROM f{i - 1}
+              UNION
+              SELECT p.node, e.dst AS reach FROM f{i - 1} p JOIN e ON p.reach = e.src
+            )"""
+        )
+        steps.append(
+            f"""b{i} AS (
+              SELECT node, reach FROM b{i - 1}
+              UNION
+              SELECT p.node, e.src AS reach FROM b{i - 1} p JOIN e ON p.reach = e.dst
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(steps) + f"""
+    SELECT CAST(f.node AS BIGINT) AS node, CAST(MIN(f.reach) AS BIGINT) AS scc_id
+    FROM f{n_hops} f JOIN b{n_hops} b ON f.node = b.node AND f.reach = b.reach
+    GROUP BY f.node
+    """
+    )
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_sweeps: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Weighted single/multi-source shortest path (Bellman-Ford
+    min-plus sweeps) on a DIRECTED graph with non-negative integer
+    edge costs: after ``n_sweeps`` relaxations, every node reachable
+    within that many hops carries the exact minimum path cost over
+    paths of <= ``n_sweeps`` edges — routing cost, influence
+    distance, cheapest supply path.
+
+    ``bfs_hops`` is the unit-weight special case; this keeps the same
+    frontier discipline (distance table one row per REACHED node,
+    per-sweep eager checkpoint, loop-invariant checkpointed edge
+    list) with cost = min(cost, prev_cost + w) instead of hop + 1.
+    Exact bigint arithmetic — bit-exact vs the unrolled SQL oracle.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("bigint").alias("w"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
+        "cost", F.lit(0).cast("bigint")
+    )
+    for _ in range(n_sweeps):
+        dist = dist.localCheckpoint(eager=True)
+        step = e.join(
+            dist.select(F.col("node").alias("src"), "cost"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        dist = dist.union(step).groupBy("node").agg(F.min("cost").alias("cost"))
+    return dist.select(F.col("node").cast("bigint").alias("node"), "cost")
+
+
+def sssp_weighted_sql(edges_sql: str, seeds_sql: str, n_sweeps: int = 4) -> str:
+    steps = [
+        f"""e AS MATERIALIZED (
+          SELECT src, dst, MIN(w) AS w FROM ({edges_sql})
+          WHERE src <> dst GROUP BY src, dst
+        )""",
+        f"d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS cost FROM ({seeds_sql}))",
+    ]
+    prev = "d0"
+    for i in range(1, n_sweeps + 1):
+        steps.append(
+            f"""d{i} AS (
+              SELECT node, MIN(cost) AS cost FROM (
+                SELECT node, cost FROM {prev}
+                UNION ALL
+                SELECT e.dst AS node, p.cost + e.w AS cost
+                FROM e JOIN {prev} p ON e.src = p.node
+              ) GROUP BY node
+            )"""
+        )
+        prev = f"d{i}"
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, CAST(cost AS BIGINT) AS cost FROM {prev}"
+    )
+
+
+RA_ONE = 10**9
+
+
+def resource_allocation_link_prediction(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link prediction by the resource-allocation index (Zhou, Lü &
+    Zhang 2009): for every NON-adjacent node pair (a, b) sharing at
+    least one neighbor, ``ra_score = sum over common neighbors z of
+    RA_ONE div deg(z)`` plus the raw common-neighbor count — the
+    classic "which edges are missing" primitive for recommend-
+    similar-docs and dedup-graph densification.
+
+    Integer-exact: each common neighbor contributes ``10^9 div
+    deg(z)``, a bigint — no float sums, bit-exact across engines.
+
+    Scale shape: ONE wedge self-join (a–z, z–b equi-join on the
+    middle node) grouped by the (a, b) pair, then an anti-join
+    against the existing edge list.  Wedge count is sum(deg(z)^2) —
+    quadratic in HUB degree, so ``max_degree`` drops super-hub
+    middles (standard RA practice: a 10^6-degree hub contributes
+    ~nothing per path anyway, RA_ONE div 10^6 each).  At 100 TB the
+    cap is the difference between sum(deg^2) over capped nodes and a
+    join that never finishes.
+    """
+    # Eager checkpoint: `und` feeds sym (twice), the degree table, both
+    # wedge-join sides and the final anti-join — without it the whole
+    # upstream edge-derivation subplan (an LSH banding chain for the
+    # dedup graph) re-executes once per branch (the label-propagation
+    # lesson; plan lint caught 23 shuffles / 7 scans here).
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("z")).agg(F.count(F.lit(1)).alias("deg"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_degree)
+    # wedges a-z-b through surviving middles, canonical a < b
+    half = sym.select(F.col("a"), F.col("b").alias("z")).join(deg, "z")
+    wedges = (
+        half.alias("l")
+        .join(
+            sym.select(F.col("a").alias("z"), F.col("b")).alias("r"),
+            F.col("l.z") == F.col("r.z"),
+        )
+        .filter(F.col("l.a") < F.col("r.b"))
+        .select(
+            F.col("l.a").alias("a"),
+            F.col("r.b").alias("b"),
+            # integer `div`, never `/`: float quotients truncate in
+            # Spark but floor in DuckDB (the RRF-score lesson)
+            F.expr(f"{RA_ONE}L div deg").alias("contrib"),
+        )
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.sum("contrib").cast("bigint").alias("ra_score"),
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+    )
+    return scored.join(und, ["a", "b"], "left_anti").select(
+        F.col("a").cast("bigint").alias("node_a"),
+        F.col("b").cast("bigint").alias("node_b"),
+        "ra_score",
+        "common_neighbors",
+    )
+
+
+def resource_allocation_sql(edges_sql: str, max_degree: int | None = None) -> str:
+    cap = f"WHERE deg <= {max_degree}" if max_degree is not None else ""
+    return f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT src AS a, dst AS b FROM ({edges_sql}) WHERE src <> dst
+    ),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (
+      SELECT * FROM (SELECT a AS z, COUNT(*) AS deg FROM sym GROUP BY a) {cap}
+    ),
+    wedges AS (
+      SELECT l.a, r.b, {RA_ONE} // d.deg AS contrib
+      FROM sym l JOIN deg d ON l.b = d.z
+      JOIN sym r ON l.b = r.a
+      WHERE l.a < r.b
+    ),
+    scored AS (
+      SELECT a, b, CAST(SUM(contrib) AS BIGINT) AS ra_score,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors
+      FROM wedges GROUP BY a, b
+    )
+    SELECT CAST(s.a AS BIGINT) AS node_a, CAST(s.b AS BIGINT) AS node_b,
+           s.ra_score, s.common_neighbors
+    FROM scored s ANTI JOIN und u ON s.a = u.a AND s.b = u.b
+    """

@@ -681,3 +681,74 @@ def bigram_novelty_sql(
            (1000000 * CAST(SUM(novel) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS novelty_ppm
     FROM j GROUP BY id
     """
+
+
+def readability_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document readability signals, integer-exact: word count,
+    sentence count (non-empty ``[.!?]+`` splits), vowel-group syllable
+    estimate, and an integerized Flesch-style score
+    ``flesch_milli = 206835 - (1015 * words) div sentences
+    - (84600 * syllables) div words`` — the curation gate that drops
+    both telegraphic fragments and run-on machine text.
+
+    The syllable estimate (count of ``[aeiouy]+`` groups, the standard
+    heuristic) and the div-based ratios are DEFINED in integer
+    arithmetic so both engines agree bit-for-bit — the float Flesch
+    differs from this by < 1 milli-unit per term, irrelevant for
+    bucketing.  All row-local regexps, zero shuffle.
+    """
+    words = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    sentences = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.trim(s) != "",
+        )
+    ).cast("bigint")
+    syllables = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            words.alias("n_words"),
+            sentences.alias("n_sentences"),
+            syllables.alias("n_syllables"),
+        )
+        .filter((F.col("n_words") >= 1) & (F.col("n_sentences") >= 1))
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.expr("1000000 * n_words div n_sentences").alias(
+                "words_per_sentence_ppm"
+            ),
+            F.expr("1000000 * n_syllables div n_words").alias(
+                "syllables_per_word_ppm"
+            ),
+            F.expr(
+                "206835 - 1015 * n_words div n_sentences"
+                " - 84600 * n_syllables div n_words"
+            ).alias("flesch_milli"),
+        )
+    )
+
+
+def readability_signals_sql(table_sql: str, text_col: str = "text") -> str:
+    return f"""
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           1000000 * n_words // n_sentences AS words_per_sentence_ppm,
+           1000000 * n_syllables // n_words AS syllables_per_word_ppm,
+           206835 - 1015 * n_words // n_sentences
+                  - 84600 * n_syllables // n_words AS flesch_milli
+    FROM (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim({text_col}), '\\s+')) AS BIGINT)
+               AS n_words,
+             CAST(len(list_filter(regexp_split_to_array({text_col}, '[.!?]+'),
+                                  s -> trim(s) <> '')) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)) AS BIGINT)
+               AS n_syllables
+      FROM ({table_sql})
+    ) WHERE n_words >= 1 AND n_sentences >= 1
+    """

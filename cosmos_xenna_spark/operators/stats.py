@@ -1365,3 +1365,127 @@ def target_encode_loo_sql(
            END AS {out_col}
     FROM base JOIN sums USING ({category_col})
     """
+
+
+def simpson_diversity(
+    df: DataFrame, group_cols: list[str], category_col: str
+) -> DataFrame:
+    """Simpson concentration / diversity per group, exactly: with
+    ``n_i`` the per-category counts and ``N`` their sum,
+    ``simpson_ppm = 10^6 * sum(n_i * (n_i - 1)) div (N * (N - 1))`` —
+    the probability (in ppm) that two draws without replacement share
+    a category.  Diversity profiling for corpus mixtures (language/
+    domain concentration) without Shannon entropy's cross-engine
+    ``log()`` hazard: every step is integer, so both engines agree
+    bit-for-bit.
+
+    Shape: one fine-grained (group, category) count + one group
+    aggregation — two map-side-combinable shuffles, no windows.
+    Groups with N < 2 are dropped (the index is undefined).
+    """
+    per_cat = df.groupBy(*group_cols, category_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        per_cat.groupBy(*group_cols)
+        .agg(
+            F.sum(F.col("__n") * (F.col("__n") - 1)).alias("__num"),
+            F.sum("__n").alias("__N"),
+            F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        )
+        .filter(F.col("__N") >= 2)
+        .select(
+            *group_cols,
+            "n_categories",
+            F.col("__N").cast("bigint").alias("n_rows"),
+            F.expr("1000000 * __num div (__N * (__N - 1))")
+            .cast("bigint")
+            .alias("simpson_ppm"),
+        )
+    )
+
+
+def simpson_diversity_sql(
+    table_sql: str, group_cols: list[str], category_col: str
+) -> str:
+    g = ", ".join(group_cols)
+    return f"""
+    SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n_categories,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(1000000 * SUM(n * (n - 1)) // (SUM(n) * (SUM(n) - 1)) AS BIGINT)
+             AS simpson_ppm
+    FROM (
+      SELECT {g}, {category_col}, COUNT(*) AS n
+      FROM ({table_sql}) GROUP BY {g}, {category_col}
+    )
+    GROUP BY {g} HAVING SUM(n) >= 2
+    """
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Gini coefficient per group over non-negative integer values
+    (quantize floats upstream), exactly:
+    ``gini_ppm = 10^6 * (2 * sum(i * x_i) - (n + 1) * sum(x)) div
+    (n * sum(x))`` with ``x_i`` ascending and ``i`` the 1-based rank —
+    revenue/traffic concentration (how top-heavy is a nation's
+    customer base, a domain's doc share).
+
+    One keyed window (rank within group) + one aggregation, all
+    bigint.  Ties broken deterministically by ``order_tiebreak`` so
+    ranks (and thus the exact result) are partition-invariant; the
+    Gini VALUE is tie-order-independent anyway (equal x swap freely).
+    Groups with sum(x) = 0 or n < 2 are dropped.  Contract at 10^8+
+    rows/group: sum(i * x) can overflow int64 (n^2 * max_x) — switch
+    the two products to decimal(38,0) then; at the tested scales
+    bigint is exact.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(value_col, order_tiebreak)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).cast("bigint").alias("__x"),
+        F.row_number().over(w).cast("bigint").alias("__i"),
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.sum(F.col("__i") * F.col("__x")).alias("__ix"),
+            F.sum("__x").alias("__sx"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .filter((F.col("__sx") > 0) & (F.col("n_rows") >= 2))
+        .select(
+            *group_cols,
+            "n_rows",
+            F.col("__sx").cast("bigint").alias("total"),
+            F.expr(
+                "1000000 * (2 * __ix - (n_rows + 1) * __sx) div (n_rows * __sx)"
+            )
+            .cast("bigint")
+            .alias("gini_ppm"),
+        )
+    )
+
+
+def gini_concentration_sql(
+    table_sql: str, group_cols: list[str], value_col: str, order_tiebreak: str
+) -> str:
+    g = ", ".join(group_cols)
+    return f"""
+    SELECT {g}, CAST(n AS BIGINT) AS n_rows, CAST(sx AS BIGINT) AS total,
+           CAST(1000000 * (2 * ix - (n + 1) * sx) // (n * sx) AS BIGINT) AS gini_ppm
+    FROM (
+      SELECT {g}, SUM(i * x) AS ix, SUM(x) AS sx, COUNT(*) AS n
+      FROM (
+        SELECT {g}, CAST({value_col} AS BIGINT) AS x,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY {g} ORDER BY {value_col}, {order_tiebreak}
+               ) AS BIGINT) AS i
+        FROM ({table_sql})
+      ) GROUP BY {g}
+    ) WHERE sx > 0 AND n >= 2
+    """

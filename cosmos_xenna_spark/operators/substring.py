@@ -299,3 +299,290 @@ def substring_dedup_report_sql(
            CAST(COALESCE(n_chars_removed, 0) AS BIGINT) AS n_chars_removed
     FROM {table} d LEFT JOIN per_doc USING (doc_id)
     """
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    gram: int = 12,
+    divisor: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Content-defined chunking + cross-document chunk dedup — the
+    storage/transfer dedup primitive (LBFS/rsync lineage): a chunk
+    boundary falls BEFORE every position whose length-``gram``
+    window hashes to 0 mod ``divisor``, so identical content
+    re-synchronizes to identical chunks regardless of how insertions
+    shifted it (fixed-size blocking would misalign every block after
+    an edit).  Expected chunk length ~``divisor`` characters.
+
+    Returns chunks shared by >= ``min_docs`` documents:
+    ``(chunk_hash, n_docs, n_occurrences, chunk_len)`` — the dedup
+    savings ledger.
+
+    Shape: position enumeration + window hashing are row-local
+    (explode -> JVM md5 per position, the ``enumerate_grams``
+    pattern — grams never travel as text); one groupBy doc_id to
+    assemble cut lists; chunk slicing row-local; one final groupBy
+    chunk_hash.  The web-scale levers are ``stride`` sampling (as in
+    :func:`enumerate_grams`) and a larger ``divisor``; hashes are
+    md5-derived for bit-exact DuckDB parity
+    (``functions.md5_long63``).
+    """
+    from cosmos_xenna_spark.functions import md5_long63
+
+    base = docs.select(
+        "doc_id", text_col, F.length(text_col).cast("int").alias("__len")
+    )
+    pos = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""CASE WHEN {text_col} IS NOT NULL
+                         AND length({text_col}) >= {gram} + 1
+                    THEN sequence(2, length({text_col}) - {gram} + 1)
+                    ELSE array() END"""
+            )
+        ).alias("p"),
+        F.col(text_col),
+    )
+    cuts = (
+        pos.filter(
+            F.pmod(
+                md5_long63(F.substring(F.col(text_col), F.col("p"), F.lit(gram))),
+                F.lit(divisor),
+            )
+            == 0
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("__cuts"))
+    )
+    arr = base.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        text_col,
+        "__len",
+        F.coalesce("__cuts", F.expr("array()")).alias("__cuts"),
+    )
+    chunks = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""zip_with(
+                      concat(array(1), __cuts),
+                      concat(__cuts, array(__len + 1)),
+                      (s, e) -> substring({text_col}, s, e - s))"""
+            )
+        ).alias("chunk"),
+    ).filter(F.length("chunk") > 0)
+    return (
+        chunks.groupBy(md5_long63(F.col("chunk")).alias("chunk_hash"))
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min(F.length("chunk")).cast("bigint").alias("chunk_len"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def content_defined_chunks_sql(
+    table_sql: str,
+    text_col: str = "text",
+    gram: int = 12,
+    divisor: int = 16,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB mirror — identical md5 window hash, cuts and slicing."""
+    from cosmos_xenna_spark.functions import md5_long63_sql
+
+    win_hash = md5_long63_sql(f"substr(t, CAST(p AS INT), {gram})")
+    chunk_hash = md5_long63_sql("chunk")
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, {text_col} AS t, length({text_col}) AS len
+      FROM ({table_sql}) WHERE {text_col} IS NOT NULL
+    ),
+    cutsrc AS (
+      SELECT doc_id, p
+      FROM (
+        SELECT doc_id, t, UNNEST(range(2, len - {gram} + 2)) AS p
+        FROM base WHERE len >= {gram} + 1
+      ) WHERE {win_hash} % {divisor} = 0
+    ),
+    cuts AS (
+      SELECT doc_id, list_sort(array_agg(p)) AS cs FROM cutsrc GROUP BY doc_id
+    ),
+    spans AS (
+      SELECT b.doc_id, b.t, b.len,
+             list_prepend(1, COALESCE(c.cs, [])) AS starts,
+             list_append(COALESCE(c.cs, []), b.len + 1) AS ends
+      FROM base b LEFT JOIN cuts c USING (doc_id)
+    ),
+    chunks AS (
+      SELECT doc_id,
+             substr(t, CAST(starts[CAST(i AS INT)] AS INT),
+                    CAST(ends[CAST(i AS INT)] - starts[CAST(i AS INT)] AS INT)) AS chunk
+      FROM spans, UNNEST(range(1, len(starts) + 1)) AS g(i)
+    )
+    SELECT {chunk_hash} AS chunk_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(length(chunk)) AS BIGINT) AS chunk_len
+    FROM chunks WHERE length(chunk) > 0
+    GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    """
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 5,
+    max_hash_docs: int = 32,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local-document-fingerprinting algorithm): hash
+    every length-``k`` character window, then from every run of
+    ``window`` consecutive hashes select the minimum (rightmost on
+    ties) — the selected set is position-robust (any shared substring
+    of length >= k + window - 1 contributes at least one shared
+    fingerprint) and ~2/(window+1) of all grams, the guaranteed-
+    density sampling CDC chunking and stride sampling lack.
+
+    Returns distinct ``(doc_id, pos, fp)`` fingerprints with
+    fingerprint hashes that appear in <= ``max_hash_docs`` documents
+    (stop-fingerprint cap: a boilerplate gram shared by a million docs
+    generates a quadratic pair join downstream and identifies nothing
+    — same lever as the LSH bucket cap).
+
+    Shape: gram hashing row-local (explode -> JVM md5, the
+    ``enumerate_grams`` pattern); selection is ONE keyed window
+    (min over a rows-frame, rightmost-tie via the printf composite
+    order key — DuckDB lacks struct-ordered window min); the doc-count
+    cap one fine-grained aggregation.
+    """
+    from cosmos_xenna_spark.functions import md5_long63
+
+    grams = docs.select(
+        "doc_id",
+        F.length(text_col).cast("int").alias("__len"),
+        F.explode(
+            F.expr(
+                f"""CASE WHEN {text_col} IS NOT NULL AND length({text_col}) >= {k}
+                    THEN sequence(1, length({text_col}) - {k} + 1)
+                    ELSE array() END"""
+            )
+        ).alias("pos"),
+        F.col(text_col),
+    ).select(
+        "doc_id",
+        "__len",
+        "pos",
+        md5_long63(F.substring(F.col(text_col), F.col("pos"), F.lit(k))).alias("h"),
+    )
+    # composite order key: min() picks smallest hash, then LARGEST pos
+    # (rightmost) via the complemented position
+    key = F.format_string("%020d|%010d", F.col("h"), F.lit(9_999_999_999) - F.col("pos"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    selected = (
+        grams.withColumn("__sel", F.min(key).over(w))
+        # only complete windows select (standard winnowing): the start
+        # position must leave `window` grams before the end
+        .filter(F.col("pos") <= F.col("__len") - k + 1 - (window - 1))
+        .select(
+            "doc_id",
+            F.substring("__sel", 1, 20).cast("bigint").alias("fp"),
+            (F.lit(9_999_999_999) - F.substring("__sel", 22, 10).cast("bigint"))
+            .cast("bigint")
+            .alias("pos"),
+        )
+        .distinct()
+    )
+    doc_freq = selected.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("__nd")
+    )
+    return (
+        selected.join(
+            doc_freq.filter(F.col("__nd") <= max_hash_docs).select("fp"), "fp"
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("pos").cast("bigint").alias("pos"),
+            "fp",
+        )
+    )
+
+
+def winnow_fingerprints_sql(
+    table_sql: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 5,
+    max_hash_docs: int = 32,
+) -> str:
+    from cosmos_xenna_spark.functions import md5_long63_sql
+
+    gram_hash = md5_long63_sql(f"substr(t, CAST(pos AS INT), {k})")
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, {text_col} AS t, length({text_col}) AS len
+      FROM ({table_sql})
+      WHERE {text_col} IS NOT NULL AND length({text_col}) >= {k}
+    ),
+    grams AS (
+      SELECT doc_id, len, CAST(p AS BIGINT) AS pos, {gram_hash.replace('pos', 'p')} AS h
+      FROM (SELECT doc_id, t, len, UNNEST(range(1, len - {k} + 2)) AS p FROM base)
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             CAST(substr(s, 1, 20) AS BIGINT) AS fp,
+             9999999999 - CAST(substr(s, 22, 10) AS BIGINT) AS pos
+      FROM (
+        SELECT doc_id, len, pos,
+               MIN(printf('%020d|%010d', h, 9999999999 - pos)) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS s
+        FROM grams
+      ) WHERE pos <= len - {k} + 1 - {window - 1}
+    ),
+    keep AS (
+      SELECT fp FROM sel GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= {max_hash_docs}
+    )
+    SELECT CAST(sel.doc_id AS BIGINT) AS doc_id, CAST(sel.pos AS BIGINT) AS pos, sel.fp
+    FROM sel JOIN keep USING (fp)
+    """
+
+
+def winnow_shared_pairs(
+    fingerprints: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """Copy-detection pairs from winnowing fingerprints: documents
+    sharing >= ``min_shared`` distinct fingerprint hashes, with the
+    shared count — the MOSS similarity report.  One self-equi-join on
+    the fingerprint hash (bounded per hash by the ``max_hash_docs``
+    cap upstream) + one pair aggregation; never an all-pairs join.
+    """
+    f = fingerprints.select("doc_id", "fp").distinct()
+    a = f.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = f.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_shared_pairs_sql(fingerprints_sql: str, min_shared: int = 2) -> str:
+    return f"""
+    WITH f AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM ({fingerprints_sql}))
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+    """

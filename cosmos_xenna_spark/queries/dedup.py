@@ -815,3 +815,114 @@ def q_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.id_a", "p.id_b")
     n = docs.count()
     return blocking_quality(cand, truth, n)
+
+
+from cosmos_xenna_spark.operators.dedup import (  # noqa: E402
+    fellegi_sunter_scores,
+    fellegi_sunter_scores_sql,
+)
+from cosmos_xenna_spark.operators.substring import (  # noqa: E402
+    content_defined_chunks,
+    content_defined_chunks_sql,
+)
+
+# Fellegi-Sunter comparison vector fields over documents: language,
+# a coarse length bucket, and the first word.  Integer log-odds-style
+# weights (agree, disagree) per field — data, not plan shape.
+_FS_RULES = [("lang", 12, -4), ("len_bucket", 8, -3), ("first_tok", 15, -6)]
+_FS_KEYED_SQL = """
+    SELECT doc_id, lang,
+           length(text) // 50 AS len_bucket,
+           split_part(text, ' ', 1) AS first_tok
+    FROM documents
+"""
+
+
+@register(
+    "q_er_score_fs",
+    oracle=fellegi_sunter_scores_sql(
+        sorted_neighborhood_pairs_sql(
+            "SELECT doc_id, lang || substr(lower(text), 1, 1) AS blk,"
+            " lower(substr(text, 1, 40)) AS sk FROM documents",
+            "doc_id",
+            "sk",
+            window=6,
+            block_col="blk",
+        ),
+        _FS_KEYED_SQL,
+        "doc_id",
+        _FS_RULES,
+        t_match=25,
+        t_possible=5,
+    ),
+    description="Fellegi-Sunter record-linkage scoring over SNM candidate "
+    "pairs: per-field integer agreement weights (lang / length-bucket / "
+    "first-token) summed to a score, thresholded into match / possible / "
+    "non_match — the clerical-review triage between blocking and "
+    "survivorship; two hash joins, row-local comparisons, integer-exact",
+)
+def q_er_score_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.concat(F.col("lang"), F.substring(F.lower("text"), 1, 1)).alias("blk"),
+        F.lower(F.substring("text", 1, 40)).alias("sk"),
+    )
+    cand = sorted_neighborhood_pairs(
+        keyed, "doc_id", "sk", window=6, block_col="blk"
+    )
+    records = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("length(text) div 50").alias("len_bucket"),
+        F.split("text", " ").getItem(0).alias("first_tok"),
+    )
+    return fellegi_sunter_scores(
+        cand, records, "doc_id", _FS_RULES, t_match=25, t_possible=5
+    )
+
+
+@register(
+    "q_cdc_chunks",
+    oracle=content_defined_chunks_sql(
+        "SELECT doc_id, text FROM documents", gram=12, divisor=16, min_docs=2
+    ),
+    description="content-defined chunking + cross-document chunk dedup "
+    "(LBFS/rsync lineage): boundaries where the 12-char window hash is "
+    "0 mod 16, so shared content re-synchronizes to identical chunks "
+    "despite insertions; returns the storage-dedup ledger of chunks "
+    "shared by >= 2 docs — window hashing row-local, grams travel as "
+    "md5-derived 63-bit keys",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return content_defined_chunks(docs, gram=12, divisor=16, min_docs=2)
+
+
+from cosmos_xenna_spark.operators.substring import (  # noqa: E402
+    winnow_fingerprints,
+    winnow_fingerprints_sql,
+    winnow_shared_pairs,
+    winnow_shared_pairs_sql,
+)
+
+
+@register(
+    "q_winnow_pairs",
+    oracle=winnow_shared_pairs_sql(
+        winnow_fingerprints_sql(
+            "SELECT doc_id, text FROM documents", k=8, window=5, max_hash_docs=32
+        ),
+        min_shared=2,
+    ),
+    description="MOSS-style copy detection (winnowing, Schleimer et al. "
+    "2003): per-doc window-min fingerprints (guaranteed density — any "
+    "shared run >= k+window-1 chars yields a shared fingerprint, the "
+    "recall contract stride sampling lacks), stop-fingerprint doc cap, "
+    "then pairs sharing >= 2 fingerprints via a bounded hash equi-join — "
+    "never all-pairs",
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints(docs, k=8, window=5, max_hash_docs=32)
+    return winnow_shared_pairs(fps, min_shared=2)

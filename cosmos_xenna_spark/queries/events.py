@@ -645,3 +645,46 @@ from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
 def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
     return dau_wau_stickiness(ev, "ts", "user_id")
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    burst_days,
+    burst_days_sql,
+    time_weighted_average,
+    time_weighted_average_sql,
+)
+
+
+@register(
+    "q_burst_days",
+    oracle=burst_days_sql(
+        "SELECT ts, event_type FROM events", "ts", "event_type",
+        mult_ppt=1300, min_base=7, window_days=7,
+    ),
+    description="Kleinberg-lite burst detection per event type: days whose "
+    "count clears 1.3x the trailing 7-day daily average (RANGE frame over "
+    "the integer day key — calendar-gap safe; baseline strictly before the "
+    "day so a burst can't dilute it); integer test, div-exact ppt ratio",
+)
+def q_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    return burst_days(ev, "ts", "event_type", mult_ppt=1300, min_base=7)
+
+
+@register(
+    "q_twap",
+    oracle=time_weighted_average_sql(
+        "SELECT ts, user_id, value, event_id FROM events",
+        ["user_id"], "ts", "value", "event_id",
+    ),
+    description="time-weighted average value (TWAP) per user and day: "
+    "cent-quantized values weighted by microseconds-to-next-observation "
+    "(arithmetic means over-weight chatty periods); day's trailing "
+    "observation unobserved by contract; one lead window + one agg, "
+    "integer-exact",
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value", "event_id"
+    )
+    return time_weighted_average(ev, ["user_id"], "ts", "value", "event_id")

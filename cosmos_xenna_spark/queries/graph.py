@@ -279,3 +279,123 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 97 == 0
     ).select(F.col("doc_id").alias("node"))
     return personalized_pagerank(sym, seeds, n_iter=3)
+
+
+from cosmos_xenna_spark.operators.graph import (  # noqa: E402
+    resource_allocation_sql,
+    scc_labels_sql,
+    sssp_weighted_sql,
+)
+
+# Directed nation trade graph with a SCALE-RELATIVE volume threshold:
+# an edge supplier-nation -> customer-nation exists when its distinct
+# order count clears 1/125 of all orders (n * 125 >= total avoids the
+# division-rounding split between engines).  The threshold keeps edge
+# density roughly constant as the fact tables grow, so the SCC
+# structure stays non-trivial at every sf (measured: 199 edges at
+# sf0.001, 136 at sf0.01 with a 9-nation cycle plus singletons).
+_TRADE_FLOW_SQL = """
+    SELECT src, dst, n FROM (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             COUNT(DISTINCT o.o_orderkey) AS n
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    )
+"""
+
+
+def _trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count_distinct("o_orderkey").alias("n"))
+    )
+
+
+def _total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("total")
+    )
+
+
+@register(
+    "q_scc",
+    oracle=scc_labels_sql(
+        f"""SELECT src, dst FROM ({_TRADE_FLOW_SQL})
+            WHERE n * 125 >= (SELECT COUNT(*) FROM orders)""",
+        n_hops=4,
+    ),
+    description="strongly connected components of the directed "
+    "high-volume trade-flow graph (trade-loop detection): 4-hop forward "
+    "+ backward closures, SCC label = min of their INTERSECTION — the "
+    "(F,B) min-pair shortcut is provably wrong and rejected in the "
+    "operator docstring; bit-exact vs the unrolled SQL oracle",
+)
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import scc_labels
+
+    flow = _trade_flow(spark, sf_dir)
+    edges = (
+        flow.crossJoin(F.broadcast(_total_orders(spark, sf_dir)))
+        .filter(F.col("n") * 125 >= F.col("total"))
+        .select("src", "dst")
+    )
+    return scc_labels(edges, n_hops=4)
+
+
+@register(
+    "q_sssp_weighted",
+    oracle=sssp_weighted_sql(
+        f"""SELECT src, dst,
+               (SELECT COUNT(*) FROM orders) // n AS w
+            FROM ({_TRADE_FLOW_SQL})""",
+        "SELECT 0 AS node",
+        n_sweeps=4,
+    ),
+    description="weighted shortest path (4 Bellman-Ford min-plus sweeps) "
+    "from nation 0 over the full trade-flow graph with inverse-volume "
+    "edge costs (busy routes are cheap): cheapest-supply-path analysis; "
+    "exact bigint min-plus, bit-exact vs the unrolled SQL oracle",
+)
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import sssp_weighted
+
+    flow = _trade_flow(spark, sf_dir)
+    edges = flow.crossJoin(F.broadcast(_total_orders(spark, sf_dir))).select(
+        "src", "dst", F.expr("total div n").alias("w")
+    )
+    seeds = edges.sparkSession.range(1).select(F.lit(0).alias("node"))
+    return sssp_weighted(edges, seeds, n_sweeps=4)
+
+
+@register(
+    "q_link_prediction_ra",
+    oracle=resource_allocation_sql(_doc_pairs_edges_sql(), max_degree=64),
+    description="resource-allocation link prediction on the document "
+    "near-duplicate graph: for non-adjacent pairs sharing neighbors, "
+    "ra_score = sum(1e9 div deg(z)) over common neighbors z (deg <= 64 "
+    "hub cap — wedge count is sum(deg^2), the cap is what survives "
+    "100 TB); one wedge join + anti-join, integer-exact",
+)
+def q_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import (
+        resource_allocation_link_prediction,
+    )
+
+    edges = _doc_pairs_edges(spark, sf_dir)
+    return resource_allocation_link_prediction(
+        edges, max_degree=64, src_col="doc_a", dst_col="doc_b"
+    )

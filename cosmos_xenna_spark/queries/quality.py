@@ -362,3 +362,21 @@ def q_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.filter(F.col("source").isin(*_NOVELTY_REF_SOURCES))
     return bigram_novelty(docs, ref, "doc_id", "text", 2)
+
+
+from cosmos_xenna_spark.operators.quality import (  # noqa: E402
+    readability_signals,
+    readability_signals_sql,
+)
+
+
+@register(
+    "q_readability",
+    oracle=readability_signals_sql("SELECT doc_id, text FROM documents"),
+    description="per-document readability signals (word/sentence/"
+    "vowel-group-syllable counts, integerized Flesch score): the "
+    "fragment-vs-run-on curation gate; row-local regexps, zero shuffle",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability_signals(docs)

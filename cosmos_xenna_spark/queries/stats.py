@@ -415,3 +415,54 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     out = target_encode_loo(docs, "source", "n_chars", scale=1)
     return out.select("doc_id", "source", "te_loo")
+
+
+from cosmos_xenna_spark.operators.stats import (  # noqa: E402
+    gini_concentration,
+    gini_concentration_sql,
+    simpson_diversity,
+    simpson_diversity_sql,
+)
+
+
+@register(
+    "q_simpson_diversity",
+    oracle=simpson_diversity_sql(
+        "SELECT user_id, event_type FROM events", ["user_id"], "event_type"
+    ),
+    description="per-user Simpson concentration over event types in exact "
+    "ppm (two-draw collision probability): the log-free diversity index — "
+    "two map-side-combinable aggregations, no windows, bigint-exact",
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return simpson_diversity(ev, ["user_id"], "event_type")
+
+
+@register(
+    "q_gini_concentration",
+    oracle=gini_concentration_sql(
+        """SELECT CAST(c.c_nationkey AS BIGINT) AS nation, o.o_orderkey AS okey,
+                  CAST(FLOOR(o.o_totalprice) AS BIGINT) AS price_usd
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        ["nation"],
+        "price_usd",
+        "okey",
+    ),
+    description="per-nation Gini coefficient of order value in exact ppm "
+    "(revenue concentration): one keyed rank window + one aggregation, "
+    "all-bigint closed form with deterministic tiebreak",
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.col("o_orderkey").alias("okey"),
+        F.floor("o_totalprice").cast("bigint").alias("price_usd"),
+    )
+    return gini_concentration(joined, ["nation"], "price_usd", "okey")

@@ -928,3 +928,56 @@ def streaming_dau_wau(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_simpson_diversity(
+    stream_df: DataFrame,
+    entity_col: str = "user_id",
+    category_col: str = "event_type",
+) -> DataFrame:
+    """Live Simpson diversity: the streaming form of
+    ``operators.stats.simpson_diversity`` — per entity, the exact
+    two-draw-collision ppm over its category counts so far.
+
+    Per-entity state is the category->count map as one joined string —
+    bounded by the CATEGORY vocabulary (event types, languages,
+    domains-per-user), not by stream length, so state stays small for
+    the diversity use cases this serves.  Update-mode emission: the
+    LAST row per entity after a full replay equals the batch operator
+    on entities with >= 2 events (parity test).
+    """
+    SEP, KV = "\x1f", "\x1e"
+
+    def update(key, pdfs, state: GroupState):
+        (joined,) = state.get if state.exists else ("",)
+        counts: dict[str, int] = {}
+        if joined:
+            for part in joined.split(SEP):
+                cat, n = part.rsplit(KV, 1)
+                counts[cat] = int(n)
+        for pdf in pdfs:
+            for cat in pdf[category_col]:
+                counts[str(cat)] = counts.get(str(cat), 0) + 1
+        state.update(
+            (SEP.join(f"{c}{KV}{n}" for c, n in sorted(counts.items())),)
+        )
+        N = sum(counts.values())
+        num = sum(n * (n - 1) for n in counts.values())
+        yield pd.DataFrame(
+            {
+                "entity": [int(key[0])],
+                "n_categories": [len(counts)],
+                "n_rows": [N],
+                "simpson_ppm": [1_000_000 * num // (N * (N - 1)) if N >= 2 else None],
+            }
+        )
+
+    return stream_df.groupBy(entity_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "entity long, n_categories long, n_rows long, simpson_ppm long"
+        ),
+        stateStructType="counts string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -210,6 +210,22 @@ R7C_QUERIES = [
     "q_split_leakage_safe",
 ]
 
+# Round-8 100x extension (VERDICT r7 #5): the r7 heavy shapes that only
+# have 10x/30x points — broadcast-SpMV HITS over the replicated trade
+# graph, the exact prefix-filter join (re-run on current code), the
+# post-fix cluster-first phash banding, and SNM window blocking.
+R8_QUERIES = [
+    "q_hits",
+    "q_setsim_prefix_join",
+    "q_image_phash_pairs",
+    "q_snm_pairs",
+]
+
+# Round-8 k-truss-only set (VERDICT r7 #4): its 30x point blew the r7b
+# sweep's measurement budget (minutes/rep), so it gets its own run with
+# a reduced rep count.
+R8KT_QUERIES = ["q_ktruss"]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -235,6 +251,13 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r7c":
         qset = "r7c"
         QUERIES = R7C_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r8":
+        qset = "r8"
+        QUERIES = R8_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r8kt":
+        qset = "r8kt"
+        QUERIES = R8KT_QUERIES
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
     # the status-listener's task history must stay bounded over the
@@ -261,20 +284,20 @@ def main() -> None:
         t0 = time.time()
         generate_lineitem(spark, out_dir)
         print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
-    if qset in ("r7b", "r7c"):
+    if qset in ("r7b", "r7c", "r8"):
         t0 = time.time()
         if not os.path.exists(f"{out_dir}/lineitem.parquet"):
             generate_lineitem(spark, out_dir)
         if not os.path.exists(f"{out_dir}/orders.parquet"):
             generate_orders(spark, out_dir)
-        if not os.path.exists(f"{out_dir}/events.parquet"):
+        if qset != "r8" and not os.path.exists(f"{out_dir}/events.parquet"):
             generate_events(spark, out_dir)
         if qset == "r7c" and not os.path.exists(f"{out_dir}/customer.parquet"):
             generate_customer(spark, out_dir)
         print(f"generated {qset} tables in {time.time() - t0:.0f}s")
 
-    base = bench(spark, reg, SF_BASE)
-    big = bench(spark, reg, out_dir)
+    base = bench(spark, reg, SF_BASE, n=reps)
+    big = bench(spark, reg, out_dir, n=reps)
 
     metrics: dict[str, dict] = {}
     for q in QUERIES:

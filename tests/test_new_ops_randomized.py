@@ -1084,3 +1084,450 @@ def test_outlink_domains_matches_python(spark, seed):
             if m2:
                 want[(i, m2.group(1))] += 1
     assert got == dict(want) and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [11, 13])
+def test_scc_labels_match_kosaraju(spark, seed):
+    """k-bounded SCC vs a pure-Python Kosaraju on random sparse
+    digraphs (n_hops = n nodes, so closures complete and labels are
+    TRUE SCCs; includes planted cycles so non-trivial SCCs exist)."""
+    from cosmos_xenna_spark.operators.graph import scc_labels
+
+    rng = random.Random(seed)
+    n = 40
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(70)}
+    # plant two cycles so non-singleton SCCs exist
+    for base in (0, 10):
+        for i in range(4):
+            edges.add((base + i, base + (i + 1) % 4))
+    edges = sorted((a, b) for a, b in edges if a != b)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.scc_id for r in scc_labels(df, n_hops=n).collect()}
+
+    adj, radj, nodes = {}, {}, set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        radj.setdefault(b, []).append(a)
+        nodes |= {a, b}
+    visited, order = set(), []
+    for s in sorted(nodes):
+        if s in visited:
+            continue
+        stack = [(s, iter(adj.get(s, [])))]
+        visited.add(s)
+        while stack:
+            u, it = stack[-1]
+            nxt = next((v for v in it if v not in visited), None)
+            if nxt is None:
+                order.append(u)
+                stack.pop()
+            else:
+                visited.add(nxt)
+                stack.append((nxt, iter(adj.get(nxt, []))))
+    comp = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        stack, members = [s], [s]
+        comp[s] = s
+        while stack:
+            u = stack.pop()
+            for v in radj.get(u, []):
+                if v not in comp:
+                    comp[v] = s
+                    stack.append(v)
+                    members.append(v)
+    # canonicalize both labelings to min-member and compare partitions
+    groups_want: dict = {}
+    for u, c in comp.items():
+        groups_want.setdefault(c, set()).add(u)
+    want = {u: min(g) for g in groups_want.values() for u in g}
+    assert got == want
+    assert any(list(got.values()).count(v) >= 4 for v in set(got.values()))
+
+
+@pytest.mark.parametrize("seed", [17, 19])
+def test_sssp_weighted_matches_bellman_ford(spark, seed):
+    from cosmos_xenna_spark.operators.graph import sssp_weighted
+
+    rng = random.Random(seed)
+    n, sweeps = 30, 5
+    edges = [
+        (rng.randrange(n), rng.randrange(n), rng.randrange(1, 20))
+        for _ in range(80)
+    ]
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds_df = spark.createDataFrame([(0,), (5,)], "node long")
+    got = {
+        r.node: r.cost
+        for r in sssp_weighted(df, seeds_df, n_sweeps=sweeps).collect()
+    }
+
+    # Bellman-Ford limited to `sweeps` relaxation rounds, min edge per pair
+    best = {}
+    for a, b, w in edges:
+        best[(a, b)] = min(best.get((a, b), w), w)
+    dist = {0: 0, 5: 0}
+    for _ in range(sweeps):
+        nxt = dict(dist)
+        for (a, b), w in best.items():
+            if a in dist and dist[a] + w < nxt.get(b, 1 << 60):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    assert got == dist and len(got) > 2
+
+
+@pytest.mark.parametrize("seed", [23, 29])
+def test_resource_allocation_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.graph import (
+        RA_ONE,
+        resource_allocation_link_prediction,
+    )
+
+    rng = random.Random(seed)
+    n = 50
+    und = {tuple(sorted((rng.randrange(n), rng.randrange(n)))) for _ in range(120)}
+    und = sorted((a, b) for a, b in und if a != b)
+    df = spark.createDataFrame(und, "src long, dst long")
+    cap = 8
+    got = {
+        (r.node_a, r.node_b): (r.ra_score, r.common_neighbors)
+        for r in resource_allocation_link_prediction(df, max_degree=cap).collect()
+    }
+
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    want: dict = {}
+    for z, vs in adj.items():
+        if deg[z] > cap:
+            continue
+        for a in vs:
+            for b in vs:
+                if a < b:
+                    s, c = want.get((a, b), (0, 0))
+                    want[(a, b)] = (s + RA_ONE // deg[z], c + 1)
+    want = {
+        p: v for p, v in want.items() if p not in {(a, b) for a, b in und}
+    }
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [31, 37])
+def test_simpson_and_gini_match_python(spark, seed):
+    from cosmos_xenna_spark.operators.stats import (
+        gini_concentration,
+        simpson_diversity,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(8), f"cat{rng.randrange(6)}", rng.randrange(0, 500), i)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g long, cat string, x long, uid long")
+
+    got_s = {
+        r.g: (r.n_categories, r.n_rows, r.simpson_ppm)
+        for r in simpson_diversity(df, ["g"], "cat").collect()
+    }
+    by_g: dict = {}
+    for g, cat, _, _ in rows:
+        by_g.setdefault(g, {}).setdefault(cat, 0)
+        by_g[g][cat] += 1
+    for g, cats in by_g.items():
+        N = sum(cats.values())
+        num = sum(c * (c - 1) for c in cats.values())
+        assert got_s[g] == (len(cats), N, 1_000_000 * num // (N * (N - 1)))
+
+    got_g = {
+        r.g: (r.n_rows, r.total, r.gini_ppm)
+        for r in gini_concentration(df, ["g"], "x", "uid").collect()
+    }
+    vals: dict = {}
+    for g, _, x, uid in rows:
+        vals.setdefault(g, []).append((x, uid))
+    for g, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        ix = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        want = 1_000_000 * (2 * ix - (n + 1) * sx) // (n * sx)
+        assert got_g[g] == (n, sx, want)
+
+
+@pytest.mark.parametrize("seed", [41, 43])
+def test_fellegi_sunter_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.dedup import fellegi_sunter_scores
+
+    rng = random.Random(seed)
+    recs = [
+        (i, rng.choice(["en", "de", None]), rng.randrange(3),
+         rng.choice(["alpha", "beta", None]))
+        for i in range(60)
+    ]
+    pairs = sorted(
+        {tuple(sorted(rng.sample(range(60), 2))) for _ in range(80)}
+    )
+    rdf = spark.createDataFrame(
+        recs, "rid long, lang string, bucket long, tok string"
+    )
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    rules = [("lang", 10, -4), ("bucket", 6, -2), ("tok", 14, -7)]
+    got = {
+        (r.id_a, r.id_b): (r.fs_score, r.decision)
+        for r in fellegi_sunter_scores(
+            pdf, rdf, "rid", rules, t_match=20, t_possible=4
+        ).collect()
+    }
+    recd = {r[0]: r[1:] for r in recs}
+    want = {}
+    for a, b in pairs:
+        score = 0
+        for idx, (_, wa, wd) in enumerate(rules):
+            va, vb = recd[a][idx], recd[b][idx]
+            if va is None and vb is None:
+                continue
+            score += wa if va == vb else wd
+        dec = "match" if score >= 20 else "possible" if score >= 4 else "non_match"
+        want[(a, b)] = (score, dec)
+    assert got == want and len(got) == len(pairs)
+
+
+@pytest.mark.parametrize("seed", [47, 53])
+def test_cdc_chunks_match_python(spark, seed):
+    import hashlib
+
+    from cosmos_xenna_spark.operators.substring import content_defined_chunks
+
+    rng = random.Random(seed)
+    # shared content blocks so cross-doc chunks exist, with random
+    # insertions that shift alignment (the case CDC must survive)
+    blocks = ["".join(rng.choice("abcdef gh") for _ in range(60)) for _ in range(6)]
+    docs = []
+    for i in range(40):
+        parts = [rng.choice(blocks) for _ in range(rng.randrange(2, 5))]
+        if rng.random() < 0.5:
+            parts.insert(rng.randrange(len(parts)), "Z" * rng.randrange(1, 9))
+        docs.append((i, "".join(parts)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    gram, divisor = 12, 16
+    got = {
+        r.chunk_hash: (r.n_docs, r.n_occurrences, r.chunk_len)
+        for r in content_defined_chunks(df, gram=gram, divisor=divisor).collect()
+    }
+
+    def h63(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for i, text in docs:
+        cuts = [
+            p
+            for p in range(2, len(text) - gram + 2)
+            if h63(text[p - 1 : p - 1 + gram]) % divisor == 0
+        ]
+        starts = [1] + cuts
+        ends = cuts + [len(text) + 1]
+        for s, e in zip(starts, ends):
+            chunk = text[s - 1 : e - 1]
+            if chunk:
+                occ[h63(chunk)].append((i, len(chunk)))
+    want = {
+        h: (len({d for d, _ in v}), len(v), min(ln for _, ln in v))
+        for h, v in occ.items()
+        if len({d for d, _ in v}) >= 2
+    }
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [59, 61])
+def test_readability_matches_python(spark, seed):
+    import re
+
+    from cosmos_xenna_spark.operators.quality import readability_signals
+
+    rng = random.Random(seed)
+    words = ["alpha", "bee", "cry", "dough", "eerie", "f", "glyph", "hymn"]
+    docs = []
+    for i in range(200):
+        n = rng.randrange(1, 30)
+        toks = [rng.choice(words) for _ in range(n)]
+        for _ in range(rng.randrange(0, 4)):
+            toks.insert(rng.randrange(len(toks) + 1), rng.choice([".", "!", "?", "?!"]))
+        docs.append((i, " ".join(toks) + rng.choice([".", "", "!"])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_words, r.n_sentences, r.n_syllables,
+            r.words_per_sentence_ppm, r.syllables_per_word_ppm, r.flesch_milli,
+        )
+        for r in readability_signals(df).collect()
+    }
+    for i, text in docs:
+        w = len(re.split(r"\s+", text.strip()))
+        s = len([x for x in re.split(r"[.!?]+", text) if x.strip() != ""])
+        y = len(re.findall(r"[aeiouy]+", text.lower()))
+        if w < 1 or s < 1:
+            assert i not in got
+            continue
+        assert got[i] == (
+            w, s, y,
+            1_000_000 * w // s,
+            1_000_000 * y // w,
+            206835 - 1015 * w // s - 84600 * y // w,
+        ), (i, text)
+
+
+@pytest.mark.parametrize("seed", [67, 71])
+def test_winnow_fingerprints_match_python(spark, seed):
+    """Winnowing vs pure-Python reimplementation on shift-perturbed
+    shared blocks, plus the density/recall guarantee: any shared run of
+    >= k + window - 1 chars yields >= 1 shared fingerprint."""
+    import hashlib
+
+    from cosmos_xenna_spark.operators.substring import (
+        winnow_fingerprints,
+        winnow_shared_pairs,
+    )
+
+    rng = random.Random(seed)
+    k, w = 8, 5
+    blocks = ["".join(rng.choice("abcdefg h") for _ in range(40)) for _ in range(5)]
+    docs = []
+    for i in range(30):
+        parts = [rng.choice(blocks) for _ in range(rng.randrange(1, 4))]
+        parts.insert(rng.randrange(len(parts) + 1), "Q" * rng.randrange(0, 7))
+        docs.append((i, "".join(parts)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=k, window=w, max_hash_docs=1000)
+    got = {(r.doc_id, r.pos, r.fp) for r in fps.collect()}
+
+    def h63(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = set()
+    by_doc: dict = {}
+    for i, text in docs:
+        hs = [h63(text[p : p + k]) for p in range(len(text) - k + 1)]
+        sel = set()
+        for start in range(0, len(hs) - w + 1):
+            win = hs[start : start + w]
+            m = min(win)
+            # rightmost minimal position in the window
+            pos = start + max(j for j, v in enumerate(win) if v == m)
+            sel.add((pos + 1, hs[pos]))
+        for pos, h in sel:
+            want.add((i, pos, h))
+            by_doc.setdefault(i, set()).add(h)
+    assert got == want and len(got) > 0
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_shared_pairs(fps, min_shared=2).collect()
+    }
+    want_pairs = {}
+    ids = sorted(by_doc)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                n = len(by_doc[x] & by_doc[y])
+                if n >= 2:
+                    want_pairs[(x, y)] = n
+    assert pairs == want_pairs
+    # recall guarantee: docs sharing a full block (len 40 >= k+w-1=12)
+    # must share at least one fingerprint
+    for x in ids:
+        for y in ids:
+            if x < y and any(b in docs[x][1] and b in docs[y][1] for b in blocks):
+                assert len(by_doc[x] & by_doc[y]) >= 1, (x, y)
+
+
+@pytest.mark.parametrize("seed", [73, 79])
+def test_burst_days_match_python(spark, seed):
+    import datetime
+
+    from cosmos_xenna_spark.operators.eventops import burst_days
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for _ in range(900):
+        # bursty: some days get heavy multipliers, and day gaps exist
+        d = rng.randrange(40)
+        if d % 9 == 0 and rng.random() < 0.7:
+            reps = 4
+        else:
+            reps = 1
+        for _ in range(reps):
+            rows.append(
+                (base + datetime.timedelta(days=d, minutes=rng.randrange(1440)),
+                 f"t{rng.randrange(3)}")
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, et string")
+    got = {
+        (r.etype, r.day): (r.n, r.prev_sum, r.ratio_ppt)
+        for r in burst_days(df, "ts", "et", mult_ppt=1500, min_base=5).collect()
+    }
+
+    epoch = datetime.date(1970, 1, 1)
+    counts: dict = {}
+    for ts, et in rows:
+        d = (ts.date() - epoch).days
+        counts[(et, d)] = counts.get((et, d), 0) + 1
+    want = {}
+    for (et, d), n in counts.items():
+        prev = sum(counts.get((et, d - j), 0) for j in range(1, 8))
+        if prev >= 5 and n * 7 * 1000 >= 1500 * prev:
+            want[(et, d)] = (n, prev, 1000 * n * 7 // prev)
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [83, 89])
+def test_twap_matches_python(spark, seed):
+    import datetime
+    import math
+
+    from cosmos_xenna_spark.operators.eventops import time_weighted_average
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        (i,
+         base + datetime.timedelta(days=rng.randrange(5),
+                                   seconds=rng.randrange(86400),
+                                   microseconds=rng.randrange(1000000)),
+         rng.randrange(6),
+         rng.uniform(0, 50))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, u long, value double")
+    got = {
+        (r.u, r.day): (r.n_obs, r.twap_cents)
+        for r in time_weighted_average(df, ["u"], "ts", "value", "event_id").collect()
+    }
+
+    epoch = datetime.date(1970, 1, 1)
+    by_key: dict = {}
+    for eid, ts, u, v in rows:
+        d = (ts.date() - epoch).days
+        us = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        by_key.setdefault((u, d), []).append((us, eid, math.floor(v * 100)))
+    want = {}
+    for key, obs in by_key.items():
+        obs.sort()
+        num = den = 0
+        cnt = 0
+        for (us, _, c), (us2, _, _) in zip(obs, obs[1:]):
+            dur = us2 - us
+            num += c * dur
+            den += dur
+            cnt += 1
+        if den > 0:
+            want[key] = (cnt, num // den)
+    assert got == want and len(got) > 0

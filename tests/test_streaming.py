@@ -878,3 +878,29 @@ def test_streaming_dau_wau_matches_batch(spark, sf_dir, events_dir):
         for r in dau_wau_stickiness(ev, "ts", "user_id").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_simpson_diversity_matches_batch(spark, sf_dir, events_dir):
+    """Bounded-state Simpson parity: the live category-count-map state
+    emits (last row per entity) exactly the batch two-draw-collision
+    ppm on entities with >= 2 events."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.stats import simpson_diversity
+    from cosmos_xenna_spark.streaming import streaming_simpson_diversity
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(streaming_simpson_diversity(stream), "t_simp", "update")
+    _drain(q)
+    rows = spark.sql(
+        "SELECT entity, n_categories, n_rows, simpson_ppm FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY entity ORDER BY n_rows DESC) AS rn"
+        "  FROM t_simp) WHERE rn = 1 AND n_rows >= 2"
+    ).collect()
+    got = sorted((r.entity, r.n_categories, r.n_rows, r.simpson_ppm) for r in rows)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    want = sorted(
+        (r.user_id, r.n_categories, r.n_rows, r.simpson_ppm)
+        for r in simpson_diversity(ev, ["user_id"], "event_type").collect()
+    )
+    assert got == want and len(got) > 0
