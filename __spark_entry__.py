@@ -177,6 +177,9 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_burst_days",
     "q_twap",
     "q_winnow_pairs",
+    "q_modularity",
+    "q_degree_assortativity",
+    "q_dag_layers",
 )
 
 DRIVER_PRIORITY: dict[str, str] = {

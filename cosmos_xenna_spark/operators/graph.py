@@ -1182,3 +1182,259 @@ def resource_allocation_sql(edges_sql: str, max_degree: int | None = None) -> st
            s.ra_score, s.common_neighbors
     FROM scored s ANTI JOIN und u ON s.a = u.a AND s.b = u.b
     """
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community assignment, exactly: with
+    ``m`` the undirected edge count, ``e_c`` each community's intra
+    edges and ``d_c`` its degree sum,
+    ``Q = sum_c (e_c / m - (d_c / 2m)^2)``, emitted as the single-row
+    ledger ``(n_communities, m_edges, q_ppm)`` where
+    ``q_ppm = (10^6 * (4m * sum(e_c) - sum(d_c^2))) div (4m^2)`` —
+    the quality gate for label-propagation / dedup-community output
+    (is the clustering better than chance edge placement?).
+
+    All-bigint: no float ratios, bit-exact vs the SQL oracle.  Shape:
+    one label join per edge endpoint, two community-sized
+    aggregations, one scalar reduce.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # labels feed three join branches (both edge endpoints + the degree
+    # table); when they come from an ITERATIVE producer (label
+    # propagation) the whole sweep subplan would re-execute per branch
+    # without this node-sized checkpoint (plan lint: 20 shuffles).
+    labels = labels.localCheckpoint(eager=True)
+    la = labels.select(
+        F.col(node_col).alias("a"), F.col(label_col).alias("ca")
+    )
+    lb = labels.select(
+        F.col(node_col).alias("b"), F.col(label_col).alias("cb")
+    )
+    tagged = und.join(la, "a").join(lb, "b")
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy("ca")
+        .agg(F.count(F.lit(1)).alias("e_c"))
+        .agg(F.sum("e_c").alias("sum_intra"))
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .join(labels.select(F.col(node_col).alias("v"), label_col), "v")
+        .groupBy(label_col)
+        .agg(F.sum("deg").alias("d_c"))
+        .agg(
+            F.sum(F.col("d_c") * F.col("d_c")).alias("sum_deg_sq"),
+            F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        )
+    )
+    m = und.agg(F.count(F.lit(1)).alias("m_edges"))
+    return (
+        m.crossJoin(intra)
+        .crossJoin(deg)
+        .select(
+            "n_communities",
+            F.col("m_edges").cast("bigint").alias("m_edges"),
+            F.expr(
+                "(1000000 * (4 * m_edges * coalesce(sum_intra, 0) - sum_deg_sq))"
+                " div (4 * m_edges * m_edges)"
+            )
+            .cast("bigint")
+            .alias("q_ppm"),
+        )
+    )
+
+
+def modularity_sql(edges_sql: str, labels_sql: str) -> str:
+    return f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({edges_sql}) WHERE src <> dst
+    ),
+    lab AS MATERIALIZED ({labels_sql}),
+    intra AS (
+      SELECT SUM(e_c) AS sum_intra FROM (
+        SELECT la.label AS c, COUNT(*) AS e_c
+        FROM und JOIN lab la ON und.a = la.node
+                 JOIN lab lb ON und.b = lb.node
+        WHERE la.label = lb.label GROUP BY 1
+      )
+    ),
+    degs AS (
+      SELECT SUM(d_c * d_c) AS sum_deg_sq,
+             CAST(COUNT(*) AS BIGINT) AS n_communities
+      FROM (
+        SELECT l.label, SUM(d.deg) AS d_c
+        FROM (
+          SELECT v, COUNT(*) AS deg FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY v
+        ) d JOIN lab l ON d.v = l.node
+        GROUP BY l.label
+      )
+    ),
+    m AS (SELECT COUNT(*) AS m_edges FROM und)
+    SELECT n_communities, CAST(m_edges AS BIGINT) AS m_edges,
+           CAST((1000000 * (4 * m_edges * COALESCE(sum_intra, 0) - sum_deg_sq))
+                // (4 * m_edges * m_edges) AS BIGINT) AS q_ppm
+    FROM m, intra, degs
+    """
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    positive for hub-to-hub topologies (social), negative for
+    hub-to-leaf (web/dedup star clusters); the one-number topology
+    fingerprint that decides salting strategy before a graph job.
+
+    Integer moment sums (degrees are integers, the grouped-corr
+    precedent), then ONE fixed double-op sequence mirrored verbatim in
+    the oracle — float SUMS never cross engines, the final expression
+    does.  Returns a single row ``(n_edge_ends, r_corr)``.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    pairs = (
+        sym.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("x")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("y")), "b")
+    )
+    sums = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_edge_ends"),
+        F.expr(
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        ).alias("r_corr"),
+    )
+
+
+def degree_assortativity_sql(edges_sql: str) -> str:
+    return f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({edges_sql}) WHERE src <> dst
+    ),
+    sym AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT a AS v, COUNT(*) AS deg FROM sym GROUP BY a),
+    sums AS (
+      SELECT COUNT(*) AS n, SUM(dx.deg) AS sx, SUM(dy.deg) AS sy,
+             SUM(dx.deg * dy.deg) AS sxy,
+             SUM(dx.deg * dx.deg) AS sxx, SUM(dy.deg * dy.deg) AS syy
+      FROM sym JOIN deg dx ON sym.a = dx.v JOIN deg dy ON sym.b = dy.v
+    )
+    SELECT CAST(n AS BIGINT) AS n_edge_ends,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r_corr
+    FROM sums
+    """
+
+
+def dag_layers(
+    edges: DataFrame,
+    n_sweeps: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Longest-path layering of a DAG (max-plus sweeps): ``layer(v)`` =
+    length of the longest path ending at ``v`` among paths of <=
+    ``n_sweeps`` edges — dependency depth / critical-path staging for
+    lineage graphs and topological scheduling.  The max-plus dual of
+    :func:`bfs_hops`; same frontier discipline, same unrolled-oracle
+    exactness.  Feeding a cyclic graph makes "layer" the k-bounded
+    longest walk — still deterministic, but use :func:`scc_labels` to
+    collapse cycles first.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    layer = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("layer", F.lit(0).cast("bigint"))
+    )
+    for _ in range(n_sweeps):
+        layer = layer.localCheckpoint(eager=True)
+        step = e.join(
+            layer.select(F.col("node").alias("src"), "layer"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("layer") + 1).alias("layer"))
+        layer = layer.union(step).groupBy("node").agg(
+            F.max("layer").alias("layer")
+        )
+    return layer.select(F.col("node").cast("bigint").alias("node"), "layer")
+
+
+def dag_layers_sql(edges_sql: str, n_sweeps: int = 4) -> str:
+    steps = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)",
+        """d0 AS (
+          SELECT node, CAST(0 AS BIGINT) AS layer FROM (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+          )
+        )""",
+    ]
+    prev = "d0"
+    for i in range(1, n_sweeps + 1):
+        steps.append(
+            f"""d{i} AS (
+              SELECT node, MAX(layer) AS layer FROM (
+                SELECT node, layer FROM {prev}
+                UNION ALL
+                SELECT e.dst AS node, p.layer + 1 AS layer
+                FROM e JOIN {prev} p ON e.src = p.node
+              ) GROUP BY node
+            )"""
+        )
+        prev = f"d{i}"
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, CAST(layer AS BIGINT) AS layer FROM {prev}"
+    )

@@ -8,11 +8,15 @@ Decode kernels, in dispatch order: the deterministic fake formats
 this container can handle without external libraries — uncompressed
 BMP (pure struct+numpy, :func:`decode_bmp`), 8-bit non-interlaced
 PNG (stdlib zlib inflate + full scanline unfiltering,
-:func:`decode_png`), baseline JPEG (full entropy pipeline — canonical
-Huffman, DC prediction, zig-zag, IDCT — in ``operators/jpeg.py``),
+:func:`decode_png`), baseline AND progressive JPEG (full entropy
+pipeline — canonical Huffman, DC prediction, zig-zag, IDCT, spectral
+selection / successive approximation / EOB-run scans — in
+``operators/jpeg.py``),
+GIF 87a/89a (real variable-width LZW, interlace, local palettes —
+``operators/gif.py``),
 and PCM WAV (stdlib ``wave``, :func:`decode_wav`) — then PIL for
 other compressed images when importable, else
-``NotImplementedError`` (progressive JPEG / MP3 / video codecs; the
+``NotImplementedError`` (MP3 / exotic video codecs; the
 limitation is the codec, not the engine). The kernel is a pluggable
 seam: ``set_image_decoder`` registers a replacement that every image
 operator captures at plan-build time — no operator edits when a
@@ -221,6 +225,10 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, bytes]:
         from cosmos_xenna_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from cosmos_xenna_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     try:
         import io
 
@@ -908,21 +916,19 @@ def image_hash_pairs(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
 
-    def combos(col: str):
-        return F.flatten(
-            F.transform(
-                col,
-                lambda x, i: F.transform(
-                    F.slice(col, i + 2, F.size(col)),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        )
-
+    # Exact-dup pairs by a STREAMING hash self-join, never a per-row
+    # combination array: the r8 100x run OOM'd the old nested-transform
+    # explode (ArrayTransform materializes the full n^2/2 struct array
+    # of a mega-cluster in one row's eval — ~1e10 structs for a 150k-id
+    # cluster).  A hash-equality join holds ONE cluster's id list in
+    # the join build side (O(cluster)) and streams the quadratic
+    # output row by row — the only shape that survives mega-clusters.
+    sa = sig.select("h", F.col("doc_id").alias("doc_a"))
+    sb = sig.select("h", F.col("doc_id").alias("doc_b"))
     exact = (
-        clusters.filter(F.size("ids") >= 2)
-        .select(F.explode(combos("ids")).alias("p"))
-        .select("p.doc_a", "p.doc_b", F.lit(0).cast("bigint").alias("hamming"))
+        sa.join(sb, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("bigint").alias("hamming"))
     )
 
     width = 64 // n_bands

@@ -399,3 +399,64 @@ def q_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resource_allocation_link_prediction(
         edges, max_degree=64, src_col="doc_a", dst_col="doc_b"
     )
+
+
+from cosmos_xenna_spark.operators.graph import (  # noqa: E402
+    dag_layers_sql,
+    degree_assortativity_sql,
+    modularity_sql,
+)
+
+
+@register(
+    "q_modularity",
+    oracle=modularity_sql(
+        _doc_pairs_edges_sql(),
+        label_propagation_sql(_doc_pairs_edges_sql(), n_iter=2),
+    ),
+    description="Newman modularity of the label-propagation communities on "
+    "the document near-duplicate graph, exact ppm (all-bigint 4m*sum(e_c) "
+    "- sum(d_c^2) over 4m^2 form): the is-this-clustering-better-than-"
+    "chance gate for dedup community output; two label joins + community-"
+    "sized aggs",
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    edges = _doc_pairs_edges(spark, sf_dir)
+    labels = label_propagation(edges, n_iter=2, src_col="doc_a", dst_col="doc_b")
+    return modularity(edges, labels, src_col="doc_a", dst_col="doc_b")
+
+
+@register(
+    "q_degree_assortativity",
+    oracle=degree_assortativity_sql(_doc_pairs_edges_sql()),
+    description="degree assortativity of the near-duplicate graph (Newman "
+    "2002): Pearson correlation of endpoint degrees — hub-to-hub vs "
+    "hub-to-leaf topology fingerprint that picks the salting strategy; "
+    "integer moment sums, ONE mirrored double-op finish (the linreg "
+    "precedent)",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import degree_assortativity
+
+    edges = _doc_pairs_edges(spark, sf_dir)
+    return degree_assortativity(edges, src_col="doc_a", dst_col="doc_b")
+
+
+@register(
+    "q_dag_layers",
+    oracle=dag_layers_sql(_doc_pairs_edges_sql(), n_sweeps=4),
+    description="longest-path DAG layering (max-plus sweeps) of the "
+    "id-ordered near-duplicate pair graph — dependency depth / critical-"
+    "path staging; the max-plus dual of BFS, frontier one row per node, "
+    "bit-exact vs the unrolled SQL oracle",
+)
+def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import dag_layers
+
+    edges = _doc_pairs_edges(spark, sf_dir)
+    return dag_layers(edges, n_sweeps=4, src_col="doc_a", dst_col="doc_b")

@@ -981,3 +981,122 @@ def streaming_simpson_diversity(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_burst_days(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    mult_ppt: int = 1300,
+    min_base: int = 7,
+    window_days: int = 7,
+) -> DataFrame:
+    """Live burst detection: the streaming form of
+    ``operators.eventops.burst_days`` — per (event type, calendar day),
+    the current count, trailing-window baseline and burst flag, emitted
+    as events arrive (the incident-surfacing loop the batch closed form
+    cannot give you live).
+
+    Per-type state is the day->count map PRUNED to the trailing
+    ``window_days + 1`` days behind the newest day seen — bounded by
+    the window, independent of stream length.  On a time-ordered
+    replay the LAST emission per (type, day) carries that day's final
+    count against its final baseline, matching the batch operator
+    exactly (parity test); deep out-of-order arrival beyond the pruned
+    window degrades to arrival-order semantics (the standing streaming
+    contract).
+    """
+    SEP, KV = "\x1f", "\x1e"
+    day_col = F.datediff(
+        F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    prepared = stream_df.select(
+        F.col(type_col).alias("etype"), day_col.alias("day")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (joined,) = state.get if state.exists else ("",)
+        counts: dict[int, int] = {}
+        if joined:
+            for part in joined.split(SEP):
+                d, n = part.split(KV)
+                counts[int(d)] = int(n)
+        touched = set()
+        for pdf in pdfs:
+            for d in pdf["day"]:
+                d = int(d)
+                counts[d] = counts.get(d, 0) + 1
+                touched.add(d)
+        # Emit from the FULL map, then prune only the PERSISTED state:
+        # a wide micro-batch (e.g. a backfill file spanning months) must
+        # see its own in-batch history; the bounded-state contract needs
+        # only the carry-over trimmed.
+        out = {"etype": [], "day": [], "n": [], "prev_sum": [], "is_burst": []}
+        for d in sorted(touched):
+            n = counts[d]
+            prev = sum(
+                counts.get(d - j, 0) for j in range(1, window_days + 1)
+            )
+            out["etype"].append(str(key[0]))
+            out["day"].append(d)
+            out["n"].append(n)
+            out["prev_sum"].append(prev)
+            out["is_burst"].append(
+                1
+                if prev >= min_base
+                and n * window_days * 1000 >= mult_ppt * prev
+                else 0
+            )
+        if counts:
+            horizon = max(counts) - (window_days + 1)
+            counts = {d: n for d, n in counts.items() if d >= horizon}
+        state.update(
+            (SEP.join(f"{d}{KV}{n}" for d, n in sorted(counts.items())),)
+        )
+        yield pd.DataFrame(out)
+
+    return prepared.groupBy("etype").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "etype string, day long, n long, prev_sum long, is_burst long"
+        ),
+        stateStructType="counts string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def synthetic_rate_stream(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    n_users: int = 100,
+    n_types: int = 5,
+) -> DataFrame:
+    """Synthetic event stream on Spark's built-in ``rate`` source (the
+    third leg of the file/queue/rate source surface, SURVEY §2.B): each
+    generated row is mapped DETERMINISTICALLY from its monotonic
+    ``value`` into the engine's event schema (xxhash64-derived user /
+    type / value), so load tests and soak runs exercise every streaming
+    operator without touching disk, and two runs over the same value
+    range produce identical rows.
+
+    The rate source is backpressure-native: it never outruns the
+    trigger, making it the canonical stand-in for "what does this
+    stateful operator do at N events/sec" before a real queue exists.
+    """
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        F.pmod(F.xxhash64("value"), F.lit(n_users)).alias("user_id"),
+        F.concat(
+            F.lit("type"),
+            F.pmod(F.xxhash64("value", F.lit(1)), F.lit(n_types)).cast("string"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("value", F.lit(2)), F.lit(10_000)) / 100.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )

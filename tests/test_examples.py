@@ -68,3 +68,11 @@ def test_web_curation_pipeline_runs(tmp_path):
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "clusters straddling splits: 0" in r.stdout
     assert "OK" in r.stdout
+
+
+def test_graph_analytics_pipeline_runs():
+    r = _run(["examples/graph_analytics_pipeline.py", SF])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "trade loops:" in r.stdout
+    assert "modularity" in r.stdout
+    assert "OK" in r.stdout

@@ -192,11 +192,11 @@ def test_restart_markers():
     assert plain == with_rst
 
 
-def test_progressive_and_malformed_raise():
-    # SOF2 (progressive) after SOI
-    prog = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + b"\x00" * 8
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(prog)
+def test_unsupported_and_malformed_raise():
+    # SOF3 (lossless) after SOI — named raise
+    lossless = b"\xff\xd8" + b"\xff\xc3" + struct.pack(">H", 11) + b"\x08" + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(lossless)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
 
@@ -288,3 +288,231 @@ def test_video_pipeline_end_to_end(spark):
     ).collect()
     assert len(meta) == 7
     assert all((m.width, m.height) == (16, 8) for m in meta)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) test-side encoder: DC/AC first + refinement scans with
+# spectral selection, successive approximation and cross-block EOB runs —
+# the other half of T.81 Annex G, so the progressive decoder is exercised
+# with genuine multi-scan entropy streams.
+# ---------------------------------------------------------------------------
+
+_PROG_AC_SYMS = sorted(
+    {0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(15)}  # EOBn symbols for EOB runs
+)
+
+
+def _quantized_blocks(img: np.ndarray, quant):
+    h, w = img.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")
+    qnat = quant.reshape(8, 8).astype(np.float64)
+    blocks = []
+    for by in range(ph // 8):
+        row = []
+        for bx in range(pw // 8):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coeffs = _IDCT_M @ block @ _IDCT_M.T
+            q = np.round(coeffs / qnat).astype(np.int64)
+            row.append(q.reshape(-1)[ZIGZAG])
+        blocks.append(row)
+    return blocks
+
+
+class _ProgWriter(_BitWriter):
+    """BitWriter + EOB-run state shared by the progressive scan
+    emitters.  Two correction-bit buffers, as in libjpeg: ``eob_bits``
+    belong to the accumulated EOB run (emitted right after its EOBn
+    symbol), ``br_bits`` to the current block since the last emitted
+    symbol (emitted after that symbol); a block that joins the EOB run
+    migrates its br_bits into eob_bits."""
+
+    def __init__(self, ac_enc):
+        super().__init__()
+        self.ac_enc = ac_enc
+        self.eobrun = 0
+        self.eob_bits: list[int] = []
+        self.br_bits: list[int] = []
+
+    def emit_sym(self, sym):
+        code, nb = self.ac_enc[sym]
+        self.write(code, nb)
+
+    def emit_br(self):
+        for b in self.br_bits:
+            self.write(b, 1)
+        self.br_bits = []
+
+    def join_eobrun(self):
+        self.eobrun += 1
+        self.eob_bits += self.br_bits
+        self.br_bits = []
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.emit_sym(r << 4)
+            if r:
+                self.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            for b in self.eob_bits:
+                self.write(b, 1)
+            self.eob_bits = []
+
+
+def encode_jpeg_gray_progressive(
+    img: np.ndarray, quant=QUANT_K1, al: int = 1, bands=((1, 5), (6, 63))
+) -> bytes:
+    """SOF2 encoder: DC first (Al=al) -> AC first per band (Al=al) ->
+    DC refine -> AC refine per band, with cross-block EOB runs."""
+    h, w = img.shape
+    blocks = [b for row in _quantized_blocks(img, quant) for b in row]
+
+    dc_counts, dc_vals, dc_enc = _huff_spec(_DC_SYMS)
+    ac_counts, ac_vals, ac_enc = _huff_spec(_PROG_AC_SYMS)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos(ss, se, ah, al_):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al_]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in quant[ZIGZAG]))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_vals)
+
+    # scan 1: DC first at precision `al`
+    out += sos(0, 0, 0, al)
+    bw = _BitWriter()
+    pred = 0
+    for zz in blocks:
+        v = int(zz[0]) >> al  # arithmetic shift of the SIGNED value
+        size, bits = _magnitude(v - pred)
+        pred = v
+        code, nb = dc_enc[size]
+        bw.write(code, nb)
+        if size:
+            bw.write(bits, size)
+    bw.flush()
+    out += bw.out
+
+    # AC first scans, one per band, with EOB runs across blocks
+    for ss, se in bands:
+        pw_ = _ProgWriter(ac_enc)
+        for zz in blocks:
+            coded = [
+                (k, (abs(int(zz[k])) >> al) * (1 if zz[k] > 0 else -1))
+                for k in range(ss, se + 1)
+            ]
+            coded = [(k, cv) for k, cv in coded if cv != 0]
+            if not coded:
+                pw_.join_eobrun()
+                if pw_.eobrun == 0x7FFF:
+                    pw_.flush_eobrun()
+                continue
+            pw_.flush_eobrun()
+            prev = ss - 1
+            for k, cv in coded:
+                run = k - prev - 1
+                while run > 15:
+                    pw_.emit_sym(0xF0)
+                    run -= 16
+                size, bits = _magnitude(cv)
+                pw_.emit_sym((run << 4) | size)
+                pw_.write(bits, size)
+                prev = k
+            if prev < se:
+                pw_.join_eobrun()
+        pw_.flush_eobrun()
+        pw_.flush()
+        out += sos(ss, se, 0, al)
+        out += pw_.out
+
+    # DC refine: one raw bit (bit `al-1`... here Ah=al, Al=al-1) per block
+    for lo in range(al - 1, -1, -1):
+        out += sos(0, 0, lo + 1, lo)
+        bw = _BitWriter()
+        for zz in blocks:
+            bw.write((int(zz[0]) >> lo) & 1, 1)
+        bw.flush()
+        out += bw.out
+
+    # AC refine scans per band (Ah=al .. 1)
+    for lo in range(al - 1, -1, -1):
+        p_hi = lo + 1
+        for ss, se in bands:
+            pw_ = _ProgWriter(ac_enc)
+            for zz in blocks:
+                absv = [abs(int(zz[k])) >> lo for k in range(ss, se + 1)]
+                eob_rel = max(
+                    (i for i, t in enumerate(absv) if t == 1), default=-1
+                )
+                r = 0
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob_rel:
+                        pw_.flush_eobrun()
+                        pw_.emit_sym(0xF0)
+                        r -= 16
+                        pw_.emit_br()
+                    if t > 1:
+                        pw_.br_bits.append(t & 1)
+                        continue
+                    pw_.flush_eobrun()
+                    pw_.emit_sym((r << 4) | 1)
+                    pw_.write(1 if zz[ss + i] > 0 else 0, 1)
+                    pw_.emit_br()
+                    r = 0
+                if r > 0 or pw_.br_bits:
+                    pw_.join_eobrun()
+            pw_.flush_eobrun()
+            pw_.flush()
+            out += sos(ss, se, p_hi, lo)
+            out += pw_.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_matches_baseline_exactly():
+    """The multi-scan progressive stream reconstructs the SAME pixels
+    as the baseline stream of the same quantized coefficients — the
+    full DC/AC first + refine + EOB-run decode path."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(img, quant=np.ones(64, np.int64)))
+    prog = decode_jpeg(
+        encode_jpeg_gray_progressive(img, quant=np.ones(64, np.int64), al=1)
+    )
+    assert base == prog
+
+
+def test_progressive_two_bit_approximation_and_k1():
+    """Two successive-approximation levels (Al=2 first scans, two
+    refine rounds) and the Annex-K quant table, non-multiple-of-8."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(img))
+    prog = decode_jpeg(encode_jpeg_gray_progressive(img, al=2))
+    assert base == prog
+
+
+def test_progressive_smooth_gradient_eob_runs():
+    """Smooth content -> long cross-block EOB runs in the high band."""
+    x = np.linspace(40, 215, 48)
+    img = np.tile(x, (24, 1)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(img))
+    prog = decode_jpeg(encode_jpeg_gray_progressive(img, al=1))
+    assert base == prog
+
+
+def test_arithmetic_still_raises():
+    arith = b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", 11) + b"\x08" + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)

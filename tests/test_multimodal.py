@@ -577,3 +577,21 @@ def test_video_scene_cuts_planted(spark):
     )
     assert [i for i, _ in cuts] == [2, 4]
     assert all(h for _, h in cuts)
+
+
+def test_image_hash_pairs_mega_cluster_streams(spark):
+    """Regression for the r8 100x OOM: a single exact-dup cluster far
+    beyond nested-transform comfort must emit all C(n,2) pairs through
+    the streaming hash self-join."""
+    from pyspark.sql import functions as F
+
+    from cosmos_xenna_spark.operators.multimodal import image_hash_pairs
+
+    n = 200
+    hashes = spark.range(n).select(
+        F.col("id"), F.lit(0x0123456789ABCDEF).cast("long").alias("ahash")
+    )
+    out = image_hash_pairs(hashes, max_hamming=3, n_bands=4)
+    assert out.count() == n * (n - 1) // 2
+    row = out.agg(F.max("hamming").alias("m"), F.min("hamming").alias("lo")).first()
+    assert (row.m, row.lo) == (0, 0)

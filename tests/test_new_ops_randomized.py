@@ -1531,3 +1531,94 @@ def test_twap_matches_python(spark, seed):
         if den > 0:
             want[key] = (cnt, num // den)
     assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [107, 109])
+def test_modularity_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.graph import modularity
+
+    rng = random.Random(seed)
+    n = 40
+    edges = sorted(
+        {tuple(sorted((rng.randrange(n), rng.randrange(n)))) for _ in range(90)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    labels = [(v, v % 5) for v in sorted({x for e in edges for x in e})]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ldf = spark.createDataFrame(labels, "node long, label long")
+    row = modularity(edf, ldf).collect()[0]
+
+    lab = dict(labels)
+    m = len(edges)
+    intra = sum(1 for a, b in edges if lab[a] == lab[b])
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    d_c: dict = {}
+    for v, d in deg.items():
+        d_c[lab[v]] = d_c.get(lab[v], 0) + d
+    sum_deg_sq = sum(d * d for d in d_c.values())
+    # both engines' integer division TRUNCATES toward zero on negatives
+    # (Spark `div`, DuckDB `//`) — mirror that, not Python's floor
+    num = 1_000_000 * (4 * m * intra - sum_deg_sq)
+    den = 4 * m * m
+    q_ppm = abs(num) // den * (1 if num >= 0 else -1)
+    assert (row.n_communities, row.m_edges, row.q_ppm) == (len(d_c), m, q_ppm)
+    # sanity: perfect partition (each CC its own label) beats random
+    float_q = intra / m - sum(d * d for d in d_c.values()) / (4 * m * m)
+    assert abs(row.q_ppm / 1e6 - float_q) < 2e-6
+
+
+@pytest.mark.parametrize("seed", [113, 127])
+def test_degree_assortativity_matches_python(spark, seed):
+    import math
+
+    from cosmos_xenna_spark.operators.graph import degree_assortativity
+
+    rng = random.Random(seed)
+    n = 35
+    edges = sorted(
+        {tuple(sorted((rng.randrange(n), rng.randrange(n)))) for _ in range(80)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = degree_assortativity(df).collect()[0]
+
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ends = [(deg[a], deg[b]) for a, b in edges] + [(deg[b], deg[a]) for a, b in edges]
+    N = len(ends)
+    sx = sum(x for x, _ in ends); sy = sum(y for _, y in ends)
+    sxy = sum(x * y for x, y in ends)
+    sxx = sum(x * x for x, _ in ends); syy = sum(y * y for _, y in ends)
+    want = (float(N) * float(sxy) - float(sx) * float(sy)) / math.sqrt(
+        (float(N) * float(sxx) - float(sx) * float(sx))
+        * (float(N) * float(syy) - float(sy) * float(sy))
+    )
+    assert row.n_edge_ends == N and row.r_corr == want
+
+
+@pytest.mark.parametrize("seed", [131, 137])
+def test_dag_layers_match_python(spark, seed):
+    from cosmos_xenna_spark.operators.graph import dag_layers
+
+    rng = random.Random(seed)
+    n, sweeps = 30, 6
+    edges = sorted(
+        {tuple(sorted((rng.randrange(n), rng.randrange(n)))) for _ in range(70)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]  # a < b: a DAG
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.layer for r in dag_layers(df, n_sweeps=sweeps).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    layer = {v: 0 for v in nodes}
+    for _ in range(sweeps):
+        nxt = dict(layer)
+        for a, b in edges:
+            nxt[b] = max(nxt[b], layer[a] + 1)
+        layer = nxt
+    assert got == layer and max(layer.values()) >= 2

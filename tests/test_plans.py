@@ -219,6 +219,9 @@ _BNLJ_ALLOWED = {
     # single-row broadcast grand total attached to the per-key join
     # products (the heavy-hitters pattern)
     "q_join_size_estimate",
+    # three single-row frames (edge count, intra-edge sum, degree-sq
+    # sum) cross-joined into the one-row modularity ledger
+    "q_modularity",
 }
 
 

@@ -8,6 +8,7 @@ import os
 import shutil
 import sys
 import tempfile
+import time
 
 import pandas as pd
 import pytest
@@ -904,3 +905,60 @@ def test_streaming_simpson_diversity_matches_batch(spark, sf_dir, events_dir):
         for r in simpson_diversity(ev, ["user_id"], "event_type").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_burst_days_matches_batch(spark, sf_dir, events_dir):
+    """Bounded-state burst parity: the live trailing day-count map's
+    final emission per (type, day) equals the batch RANGE-frame
+    operator's burst rows over the same replay."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.eventops import burst_days
+    from cosmos_xenna_spark.streaming import streaming_burst_days
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(
+        streaming_burst_days(stream, mult_ppt=1300, min_base=7),
+        "t_burst", "update",
+    )
+    _drain(q)
+    rows = spark.sql(
+        "SELECT etype, day, n, prev_sum FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY etype, day ORDER BY n DESC, prev_sum DESC) AS rn"
+        "  FROM t_burst) WHERE rn = 1 AND is_burst = 1"
+    ).collect()
+    got = sorted((r.etype, r.day, r.n, r.prev_sum) for r in rows)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    want = sorted(
+        (r.etype, r.day, r.n, r.prev_sum)
+        for r in burst_days(ev, "ts", "event_type", mult_ppt=1300, min_base=7).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_synthetic_rate_stream_feeds_stateful_ops(spark):
+    """The rate source leg: deterministic synthetic events drive a
+    stateful operator end-to-end without any files."""
+    from cosmos_xenna_spark.streaming import (
+        streaming_simpson_diversity,
+        synthetic_rate_stream,
+    )
+
+    stream = synthetic_rate_stream(spark, rows_per_second=500, n_users=7)
+    q = to_memory_sink(streaming_simpson_diversity(stream), "t_rate", "update")
+    try:
+        deadline = time.time() + 25
+        rows = []
+        while time.time() < deadline:
+            time.sleep(1)
+            rows = spark.sql("SELECT * FROM t_rate").collect()
+            if len(rows) >= 5:
+                break
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert len(rows) >= 1
+    assert all(0 <= r.entity < 7 for r in rows)
+    assert all(
+        r.simpson_ppm is None or 0 <= r.simpson_ppm <= 1_000_000 for r in rows
+    )
