@@ -911,7 +911,13 @@ def image_hash_pairs(
     # for exact-dup clusters is produced by a row-local combination
     # explode with nothing to verify. The r7 10x scale run measured the
     # old shape at 61.9x growth; this one tracks output size.
-    sig = hashes.select(F.col(id_col).alias("doc_id"), F.col(hash_col).alias("h"))
+    # Checkpoint the (id, hash) frame: it feeds BOTH sides of the
+    # exact-pair self-join plus the cluster rollup, and its upstream is
+    # the full decode -> ahash mapInPandas pass — without this the
+    # image corpus is decoded once per consumer (3.4x on the bench).
+    sig = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("h")
+    ).localCheckpoint(eager=True)
     clusters = sig.groupBy("h").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
