@@ -180,6 +180,8 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_modularity",
     "q_degree_assortativity",
     "q_dag_layers",
+    "q_er_clusters",
+    "q_source_overlap",
 )
 
 DRIVER_PRIORITY: dict[str, str] = {

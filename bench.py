@@ -119,6 +119,11 @@ HEADLINE = [
     "q_cdc_chunks",
     "q_link_prediction_ra",
     "q_scc",
+    # r8 batch 2: winnowing fingerprints + shared-pair join (the other
+    # per-position corpus scan) and the end-to-end ER pipeline
+    # (blocking -> scoring -> closure in one plan)
+    "q_winnow_pairs",
+    "q_er_clusters",
 ]
 
 

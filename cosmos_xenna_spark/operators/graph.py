@@ -1241,7 +1241,12 @@ def modularity(
         .groupBy(label_col)
         .agg(F.sum("deg").alias("d_c"))
         .agg(
-            F.sum(F.col("d_c") * F.col("d_c")).alias("sum_deg_sq"),
+            # d_c^2 in decimal: a single community holding most of a
+            # billion-edge graph's degree mass would overflow the int64
+            # square
+            F.sum(
+                F.col("d_c").cast("decimal(38,0)") * F.col("d_c")
+            ).alias("sum_deg_sq"),
             F.count(F.lit(1)).cast("bigint").alias("n_communities"),
         )
     )
@@ -1252,9 +1257,16 @@ def modularity(
         .select(
             "n_communities",
             F.col("m_edges").cast("bigint").alias("m_edges"),
+            # decimal(38,0) products: 10^6 * 4m * sum(e_c) overflows
+            # int64 once m * intra passes ~2*10^12 (the r8b 30x sweep
+            # hit it at 4M edges); decimal 38 holds to m ~ 3*10^14
+            # edges, and `div` on decimals is exact integral division
+            # in both engines (HUGEINT on the DuckDB side)
             F.expr(
-                "(1000000 * (4 * m_edges * coalesce(sum_intra, 0) - sum_deg_sq))"
-                " div (4 * m_edges * m_edges)"
+                "(CAST(1000000 AS DECIMAL(38,0))"
+                " * (4 * CAST(m_edges AS DECIMAL(38,0))"
+                "    * coalesce(sum_intra, 0) - sum_deg_sq))"
+                " div (4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges)"
             )
             .cast("bigint")
             .alias("q_ppm"),
@@ -1281,7 +1293,7 @@ def modularity_sql(edges_sql: str, labels_sql: str) -> str:
       SELECT SUM(d_c * d_c) AS sum_deg_sq,
              CAST(COUNT(*) AS BIGINT) AS n_communities
       FROM (
-        SELECT l.label, SUM(d.deg) AS d_c
+        SELECT l.label, CAST(SUM(d.deg) AS HUGEINT) AS d_c
         FROM (
           SELECT v, COUNT(*) AS deg FROM (
             SELECT a AS v FROM und UNION ALL SELECT b FROM und
@@ -1292,8 +1304,10 @@ def modularity_sql(edges_sql: str, labels_sql: str) -> str:
     ),
     m AS (SELECT COUNT(*) AS m_edges FROM und)
     SELECT n_communities, CAST(m_edges AS BIGINT) AS m_edges,
-           CAST((1000000 * (4 * m_edges * COALESCE(sum_intra, 0) - sum_deg_sq))
-                // (4 * m_edges * m_edges) AS BIGINT) AS q_ppm
+           CAST((CAST(1000000 AS HUGEINT)
+                 * (4 * CAST(m_edges AS HUGEINT) * COALESCE(sum_intra, 0)
+                    - sum_deg_sq))
+                // (4 * CAST(m_edges AS HUGEINT) * m_edges) AS BIGINT) AS q_ppm
     FROM m, intra, degs
     """
 

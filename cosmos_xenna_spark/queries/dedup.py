@@ -926,3 +926,126 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fps = winnow_fingerprints(docs, k=8, window=5, max_hash_docs=32)
     return winnow_shared_pairs(fps, min_shared=2)
+
+
+# The full probabilistic-ER pipeline as one query: SNM blocking ->
+# Fellegi-Sunter scoring -> keep 'match' decisions -> transitive
+# closure -> entity cluster ids. The oracle replays the same chain
+# with a recursive-CTE closure (the q_dedup_clusters pattern).
+_ER_MATCH_PAIRS_SQL = f"""
+    SELECT id_a, id_b FROM (
+      {fellegi_sunter_scores_sql(
+          sorted_neighborhood_pairs_sql(
+              "SELECT doc_id, lang || substr(lower(text), 1, 1) AS blk,"
+              " lower(substr(text, 1, 40)) AS sk FROM documents",
+              "doc_id",
+              "sk",
+              window=6,
+              block_col="blk",
+          ),
+          _FS_KEYED_SQL,
+          "doc_id",
+          _FS_RULES,
+          t_match=25,
+          t_possible=5,
+      )}
+    ) WHERE decision = 'match'
+"""
+
+
+@register(
+    "q_er_clusters",
+    oracle=f"""
+    WITH RECURSIVE mp AS MATERIALIZED ({_ER_MATCH_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mp
+      UNION SELECT id_b, id_a FROM mp
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS entity_id
+    FROM reach GROUP BY id
+    """,
+    description="the complete probabilistic entity-resolution pipeline in "
+    "one plan: SNM blocking -> Fellegi-Sunter integer scoring -> 'match' "
+    "gate -> transitive closure -> (doc_id, entity_id) — blocking bounds "
+    "candidates, scores are row-local, closure is the checkpointed "
+    "min-label iteration; the oracle replays the identical chain with a "
+    "recursive-CTE closure",
+)
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.concat(F.col("lang"), F.substring(F.lower("text"), 1, 1)).alias("blk"),
+        F.lower(F.substring("text", 1, 40)).alias("sk"),
+    )
+    cand = sorted_neighborhood_pairs(
+        keyed, "doc_id", "sk", window=6, block_col="blk"
+    )
+    records = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("length(text) div 50").alias("len_bucket"),
+        F.split("text", " ").getItem(0).alias("first_tok"),
+    )
+    scored = fellegi_sunter_scores(
+        cand, records, "doc_id", _FS_RULES, t_match=25, t_possible=5
+    )
+    matches = scored.filter(F.col("decision") == "match").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    cc = connected_components(matches)
+    return cc.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("entity_id"),
+    )
+
+
+@register(
+    "q_source_overlap",
+    oracle=f"""
+    WITH fp AS MATERIALIZED (
+      SELECT DISTINCT s.source, f.fp
+      FROM ({winnow_fingerprints_sql(
+          "SELECT doc_id, text FROM documents", k=8, window=5, max_hash_docs=32
+      )}) f
+      JOIN documents s ON f.doc_id = s.doc_id
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+    description="corpus provenance: content overlap between SOURCES by "
+    "shared winnowing fingerprints (which feeds 'did source X scrape "
+    "source Y' audits) — fingerprints dedup to (source, fp) first so "
+    "mega-duplicated chunks within one source count once; bounded hash "
+    "equi-join, never doc-level pairs",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(
+        docs.select("doc_id", "text"), k=8, window=5, max_hash_docs=32
+    )
+    # checkpoint the (source, fp) frame: it feeds BOTH sides of the
+    # overlap self-join, and its upstream is the full per-position
+    # winnowing pass (plan lint: 11 shuffles / 6 scans without this)
+    tagged = (
+        fps.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = tagged.select(F.col("source").alias("source_a"), "fp")
+    b = tagged.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= 3)
+    )

@@ -226,6 +226,21 @@ R8_QUERIES = [
 # a reduced rep count.
 R8KT_QUERIES = ["q_ktruss"]
 
+# Round-8 session additions: the heaviest NEW shapes — per-position
+# window hashing + chunk assembly (CDC), winnowing window-min
+# fingerprints + the shared-pair join, the hub-capped wedge join,
+# the double-closure SCC kernel over the trade graph, modularity over
+# label-prop communities, and the two keyed event-time operators.
+R8B_QUERIES = [
+    "q_cdc_chunks",
+    "q_winnow_pairs",
+    "q_link_prediction_ra",
+    "q_scc",
+    "q_modularity",
+    "q_burst_days",
+    "q_twap",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -257,6 +272,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r8kt":
         qset = "r8kt"
         QUERIES = R8KT_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r8b":
+        qset = "r8b"
+        QUERIES = R8B_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
@@ -284,7 +302,7 @@ def main() -> None:
         t0 = time.time()
         generate_lineitem(spark, out_dir)
         print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
-    if qset in ("r7b", "r7c", "r8"):
+    if qset in ("r7b", "r7c", "r8", "r8b"):
         t0 = time.time()
         if not os.path.exists(f"{out_dir}/lineitem.parquet"):
             generate_lineitem(spark, out_dir)
@@ -292,8 +310,14 @@ def main() -> None:
             generate_orders(spark, out_dir)
         if qset != "r8" and not os.path.exists(f"{out_dir}/events.parquet"):
             generate_events(spark, out_dir)
-        if qset == "r7c" and not os.path.exists(f"{out_dir}/customer.parquet"):
+        if qset in ("r7c", "r8b") and not os.path.exists(f"{out_dir}/customer.parquet"):
             generate_customer(spark, out_dir)
+        if qset == "r8b" and not os.path.exists(f"{out_dir}/supplier.parquet"):
+            # suppkeys are NOT shifted by generate_lineitem, so the base
+            # supplier table is the correct dimension at every scale
+            spark.read.parquet(f"{SF_BASE}/supplier.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/supplier.parquet")
         print(f"generated {qset} tables in {time.time() - t0:.0f}s")
 
     base = bench(spark, reg, SF_BASE, n=reps)
