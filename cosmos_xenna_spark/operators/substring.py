@@ -481,8 +481,12 @@ def winnow_fingerprints(
         md5_long63(F.substring(F.col(text_col), F.col("pos"), F.lit(k))).alias("h"),
     )
     # composite order key: min() picks smallest hash, then LARGEST pos
-    # (rightmost) via the complemented position
-    key = F.format_string("%020d|%010d", F.col("h"), F.lit(9_999_999_999) - F.col("pos"))
+    # (rightmost) via the complemented position.  Spark orders structs
+    # lexicographically, so the key stays numeric (the printf string
+    # form — which the DuckDB oracle still uses, lacking struct-ordered
+    # window mins — measured 1.76x slower at sf0.1: isolated medians
+    # 8.45 s vs 4.80 s; 14M per-position string formats).
+    key = F.struct(F.col("h").alias("h"), (-F.col("pos")).alias("np"))
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -495,10 +499,8 @@ def winnow_fingerprints(
         .filter(F.col("pos") <= F.col("__len") - k + 1 - (window - 1))
         .select(
             "doc_id",
-            F.substring("__sel", 1, 20).cast("bigint").alias("fp"),
-            (F.lit(9_999_999_999) - F.substring("__sel", 22, 10).cast("bigint"))
-            .cast("bigint")
-            .alias("pos"),
+            F.col("__sel.h").alias("fp"),
+            (-F.col("__sel.np")).cast("bigint").alias("pos"),
         )
         .distinct()
     )
