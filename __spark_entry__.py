@@ -107,65 +107,28 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       rows (agg features, array funcs, both as-of joins, snowflake
 #       broadcast join, cohort retention, collect_list/set,
 #       conditional). Operators added DURING r8 queue for the r9
-#       rotation (tracked in _R9_QUEUE below as they land).
-_R8_PROMOTIONS = (
-    # never driver-verified (r7-session additions) — 41 promotions
-    "q_kcore",
-    "q_bfs_hops",
-    "q_join_interval_overlap",
-    "q_seasonal_anomaly",
-    "q_ktruss",
-    "q_spatial_neighbors",
-    "q_moments_per_group",
-    "q_rolling_distinct",
-    "q_url_normalize",
-    "q_cusum_changepoint",
-    "q_autocorrelation",
-    "q_benford_digits",
-    "q_hits",
-    "q_audience_overlap",
-    "q_mutual_nn",
-    "q_snm_pairs",
-    "q_rbo_rankings",
-    "q_event_paths",
-    "q_temporal_cooccurrence",
-    "q_boolean_search",
-    "q_quantile_normalize",
-    "q_audience_overlap_sketch",
-    "q_resample_ffill",
-    "q_attribution_linear",
-    "q_join_size_estimate",
-    "q_anonymity_ladder",
-    "q_dedup_cluster_profile",
-    "q_split_leakage_safe",
-    "q_ip_parse",
-    "q_ppr",
-    "q_skyline",
-    "q_blocking_quality",
-    "q_pit_join",
-    "q_schema_drift",
-    "q_snm_multipass",
-    "q_rolling_median",
-    "q_dwell_time",
-    "q_target_encode_loo",
-    "q_ua_parse",
-    "q_outlink_domains",
-    "q_dau_wau",
-    # re-verification of the oldest remaining rows — the r1 survivor
-    "q_having_filter",
-    # re-verification — the 8 alphabetically-first r3-era rows
-    "q_agg_features",
-    "q_array_funcs",
-    "q_asof_join",
-    "q_asof_join_tolerance",
-    "q_broadcast_snowflake",
-    "q_cohort_retention",
-    "q_collect_list_set",
-    "q_conditional",
-)
-
-# Operators added during the r8 session queue here for the r9 window.
-_R9_QUEUE: tuple[str, ...] = (
+#       rotation (promoted in full in r9, below).
+#   r9 (this window): ALL 16 operators added during r8 (SCC, weighted
+#       SSSP, resource-allocation link prediction, Simpson diversity,
+#       Gini concentration, Fellegi-Sunter scoring + ER clusters,
+#       content-defined CDC chunking, readability, burst days, TWAP,
+#       winnowing pairs, modularity, degree assortativity, DAG
+#       layers, source overlap) — after this round every oracle-able
+#       registry query that existed at the r8 snapshot (266/266) has
+#       a hard driver verdict. The spare 34 slots re-verify the
+#       oldest remaining cumulative rows on current code: all 15
+#       remaining r3-era rows (date funcs, decontaminate, the exact
+#       dedup family, distinct, distributed distribution/rank,
+#       embedding stats, fingerprint, funnel, grouped-map stats, hash
+#       funcs) and the 19 alphabetically-first r4-era rows (BM25,
+#       JSON/map/math funcs, knn brute/IVF, langid, late-data
+#       watermark, line dedup, LSH buckets, merge upsert, minhash
+#       signatures/pairs, audio/image meta, ngram jaccard,
+#       pack-sequences, pandas-UDF tokens, PII redact). Operators
+#       added DURING r9 queue for the r10 rotation (tracked in
+#       _R10_QUEUE below as they land).
+_R9_PROMOTIONS = (
+    # never driver-verified (r8-session additions) — 16 promotions
     "q_scc",
     "q_sssp_weighted",
     "q_link_prediction_ra",
@@ -182,10 +145,49 @@ _R9_QUEUE: tuple[str, ...] = (
     "q_dag_layers",
     "q_er_clusters",
     "q_source_overlap",
+    # re-verification — the 15 remaining r3-era rows
+    "q_date_funcs",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_embedding_cosine",
+    "q_dedup_events",
+    "q_dedup_exact_text",
+    "q_dedup_keyed",
+    "q_distinct",
+    "q_distribution_distributed",
+    "q_embedding_stats",
+    "q_fingerprint",
+    "q_funnel",
+    "q_global_rank_distributed",
+    "q_grouped_map_stats",
+    "q_hash_funcs",
+    # re-verification — the 19 alphabetically-first r4-era rows
+    "q_bm25_topk",
+    "q_json_funcs",
+    "q_knn_bruteforce",
+    "q_knn_ivf",
+    "q_langid",
+    "q_late_data_watermark",
+    "q_line_dedup",
+    "q_lsh_buckets",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_merge_upsert",
+    "q_minhash_pairs",
+    "q_minhash_signatures",
+    "q_multimodal_audio_meta",
+    "q_multimodal_image_meta",
+    "q_ngram_jaccard",
+    "q_pack_sequences",
+    "q_pandas_udf_tokens",
+    "q_pii_redact",
 )
 
+# Operators added during the r9 session queue here for the r10 window.
+_R10_QUEUE: tuple[str, ...] = ()
+
 DRIVER_PRIORITY: dict[str, str] = {
-    name: f"q0_{name[2:]}" for name in _R8_PROMOTIONS
+    name: f"q0_{name[2:]}" for name in _R9_PROMOTIONS
 }
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
