@@ -13,6 +13,7 @@ materialization — the same discipline the operators keep at 100 TB).
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -230,6 +231,21 @@ def main() -> None:
         "sf": sf,
         "sentinel": sentinel_med,
     }
+    vs_prev = _vs_prev(timings, sentinel_med)
+    if vs_prev and "sentinel_drift" in vs_prev:
+        # Sentinel-normalized summary IN the headline artifact (VERDICT
+        # r8 #2): the driver's stdout capture is a 2000-char tail and
+        # the full ratios_normalized map (~850 chars at 61 queries)
+        # would risk pushing the line past it (the BENCH_r06 lesson),
+        # so the line carries drift + the geomean and worst normalized
+        # ratio; the full per-query maps live in BENCH_DETAIL.json.
+        norm = vs_prev.get("ratios_normalized") or {}
+        payload["sentinel_drift"] = vs_prev["sentinel_drift"]
+        if norm:
+            logs = [math.log(r) for r in norm.values() if r > 0]
+            payload["norm_geomean"] = round(math.exp(sum(logs) / len(logs)), 3)
+            worst = max(norm, key=norm.get)
+            payload["norm_worst"] = {worst: norm[worst]}
     if errors:
         payload["errors"] = {k: v[:120] for k, v in errors.items()}
 
@@ -243,7 +259,7 @@ def main() -> None:
         "samples": {k: [round(s, 3) for s in v] for k, v in samples.items()},
         "sentinel_samples": [round(s, 3) for s in sentinel_samples],
         "errors": errors,
-        "vs_prev": _vs_prev(timings, sentinel_med),
+        "vs_prev": vs_prev,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:

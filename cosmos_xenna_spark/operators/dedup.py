@@ -1043,11 +1043,21 @@ def fellegi_sunter_scores(
     ER framework, integerized): for each candidate pair, every rule
     ``(field, w_agree, w_disagree)`` contributes ``w_agree`` when the
     two records' field values are equal (both-NULL counts as
-    agreement of unknowns: contributes 0) and ``w_disagree``
-    otherwise; the summed score classifies the pair —
+    agreement of unknowns: contributes 0; a ONE-SIDED NULL scores the
+    full ``w_disagree`` — a deliberate, simpler-than-textbook choice:
+    classical FS treats one-sided missingness as a zero-weight
+    "unknown" comparison, so callers who want that semantics should
+    pre-coalesce the field or pass a rule with ``w_disagree=0``) and
+    ``w_disagree`` otherwise; the summed score classifies the pair —
     ``'match'`` (>= ``t_match``), ``'possible'`` (>= ``t_possible``),
     else ``'non_match'`` — the clerical-review triage every dedup /
     MDM pipeline runs between blocking and survivorship.
+
+    Pairs whose ids do not resolve against ``records`` are NOT
+    silently dropped: they surface with a NULL ``fs_score`` and
+    ``decision = 'unresolved'`` (left joins, not inner), so an
+    id-hygiene problem upstream is visible in the output rather than
+    shrinking it.
 
     Integer log-odds-style weights are DATA, not plan shape: a
     production deployment re-estimates them (EM over agreement
@@ -1057,12 +1067,19 @@ def fellegi_sunter_scores(
     """
     fields = [f for f, _, _ in rules]
     ra = records.select(
-        F.col(id_col).alias(id_a), *[F.col(f).alias(f"__a_{f}") for f in fields]
+        F.col(id_col).alias(id_a),
+        F.lit(1).alias("__a_ok"),
+        *[F.col(f).alias(f"__a_{f}") for f in fields],
     )
     rb = records.select(
-        F.col(id_col).alias(id_b), *[F.col(f).alias(f"__b_{f}") for f in fields]
+        F.col(id_col).alias(id_b),
+        F.lit(1).alias("__b_ok"),
+        *[F.col(f).alias(f"__b_{f}") for f in fields],
     )
-    joined = pairs.select(id_a, id_b).join(ra, id_a).join(rb, id_b)
+    joined = pairs.select(id_a, id_b).join(ra, id_a, "left").join(
+        rb, id_b, "left"
+    )
+    resolved = F.col("__a_ok").isNotNull() & F.col("__b_ok").isNotNull()
     score = F.lit(0)
     for f, w_agree, w_disagree in rules:
         a, b = F.col(f"__a_{f}"), F.col(f"__b_{f}")
@@ -1074,8 +1091,9 @@ def fellegi_sunter_scores(
     return joined.select(
         F.col(id_a).cast("bigint").alias(id_a),
         F.col(id_b).cast("bigint").alias(id_b),
-        score.cast("bigint").alias("fs_score"),
-        F.when(score >= t_match, "match")
+        F.when(resolved, score).cast("bigint").alias("fs_score"),
+        F.when(~resolved, "unresolved")
+        .when(score >= t_match, "match")
         .when(score >= t_possible, "possible")
         .otherwise("non_match")
         .alias("decision"),
@@ -1104,10 +1122,13 @@ def fellegi_sunter_scores_sql(
     WITH p AS ({pairs_sql}), r AS MATERIALIZED ({records_sql})
     SELECT CAST(p.{id_a} AS BIGINT) AS {id_a},
            CAST(p.{id_b} AS BIGINT) AS {id_b},
-           CAST({score} AS BIGINT) AS fs_score,
-           CASE WHEN ({score}) >= {t_match} THEN 'match'
+           CASE WHEN ra.{id_col} IS NOT NULL AND rb.{id_col} IS NOT NULL
+                THEN CAST({score} AS BIGINT) END AS fs_score,
+           CASE WHEN ra.{id_col} IS NULL OR rb.{id_col} IS NULL
+                THEN 'unresolved'
+                WHEN ({score}) >= {t_match} THEN 'match'
                 WHEN ({score}) >= {t_possible} THEN 'possible'
                 ELSE 'non_match' END AS decision
-    FROM p JOIN r ra ON p.{id_a} = ra.{id_col}
-           JOIN r rb ON p.{id_b} = rb.{id_col}
+    FROM p LEFT JOIN r ra ON p.{id_a} = ra.{id_col}
+           LEFT JOIN r rb ON p.{id_b} = rb.{id_col}
     """

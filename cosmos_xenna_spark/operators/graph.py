@@ -1147,7 +1147,15 @@ def resource_allocation_link_prediction(
         F.sum("contrib").cast("bigint").alias("ra_score"),
         F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
     )
-    return scored.join(und, ["a", "b"], "left_anti").select(
+    # Anti-join against the CANONICALIZED edge set: wedges emit
+    # canonical a < b pairs, so an edge stored only as (3, 2) must
+    # still exclude the pair (2, 3) — anti-joining the raw `und`
+    # orientation would report adjacent pairs as missing links on
+    # directed / non-canonical input (ADVICE r8).
+    und_canon = und.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    return scored.join(und_canon, ["a", "b"], "left_anti").select(
         F.col("a").cast("bigint").alias("node_a"),
         F.col("b").cast("bigint").alias("node_b"),
         "ra_score",
@@ -1177,10 +1185,13 @@ def resource_allocation_sql(edges_sql: str, max_degree: int | None = None) -> st
       SELECT a, b, CAST(SUM(contrib) AS BIGINT) AS ra_score,
              CAST(COUNT(*) AS BIGINT) AS common_neighbors
       FROM wedges GROUP BY a, b
+    ),
+    und_canon AS (
+      SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM und
     )
     SELECT CAST(s.a AS BIGINT) AS node_a, CAST(s.b AS BIGINT) AS node_b,
            s.ra_score, s.common_neighbors
-    FROM scored s ANTI JOIN und u ON s.a = u.a AND s.b = u.b
+    FROM scored s ANTI JOIN und_canon u ON s.a = u.a AND s.b = u.b
     """
 
 
@@ -1250,7 +1261,12 @@ def modularity(
             F.count(F.lit(1)).cast("bigint").alias("n_communities"),
         )
     )
-    m = und.agg(F.count(F.lit(1)).alias("m_edges"))
+    # m_edges > 0 guard: an empty edge list must yield an EMPTY result
+    # in both engines — without it Spark emits a NULL q_ppm row while
+    # the DuckDB mirror raises division-by-zero (ADVICE r8).
+    m = und.agg(F.count(F.lit(1)).alias("m_edges")).filter(
+        F.col("m_edges") > 0
+    )
     return (
         m.crossJoin(intra)
         .crossJoin(deg)
@@ -1302,7 +1318,7 @@ def modularity_sql(edges_sql: str, labels_sql: str) -> str:
         GROUP BY l.label
       )
     ),
-    m AS (SELECT COUNT(*) AS m_edges FROM und)
+    m AS (SELECT COUNT(*) AS m_edges FROM und HAVING COUNT(*) > 0)
     SELECT n_communities, CAST(m_edges AS BIGINT) AS m_edges,
            CAST((CAST(1000000 AS HUGEINT)
                  * (4 * CAST(m_edges AS HUGEINT) * COALESCE(sum_intra, 0)

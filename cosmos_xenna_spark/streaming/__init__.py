@@ -862,6 +862,7 @@ def streaming_dau_wau(
     ts_col: str = "ts",
     entity_col: str = "user_id",
     window_days: int = 7,
+    evict_after_days: int | None = None,
 ) -> DataFrame:
     """Live DAU/WAU stickiness: the streaming form of
     ``operators.eventops.dau_wau_stickiness``.
@@ -880,27 +881,53 @@ def streaming_dau_wau(
 
     State-size contract: O(distinct entities active in the trailing
     ``window_days``) per day key — exact by design, like the batch
-    twin it must hash-match.  At 100 TB / billions of entities, swap
-    the set state for an HLL sketch register (the
+    twin it must hash-match.  Per-day size is bounded, but day KEYS
+    accumulate: with the default ``evict_after_days=None`` total state
+    grows with the number of days the stream has ever touched
+    (unbounded over an unbounded stream — ADVICE r8).  Pass
+    ``evict_after_days=N`` for a long-running deployment: the stream
+    gets an N-day watermark on ``ts_col`` and each day key an
+    event-time timeout at its own day end, so a day is evicted once
+    the stream's event time has moved N days past it (watermark-
+    driven ``EventTimeTimeout`` — NOT processing-time, which forces
+    empty timeout-check micro-batches that never let
+    ``processAllAvailable`` settle).  The same watermark also DROPS
+    straggler events more than N days late before they reach the
+    operator (standard Spark late-data semantics), so an evicted day
+    is never half-recreated — pick N >= the pipeline's late-data
+    horizon.  At 100 TB / billions
+    of entities, swap the set state for an HLL sketch register (the
     ``q_audience_overlap_sketch`` pattern) and accept ~2% error; the
     group key stays the day, so state never concentrates on one task.
     """
     SEP = "\x1f"
+    if evict_after_days is not None:
+        stream_df = stream_df.withWatermark(
+            ts_col, f"{evict_after_days} days"
+        )
     day = F.datediff(
         F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
     ).cast("bigint")
     contrib = stream_df.select(
         day.alias("active_day"),
         F.col(entity_col).cast("long").alias("e"),
+        # carry the watermarked event-time column through the project:
+        # EventTimeTimeout requires the watermark attribute to survive
+        # into the stateful operator's input
+        F.col(ts_col).alias("__ts"),
     ).select(
         F.explode(
             F.sequence(F.col("active_day"), F.col("active_day") + (window_days - 1))
         ).alias("day"),
         "active_day",
         "e",
+        "__ts",
     )
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         dau_j, wau_j = state.get if state.exists else ("", "")
         dau_set = set(dau_j.split(SEP)) if dau_j else set()
         wau_set = set(wau_j.split(SEP)) if wau_j else set()
@@ -911,6 +938,14 @@ def streaming_dau_wau(
                 if int(active_day) == int(key[0]):
                     dau_set.add(ent)
         state.update((SEP.join(sorted(dau_set)), SEP.join(sorted(wau_set))))
+        if evict_after_days is not None:
+            # evict once the watermark (event time minus the N-day
+            # delay) passes this day's end; a late re-created key must
+            # still set a FUTURE timestamp, hence the watermark floor
+            day_end_ms = (int(key[0]) + 1) * 86_400_000
+            state.setTimeoutTimestamp(
+                max(day_end_ms, state.getCurrentWatermarkMs() + 1)
+            )
         dau, wau = len(dau_set), len(wau_set)
         yield pd.DataFrame(
             {
@@ -926,7 +961,11 @@ def streaming_dau_wau(
         outputStructType="day long, dau long, wau long, stickiness_ppm long",
         stateStructType="dau_set string, wau_set string",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if evict_after_days is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )
 
 

@@ -241,6 +241,25 @@ R8B_QUERIES = [
     "q_twap",
 ]
 
+# Round-9 session sweep (VERDICT r8 #3): the r8-session shapes without
+# a curve yet — the full ER pipeline (SNM -> FS -> transitive closure;
+# the closure loop is the risk), the source-overlap winnowing
+# self-join, the two wedge-free graph kernels over the near-dup graph
+# (max-plus DAG layering, degree-moment assortativity), and weighted
+# Bellman-Ford SSSP over the replicated trade graph.
+R9_QUERIES = [
+    "q_er_clusters",
+    "q_source_overlap",
+    "q_dag_layers",
+    "q_degree_assortativity",
+    "q_sssp_weighted",
+]
+
+# Round-9 winnow-only 100x point (VERDICT r8 #4): whether the
+# max_hash_docs stop-fingerprint cap holds the shared-pair join at
+# 100x the way the phash cluster cap does.
+R9W_QUERIES = ["q_winnow_pairs"]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -275,6 +294,12 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r8b":
         qset = "r8b"
         QUERIES = R8B_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r9":
+        qset = "r9"
+        QUERIES = R9_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r9w":
+        qset = "r9w"
+        QUERIES = R9W_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
@@ -302,17 +327,17 @@ def main() -> None:
         t0 = time.time()
         generate_lineitem(spark, out_dir)
         print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
-    if qset in ("r7b", "r7c", "r8", "r8b"):
+    if qset in ("r7b", "r7c", "r8", "r8b", "r9"):
         t0 = time.time()
         if not os.path.exists(f"{out_dir}/lineitem.parquet"):
             generate_lineitem(spark, out_dir)
         if not os.path.exists(f"{out_dir}/orders.parquet"):
             generate_orders(spark, out_dir)
-        if qset != "r8" and not os.path.exists(f"{out_dir}/events.parquet"):
+        if qset not in ("r8", "r9") and not os.path.exists(f"{out_dir}/events.parquet"):
             generate_events(spark, out_dir)
-        if qset in ("r7c", "r8b") and not os.path.exists(f"{out_dir}/customer.parquet"):
+        if qset in ("r7c", "r8b", "r9") and not os.path.exists(f"{out_dir}/customer.parquet"):
             generate_customer(spark, out_dir)
-        if qset == "r8b" and not os.path.exists(f"{out_dir}/supplier.parquet"):
+        if qset in ("r8b", "r9") and not os.path.exists(f"{out_dir}/supplier.parquet"):
             # suppkeys are NOT shifted by generate_lineitem, so the base
             # supplier table is the correct dimension at every scale
             spark.read.parquet(f"{SF_BASE}/supplier.parquet").write.mode(

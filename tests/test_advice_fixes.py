@@ -474,3 +474,87 @@ def test_incremental_agg_keeps_delta_persisted(spark, sf_dir, duck):
     assert df.__dict__.get("_scoped_releases"), "release hooks must ride the result frame"
     res = compare("q_incremental_agg", df, spec.oracle, duck)
     assert res.ok
+
+
+def test_link_prediction_excludes_noncanonical_edges(spark, duck):
+    """A triangle stored in NON-canonical orientation must produce zero
+    link predictions — anti-joining the raw edge orientation reported a
+    graph's own edges as missing links (r8 advisor finding)."""
+    from cosmos_xenna_spark.operators.graph import (
+        resource_allocation_link_prediction,
+        resource_allocation_sql,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (3, 2)], "src long, dst long"
+    )
+    assert resource_allocation_link_prediction(edges).count() == 0
+    sql = resource_allocation_sql(
+        "SELECT * FROM (VALUES (2, 1), (3, 1), (3, 2)) AS t(src, dst)"
+    )
+    assert duck.execute(sql).fetchall() == []
+    # a genuinely missing link still surfaces: path 1-2-4 predicts (1, 4)
+    edges2 = spark.createDataFrame(
+        [(2, 1), (4, 2)], "src long, dst long"
+    )
+    got = {
+        (r.node_a, r.node_b)
+        for r in resource_allocation_link_prediction(edges2).collect()
+    }
+    assert got == {(1, 4)}
+
+
+def test_modularity_empty_graph_empty_both_engines(spark, duck):
+    """An empty edge list must yield an EMPTY result in both engines —
+    previously Spark emitted a NULL q_ppm row while DuckDB raised
+    division-by-zero (r8 advisor finding)."""
+    from cosmos_xenna_spark.operators.graph import modularity, modularity_sql
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    labels = spark.createDataFrame([(1, 1)], "node long, label long")
+    assert modularity(edges, labels).count() == 0
+    sql = modularity_sql(
+        "SELECT src, dst FROM (VALUES (1, 2)) AS t(src, dst) WHERE FALSE",
+        "SELECT * FROM (VALUES (1, 1)) AS l(node, label)",
+    )
+    assert duck.execute(sql).fetchall() == []
+
+
+def test_fellegi_sunter_unresolved_pairs_visible(spark, duck):
+    """A pair whose id is absent from the record frame must surface as
+    decision='unresolved' with NULL score, not silently vanish from the
+    output (r8 advisor finding) — in BOTH engines."""
+    from cosmos_xenna_spark.operators.dedup import (
+        fellegi_sunter_scores,
+        fellegi_sunter_scores_sql,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de")], "rid long, lang string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 99)], "id_a long, id_b long"
+    )
+    rules = [("lang", 10, -4)]
+    got = {
+        (r.id_a, r.id_b): (r.fs_score, r.decision)
+        for r in fellegi_sunter_scores(
+            pairs, recs, "rid", rules, t_match=10, t_possible=0
+        ).collect()
+    }
+    assert got == {
+        (1, 2): (10, "match"),
+        (1, 3): (-4, "non_match"),
+        (2, 99): (None, "unresolved"),
+    }
+    sql = fellegi_sunter_scores_sql(
+        "SELECT * FROM (VALUES (1, 2), (1, 3), (2, 99)) AS p(id_a, id_b)",
+        "SELECT * FROM (VALUES (1, 'en'), (2, 'en'), (3, 'de')) AS r(rid, lang)",
+        "rid",
+        rules,
+        t_match=10,
+        t_possible=0,
+    )
+    assert {
+        (a, b): (s, d) for a, b, s, d in duck.execute(sql).fetchall()
+    } == got

@@ -1622,3 +1622,149 @@ def test_dag_layers_match_python(spark, seed):
             nxt[b] = max(nxt[b], layer[a] + 1)
         layer = nxt
     assert got == layer and max(layer.values()) >= 2
+
+
+@pytest.mark.parametrize("seed", [83, 89])
+def test_er_pipeline_matches_python(spark, seed):
+    """End-to-end ER (SNM blocking -> Fellegi-Sunter -> match gate ->
+    transitive closure) vs a pure-Python replay: the composition can
+    break even when every stage passes alone (join orientation, NULL
+    handling at the stage seams)."""
+    from cosmos_xenna_spark.operators.dedup import (
+        connected_components,
+        fellegi_sunter_scores,
+        sorted_neighborhood_pairs,
+    )
+
+    rng = random.Random(seed)
+    # clustered records: ~30 entities, 2-5 noisy copies each
+    recs, rid = [], 0
+    for ent in range(30):
+        blk = f"b{ent % 5}"
+        base_sk = f"{ent:03d}{rng.randrange(10)}"
+        lang = rng.choice(["en", "de", "fr"])
+        tok = f"t{ent}"
+        for _ in range(rng.randrange(2, 6)):
+            recs.append(
+                (
+                    rid,
+                    blk,
+                    base_sk + str(rng.randrange(4)),
+                    rng.choice([lang, lang, None]),
+                    rng.choice([tok, tok, tok, f"t{rng.randrange(30)}"]),
+                )
+            )
+            rid += 1
+    df = spark.createDataFrame(
+        recs, "id long, blk string, sk string, lang string, tok string"
+    )
+    rules = [("lang", 8, -3), ("tok", 15, -10)]
+    window, t_match = 4, 20
+
+    cand = sorted_neighborhood_pairs(df, "id", "sk", window=window, block_col="blk")
+    scored = fellegi_sunter_scores(
+        cand, df, "id", rules, t_match=t_match, t_possible=0
+    )
+    matches = scored.filter(F.col("decision") == "match").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(matches).collect()
+    }
+
+    # pure-Python replay
+    by_blk: dict = {}
+    for i, blk, sk, lang, tok in recs:
+        by_blk.setdefault(blk, []).append((sk, i))
+    pairs = []
+    for items in by_blk.values():
+        items.sort()
+        for x in range(len(items)):
+            for j in range(1, window):
+                if x + j < len(items):
+                    pairs.append((items[x][1], items[x + j][1]))
+    recd = {r[0]: (r[3], r[4]) for r in recs}
+    edges = []
+    for a, b in pairs:
+        score = 0
+        for idx, (_, wa, wd) in enumerate(rules):
+            va, vb = recd[a][idx], recd[b][idx]
+            if va is None and vb is None:
+                continue
+            score += wa if va == vb else wd
+        if score >= t_match:
+            edges.append((a, b))
+    parent = {i: i for i, *_ in recs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_edges = {n for e in edges for n in e}
+    want = {n: find(n) for n in in_edges}
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [97, 101])
+def test_source_overlap_matches_python(spark, seed):
+    """Source-overlap (winnow fps -> (source, fp) dedup -> self-join)
+    vs pure Python: the per-source DISTINCT must make mega-duplicated
+    chunks within one source count once."""
+    import hashlib
+
+    from cosmos_xenna_spark.operators.substring import winnow_fingerprints
+
+    rng = random.Random(seed)
+    k, w = 8, 5
+    blocks = ["".join(rng.choice("abcdefgh ") for _ in range(30)) for _ in range(6)]
+    docs = []
+    for i in range(40):
+        text = "".join(rng.choice(blocks) for _ in range(rng.randrange(1, 4)))
+        docs.append((i, f"s{rng.randrange(5)}", text))
+    ddf = spark.createDataFrame(docs, "doc_id long, source string, text string")
+
+    fps = winnow_fingerprints(
+        ddf.select("doc_id", "text"), k=k, window=w, max_hash_docs=1000
+    )
+    tagged = (
+        fps.join(ddf.select("doc_id", "source"), "doc_id")
+        .select("source", "fp")
+        .distinct()
+    )
+    a = tagged.select(F.col("source").alias("source_a"), "fp")
+    b = tagged.select(F.col("source").alias("source_b"), "fp")
+    got = {
+        (r.source_a, r.source_b): r.n
+        for r in a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def h63(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    by_src: dict = {}
+    for i, src, text in docs:
+        hs = [h63(text[p : p + k]) for p in range(len(text) - k + 1)]
+        for start in range(0, len(hs) - w + 1):
+            win = hs[start : start + w]
+            m = min(win)
+            pos = start + max(j for j, v in enumerate(win) if v == m)
+            by_src.setdefault(src, set()).add(hs[pos])
+    want = {}
+    srcs = sorted(by_src)
+    for x in srcs:
+        for y in srcs:
+            if x < y:
+                n = len(by_src[x] & by_src[y])
+                if n:
+                    want[(x, y)] = n
+    assert got == want and len(got) > 0

@@ -962,3 +962,69 @@ def test_synthetic_rate_stream_feeds_stateful_ops(spark):
     assert all(
         r.simpson_ppm is None or 0 <= r.simpson_ppm <= 1_000_000 for r in rows
     )
+
+
+def test_streaming_dau_wau_evicts_old_day_keys(spark, tmp_path):
+    """Opt-in watermark eviction (ADVICE r8): day keys whose day end
+    fell more than evict_after_days behind the watermark are REMOVED
+    from the state store (observed via numRowsTotal in query
+    progress), and stragglers older than the watermark are dropped
+    before the operator, so the evicted day's emissions never
+    regress."""
+    from cosmos_xenna_spark.streaming import streaming_dau_wau
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "user_id long, ts_s string").selectExpr(
+            "user_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def state_rows(query):
+        p = query.lastProgress
+        ops = (p or {}).get("stateOperators") or []
+        return ops[0]["numRowsTotal"] if ops else None
+
+    drop([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00")])
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = streaming_dau_wau(stream, window_days=2, evict_after_days=2)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_dau_evict")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        before = state_rows(q)  # 2 day keys (explode window_days=2)
+        # watermark jump; the timeout fires in the batch AFTER the one
+        # whose data advanced the watermark
+        drop([(9, "2024-03-01 00:00:00")])
+        q.processAllAvailable()
+        drop([(9, "2024-03-02 00:00:00")])
+        q.processAllAvailable()
+        after = state_rows(q)
+        # straggler for the evicted day: dropped by the watermark
+        drop([(3, "2024-01-01 12:00:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert before == 2
+    # the two 2024-01 keys were evicted; the 2024-03 keys remain
+    # (2024-03-01 contributes to 2 days, 2024-03-02 to 2 days, one
+    # shared -> 3 live keys)
+    assert after == 3
+    day0 = (
+        pd.Timestamp("2024-01-01").date() - pd.Timestamp("1970-01-01").date()
+    ).days
+    rows = {
+        (r.dau, r.wau)
+        for r in spark.sql(
+            f"SELECT dau, wau FROM t_dau_evict WHERE day = {day0}"
+        ).collect()
+    }
+    # the only emission for day0 is the pre-eviction one; the straggler
+    # was filtered, never re-creating the key
+    assert rows == {(2, 2)}
