@@ -184,7 +184,19 @@ _R9_PROMOTIONS = (
 )
 
 # Operators added during the r9 session queue here for the r10 window.
-_R10_QUEUE: tuple[str, ...] = ()
+_R10_QUEUE: tuple[str, ...] = (
+    "q_clustering_coeff",
+    "q_boilerplate_prefix",
+    "q_template_mining",
+    "q_json_validity",
+    "q_theil_sen",
+    "q_cohens_kappa",
+    "q_smoothed_domain_rate",
+    "q_venn3",
+    "q_interval_union",
+    "q_peak_concurrency",
+    "q_nearest_event_join",
+)
 
 DRIVER_PRIORITY: dict[str, str] = {
     name: f"q0_{name[2:]}" for name in _R9_PROMOTIONS

@@ -408,3 +408,161 @@ def skyline2d_sql(table_sql: str, x_col: str, y_col: str) -> str:
         AND (b.{x_col} > a.{x_col} OR b.{y_col} > a.{y_col})
     )
     """
+
+
+def boilerplate_prefix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 32,
+    min_share_ppm: int = 100_000,
+) -> DataFrame:
+    """Per-group dominant document PREFIX — the boilerplate-header
+    detector (licence banners, scraped nav bars, template preambles
+    repeat verbatim at document start within one source).
+
+    Emits ``(group, prefix, n_docs, share_ppm)`` for each group whose
+    most common ``prefix_len``-char prefix covers at least
+    ``min_share_ppm`` of its docs (ties broken by the lexically
+    smallest prefix, so the winner is deterministic).  Downstream
+    strips the prefix or drops the source.
+
+    Shape: one (group, prefix) aggregation + one per-group max — two
+    shuffles on the group key, prefix comparison never leaves the
+    row.  No corpus-wide state: groups partition the work, the 100 TB
+    plan is the sf0.01 plan.
+    """
+    pref = docs.select(
+        F.col(group_col).alias("grp"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("prefix"),
+    )
+    counts = pref.groupBy("grp", "prefix").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = pref.groupBy("grp").agg(F.count(F.lit(1)).alias("n_total"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(
+        F.col("n_docs").desc(), F.col("prefix").asc()
+    )
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        top.join(totals, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "prefix",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("1000000 * n_docs div n_total").cast("bigint").alias("share_ppm"),
+        )
+        .filter(F.col("share_ppm") >= min_share_ppm)
+    )
+
+
+def boilerplate_prefix_sql(
+    docs_sql: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    prefix_len: int = 32,
+    min_share_ppm: int = 100_000,
+) -> str:
+    return f"""
+    WITH pref AS (
+      SELECT {group_col} AS grp, substr({text_col}, 1, {prefix_len}) AS prefix
+      FROM ({docs_sql})
+    ),
+    counts AS (
+      SELECT grp, prefix, COUNT(*) AS n_docs FROM pref GROUP BY grp, prefix
+    ),
+    totals AS (SELECT grp, COUNT(*) AS n_total FROM pref GROUP BY grp),
+    top AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY grp ORDER BY n_docs DESC, prefix ASC) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    )
+    SELECT t.grp AS {group_col}, t.prefix,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(1000000 * t.n_docs // o.n_total AS BIGINT) AS share_ppm
+    FROM top t JOIN totals o ON t.grp = o.grp
+    WHERE 1000000 * t.n_docs // o.n_total >= {min_share_ppm}
+    """
+
+
+def template_mining(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    max_len: int = 64,
+) -> DataFrame:
+    """Drain-style log/template mining, simplified: mask every digit
+    run to ``#`` in the first ``max_len`` chars, then count identical
+    masked TEMPLATES per group and keep each group's top ``top_k`` —
+    machine-generated corpora (logs, receipts, listings, error pages)
+    collapse onto a handful of templates, the signal that a "text"
+    source is actually structured output and should be routed to a
+    parser, not a language model.
+
+    Emits ``(group, template, n_docs)``; deterministic order key
+    (count desc, template asc).  Same two-shuffle group-local shape as
+    :func:`boilerplate_prefix`; the digit masking is one JVM-side
+    regexp per row.
+    """
+    from pyspark.sql import Window
+
+    tpl = docs.select(
+        F.col(group_col).alias("grp"),
+        F.regexp_replace(
+            F.substring(F.col(text_col), 1, max_len), "[0-9]+", "#"
+        ).alias("template"),
+    )
+    counts = tpl.groupBy("grp", "template").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("n_docs").desc(), F.col("template").asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .select(
+            F.col("grp").alias(group_col),
+            "template",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("__rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def template_mining_sql(
+    docs_sql: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    max_len: int = 64,
+) -> str:
+    return f"""
+    WITH tpl AS (
+      SELECT {group_col} AS grp,
+             regexp_replace(substr({text_col}, 1, {max_len}), '[0-9]+', '#', 'g')
+               AS template
+      FROM ({docs_sql})
+    ),
+    counts AS (
+      SELECT grp, template, COUNT(*) AS n_docs FROM tpl GROUP BY grp, template
+    )
+    SELECT grp AS {group_col}, template,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY grp ORDER BY n_docs DESC, template ASC) AS rn
+      FROM counts
+    ) WHERE rn <= {top_k}
+    """

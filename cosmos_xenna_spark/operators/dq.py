@@ -600,3 +600,68 @@ def schema_drift_sql(
                 OR (po.max_str IS DISTINCT FROM pn.max_str) AS BIGINT) AS boundary_moved
     FROM po JOIN pn USING (col_name)
     """
+
+
+def json_validity(
+    df: DataFrame,
+    group_cols: list[str],
+    json_col: str,
+    required_key: str,
+) -> DataFrame:
+    """Per-group JSON conformance profile of a string payload column:
+    how many rows parse as a JSON OBJECT, how many carry
+    ``required_key``, and the min/max of that key's integer value —
+    the ingest gate for semi-structured sidecar columns (props,
+    headers, tool output) before anything downstream trusts
+    ``get_json_object`` results.
+
+    Spark: ``get_json_object`` returns NULL for both invalid JSON and
+    a missing key, so object-ness is probed with a separate
+    try-parse; DuckDB mirrors with ``json_valid`` + ``json_type``.
+    All counts exact; min/max are bigint (non-integer values of the
+    key count as present but contribute NULL to min/max in BOTH
+    engines via try-cast).
+    """
+    is_obj = F.expr(
+        f"try_parse_json({json_col}) IS NOT NULL"
+        f" AND startswith(ltrim({json_col}), '{{')"
+    )
+    val = F.expr(f"try_cast(get_json_object({json_col}, '$.{required_key}') AS BIGINT)")
+    has_key = F.expr(
+        f"get_json_object({json_col}, '$.{required_key}') IS NOT NULL"
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(is_obj.cast("bigint")).cast("bigint").alias("n_json_objects"),
+            F.sum((is_obj & has_key).cast("bigint"))
+            .cast("bigint")
+            .alias("n_with_key"),
+            F.min(F.when(is_obj, val)).cast("bigint").alias("key_min"),
+            F.max(F.when(is_obj, val)).cast("bigint").alias("key_max"),
+        )
+    )
+
+
+def json_validity_sql(
+    table_sql: str, group_cols: list[str], json_col: str, required_key: str
+) -> str:
+    g = ", ".join(group_cols)
+    obj = f"(json_valid({json_col}) AND json_type(json({json_col})) = 'OBJECT')"
+    raw = f"json_extract({json_col}, '$.{required_key}')"
+    return f"""
+    SELECT {g},
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {obj} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_json_objects,
+           CAST(SUM(CASE WHEN {obj} AND {raw} IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_key,
+           CAST(MIN(CASE WHEN {obj}
+                         THEN TRY_CAST({raw}::VARCHAR AS BIGINT) END) AS BIGINT)
+             AS key_min,
+           CAST(MAX(CASE WHEN {obj}
+                         THEN TRY_CAST({raw}::VARCHAR AS BIGINT) END) AS BIGINT)
+             AS key_max
+    FROM ({table_sql}) GROUP BY {g}
+    """

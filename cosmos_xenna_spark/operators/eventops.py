@@ -1130,3 +1130,217 @@ def time_weighted_average_sql(
     ) WHERE dur IS NOT NULL
     GROUP BY {g}, day HAVING SUM(dur) > 0
     """
+
+
+def venn3_overlap(
+    df: DataFrame,
+    entity_col: str,
+    group_col: str,
+    groups: tuple[str, str, str],
+) -> DataFrame:
+    """Exact 3-way Venn regions for three named audiences: one row per
+    non-empty region (``in_a``, ``in_b``, ``in_c`` flags) with its
+    exact entity count — the three-campaign / three-source reach
+    breakdown the pairwise ``audience_overlap`` matrix cannot give
+    (pairwise overlaps do not determine the triple intersection).
+
+    Shape: one membership aggregation per entity (three max flags in a
+    single groupBy — ONE shuffle on the entity key), then an 8-cell
+    count.  Never materializes per-pair candidates; scales with
+    distinct entities.
+    """
+    a, b, c = groups
+    flags = (
+        df.filter(F.col(group_col).isin(a, b, c))
+        .groupBy(F.col(entity_col).alias("e"))
+        .agg(
+            F.max(F.when(F.col(group_col) == a, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col(group_col) == b, 1).otherwise(0)).alias("in_b"),
+            F.max(F.when(F.col(group_col) == c, 1).otherwise(0)).alias("in_c"),
+        )
+    )
+    return (
+        flags.groupBy("in_a", "in_b", "in_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"))
+        .select(
+            F.col("in_a").cast("int").alias("in_a"),
+            F.col("in_b").cast("int").alias("in_b"),
+            F.col("in_c").cast("int").alias("in_c"),
+            "n_entities",
+        )
+    )
+
+
+def venn3_overlap_sql(
+    table_sql: str,
+    entity_col: str,
+    group_col: str,
+    groups: tuple[str, str, str],
+) -> str:
+    a, b, c = groups
+    return f"""
+    WITH flags AS (
+      SELECT {entity_col} AS e,
+             MAX(CASE WHEN {group_col} = '{a}' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN {group_col} = '{b}' THEN 1 ELSE 0 END) AS in_b,
+             MAX(CASE WHEN {group_col} = '{c}' THEN 1 ELSE 0 END) AS in_c
+      FROM ({table_sql})
+      WHERE {group_col} IN ('{a}', '{b}', '{c}')
+      GROUP BY {entity_col}
+    )
+    SELECT CAST(in_a AS INT) AS in_a, CAST(in_b AS INT) AS in_b,
+           CAST(in_c AS INT) AS in_c,
+           CAST(COUNT(*) AS BIGINT) AS n_entities
+    FROM flags GROUP BY in_a, in_b, in_c
+    """
+
+
+def interval_union_seconds(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-group total COVERED seconds of a set of (possibly
+    overlapping) intervals — the union-of-intervals measure behind
+    "actual engaged time" (overlapping sessions/plays must not
+    double-count) and machine-utilization ledgers.
+
+    Classic sweep: order intervals by start within the group, track
+    the running max of ends seen BEFORE each interval (one window),
+    and sum ``end - max(start, prev_max_end)`` over rows that extend
+    coverage.  Exact bigint epoch-seconds; one keyed window, no
+    self-join — at 100 TB the group key partitions the sweep.
+    """
+    from pyspark.sql import Window
+
+    g = [F.col(x) for x in group_cols]
+    base = df.select(
+        *g,
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    ).filter(F.col("e") > F.col("s"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = base.withColumn("prev_max_e", F.max("e").over(w))
+    covered = F.when(
+        F.col("prev_max_e").isNull(), F.col("e") - F.col("s")
+    ).otherwise(
+        F.greatest(
+            F.col("e") - F.greatest(F.col("s"), F.col("prev_max_e")),
+            F.lit(0),
+        )
+    )
+    return (
+        swept.select(*g, covered.alias("cov"))
+        .groupBy(*group_cols)
+        .agg(F.sum("cov").cast("bigint").alias("covered_seconds"))
+    )
+
+
+def interval_union_seconds_sql(
+    table_sql: str, group_cols: list[str], start_col: str, end_col: str
+) -> str:
+    g = ", ".join(group_cols)
+    return f"""
+    WITH base AS (
+      SELECT {g}, CAST({start_col} AS BIGINT) AS s, CAST({end_col} AS BIGINT) AS e
+      FROM ({table_sql}) WHERE {end_col} > {start_col}
+    ),
+    swept AS (
+      SELECT {g}, s, e,
+             MAX(e) OVER (PARTITION BY {g} ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM base
+    )
+    SELECT {g},
+           CAST(SUM(CASE WHEN prev_max_e IS NULL THEN e - s
+                         ELSE GREATEST(e - GREATEST(s, prev_max_e), 0)
+                    END) AS BIGINT) AS covered_seconds
+    FROM swept GROUP BY {g}
+    """
+
+
+def peak_concurrency(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-group PEAK number of simultaneously-open intervals (max
+    concurrent sessions/streams/jobs) and the earliest instant it is
+    reached — capacity planning's first question, answered exactly by
+    the +1/-1 boundary sweep: explode each interval to a (+1 at
+    start, -1 at end) delta, running-sum over one ordered window per
+    group (ends sort before coincident starts: a session ending at t
+    does not overlap one starting at t), take the max.
+
+    Two rows per interval, one keyed window, one aggregation — the
+    same linear shape at any scale.
+    """
+    from pyspark.sql import Window
+
+    g = [F.col(x) for x in group_cols]
+    base = df.select(
+        *g,
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    ).filter(F.col("e") > F.col("s"))
+    deltas = base.select(
+        *g, F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(base.select(*g, F.col("e").alias("t"), F.lit(-1).alias("d")))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = deltas.withColumn("open", F.sum("d").over(w))
+    # `running` feeds both the peak aggregation and the first-instant
+    # filter; checkpoint so the window sweep runs once
+    running = running.localCheckpoint(eager=True)
+    peak = running.groupBy(*group_cols).agg(F.max("open").alias("peak"))
+    first_t = (
+        running.join(peak, group_cols)
+        .filter(F.col("open") == F.col("peak"))
+        .groupBy(*group_cols)
+        .agg(F.min("t").alias("first_peak_ts"), F.max("peak").alias("pk"))
+    )
+    return first_t.select(
+        *g,
+        F.col("pk").cast("bigint").alias("peak_concurrent"),
+        F.col("first_peak_ts").cast("bigint").alias("first_peak_ts"),
+    )
+
+
+def peak_concurrency_sql(
+    table_sql: str, group_cols: list[str], start_col: str, end_col: str
+) -> str:
+    g = ", ".join(group_cols)
+    return f"""
+    WITH base AS (
+      SELECT {g}, CAST({start_col} AS BIGINT) AS s, CAST({end_col} AS BIGINT) AS e
+      FROM ({table_sql}) WHERE {end_col} > {start_col}
+    ),
+    deltas AS (
+      SELECT {g}, s AS t, 1 AS d FROM base
+      UNION ALL
+      SELECT {g}, e AS t, -1 AS d FROM base
+    ),
+    running AS (
+      SELECT {g}, t, SUM(d) OVER (PARTITION BY {g} ORDER BY t, d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+      FROM deltas
+    ),
+    peak AS (SELECT {g}, MAX(open) AS pk FROM running GROUP BY {g})
+    SELECT r.{group_cols[0]}{"".join(", r." + c for c in group_cols[1:])},
+           CAST(MAX(p.pk) AS BIGINT) AS peak_concurrent,
+           CAST(MIN(r.t) AS BIGINT) AS first_peak_ts
+    FROM running r JOIN peak p
+      ON {" AND ".join(f"r.{c} = p.{c}" for c in group_cols)}
+     AND r.open = p.pk
+    GROUP BY {", ".join("r." + c for c in group_cols)}
+    """

@@ -1468,3 +1468,109 @@ def dag_layers_sql(edges_sql: str, n_sweeps: int = 4) -> str:
         + ",\n".join(steps)
         + f"\nSELECT CAST(node AS BIGINT) AS node, CAST(layer AS BIGINT) AS layer FROM {prev}"
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Local clustering coefficient per node, exact ppm:
+    ``cc_ppm = 10^6 * triangles(v) div (deg(v) * (deg(v) - 1) / 2)``
+    — the per-node "how clique-like is my neighborhood" score that
+    separates near-duplicate COMMUNITIES (cc -> 1) from chain-shaped
+    LSH false-positive paths (cc -> 0), the same triage the global
+    triangle count cannot localize.
+
+    Shape: canonicalize edges once, emit each node's neighbor WEDGES
+    (x < y both adjacent to v) via one self-join of the symmetrized
+    adjacency, then count wedges that close against the canonical
+    edge set — one equi-join, no all-pairs anywhere.  Wedge count is
+    sum(deg(v)^2), quadratic in HUB degree: ``max_degree`` drops
+    super-hub centers (their cc is ~0 and each costs deg^2 wedges —
+    at 100 TB the cap is the plan).  Capped nodes are REPORTED with
+    ``triangles = NULL`` rather than silently dropped.  Degree-1
+    nodes have no wedges and report ``cc_ppm = NULL``.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg if max_degree is None else deg.filter(F.col("deg") <= max_degree)
+    # wedges x < y around center v (both neighbors of v)
+    nb = sym.select(F.col("a").alias("v"), F.col("b").alias("n")).join(
+        centers.select("v"), "v"
+    )
+    wedges = (
+        nb.alias("l")
+        .join(nb.alias("r"), "v")
+        .filter(F.col("l.n") < F.col("r.n"))
+        .select("v", F.col("l.n").alias("a"), F.col("r.n").alias("b"))
+    )
+    tri = wedges.join(und, ["a", "b"]).groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("triangles")
+    )
+    is_center = F.col("__c").isNotNull()
+    return (
+        deg.join(tri, "v", "left")
+        .join(centers.select("v", F.lit(1).alias("__c")), "v", "left")
+        .select(
+            F.col("v").cast("bigint").alias("node"),
+            F.col("deg").cast("bigint").alias("deg"),
+            F.when(is_center, F.coalesce("triangles", F.lit(0)))
+            .cast("bigint")
+            .alias("triangles"),
+            F.when(
+                is_center & (F.col("deg") >= 2),
+                # integer `div` twice, mirroring the oracle's `//`:
+                # float `/` truncates differently across engines
+                F.expr(
+                    "(1000000 * coalesce(triangles, 0))"
+                    " div ((deg * (deg - 1)) div 2)"
+                ),
+            )
+            .cast("bigint")
+            .alias("cc_ppm"),
+        )
+    )
+
+
+def clustering_coefficient_sql(
+    edges_sql: str, max_degree: int | None = None
+) -> str:
+    cap = f"WHERE deg <= {max_degree}" if max_degree is not None else ""
+    return f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM (SELECT src, dst FROM ({edges_sql})) WHERE src <> dst
+    ),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT a AS v, COUNT(*) AS deg FROM sym GROUP BY a),
+    centers AS (SELECT v FROM deg {cap}),
+    nb AS (
+      SELECT sym.a AS v, sym.b AS n FROM sym JOIN centers c ON sym.a = c.v
+    ),
+    tri AS (
+      SELECT l.v, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM nb l JOIN nb r ON l.v = r.v AND l.n < r.n
+      JOIN und u ON l.n = u.a AND r.n = u.b
+      GROUP BY l.v
+    )
+    SELECT CAST(d.v AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS deg,
+           CASE WHEN c.v IS NOT NULL
+                THEN CAST(COALESCE(t.triangles, 0) AS BIGINT) END AS triangles,
+           CASE WHEN c.v IS NOT NULL AND d.deg >= 2
+                THEN CAST(1000000 * COALESCE(t.triangles, 0)
+                          // (d.deg * (d.deg - 1) // 2) AS BIGINT)
+           END AS cc_ppm
+    FROM deg d LEFT JOIN tri t ON d.v = t.v
+    LEFT JOIN centers c ON d.v = c.v
+    """

@@ -427,3 +427,136 @@ def point_in_time_join_sql(
     )
     SELECT * EXCLUDE (__is_fact) FROM filled WHERE __is_fact = 1
     """
+
+
+def nearest_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_id: str,
+) -> DataFrame:
+    """Nearest-in-TIME join (bidirectional as-of): for every left row,
+    the right row of the same key with minimum ``|right_time -
+    left_time|`` — the "closest reading to this event" attach that a
+    backward-only as-of misses whenever the nearest observation is
+    just AFTER the probe (sensor alignment, nearest price tick,
+    closest log line).
+
+    Times are integer (epoch micros/seconds — caller converts), so
+    distances are exact bigints.  Tie rules, fixed and mirrored in the
+    SQL oracle: equal distance prefers the EARLIER right row; among
+    right rows at the same timestamp the backward candidate resolves
+    to the largest ``right_id`` and the forward to the smallest (scan
+    order of one shared window sort).
+
+    Shape: the as-of union-sweep doubled — both sides union into ONE
+    relation, one partition sort per key, a backward last() and a
+    forward first() window over the same sort; never a range join, so
+    the single shuffle on the key is the whole network cost at any
+    scale.
+    """
+    lcols = list(left.columns)
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).cast("long").alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__rid"),
+        *[F.col(c) for c in lcols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).cast("long").alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.col(right_id).cast("long").alias("__rid"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+    )
+    u = l_tagged.unionByName(r_tagged)
+    order = [F.col("__t").asc(), F.col("__is_left").asc(), F.col("__rid").asc()]
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    right_t = F.when(F.col("__is_left") == 0, F.col("__t"))
+    filled = u.select(
+        "*",
+        F.last(F.col("__rid"), ignorenulls=True).over(wb).alias("__b_rid"),
+        F.last(right_t, ignorenulls=True).over(wb).alias("__b_t"),
+        F.first(F.col("__rid"), ignorenulls=True).over(wf).alias("__f_rid"),
+        F.first(right_t, ignorenulls=True).over(wf).alias("__f_t"),
+    ).filter(F.col("__is_left") == 1)
+    db = F.col("__t") - F.col("__b_t")
+    df_ = F.col("__f_t") - F.col("__t")
+    take_b = F.col("__b_t").isNotNull() & (
+        F.col("__f_t").isNull() | (db <= df_)
+    )
+    return filled.select(
+        *[F.col(c) for c in lcols],
+        F.when(take_b, F.col("__b_rid"))
+        .otherwise(F.col("__f_rid"))
+        .cast("bigint")
+        .alias("nearest_id"),
+        F.when(take_b, F.col("__b_t"))
+        .otherwise(F.col("__f_t"))
+        .cast("bigint")
+        .alias("nearest_t"),
+        F.when(take_b, -db)
+        .otherwise(df_)
+        .cast("bigint")
+        .alias("signed_diff"),
+    )
+
+
+def nearest_time_join_sql(
+    left_sql: str,
+    right_sql: str,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_id: str,
+    left_cols: list[str],
+) -> str:
+    lc = ", ".join(left_cols)
+    lnull = ", ".join(f"NULL AS {c}" for c in left_cols)
+    return f"""
+    WITH u AS (
+      SELECT {on} AS k, CAST({left_time} AS BIGINT) AS t, 1 AS is_left,
+             NULL::BIGINT AS rid, {lc}
+      FROM ({left_sql})
+      UNION ALL
+      SELECT {on}, CAST({right_time} AS BIGINT), 0,
+             CAST({right_id} AS BIGINT), {lnull}
+      FROM ({right_sql})
+    ),
+    filled AS (
+      SELECT *,
+        LAST_VALUE(rid IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY t, is_left, rid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_rid,
+        LAST_VALUE(CASE WHEN is_left = 0 THEN t END IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY t, is_left, rid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_t,
+        FIRST_VALUE(rid IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY t, is_left, rid
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_rid,
+        FIRST_VALUE(CASE WHEN is_left = 0 THEN t END IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY t, is_left, rid
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_t
+      FROM u
+    )
+    SELECT {lc},
+           CAST(CASE WHEN b_t IS NOT NULL AND (f_t IS NULL OR t - b_t <= f_t - t)
+                     THEN b_rid ELSE f_rid END AS BIGINT) AS nearest_id,
+           CAST(CASE WHEN b_t IS NOT NULL AND (f_t IS NULL OR t - b_t <= f_t - t)
+                     THEN b_t ELSE f_t END AS BIGINT) AS nearest_t,
+           CAST(CASE WHEN b_t IS NOT NULL AND (f_t IS NULL OR t - b_t <= f_t - t)
+                     THEN b_t - t ELSE f_t - t END AS BIGINT) AS signed_diff
+    FROM filled WHERE is_left = 1
+    """

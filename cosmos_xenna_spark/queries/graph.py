@@ -460,3 +460,26 @@ def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _doc_pairs_edges(spark, sf_dir)
     return dag_layers(edges, n_sweeps=4, src_col="doc_a", dst_col="doc_b")
+
+
+from cosmos_xenna_spark.operators.graph import (  # noqa: E402
+    clustering_coefficient_sql,
+)
+
+
+@register(
+    "q_clustering_coeff",
+    oracle=clustering_coefficient_sql(_doc_pairs_edges_sql(), max_degree=64),
+    description="local clustering coefficient per node of the document "
+    "near-duplicate graph, exact ppm (10^6 * triangles div C(deg,2)): "
+    "separates near-clique duplicate communities (cc->1) from chain-shaped "
+    "LSH false-positive paths (cc->0) per node; neighbor-wedge self-join + "
+    "one close-edge equi-join, deg<=64 hub cap (wedges are sum(deg^2))",
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import clustering_coefficient
+
+    edges = _doc_pairs_edges(spark, sf_dir)
+    return clustering_coefficient(
+        edges, src_col="doc_a", dst_col="doc_b", max_degree=64
+    )

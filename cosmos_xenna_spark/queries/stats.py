@@ -466,3 +466,102 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("bigint").alias("price_usd"),
     )
     return gini_concentration(joined, ["nation"], "price_usd", "okey")
+
+
+from cosmos_xenna_spark.operators.stats import (  # noqa: E402
+    cohens_kappa,
+    cohens_kappa_sql,
+    smoothed_rate,
+    smoothed_rate_sql,
+    theil_sen_slope,
+    theil_sen_slope_sql,
+)
+
+# per-user daily event counts: small bounded groups (x = day index,
+# y = count), the regime Theil-Sen's pairwise median is built for
+_DAILY_COUNTS_SQL = """
+    SELECT user_id,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_theil_sen",
+    oracle=theil_sen_slope_sql(
+        _DAILY_COUNTS_SQL,
+        ["user_id"],
+        "day",
+        "n",
+        "day",
+        max_group_rows=256,
+    ),
+    description="per-user Theil-Sen trend of daily event counts: the "
+    "MEDIAN pairwise slope (1e6*dy div dx bigints, lower median) — robust "
+    "to ~29% outlier days where OLS is not; group-local pair join bounded "
+    "by max_group_rows=256, one shuffle on the user key",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return theil_sen_slope(
+        daily, ["user_id"], "day", "n", "day", max_group_rows=256
+    )
+
+
+from cosmos_xenna_spark.queries.text import _langid_expr_sql  # noqa: E402
+
+
+@register(
+    "q_cohens_kappa",
+    oracle=cohens_kappa_sql(
+        f"SELECT lang AS la, {_langid_expr_sql()} AS lb FROM documents",
+        "la",
+        "lb",
+    ),
+    description="Cohen's kappa between the labeled lang column and the "
+    "n-gram langid heuristic, exact ppm (chance-corrected agreement in "
+    "decimal(38) — 1e6*(n*agree - sum(row*col)) div (n^2 - sum(row*col))): "
+    "the trust-the-classifier gate before filtering on its output; one "
+    "confusion-count shuffle, marginals derived from it",
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.text import langid_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("la"), langid_col("text").alias("lb")
+    )
+    return cohens_kappa(pred, "la", "lb")
+
+
+@register(
+    "q_smoothed_domain_rate",
+    oracle=smoothed_rate_sql(
+        "SELECT source, CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ok"
+        " FROM documents",
+        ["source"],
+        "ok",
+        prior_ppm=500_000,
+        prior_weight=50,
+    ),
+    description="Dirichlet-smoothed per-source quality pass rate, exact "
+    "ppm: (1e6*passes + prior*weight) div (n + weight) — Bayesian "
+    "shrinkage so a 3-doc domain cannot outrank a 10^6-doc domain on a "
+    "lucky 100%; one aggregation, all bigint",
+)
+def q_smoothed_domain_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.select(
+        "source",
+        (F.col("n_chars") >= 200).cast("int").alias("ok"),
+    )
+    return smoothed_rate(
+        gated, ["source"], "ok", prior_ppm=500_000, prior_weight=50
+    )

@@ -1139,3 +1139,128 @@ def synthetic_rate_stream(
         (F.pmod(F.xxhash64("value", F.lit(2)), F.lit(10_000)) / 100.0).alias("value"),
         F.lit("{}").alias("props"),
     )
+
+
+def streaming_twap(stream_df: DataFrame) -> DataFrame:
+    """Live TWAP: the streaming form of
+    ``operators.eventops.time_weighted_average`` — per (user, calendar
+    day), the running duration-weighted mean of cent-quantized values,
+    re-emitted every micro-batch that touches the key.
+
+    State per (user, day) is ONE tuple (last_us, last_cents, num, den,
+    n): each arrival closes the PREVIOUS observation's duration and
+    folds ``cents * dur_us`` into the accumulator — so exactly like
+    the batch operator the day's last-seen observation is pending, and
+    after a time-ordered full replay the LAST row per key equals the
+    batch row bit-for-bit on keys with >= 2 observations (parity
+    test).  Within a micro-batch rows are sorted by (us, event_id);
+    cross-batch out-of-order arrival degrades to arrival order — the
+    standing streaming contract (``streaming_rolling_median``).
+    ``num`` stays int64: cents (<= ~10^6) x one day of micros
+    (8.64e10) x observations bounded by the day keeps it < 2^63 for
+    any realistic per-key event rate; the state is O(1) per key.
+    """
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    keyed = stream_df.select(
+        "user_id",
+        day.alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+
+    def update(key, pdfs, state: GroupState):
+        last_us, last_cents, num, den, n = (
+            state.get if state.exists else (None, None, 0, 0, 0)
+        )
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True).sort_values(
+                ["us", "event_id"]
+            )
+            for us, cents in zip(batch["us"], batch["cents"]):
+                us, cents = int(us), int(cents)
+                if last_us is not None:
+                    dur = us - last_us
+                    num += last_cents * dur
+                    den += dur
+                    n += 1
+                last_us, last_cents = us, cents
+        state.update((last_us, last_cents, num, den, n))
+        if den > 0:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "day": [int(key[1])],
+                    "n_obs": [n],
+                    "twap_cents": [num // den if num >= 0 else -((-num) // den)],
+                }
+            )
+
+    return keyed.groupBy("user_id", "day").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, day long, n_obs long, twap_cents long",
+        stateStructType=(
+            "last_us long, last_cents long, num long, den long, n long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_er_probe(
+    stream_records: DataFrame,
+    corpus: DataFrame,
+    rules: list[tuple[str, int, int]],
+    t_match: int,
+    block_col: str = "blk",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time entity-resolution probe: each arriving record is
+    blocked against a STATIC reference corpus and Fellegi-Sunter
+    scored, emitting ``(id, matched_id, fs_score)`` for pairs at or
+    above ``t_match`` — the streaming half of the ``q_er_clusters``
+    pipeline (the batch side periodically re-resolves the full
+    corpus; the probe gives the low-latency "is this a known
+    entity?" answer between runs, the
+    ``streaming_fuzzy_dedup_probe`` pattern).
+
+    Stateless by construction: ONE stream-static equi-join on the
+    block key (candidates bounded by block size — the same bound SNM
+    blocking enforces batch-side), scoring row-local with the exact
+    integer weights of ``operators.dedup.fellegi_sunter_scores``
+    (both-NULL -> 0, one-sided NULL -> w_disagree).  No streaming
+    aggregation, no watermark needed; corpus side is broadcast-sized
+    per block in production (precompute and persist the blocked
+    frame).
+    """
+    fields = [f for f, _, _ in rules]
+    cside = corpus.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("matched_id"),
+        *[F.col(f).alias(f"__b_{f}") for f in fields],
+    )
+    sside = stream_records.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id"),
+        *[F.col(f).alias(f"__a_{f}") for f in fields],
+    )
+    cand = sside.join(cside, "__blk").filter(F.col("id") != F.col("matched_id"))
+    score = F.lit(0)
+    for f, w_agree, w_disagree in rules:
+        a, b = F.col(f"__a_{f}"), F.col(f"__b_{f}")
+        score = score + (
+            F.when(a.isNull() & b.isNull(), 0)
+            .when(a.eqNullSafe(b), w_agree)
+            .otherwise(w_disagree)
+        )
+    return (
+        cand.select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("matched_id").cast("bigint").alias("matched_id"),
+            score.cast("bigint").alias("fs_score"),
+        )
+        .filter(F.col("fs_score") >= t_match)
+    )

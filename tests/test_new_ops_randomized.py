@@ -1768,3 +1768,340 @@ def test_source_overlap_matches_python(spark, seed):
                 if n:
                     want[(x, y)] = n
     assert got == want and len(got) > 0
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Spark `div` / DuckDB `//` semantics: truncate toward zero."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+@pytest.mark.parametrize("seed", [103, 107])
+def test_clustering_coefficient_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.graph import clustering_coefficient
+
+    rng = random.Random(seed)
+    n = 40
+    # NON-canonical, duplicated, self-loop-bearing input on purpose
+    raw = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    cap = 10
+    got = {
+        r.node: (r.deg, r.triangles, r.cc_ppm)
+        for r in clustering_coefficient(df, max_degree=cap).collect()
+    }
+
+    und = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, nbrs in adj.items():
+        deg = len(nbrs)
+        if deg > cap:
+            want[v] = (deg, None, None)
+            continue
+        tri = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and tuple(sorted((x, y))) in und
+        )
+        cc = (
+            _trunc_div(1_000_000 * tri, deg * (deg - 1) // 2)
+            if deg >= 2
+            else None
+        )
+        want[v] = (deg, tri, cc)
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [109, 113])
+def test_boilerplate_and_templates_match_python(spark, seed):
+    from cosmos_xenna_spark.operators.curation import (
+        boilerplate_prefix,
+        template_mining,
+    )
+
+    rng = random.Random(seed)
+    headers = ["LICENSE v12 terms ", "nav>home>12>", "hdr 9 ", ""]
+    docs = []
+    for i in range(300):
+        src = f"s{rng.randrange(5)}"
+        body = "".join(rng.choice("ab1 ") for _ in range(30))
+        docs.append((i, src, rng.choice(headers) + body))
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+
+    got_b = {
+        r.source: (r.prefix, r.n_docs, r.share_ppm)
+        for r in boilerplate_prefix(
+            df, prefix_len=8, min_share_ppm=0
+        ).collect()
+    }
+    by_src: dict = {}
+    for _, src, text in docs:
+        by_src.setdefault(src, []).append(text[:8])
+    for src, prefixes in by_src.items():
+        counts: dict = {}
+        for p in prefixes:
+            counts[p] = counts.get(p, 0) + 1
+        best = min(counts, key=lambda p: (-counts[p], p))
+        assert got_b[src] == (
+            best,
+            counts[best],
+            1_000_000 * counts[best] // len(prefixes),
+        )
+
+    import re as _re
+
+    got_t = {
+        (r.source, r.rank): (r.template, r.n_docs)
+        for r in template_mining(df, top_k=2, max_len=12).collect()
+    }
+    for src in by_src:
+        counts = {}
+        for _, s, text in docs:
+            if s != src:
+                continue
+            t = _re.sub(r"[0-9]+", "#", text[:12])
+            counts[t] = counts.get(t, 0) + 1
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for rank, (tpl, n) in enumerate(ranked, 1):
+            assert got_t[(src, rank)] == (tpl, n)
+
+
+@pytest.mark.parametrize("seed", [127, 131])
+def test_json_validity_matches_python(spark, seed):
+    import json as _json
+
+    from cosmos_xenna_spark.operators.dq import json_validity
+
+    rng = random.Random(seed)
+    payloads = [
+        lambda r: _json.dumps({"k": r.randrange(-50, 500)}),
+        lambda r: _json.dumps({"other": 1}),
+        lambda r: _json.dumps({"k": "notanint"}),
+        lambda r: "{broken",
+        lambda r: "[1,2,3]",
+        lambda r: _json.dumps({"k": r.randrange(10)}),
+    ]
+    rows = [
+        (f"g{rng.randrange(3)}", rng.choice(payloads)(rng)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "grp string, props string")
+    got = {
+        r.grp: (r.n_rows, r.n_json_objects, r.n_with_key, r.key_min, r.key_max)
+        for r in json_validity(df, ["grp"], "props", "k").collect()
+    }
+    want = {}
+    for grp in {g for g, _ in rows}:
+        n = obj = withk = 0
+        vals = []
+        for g, p in rows:
+            if g != grp:
+                continue
+            n += 1
+            try:
+                d = _json.loads(p)
+            except ValueError:
+                continue
+            if not isinstance(d, dict):
+                continue
+            obj += 1
+            if "k" in d and d["k"] is not None:
+                withk += 1
+                if isinstance(d["k"], int):
+                    vals.append(d["k"])
+        want[grp] = (
+            n,
+            obj,
+            withk,
+            min(vals) if vals else None,
+            max(vals) if vals else None,
+        )
+    assert got == want and len(got) == 3
+
+
+@pytest.mark.parametrize("seed", [137, 139])
+def test_theil_sen_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.stats import theil_sen_slope
+
+    rng = random.Random(seed)
+    rows = []
+    for g in range(8):
+        slope = rng.randrange(-5, 6)
+        for x in rng.sample(range(60), rng.randrange(3, 20)):
+            noise = rng.randrange(-3, 4) if rng.random() < 0.3 else 0
+            rows.append((g, x, slope * x + 100 + noise))
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {
+        r.g: (r.slope_ppm, r.n_pairs)
+        for r in theil_sen_slope(
+            df, ["g"], "x", "y", "x", max_group_rows=64
+        ).collect()
+    }
+    by_g: dict = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    want = {}
+    for g, pts in by_g.items():
+        slopes = sorted(
+            _trunc_div(1_000_000 * (y2 - y1), x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for x2, y2 in pts[i + 1 :]
+            if x2 != x1
+        )
+        if slopes:
+            want[g] = (slopes[(len(slopes) + 1) // 2 - 1], len(slopes))
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [149, 151])
+def test_kappa_and_smoothed_rate_match_python(spark, seed):
+    from cosmos_xenna_spark.operators.stats import cohens_kappa, smoothed_rate
+
+    rng = random.Random(seed)
+    labels = ["en", "de", "fr"]
+    rows = [
+        (rng.choice(labels), rng.choice(labels)) for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "la string, lb string")
+    row = cohens_kappa(df, "la", "lb").collect()[0]
+    n = len(rows)
+    agree = sum(1 for a, b in rows if a == b)
+    ra = {l: sum(1 for a, _ in rows if a == l) for l in labels}
+    rb = {l: sum(1 for _, b in rows if b == l) for l in labels}
+    sum_rc = sum(ra[l] * rb[l] for l in labels)
+    want_kappa = _trunc_div(1_000_000 * (n * agree - sum_rc), n * n - sum_rc)
+    assert (row.n_rows, row.n_agree, row.kappa_ppm) == (n, agree, want_kappa)
+
+    srows = [
+        (f"d{rng.randrange(6)}", rng.randrange(2)) for _ in range(300)
+    ]
+    sdf = spark.createDataFrame(srows, "grp string, ok long")
+    got = {
+        r.grp: (r.n_rows, r.n_success, r.rate_smoothed_ppm, r.rate_raw_ppm)
+        for r in smoothed_rate(
+            sdf, ["grp"], "ok", prior_ppm=400_000, prior_weight=20
+        ).collect()
+    }
+    for grp in {g for g, _ in srows}:
+        cnt = sum(1 for g, _ in srows if g == grp)
+        suc = sum(o for g, o in srows if g == grp)
+        assert got[grp] == (
+            cnt,
+            suc,
+            (1_000_000 * suc + 400_000 * 20) // (cnt + 20),
+            1_000_000 * suc // cnt,
+        )
+
+
+@pytest.mark.parametrize("seed", [157, 163])
+def test_venn3_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.eventops import venn3_overlap
+
+    rng = random.Random(seed)
+    groups = ["A", "B", "C", "D"]
+    rows = [
+        (rng.randrange(80), rng.choice(groups)) for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "e long, grp string")
+    got = {
+        (r.in_a, r.in_b, r.in_c): r.n_entities
+        for r in venn3_overlap(df, "e", "grp", ("A", "B", "C")).collect()
+    }
+    mem: dict = {}
+    for e, g in rows:
+        if g in ("A", "B", "C"):
+            mem.setdefault(e, set()).add(g)
+    want: dict = {}
+    for gs in mem.values():
+        key = (int("A" in gs), int("B" in gs), int("C" in gs))
+        want[key] = want.get(key, 0) + 1
+    assert got == want and sum(got.values()) == len(mem)
+
+
+@pytest.mark.parametrize("seed", [167, 173])
+def test_interval_union_and_peak_match_python(spark, seed):
+    from cosmos_xenna_spark.operators.eventops import (
+        interval_union_seconds,
+        peak_concurrency,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for g in range(6):
+        for _ in range(rng.randrange(5, 40)):
+            s = rng.randrange(1000)
+            rows.append((g, s, s + rng.randrange(0, 120)))
+    df = spark.createDataFrame(rows, "g long, s long, e long")
+
+    got_u = {
+        r.g: r.covered_seconds
+        for r in interval_union_seconds(df, ["g"], "s", "e").collect()
+    }
+    want_u = {}
+    for g in {r[0] for r in rows}:
+        covered = set()
+        for gg, s, e in rows:
+            if gg == g and e > s:
+                covered.update(range(s, e))
+        if any(e > s for gg, s, e in rows if gg == g):
+            want_u[g] = len(covered)
+    assert got_u == want_u
+
+    got_p = {
+        r.g: (r.peak_concurrent, r.first_peak_ts)
+        for r in peak_concurrency(df, ["g"], "s", "e").collect()
+    }
+    for g in want_u:
+        ivs = [(s, e) for gg, s, e in rows if gg == g and e > s]
+        events = sorted(
+            [(s, 1) for s, _ in ivs] + [(e, -1) for _, e in ivs],
+            key=lambda t: (t[0], t[1]),
+        )
+        best, cur, first_t = 0, 0, None
+        for t, d in events:
+            cur += d
+            if cur > best:
+                best, first_t = cur, t
+        assert got_p[g] == (best, first_t)
+
+
+@pytest.mark.parametrize("seed", [179, 181])
+def test_nearest_time_join_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.joins import nearest_time_join
+
+    rng = random.Random(seed)
+    lefts = [
+        (rng.randrange(8), i, rng.randrange(200))
+        for i in range(150)
+    ]
+    rights = [
+        (rng.randrange(8), 1000 + i, rng.randrange(200))
+        for i in range(150)
+    ]
+    ldf = spark.createDataFrame(lefts, "k long, lid long, t long")
+    rdf = spark.createDataFrame(rights, "k long, rid long, t long")
+    got = {
+        (r.k, r.lid): (r.nearest_id, r.nearest_t, r.signed_diff)
+        for r in nearest_time_join(
+            ldf, rdf, on="k", left_time="t", right_time="t", right_id="rid"
+        ).collect()
+    }
+    for k, lid, lt in lefts:
+        cand_b = [(t, rid) for kk, rid, t in rights if kk == k and t <= lt]
+        cand_f = [(t, rid) for kk, rid, t in rights if kk == k and t > lt]
+        b = max(cand_b, key=lambda c: (c[0], c[1])) if cand_b else None
+        f = min(cand_f, key=lambda c: (c[0], c[1])) if cand_f else None
+        if b is not None and (f is None or lt - b[0] <= f[0] - lt):
+            want = (b[1], b[0], b[0] - lt)
+        elif f is not None:
+            want = (f[1], f[0], f[0] - lt)
+        else:
+            want = (None, None, None)
+        assert got[(k, lid)] == want, (k, lid, lt)

@@ -222,6 +222,9 @@ _BNLJ_ALLOWED = {
     # three single-row frames (edge count, intra-edge sum, degree-sq
     # sum) cross-joined into the one-row modularity ledger
     "q_modularity",
+    # two single-row frames (confusion totals, chance product sum)
+    # cross-joined into the one-row kappa ledger
+    "q_cohens_kappa",
 }
 
 

@@ -1028,3 +1028,87 @@ def test_streaming_dau_wau_evicts_old_day_keys(spark, tmp_path):
     # the only emission for day0 is the pre-eviction one; the straggler
     # was filtered, never re-creating the key
     assert rows == {(2, 2)}
+
+
+def test_streaming_twap_matches_batch(spark, sf_dir, events_dir):
+    """O(1)-state TWAP parity: the live (last_us, last_cents, num, den)
+    accumulator emits, as the LAST row per (user, day) of a
+    time-ordered replay, exactly the batch lead-window operator's
+    duration-weighted mean."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.eventops import time_weighted_average
+    from cosmos_xenna_spark.streaming import streaming_twap
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(streaming_twap(stream), "t_twap", "update")
+    _drain(q)
+    rows = spark.sql(
+        "SELECT user_id, day, n_obs, twap_cents FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY user_id, day ORDER BY n_obs DESC) AS rn"
+        "  FROM t_twap) WHERE rn = 1"
+    ).collect()
+    got = sorted((r.user_id, r.day, r.n_obs, r.twap_cents) for r in rows)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value", "event_id"
+    )
+    want = sorted(
+        (r.user_id, r.day, r.n_obs, r.twap_cents)
+        for r in time_weighted_average(
+            ev, ["user_id"], "ts", "value", "event_id"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_er_probe_matches_batch_scores(spark, sf_dir, events_dir, tmp_path):
+    """Ingest-time ER probe parity: every (stream record x same-block
+    corpus record) pair at or above t_match is emitted with exactly the
+    batch Fellegi-Sunter score (one stream-static join, stateless)."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.dedup import fellegi_sunter_scores
+    from cosmos_xenna_spark.streaming import streaming_er_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.concat(F.col("lang"), F.substring(F.lower("text"), 1, 1)).alias("blk"),
+        "lang",
+        F.expr("length(text) div 50").alias("len_bucket"),
+        F.split("text", " ").getItem(0).alias("first_tok"),
+    )
+    corpus = keyed.filter(F.col("doc_id") % 5 != 0)
+    probe_batch = keyed.filter(F.col("doc_id") % 5 == 0)
+    probe_dir = str(tmp_path / "probe")
+    probe_batch.write.parquet(probe_dir)
+    rules = [("lang", 8, -3), ("len_bucket", 6, -2), ("first_tok", 15, -10)]
+
+    stream = spark.readStream.schema(probe_batch.schema).parquet(probe_dir)
+    out = streaming_er_probe(stream, corpus, rules, t_match=20)
+    q = out.writeStream.outputMode("append").format("memory").queryName(
+        "t_erprobe"
+    ).start()
+    _drain(q)
+    got = {
+        (r.id, r.matched_id): r.fs_score
+        for r in spark.sql("SELECT * FROM t_erprobe").collect()
+    }
+
+    # batch reference: same block join + the canonical FS scorer
+    pairs = (
+        probe_batch.select(F.col("blk"), F.col("doc_id").alias("id_a"))
+        .join(
+            corpus.select(F.col("blk"), F.col("doc_id").alias("id_b")), "blk"
+        )
+        .select("id_a", "id_b")
+    )
+    records = keyed.select("doc_id", "lang", "len_bucket", "first_tok")
+    want = {
+        (r.id_a, r.id_b): r.fs_score
+        for r in fellegi_sunter_scores(
+            pairs, records, "doc_id", rules, t_match=20, t_possible=0
+        )
+        .filter(F.col("decision") == "match")
+        .collect()
+    }
+    assert got == want and len(got) > 0
