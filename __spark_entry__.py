@@ -196,6 +196,12 @@ _R10_QUEUE: tuple[str, ...] = (
     "q_interval_union",
     "q_peak_concurrency",
     "q_nearest_event_join",
+    "q_eccentricity_probes",
+    "q_sax_motifs",
+    "q_supplier_reliability",
+    "q_churn_rate",
+    "q_rfm_scores",
+    "q_embedding_quantize",
 )
 
 DRIVER_PRIORITY: dict[str, str] = {

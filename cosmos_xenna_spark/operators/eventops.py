@@ -1344,3 +1344,197 @@ def peak_concurrency_sql(
      AND r.open = p.pk
     GROUP BY {", ".join("r." + c for c in group_cols)}
     """
+
+
+def weekly_churn(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Week-over-week churn ledger: per week, how many active entities
+    did NOT return the following week — the leading retention KPI,
+    exact (``cohort_retention`` answers "of the week-w cohort, who
+    came back in week w+k"; churn answers the complementary "of
+    week-w actives, who vanished at w+1").
+
+    One distinct (entity, week) table, one self equi-join shifted by a
+    week, one week-level aggregation — all shuffles on the entity/week
+    keys.  The trailing week is excluded (its w+1 is unobserved, every
+    entity would count churned).  ``churn_ppm`` is exact integer.
+    """
+    week = F.expr(
+        f"datediff(CAST({ts_col} AS DATE), DATE '1970-01-01') div 7"
+    ).cast("bigint")
+    active = df.select(
+        F.col(entity_col).alias("e"), week.alias("w")
+    ).distinct()
+    nxt = active.select("e", (F.col("w") - 1).alias("w"), F.lit(1).alias("__ret"))
+    flagged = active.join(nxt, ["e", "w"], "left")
+    per_week = flagged.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.coalesce("__ret", F.lit(0))).cast("bigint").alias("n_retained"),
+    )
+    from pyspark.sql import Window
+
+    # week-level table is tiny (one row per calendar week) — the
+    # unpartitioned max here ranks ~thousands of rows, not entities
+    wmax = F.max("w").over(Window.partitionBy())
+    return (
+        per_week.withColumn("__wmax", wmax)
+        .filter(F.col("w") < F.col("__wmax"))
+        .select(
+            F.col("w").alias("week"),
+            "n_active",
+            (F.col("n_active") - F.col("n_retained"))
+            .cast("bigint")
+            .alias("n_churned"),
+            F.expr("1000000 * (n_active - n_retained) div n_active")
+            .cast("bigint")
+            .alias("churn_ppm"),
+        )
+    )
+
+
+def weekly_churn_sql(table_sql: str, entity_col: str, ts_col: str) -> str:
+    return f"""
+    WITH active AS (
+      SELECT DISTINCT {entity_col} AS e,
+             datediff('day', DATE '1970-01-01', CAST({ts_col} AS DATE)) // 7
+               AS w
+      FROM ({table_sql})
+    ),
+    flagged AS (
+      SELECT a.e, a.w, CASE WHEN n.e IS NULL THEN 0 ELSE 1 END AS ret
+      FROM active a LEFT JOIN active n ON a.e = n.e AND n.w = a.w + 1
+    ),
+    per_week AS (
+      SELECT w, COUNT(*) AS n_active, SUM(ret) AS n_retained
+      FROM flagged GROUP BY w
+    )
+    SELECT w AS week, CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_active - n_retained AS BIGINT) AS n_churned,
+           CAST(1000000 * (n_active - n_retained) // n_active AS BIGINT)
+             AS churn_ppm
+    FROM per_week WHERE w < (SELECT MAX(w) FROM per_week)
+    """
+
+
+def rfm_scores(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    monetary_type: str,
+    type_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation, exact and distributed: per entity, recency
+    (last active day), frequency (event count) and monetary (total
+    cents of ``monetary_type`` events) each ranked into ``n_tiles``
+    equal-population tiles — score ``n_tiles`` = most recent / most
+    frequent / highest spend — and combined as ``rfm_code = 100r +
+    10f + m``, the classic marketing segmentation grid.
+
+    The tile assignment is a GLOBAL ranking: computed with
+    ``global_row_number`` (quantile bucketing + offset arithmetic),
+    never a single-partition window — three ranked passes over the
+    entity-level table, each a total order with the entity id as
+    tiebreak, so the result is deterministic and equals
+    ``NTILE``-free ``1 + n_tiles*(rank-1) div n`` arithmetic in the
+    SQL oracle exactly.
+    """
+    from cosmos_xenna_spark.operators.ranking import global_row_number
+
+    day = F.expr(
+        f"datediff(CAST({ts_col} AS DATE), DATE '1970-01-01')"
+    ).cast("bigint")
+    ent = (
+        df.select(
+            F.col(entity_col).alias("e"),
+            day.alias("d"),
+            F.when(
+                F.col(type_col) == monetary_type,
+                F.floor(F.col(value_col) * 100),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("e")
+        .agg(
+            F.max("d").alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("spend_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def tile(frame: DataFrame, order_cols: list[str], out: str) -> DataFrame:
+        ranked = global_row_number(frame, order_cols, out_col="__rn")
+        # total count attached with a single-row broadcast (the
+        # heavy-hitters pattern; allowlisted BNLJ)
+        total = frame.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        return (
+            ranked.crossJoin(F.broadcast(total))
+            .withColumn(
+                out,
+                F.expr(f"1 + {n_tiles} * (__rn - 1) div __n").cast("bigint"),
+            )
+            .drop("__rn", "__n")
+        )
+
+    ent = tile(ent, ["last_day", "e"], "r_score")
+    ent = tile(ent, ["n_events", "e"], "f_score")
+    ent = tile(ent, ["spend_cents", "e"], "m_score")
+    return ent.select(
+        F.col("e").cast("bigint").alias(entity_col),
+        "last_day",
+        "n_events",
+        "spend_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        (100 * F.col("r_score") + 10 * F.col("f_score") + F.col("m_score"))
+        .cast("bigint")
+        .alias("rfm_code"),
+    )
+
+
+def rfm_scores_sql(
+    table_sql: str,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    monetary_type: str,
+    type_col: str,
+    n_tiles: int = 5,
+) -> str:
+    return f"""
+    WITH ent AS (
+      SELECT {entity_col} AS e,
+             MAX(datediff('day', DATE '1970-01-01', CAST({ts_col} AS DATE)))
+               AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN {type_col} = '{monetary_type}'
+                           THEN CAST(FLOOR({value_col} * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS spend_cents
+      FROM ({table_sql}) GROUP BY {entity_col}
+    ),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (ORDER BY last_day, e) AS rr,
+        ROW_NUMBER() OVER (ORDER BY n_events, e) AS rf,
+        ROW_NUMBER() OVER (ORDER BY spend_cents, e) AS rm,
+        COUNT(*) OVER () AS n
+      FROM ent
+    )
+    SELECT CAST(e AS BIGINT) AS {entity_col},
+           CAST(last_day AS BIGINT) AS last_day, n_events, spend_cents,
+           CAST(1 + {n_tiles} * (rr - 1) // n AS BIGINT) AS r_score,
+           CAST(1 + {n_tiles} * (rf - 1) // n AS BIGINT) AS f_score,
+           CAST(1 + {n_tiles} * (rm - 1) // n AS BIGINT) AS m_score,
+           CAST(100 * (1 + {n_tiles} * (rr - 1) // n)
+                + 10 * (1 + {n_tiles} * (rf - 1) // n)
+                + (1 + {n_tiles} * (rm - 1) // n) AS BIGINT) AS rfm_code
+    FROM ranked
+    """

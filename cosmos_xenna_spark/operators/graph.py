@@ -1574,3 +1574,89 @@ def clustering_coefficient_sql(
     FROM deg d LEFT JOIN tri t ON d.v = t.v
     LEFT JOIN centers c ON d.v = c.v
     """
+
+
+def eccentricity_probes(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-PROBE eccentricity profile: run one BFS per probe seed
+    simultaneously (state keyed by (probe, node)) and report, per
+    reached node, how many probes reached it, its max probe distance
+    (an eccentricity LOWER BOUND — the standard iFUB/diameter-probe
+    primitive) and its min probe distance (distance-to-nearest-hub
+    when the probes are hubs).
+
+    Same frontier discipline as :func:`bfs_hops`; state is
+    O(probes x reached nodes) — probes are a small fixed panel (4-16),
+    so the multiplier is a constant, and one shared edge checkpoint
+    serves every probe.  Bit-exact vs the unrolled SQL oracle for
+    fixed ``n_hops``.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(node_col).alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("node"), F.lit(0).cast("bigint").alias("hops"))
+    )
+    for _ in range(n_hops):
+        dist = dist.localCheckpoint(eager=True)
+        step = e.join(
+            dist.select("s", F.col("node").alias("b"), "hops"), "b"
+        ).select("s", F.col("a").alias("node"), (F.col("hops") + 1).alias("hops"))
+        dist = (
+            dist.union(step).groupBy("s", "node").agg(F.min("hops").alias("hops"))
+        )
+    return dist.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.max("hops").cast("bigint").alias("ecc_lb"),
+        F.min("hops").cast("bigint").alias("nearest_probe_hops"),
+    ).select(F.col("node").cast("bigint").alias("node"), "n_probes", "ecc_lb", "nearest_probe_hops")
+
+
+def eccentricity_probes_sql(edges_sql: str, seeds_sql: str, n_hops: int) -> str:
+    steps = [
+        f"raw AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) WHERE src <> dst)",
+        """e AS MATERIALIZED (
+          SELECT src AS a, dst AS b FROM raw
+          UNION
+          SELECT dst, src FROM raw
+        )""",
+        f"""d0 AS (
+          SELECT DISTINCT node AS s, node, CAST(0 AS BIGINT) AS hops
+          FROM ({seeds_sql})
+        )""",
+    ]
+    prev = "d0"
+    for i in range(1, n_hops + 1):
+        steps.append(
+            f"""d{i} AS (
+              SELECT s, node, MIN(hops) AS hops FROM (
+                SELECT s, node, hops FROM {prev}
+                UNION ALL
+                SELECT p.s, e.a AS node, p.hops + 1 AS hops
+                FROM e JOIN {prev} p ON e.b = p.node
+              ) GROUP BY s, node
+            )"""
+        )
+        prev = f"d{i}"
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(MAX(hops) AS BIGINT) AS ecc_lb,
+           CAST(MIN(hops) AS BIGINT) AS nearest_probe_hops
+    FROM {prev} GROUP BY node"""
+    )

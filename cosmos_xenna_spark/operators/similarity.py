@@ -452,3 +452,63 @@ def mutual_nearest_pairs_sql(candidates_sql: str) -> str:
     FROM top1 a JOIN top1 b ON a.best = b.id AND b.best = a.id
     WHERE a.id < a.best
     """
+
+
+def quantize_embeddings_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per vector,
+    ``code[i] = floor(x[i] * 127 / max_abs)`` — the 4x memory / SIMD
+    dot-product compression step every billion-vector ANN index takes
+    before sharding (the PQ ladder's cheap sibling: no codebook, no
+    training, ~0.3% recall cost in practice).
+
+    Deterministic cross-engine: elements widen float->double exactly,
+    one IEEE multiply+divide, ``floor`` (not round — round-half rules
+    differ across engines).  Zero vectors emit an all-zero code.
+    Emits ``(id, codes array<tinyint-range bigint>, n_dims,
+    max_abs_milli)`` — the scale rides along as floor(1000*max_abs)
+    so downstream can dequantize without floats in the contract.
+    Row-local: no shuffle at all; the plan is the scan.
+    """
+    max_abs = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    codes = F.when(max_abs > 0, F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 127.0 / max_abs).cast("bigint"),
+    )).otherwise(
+        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("bigint"))
+    )
+    return emb.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        F.size(vec_col).cast("bigint").alias("n_dims"),
+        F.floor(max_abs * 1000).cast("bigint").alias("max_abs_milli"),
+    )
+
+
+def quantize_embeddings_int8_sql(
+    table_sql: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             list_max(list_transform({vec_col},
+                      x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+             {vec_col} AS v
+      FROM ({table_sql})
+    )
+    SELECT {id_col},
+           CASE WHEN max_abs > 0
+                THEN list_transform(v,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / max_abs)
+                          AS BIGINT))
+                ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+           END AS codes,
+           CAST(len(v) AS BIGINT) AS n_dims,
+           CAST(FLOOR(max_abs * 1000) AS BIGINT) AS max_abs_milli
+    FROM base
+    """

@@ -657,3 +657,103 @@ def rolling_median_sql(
       FROM ({table_sql})
     )
     """
+
+
+def sax_motifs(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    breakpoints: list[int],
+    motif_len: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """SAX-style symbolic motif mining (Lin et al. 2003, integerized):
+    each keyed series is already piecewise-aggregated by the caller
+    (one row per (key, order) segment, value in integer cents); the
+    segment value maps to a symbol by fixed ``breakpoints``
+    (a < bp[0] <= b < bp[1] <= ...), consecutive-SEGMENT windows of
+    ``motif_len`` symbols form motifs, and motifs are counted
+    corpus-wide — the "which shapes recur across all series" question
+    behind pattern-of-life and anomaly triage, answered without any
+    float distance.
+
+    Fixed breakpoints (not per-series quantiles) keep the alphabet
+    comparable across series and the result bit-exact across engines;
+    re-estimate them offline from a profile query when the value
+    distribution drifts.  Consecutive means consecutive OBSERVED
+    segments (ordering by ``order_col``), not calendar-adjacent —
+    gaps do not split motifs; pre-fill with ``resample_ffill`` when
+    they should.
+
+    Shape: one keyed lead-window pass + one corpus count — two
+    shuffles, alphabet/motif space bounded by len(breakpoints)+1 ^
+    motif_len.
+    """
+    from pyspark.sql import Window
+
+    sym = F.lit(chr(ord("a") + len(breakpoints)))
+    for i in reversed(range(len(breakpoints))):
+        sym = F.when(
+            F.col("__v") < breakpoints[i], F.lit(chr(ord("a") + i))
+        ).otherwise(sym)
+    base = df.select(
+        *[F.col(c) for c in key_cols],
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("bigint").alias("__v"),
+    ).withColumn("__sym", sym)
+    w = Window.partitionBy(*key_cols).orderBy("__o")
+    motif = F.concat(
+        *[F.lead("__sym", i).over(w) for i in range(motif_len)]
+    )
+    motifs = base.withColumn("motif", motif).filter(
+        F.length("motif") == motif_len
+    )
+    return (
+        motifs.groupBy("motif")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.count_distinct(*[F.col(c) for c in key_cols])
+            .cast("bigint")
+            .alias("n_series"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def sax_motifs_sql(
+    table_sql: str,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    breakpoints: list[int],
+    motif_len: int = 3,
+    min_count: int = 2,
+) -> str:
+    g = ", ".join(key_cols)
+    sym = f"'{chr(ord('a') + len(breakpoints))}'"
+    for i in reversed(range(len(breakpoints))):
+        sym = (
+            f"CASE WHEN v < {breakpoints[i]} THEN '{chr(ord('a') + i)}'"
+            f" ELSE {sym} END"
+        )
+    leads = " || ".join(
+        f"LEAD(sym, {i}) OVER (PARTITION BY {g} ORDER BY o)"
+        if i
+        else "sym"
+        for i in range(motif_len)
+    )
+    return f"""
+    WITH base AS (
+      SELECT {g}, {order_col} AS o, CAST({value_col} AS BIGINT) AS v
+      FROM ({table_sql})
+    ),
+    symed AS (SELECT {g}, o, {sym} AS sym FROM base),
+    motifs AS (
+      SELECT {g}, {leads} AS motif FROM symed
+    )
+    SELECT motif, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT ({g})) AS BIGINT) AS n_series
+    FROM motifs WHERE length(motif) = {motif_len}
+    GROUP BY motif HAVING COUNT(*) >= {min_count}
+    """

@@ -814,3 +814,52 @@ def q_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, on="user_id", left_time="t_us", right_time="t_us",
         right_id="event_id",
     )
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    rfm_scores,
+    rfm_scores_sql,
+    weekly_churn,
+    weekly_churn_sql,
+)
+
+
+@register(
+    "q_churn_rate",
+    oracle=weekly_churn_sql(
+        "SELECT user_id, ts FROM events", "user_id", "ts"
+    ),
+    description="week-over-week churn ledger: per week, actives who did "
+    "NOT return the next week (exact ppm; trailing week excluded — its "
+    "successor is unobserved) — one distinct (user, week) table + one "
+    "shifted self equi-join + one week-level aggregation",
+)
+def q_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return weekly_churn(ev, "user_id", "ts")
+
+
+@register(
+    "q_rfm_scores",
+    oracle=rfm_scores_sql(
+        "SELECT user_id, ts, value, event_type FROM events",
+        "user_id",
+        "ts",
+        "value",
+        "purchase",
+        "event_type",
+        n_tiles=5,
+    ),
+    description="RFM segmentation: per user, recency/frequency/monetary "
+    "each tiled into 5 equal-population scores via DISTRIBUTED global "
+    "ranking (quantile bucketing + offset arithmetic, never a single-"
+    "partition window) and combined as rfm_code = 100r+10f+m; the oracle "
+    "replays the identical 1 + 5*(rank-1) div n arithmetic",
+)
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_type"
+    )
+    return rfm_scores(
+        ev, "user_id", "ts", "value", "purchase", "event_type", n_tiles=5
+    )

@@ -483,3 +483,35 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(
         edges, src_col="doc_a", dst_col="doc_b", max_degree=64
     )
+
+
+from cosmos_xenna_spark.operators.graph import (  # noqa: E402
+    eccentricity_probes_sql,
+)
+
+
+@register(
+    "q_eccentricity_probes",
+    oracle=eccentricity_probes_sql(
+        _doc_pairs_edges_sql(),
+        "SELECT doc_id AS node FROM documents WHERE doc_id % 500 = 0",
+        n_hops=4,
+    ),
+    description="multi-probe eccentricity profile of the near-duplicate "
+    "graph (one BFS per probe run simultaneously, state keyed by "
+    "(probe, node)): per reached node, probes reached / max probe "
+    "distance (eccentricity lower bound, the iFUB diameter primitive) / "
+    "nearest-probe hops; 4 sweeps, bit-exact vs the unrolled oracle",
+)
+def q_eccentricity_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import eccentricity_probes
+
+    edges = _doc_pairs_edges(spark, sf_dir)
+    seeds = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 500 == 0)
+        .select(F.col("doc_id").alias("node"))
+    )
+    return eccentricity_probes(
+        edges, seeds, n_hops=4, src_col="doc_a", dst_col="doc_b"
+    )

@@ -347,3 +347,23 @@ def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "sim")
     )
     return mutual_nearest_pairs(cand)
+
+
+from cosmos_xenna_spark.operators.similarity import (  # noqa: E402
+    quantize_embeddings_int8,
+    quantize_embeddings_int8_sql,
+)
+
+
+@register(
+    "q_embedding_quantize",
+    oracle=quantize_embeddings_int8_sql("SELECT vec_id, embedding FROM embeddings"),
+    description="symmetric int8 embedding quantization: per vector "
+    "floor(x*127/max_abs) codes + floor(1000*max_abs) scale — the 4x "
+    "memory / SIMD-dot compression before sharding a billion-vector ANN "
+    "index; row-local (zero shuffle), float->double widening exact, "
+    "floor not round (round-half rules differ across engines)",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return quantize_embeddings_int8(emb)

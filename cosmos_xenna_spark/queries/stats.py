@@ -565,3 +565,28 @@ def q_smoothed_domain_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smoothed_rate(
         gated, ["source"], "ok", prior_ppm=500_000, prior_weight=50
     )
+
+
+@register(
+    "q_supplier_reliability",
+    oracle=smoothed_rate_sql(
+        "SELECT l_suppkey, CASE WHEN l_returnflag <> 'R'"
+        " THEN 1 ELSE 0 END AS ok FROM lineitem",
+        ["l_suppkey"],
+        "ok",
+        prior_ppm=500_000,
+        prior_weight=100,
+    ),
+    description="Dirichlet-smoothed non-return rate per supplier over the "
+    "lineitem fact (returnflag <> 'R'): the smoothed_rate operator on the "
+    "big table — one fact-table aggregation, all bigint, low-volume "
+    "suppliers shrink toward the 50% prior",
+)
+def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_returnflag") != "R").cast("int").alias("ok"),
+    )
+    return smoothed_rate(
+        li, ["l_suppkey"], "ok", prior_ppm=500_000, prior_weight=100
+    )

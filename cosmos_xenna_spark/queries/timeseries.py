@@ -228,3 +228,63 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], "ts", "value", window_rows=7, order_tiebreak=["event_id"]
     )
     return out.select("event_id", "user_id", "rolling_median")
+
+
+from cosmos_xenna_spark.operators.timeseries import (  # noqa: E402
+    sax_motifs,
+    sax_motifs_sql,
+)
+
+# PAA input: one segment per (user, day), integer mean cents —
+# computed identically on both sides so the motif operator's contract
+# starts from the same exact table
+_PAA_SQL = """
+    SELECT user_id,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT))
+             // COUNT(*) AS avg_cents
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_sax_motifs",
+    oracle=sax_motifs_sql(
+        _PAA_SQL,
+        ["user_id"],
+        "day",
+        "avg_cents",
+        breakpoints=[12000, 24000, 36000],
+        motif_len=3,
+        min_count=2,
+    ),
+    description="SAX symbolic motif mining over per-user daily series: "
+    "integer PAA (daily mean cents) -> fixed-breakpoint 4-letter alphabet "
+    "-> consecutive-segment 3-motifs counted corpus-wide — which shapes "
+    "recur across all series, no float distances anywhere; one keyed "
+    "lead window + one bounded count",
+)
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    paa = (
+        ev.groupBy(
+            "user_id",
+            F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(
+            F.expr(
+                "sum(CAST(FLOOR(value * 100) AS BIGINT)) div count(*)"
+            ).alias("avg_cents")
+        )
+    )
+    return sax_motifs(
+        paa,
+        ["user_id"],
+        "day",
+        "avg_cents",
+        breakpoints=[12000, 24000, 36000],
+        motif_len=3,
+        min_count=2,
+    )

@@ -2105,3 +2105,197 @@ def test_nearest_time_join_matches_python(spark, seed):
         else:
             want = (None, None, None)
         assert got[(k, lid)] == want, (k, lid, lt)
+
+
+@pytest.mark.parametrize("seed", [191, 193])
+def test_eccentricity_probes_match_python(spark, seed):
+    from cosmos_xenna_spark.operators.graph import eccentricity_probes
+
+    rng = random.Random(seed)
+    n = 40
+    und = sorted(
+        {tuple(sorted((rng.randrange(n), rng.randrange(n)))) for _ in range(70)}
+    )
+    und = [(a, b) for a, b in und if a != b]
+    probes = sorted(rng.sample(range(n), 4))
+    hops = 4
+    edf = spark.createDataFrame(und, "src long, dst long")
+    sdf = spark.createDataFrame([(p,) for p in probes], "node long")
+    got = {
+        r.node: (r.n_probes, r.ecc_lb, r.nearest_probe_hops)
+        for r in eccentricity_probes(edf, sdf, n_hops=hops).collect()
+    }
+
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict = {}
+    for p in probes:
+        dist = {p: 0}
+        frontier = [p]
+        for h in range(1, hops + 1):
+            nxt = []
+            for v in frontier:
+                for u in adj.get(v, ()):
+                    if u not in dist:
+                        dist[u] = h
+                        nxt.append(u)
+            frontier = nxt
+        for v, d in dist.items():
+            ps = want.setdefault(v, [])
+            ps.append(d)
+    want = {
+        v: (len(ds), max(ds), min(ds)) for v, ds in want.items()
+    }
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [197, 199])
+def test_sax_motifs_match_python(spark, seed):
+    from cosmos_xenna_spark.operators.timeseries import sax_motifs
+
+    rng = random.Random(seed)
+    bps = [30, 60, 90]
+    rows = []
+    for g in range(12):
+        for o in sorted(rng.sample(range(40), rng.randrange(2, 15))):
+            rows.append((g, o, rng.randrange(0, 120)))
+    df = spark.createDataFrame(rows, "g long, o long, v long")
+    got = {
+        r.motif: (r.n_occurrences, r.n_series)
+        for r in sax_motifs(
+            df, ["g"], "o", "v", breakpoints=bps, motif_len=3, min_count=1
+        ).collect()
+    }
+
+    def sym(v):
+        for i, bp in enumerate(bps):
+            if v < bp:
+                return chr(ord("a") + i)
+        return chr(ord("a") + len(bps))
+
+    series: dict = {}
+    for g, o, v in sorted(rows):
+        series.setdefault(g, []).append(sym(v))
+    counts: dict = {}
+    for g, syms in series.items():
+        for i in range(len(syms) - 2):
+            m = "".join(syms[i : i + 3])
+            n, ss = counts.get(m, (0, set()))
+            ss.add(g)
+            counts[m] = (n + 1, ss)
+    want = {m: (n, len(ss)) for m, (n, ss) in counts.items()}
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [211, 223])
+def test_weekly_churn_and_rfm_match_python(spark, seed):
+    import pandas as pd
+
+    from cosmos_xenna_spark.operators.eventops import rfm_scores, weekly_churn
+
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for _ in range(600):
+        u = rng.randrange(40)
+        day = rng.randrange(70)
+        rows.append(
+            (
+                eid,
+                u,
+                (
+                    pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(days=day, hours=u % 24)
+                ).to_pydatetime(),
+                rng.choice(["purchase", "view", "click"]),
+                round(rng.uniform(0, 300), 2),
+            )
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got_c = {
+        r.week: (r.n_active, r.n_churned, r.churn_ppm)
+        for r in weekly_churn(df, "user_id", "ts").collect()
+    }
+    weeks: dict = {}
+    for _, u, ts, _, _ in rows:
+        w = (ts - pd.Timestamp("1970-01-01")).days // 7
+        weeks.setdefault(w, set()).add(u)
+    wmax = max(weeks)
+    want_c = {}
+    for w, users in weeks.items():
+        if w == wmax:
+            continue
+        churned = len(users - weeks.get(w + 1, set()))
+        want_c[w] = (len(users), churned, 1_000_000 * churned // len(users))
+    assert got_c == want_c and len(got_c) > 0
+
+    got_r = {
+        r.user_id: (r.r_score, r.f_score, r.m_score, r.rfm_code)
+        for r in rfm_scores(
+            df, "user_id", "ts", "value", "purchase", "event_type"
+        ).collect()
+    }
+    import math
+
+    ent = {}
+    for _, u, ts, et, v in rows:
+        d = (ts - pd.Timestamp("1970-01-01")).days
+        last, nev, cents = ent.get(u, (-1, 0, 0))
+        ent[u] = (
+            max(last, d),
+            nev + 1,
+            cents + (math.floor(v * 100) if et == "purchase" else 0),
+        )
+    users = sorted(ent)
+    nu = len(users)
+
+    def tiles(keyfn):
+        order = sorted(users, key=keyfn)
+        return {
+            u: 1 + 5 * i // nu for i, u in enumerate(order)
+        }
+
+    rsc = tiles(lambda u: (ent[u][0], u))
+    fsc = tiles(lambda u: (ent[u][1], u))
+    msc = tiles(lambda u: (ent[u][2], u))
+    for u in users:
+        want = (
+            rsc[u],
+            fsc[u],
+            msc[u],
+            100 * rsc[u] + 10 * fsc[u] + msc[u],
+        )
+        assert got_r[u] == want, (u, got_r[u], want)
+
+
+@pytest.mark.parametrize("seed", [227, 229])
+def test_quantize_embeddings_matches_numpy(spark, seed):
+    from cosmos_xenna_spark.operators.similarity import quantize_embeddings_int8
+
+    rng = np.random.default_rng(seed)
+    vecs = [
+        (i, [float(np.float32(x)) for x in rng.normal(0, 1, 16)])
+        for i in range(50)
+    ] + [(99, [0.0] * 16)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: (list(r.codes), r.n_dims, r.max_abs_milli)
+        for r in quantize_embeddings_int8(df).collect()
+    }
+    import math
+
+    for vid, v in vecs:
+        m = max(abs(np.float64(np.float32(x))) for x in v)
+        if m > 0:
+            codes = [
+                math.floor(np.float64(np.float32(x)) * 127.0 / m) for x in v
+            ]
+        else:
+            codes = [0] * len(v)
+        assert got[vid] == (codes, len(v), math.floor(m * 1000))
+        assert all(-128 <= c <= 127 for c in codes)

@@ -225,6 +225,9 @@ _BNLJ_ALLOWED = {
     # two single-row frames (confusion totals, chance product sum)
     # cross-joined into the one-row kappa ledger
     "q_cohens_kappa",
+    # single-row broadcast entity total attached per tile pass (the
+    # heavy-hitters pattern, three times)
+    "q_rfm_scores",
 }
 
 
