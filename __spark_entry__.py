@@ -202,6 +202,8 @@ _R10_QUEUE: tuple[str, ...] = (
     "q_churn_rate",
     "q_rfm_scores",
     "q_embedding_quantize",
+    "q_script_mix",
+    "q_vocab_jaccard",
 )
 
 DRIVER_PRIORITY: dict[str, str] = {

@@ -125,6 +125,13 @@ HEADLINE = [
     # (blocking -> scoring -> closure in one plan)
     "q_winnow_pairs",
     "q_er_clusters",
+    # r9 additions: the neighbor-wedge self-join (the round's heaviest
+    # new shape), the multi-probe BFS, the three-pass global-rank RFM
+    # tiling, and the bidirectional as-of union sweep
+    "q_clustering_coeff",
+    "q_eccentricity_probes",
+    "q_rfm_scores",
+    "q_nearest_event_join",
 ]
 
 

@@ -752,3 +752,158 @@ def readability_signals_sql(table_sql: str, text_col: str = "text") -> str:
       FROM ({table_sql})
     ) WHERE n_words >= 1 AND n_sentences >= 1
     """
+
+
+def script_mix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mixed_min_ppm: int = 50_000,
+) -> DataFrame:
+    """Unicode script profile per document: counts of Latin / CJK /
+    Cyrillic / digit / other characters, the dominant script, and a
+    mixed-script flag — the mojibake / spam / wrong-langid triage
+    signal (a "Latin" document that is 20% Cyrillic is usually either
+    encoding damage or keyword stuffing).
+
+    ``mixed`` = the second-most-common SCRIPT class (letters only)
+    exceeds ``mixed_min_ppm`` of all letters.  Pure row-local
+    ``regexp_count`` over codepoint classes — identical character
+    classes in both engines, zero shuffle, the plan is the scan.
+    """
+    n_latin = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]"))
+    n_cjk = F.regexp_count(F.col(text_col), F.lit(r"[\x{4E00}-\x{9FFF}]"))
+    n_cyr = F.regexp_count(F.col(text_col), F.lit(r"[\x{0400}-\x{04FF}]"))
+    n_digit = F.regexp_count(F.col(text_col), F.lit(r"[0-9]"))
+    base = docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        n_latin.cast("bigint").alias("n_latin"),
+        n_cjk.cast("bigint").alias("n_cjk"),
+        n_cyr.cast("bigint").alias("n_cyr"),
+        n_digit.cast("bigint").alias("n_digit"),
+    )
+    letters = F.col("n_latin") + F.col("n_cjk") + F.col("n_cyr")
+    top = F.greatest("n_latin", "n_cjk", "n_cyr")
+    second = letters - top
+    dominant = (
+        F.when(
+            (F.col("n_latin") >= F.col("n_cjk"))
+            & (F.col("n_latin") >= F.col("n_cyr")),
+            "latin",
+        )
+        .when(F.col("n_cjk") >= F.col("n_cyr"), "cjk")
+        .otherwise("cyrillic")
+    )
+    return base.select(
+        id_col,
+        "n_chars",
+        "n_latin",
+        "n_cjk",
+        "n_cyr",
+        "n_digit",
+        F.when(letters > 0, dominant).alias("dominant_script"),
+        F.when(
+            letters > 0,
+            (second * 1_000_000 >= letters * mixed_min_ppm),
+        )
+        .otherwise(F.lit(False))
+        .alias("mixed"),
+    )
+
+
+def script_mix_sql(
+    docs_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mixed_min_ppm: int = 50_000,
+) -> str:
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             CAST(length({text_col}) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace({text_col}, '[^A-Za-z]', '', 'g'))
+                  AS BIGINT) AS n_latin,
+             CAST(length(regexp_replace({text_col}, '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g'))
+                  AS BIGINT) AS n_cjk,
+             CAST(length(regexp_replace({text_col}, '[^\\x{{0400}}-\\x{{04FF}}]', '', 'g'))
+                  AS BIGINT) AS n_cyr,
+             CAST(length(regexp_replace({text_col}, '[^0-9]', '', 'g'))
+                  AS BIGINT) AS n_digit
+      FROM ({docs_sql})
+    )
+    SELECT {id_col}, n_chars, n_latin, n_cjk, n_cyr, n_digit,
+           CASE WHEN n_latin + n_cjk + n_cyr > 0 THEN
+             CASE WHEN n_latin >= n_cjk AND n_latin >= n_cyr THEN 'latin'
+                  WHEN n_cjk >= n_cyr THEN 'cjk'
+                  ELSE 'cyrillic' END
+           END AS dominant_script,
+           CASE WHEN n_latin + n_cjk + n_cyr > 0 THEN
+             (n_latin + n_cjk + n_cyr - GREATEST(n_latin, n_cjk, n_cyr))
+               * 1000000
+               >= (n_latin + n_cjk + n_cyr) * {mixed_min_ppm}
+           ELSE FALSE END AS mixed
+    FROM base
+    """
+
+
+def compression_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap
+    repetition/boilerplate detector (Gopher/FineWeb-style): highly
+    compressible text (ratio -> high) is usually template spam or
+    repeated blocks; barely compressible "text" is often minified
+    code, base64, or binary junk.  Both tails get gated.
+
+    NO SQL ORACLE by documented design: DuckDB has no zlib surface —
+    correctness is pinned by a pure-Python zlib equivalence test
+    instead (same algorithm, same level => byte-identical output
+    length).  ``ratio_ppm = 1e6 * n_raw div n_compressed`` — integer.
+
+    Arrow-batched pandas UDF over ``mapInPandas`` (the multimodal
+    decode pattern): compression is CPU-local per row, so the plan is
+    the scan and 100 TB parallelism is the file split count.
+    """
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType()),
+            T.StructField("n_raw", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("ratio_ppm", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["__text"].astype(str)
+            n_raw = raw.str.len().astype("int64")
+            n_comp = raw.map(
+                lambda s: len(zlib.compress(s.encode("utf-8"), level))
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].astype("int64"),
+                    "n_raw": n_raw,
+                    "n_compressed": n_comp,
+                    "ratio_ppm": (1_000_000 * n_raw) // n_comp,
+                }
+            )
+
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(text_col).alias("__text"),
+        )
+        .mapInPandas(fn, schema=out_schema)
+        .withColumnRenamed("__id", id_col)
+    )

@@ -196,3 +196,89 @@ def vocab_coverage_sql(table: str, text_col: str, vocab_size: int) -> str:
     FROM words LEFT JOIN (SELECT w, 1 AS flag FROM vocab) v USING (w)
     GROUP BY doc_id
     """
+
+
+def vocab_jaccard(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    min_union: int = 10,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between GROUPS (languages, sources,
+    time slices): |vocab_a ∩ vocab_b| / |vocab_a ∪ vocab_b| as exact
+    ppm — the corpus-contamination / shared-boilerplate fingerprint at
+    the group level (two "different languages" sharing 40% of their
+    vocabulary usually share a scraper, not a linguistic miracle).
+
+    Shape: one distinct (group, token) table; intersections via ONE
+    token-key self-join (tokens hash-partition evenly — no all-pairs
+    of documents anywhere); per-group sizes broadcast back onto the
+    bounded group-pair result.  Group count is small by contract
+    (languages, sources); the token join is the only corpus-sized
+    work.
+    """
+    toks = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = toks.groupBy("g").agg(F.count(F.lit(1)).alias("n_vocab"))
+    inter = (
+        toks.alias("a")
+        .join(toks.alias("b"), "tok")
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("g").alias("ga"), F.col("n_vocab").alias("na"))
+    sb = sizes.select(F.col("g").alias("gb"), F.col("n_vocab").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "ga")
+        .join(F.broadcast(sb), "gb")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .cast("bigint")
+            .alias("n_union"),
+            F.expr("1000000 * n_inter div (na + nb - n_inter)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .filter(F.col("n_union") >= min_union)
+    )
+
+
+def vocab_jaccard_sql(
+    docs_sql: str,
+    group_col: str = "lang",
+    text_col: str = "text",
+    min_union: int = 10,
+) -> str:
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT DISTINCT {group_col} AS g, tok FROM (
+        SELECT {group_col}, UNNEST(string_split({text_col}, ' ')) AS tok
+        FROM ({docs_sql})
+      ) WHERE tok <> ''
+    ),
+    sizes AS (SELECT g, COUNT(*) AS n_vocab FROM toks GROUP BY g),
+    inter AS (
+      SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT ga AS group_a, gb AS group_b, n_inter,
+           CAST(na + nb - n_inter AS BIGINT) AS n_union,
+           CAST(1000000 * n_inter // (na + nb - n_inter) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter
+    JOIN (SELECT g AS ga, n_vocab AS na FROM sizes) USING (ga)
+    JOIN (SELECT g AS gb, n_vocab AS nb FROM sizes) USING (gb)
+    WHERE na + nb - n_inter >= {min_union}
+    """

@@ -380,3 +380,38 @@ from cosmos_xenna_spark.operators.quality import (  # noqa: E402
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return readability_signals(docs)
+
+
+from cosmos_xenna_spark.operators.quality import (  # noqa: E402
+    compression_ratio,
+    script_mix,
+    script_mix_sql,
+)
+
+
+@register(
+    "q_script_mix",
+    oracle=script_mix_sql("SELECT doc_id, text FROM documents"),
+    description="unicode script profile per doc (latin/CJK/cyrillic/digit "
+    "counts, dominant script, mixed-script flag at 5% of letters) — the "
+    "mojibake / keyword-stuffing / wrong-langid triage signal; row-local "
+    "regexp classes, zero shuffle",
+)
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return script_mix(docs)
+
+
+@register(
+    "q_compression_ratio",
+    oracle=None,  # documented: DuckDB has no zlib surface; correctness is
+    # pinned by the byte-exact pure-Python zlib equivalence test
+    # (tests/test_new_ops_randomized.py::test_compression_ratio_matches_zlib)
+    description="zlib compression ratio per doc (1e6*raw div compressed) — "
+    "the Gopher/FineWeb repetition+junk gate: high ratio = template spam, "
+    "ratio ~1 = base64/minified junk; Arrow-batched mapInPandas, plan = "
+    "the scan; rows-only driver check BY DESIGN (no zlib in DuckDB)",
+)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return compression_ratio(docs)

@@ -452,3 +452,22 @@ def q_outlink_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return extract_outlink_domains(docs, "doc_id", "text")
+
+
+from cosmos_xenna_spark.operators.text import (  # noqa: E402
+    vocab_jaccard,
+    vocab_jaccard_sql,
+)
+
+
+@register(
+    "q_vocab_jaccard",
+    oracle=vocab_jaccard_sql("SELECT lang, text FROM documents"),
+    description="pairwise vocabulary Jaccard between languages, exact ppm "
+    "(shared-scraper / contamination fingerprint at the group level): one "
+    "distinct (group, token) table, ONE token-key self-join (never "
+    "doc-pairs), per-group sizes broadcast onto the bounded pair result",
+)
+def q_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return vocab_jaccard(docs, group_col="lang")

@@ -1264,3 +1264,64 @@ def streaming_er_probe(
         )
         .filter(F.col("fs_score") >= t_match)
     )
+
+
+def streaming_peak_concurrency(
+    stream_df: DataFrame,
+    group_col: str = "event_type",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Live peak concurrency: the streaming form of
+    ``operators.eventops.peak_concurrency`` — per group, the running
+    peak of simultaneously-open intervals and the earliest instant it
+    was reached, re-emitted every micro-batch that touches the group.
+
+    Each interval explodes STATELESSLY to (+1 at start, -1 at end)
+    boundary rows; per-group state is ONE tuple (open_now, peak,
+    first_peak_ts).  Within a micro-batch boundaries sort by (t, d)
+    with ends before coincident starts — the batch operator's exact
+    tie rule — so a time-ordered replay emits, as the LAST row per
+    group, the batch result bit-for-bit (parity test); cross-batch
+    out-of-order arrival degrades to arrival order (the standing
+    streaming contract).  State is O(1) per group key.
+    """
+    base = stream_df.select(
+        F.col(group_col).alias("g"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    ).filter(F.col("e") > F.col("s"))
+    deltas = base.select(
+        "g", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(base.select("g", F.col("e").alias("t"), F.lit(-1).alias("d")))
+
+    def update(key, pdfs, state: GroupState):
+        open_now, peak, first_t = (
+            state.get if state.exists else (0, 0, None)
+        )
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True).sort_values(
+                ["t", "d"]
+            )
+            for t, d in zip(batch["t"], batch["d"]):
+                open_now += int(d)
+                if open_now > peak:
+                    peak, first_t = open_now, int(t)
+        state.update((open_now, peak, first_t))
+        if peak > 0:
+            yield pd.DataFrame(
+                {
+                    "g": [key[0]],
+                    "peak_concurrent": [peak],
+                    "first_peak_ts": [first_t],
+                }
+            )
+
+    return deltas.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType="g string, peak_concurrent long, first_peak_ts long",
+        stateStructType="open_now long, peak long, first_t long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -260,6 +260,19 @@ R9_QUERIES = [
 # 100x the way the phash cluster cap does.
 R9W_QUERIES = ["q_winnow_pairs"]
 
+# Round-9 session additions: the heaviest NEW shapes — the neighbor-
+# wedge self-join (sum(deg^2) growth, hub-capped), the simultaneous
+# multi-probe BFS (state = probes x reached nodes), three-pass
+# distributed global-rank RFM tiling over the user table, the
+# bidirectional as-of union sweep, and the interval-union keyed window.
+R9B_QUERIES = [
+    "q_clustering_coeff",
+    "q_eccentricity_probes",
+    "q_rfm_scores",
+    "q_nearest_event_join",
+    "q_interval_union",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -300,6 +313,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r9w":
         qset = "r9w"
         QUERIES = R9W_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r9b":
+        qset = "r9b"
+        QUERIES = R9B_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
@@ -327,7 +343,7 @@ def main() -> None:
         t0 = time.time()
         generate_lineitem(spark, out_dir)
         print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
-    if qset in ("r7b", "r7c", "r8", "r8b", "r9"):
+    if qset in ("r7b", "r7c", "r8", "r8b", "r9", "r9b"):
         t0 = time.time()
         if not os.path.exists(f"{out_dir}/lineitem.parquet"):
             generate_lineitem(spark, out_dir)

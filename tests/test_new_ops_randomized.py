@@ -2299,3 +2299,105 @@ def test_quantize_embeddings_matches_numpy(spark, seed):
             codes = [0] * len(v)
         assert got[vid] == (codes, len(v), math.floor(m * 1000))
         assert all(-128 <= c <= 127 for c in codes)
+
+
+@pytest.mark.parametrize("seed", [233, 239])
+def test_script_mix_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.quality import script_mix
+
+    rng = random.Random(seed)
+    pools = {
+        "latin": "abcXYZ",
+        "cjk": "中文字符",
+        "cyr": "Абвг",
+        "digit": "0159",
+        "other": " .!-",
+    }
+    docs = []
+    for i in range(200):
+        mix = rng.choices(list(pools), weights=[5, 2, 2, 1, 2], k=rng.randrange(1, 40))
+        docs.append((i, "".join(rng.choice(pools[m]) for m in mix)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_chars, r.n_latin, r.n_cjk, r.n_cyr, r.n_digit,
+            r.dominant_script, r.mixed,
+        )
+        for r in script_mix(df).collect()
+    }
+    for i, text in docs:
+        nl = sum(1 for c in text if c in pools["latin"])
+        nj = sum(1 for c in text if c in pools["cjk"])
+        ny = sum(1 for c in text if c in pools["cyr"])
+        nd = sum(1 for c in text if c in pools["digit"])
+        letters = nl + nj + ny
+        if letters:
+            dom = (
+                "latin" if nl >= nj and nl >= ny
+                else "cjk" if nj >= ny else "cyrillic"
+            )
+            mixed = (letters - max(nl, nj, ny)) * 1_000_000 >= letters * 50_000
+        else:
+            dom, mixed = None, False
+        assert got[i] == (len(text), nl, nj, ny, nd, dom, mixed), (i, text)
+
+
+@pytest.mark.parametrize("seed", [241, 251])
+def test_compression_ratio_matches_zlib(spark, seed):
+    import zlib
+
+    from cosmos_xenna_spark.operators.quality import compression_ratio
+
+    rng = random.Random(seed)
+    docs = []
+    for i in range(120):
+        if i % 3 == 0:  # repetitive (high ratio)
+            text = "spam template " * rng.randrange(5, 60)
+        else:
+            text = "".join(rng.choice("abcdefgh 123.") for _ in range(rng.randrange(20, 400)))
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_raw, r.n_compressed, r.ratio_ppm)
+        for r in compression_ratio(df).collect()
+    }
+    for i, text in docs:
+        n_raw = len(text)
+        n_comp = len(zlib.compress(text.encode("utf-8"), 6))
+        assert got[i] == (n_raw, n_comp, 1_000_000 * n_raw // n_comp)
+    # the signal works: repetitive docs compress far better
+    rep = [got[i][2] for i, _ in docs if i % 3 == 0]
+    rnd = [got[i][2] for i, _ in docs if i % 3 != 0]
+    assert min(rep) > max(rnd) - 500_000  # loose sanity, not a tight bound
+
+
+@pytest.mark.parametrize("seed", [257, 263])
+def test_vocab_jaccard_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.text import vocab_jaccard
+
+    rng = random.Random(seed)
+    shared = [f"w{j}" for j in range(30)]
+    docs = []
+    for i in range(200):
+        g = f"g{rng.randrange(4)}"
+        words = [rng.choice(shared) for _ in range(8)] + [
+            f"{g}_own{rng.randrange(40)}" for _ in range(4)
+        ]
+        docs.append((g, " ".join(words)))
+    df = spark.createDataFrame(docs, "lang string, text string")
+    got = {
+        (r.group_a, r.group_b): (r.n_inter, r.n_union, r.jaccard_ppm)
+        for r in vocab_jaccard(df, group_col="lang", min_union=1).collect()
+    }
+    vocab: dict = {}
+    for g, text in docs:
+        vocab.setdefault(g, set()).update(w for w in text.split(" ") if w)
+    gs = sorted(vocab)
+    want = {}
+    for x in gs:
+        for y in gs:
+            if x < y:
+                inter = len(vocab[x] & vocab[y])
+                union = len(vocab[x] | vocab[y])
+                want[(x, y)] = (inter, union, 1_000_000 * inter // union)
+    assert got == want and len(got) == 6

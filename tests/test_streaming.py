@@ -1112,3 +1112,42 @@ def test_streaming_er_probe_matches_batch_scores(spark, sf_dir, events_dir, tmp_
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_peak_concurrency_matches_batch(spark, sf_dir, events_dir):
+    """O(1)-state live peak parity: the (open_now, peak, first_ts)
+    accumulator over exploded +1/-1 boundaries emits, as the LAST row
+    per group of a time-ordered replay, exactly the batch boundary-
+    sweep operator's (peak, first instant)."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.eventops import peak_concurrency
+    from cosmos_xenna_spark.streaming import streaming_peak_concurrency
+
+    def intervals(df):
+        s = F.expr("unix_micros(ts) div 1000000")
+        return df.select(
+            "event_type",
+            s.alias("s"),
+            (s + 60 + F.pmod(F.floor("value").cast("bigint"), F.lit(540))).alias("e"),
+        )
+
+    stream = intervals(events_file_stream(spark, events_dir))
+    q = to_memory_sink(
+        streaming_peak_concurrency(stream, group_col="event_type"),
+        "t_peak",
+        "update",
+    )
+    _drain(q)
+    rows = spark.sql(
+        "SELECT g, peak_concurrent, first_peak_ts FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY g ORDER BY peak_concurrent DESC) AS rn"
+        "  FROM t_peak) WHERE rn = 1"
+    ).collect()
+    got = sorted((r.g, r.peak_concurrent, r.first_peak_ts) for r in rows)
+    ev = intervals(load_table(spark, sf_dir, "events"))
+    want = sorted(
+        (r.event_type, r.peak_concurrent, r.first_peak_ts)
+        for r in peak_concurrency(ev, ["event_type"], "s", "e").collect()
+    )
+    assert got == want and len(got) > 0
