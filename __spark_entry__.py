@@ -204,6 +204,9 @@ _R10_QUEUE: tuple[str, ...] = (
     "q_embedding_quantize",
     "q_script_mix",
     "q_vocab_jaccard",
+    "q_business_days",
+    "q_event_rle",
+    "q_pareto_cut",
 )
 
 DRIVER_PRIORITY: dict[str, str] = {

@@ -566,3 +566,89 @@ def template_mining_sql(
       FROM counts
     ) WHERE rn <= {top_k}
     """
+
+
+def pareto_cut(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    id_col: str,
+    target_ppm: int = 800_000,
+) -> DataFrame:
+    """Pareto concentration cut per group: the minimum number of items
+    (heaviest first) whose cumulative weight reaches ``target_ppm`` of
+    the group total — "how many domains carry 80% of the corpus", the
+    concentration summary that decides whether per-domain capping is
+    even worth running.
+
+    One keyed window (weight desc, id tiebreak) carries both the
+    cumulative sum and the rank; the cut row is the first rank where
+    ``1e6 * cum >= target * total``, found with one filtered min —
+    exact integer arithmetic throughout.  Emits ``(group, n_items,
+    n_to_target, cut_weight, total_weight)``.
+    """
+    from pyspark.sql import Window
+
+    g = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__w").desc(), F.col("__i").asc()
+    )
+    cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__w").desc(), F.col("__i").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *g,
+        F.col(weight_col).cast("bigint").alias("__w"),
+        F.col(id_col).alias("__i"),
+    ).select(
+        *g,
+        F.row_number().over(w).alias("__rn"),
+        F.sum("__w").over(cum).alias("__cum"),
+        F.sum("__w").over(tot).alias("__tot"),
+        F.count(F.lit(1)).over(tot).alias("__n"),
+        F.col("__w"),
+    )
+    hit = ranked.filter(
+        F.lit(1_000_000) * F.col("__cum") >= F.lit(target_ppm) * F.col("__tot")
+    )
+    return (
+        hit.groupBy(*group_cols)
+        .agg(
+            F.max("__n").cast("bigint").alias("n_items"),
+            F.min("__rn").cast("bigint").alias("n_to_target"),
+            F.max("__tot").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+def pareto_cut_sql(
+    table_sql: str,
+    group_cols: list[str],
+    weight_col: str,
+    id_col: str,
+    target_ppm: int = 800_000,
+) -> str:
+    g = ", ".join(group_cols)
+    return f"""
+    WITH ranked AS (
+      SELECT {g},
+             ROW_NUMBER() OVER (PARTITION BY {g}
+               ORDER BY {weight_col} DESC, {id_col} ASC) AS rn,
+             SUM(CAST({weight_col} AS BIGINT)) OVER (PARTITION BY {g}
+               ORDER BY {weight_col} DESC, {id_col} ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(CAST({weight_col} AS BIGINT)) OVER (PARTITION BY {g}) AS tot,
+             COUNT(*) OVER (PARTITION BY {g}) AS n
+      FROM ({table_sql})
+    )
+    SELECT {g},
+           CAST(MAX(n) AS BIGINT) AS n_items,
+           CAST(MIN(rn) AS BIGINT) AS n_to_target,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM ranked
+    WHERE 1000000 * cum >= {target_ppm} * tot
+    GROUP BY {g}
+    """

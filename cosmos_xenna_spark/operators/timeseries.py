@@ -757,3 +757,129 @@ def sax_motifs_sql(
     FROM motifs WHERE length(motif) = {motif_len}
     GROUP BY motif HAVING COUNT(*) >= {min_count}
     """
+
+
+def business_days_between(
+    start_col: str,
+    end_col: str,
+) -> "Column":  # noqa: F821 — column-level helper, composes into selects
+    """Business days (Mon-Fri) between two dates, exclusive of the
+    start day, inclusive of the end day — closed-form weekday
+    arithmetic (full weeks x 5 + a weekday-offset correction), no
+    calendar table, no explode, exact for any date pair and identical
+    in both engines (day-number arithmetic only).
+
+    Returns a Column (bigint; negative when end < start mirrors the
+    signed convention).  The closed form: with ``s``/``e`` as epoch
+    days and ``dow(x) = (x + 4) % 7`` (0=Mon..6=Sun, epoch day 0 was
+    a Thursday=3), business days = 5 * ((e_adj // 7) - (s_adj // 7))
+    + clamp(dow) endpoint corrections — implemented as the standard
+    "count Mondays..Fridays in (s, e]" difference of per-day prefix
+    functions so the correction cannot drift between engines.
+    """
+    def prefix(col):  # business days in [epoch, col] — prefix function
+        d = F.datediff(F.col(col).cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+        dow = F.pmod(d + 3, F.lit(7))  # 0=Mon .. 6=Sun (1970-01-01 = Thu)
+        full_weeks = F.expr(
+            f"(datediff(CAST({col} AS DATE), DATE '1970-01-01') + 3) div 7"
+        ).cast("bigint")
+        return full_weeks * 5 + F.least(dow + 1, F.lit(5)) - F.lit(3)
+
+    return (prefix(end_col) - prefix(start_col)).cast("bigint")
+
+
+def business_days_between_sql(start_col: str, end_col: str) -> str:
+    def prefix(col: str) -> str:
+        d = f"datediff('day', DATE '1970-01-01', CAST({col} AS DATE))"
+        return (
+            f"((({d} + 3) // 7) * 5"
+            f" + LEAST((({d} + 3) % 7) + 1, 5) - 3)"
+        )
+
+    return f"CAST({prefix(end_col)} - {prefix(start_col)} AS BIGINT)"
+
+
+def run_length_encode(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Run-length encoding of each keyed ordered sequence: one row per
+    maximal run of equal consecutive values — ``(key, run_idx,
+    value, run_len, start_order)`` — the sequence-compression /
+    pattern-of-life reduction (a user emitting [view x12, click x1,
+    view x30] is one browsing story in 3 rows, not 43).
+
+    Classic two-window form: a change flag (value != lag(value)),
+    its running sum = run id, then one aggregation per run.  Both
+    shuffles on the fine-grained entity key; null-safe change
+    comparison so NULL values form runs too.
+    """
+    from pyspark.sql import Window
+
+    g = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(order_col, tiebreak_col)
+    # row 1 always opens a run: a NULL lag is ambiguous (missing vs a
+    # genuine NULL predecessor), so the first row is flagged by rank
+    changed = F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(
+        (~F.col(value_col).eqNullSafe(F.lag(value_col).over(w))).cast("bigint")
+    )
+    runs = df.withColumn("__chg", changed).withColumn(
+        "__run",
+        F.sum("__chg").over(
+            Window.partitionBy(*key_cols)
+            .orderBy(order_col, tiebreak_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        runs.groupBy(*key_cols, "__run")
+        .agg(
+            F.first(value_col).alias("value"),
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+            F.min(order_col).alias("start_order"),
+        )
+        .select(
+            *g,
+            F.col("__run").cast("bigint").alias("run_idx"),
+            "value",
+            "run_len",
+            "start_order",
+        )
+    )
+
+
+def run_length_encode_sql(
+    table_sql: str,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> str:
+    g = ", ".join(key_cols)
+    return f"""
+    WITH flagged AS (
+      SELECT {g}, {order_col} AS o, {value_col} AS v,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY {g}
+                    ORDER BY {order_col}, {tiebreak_col}) = 1 THEN 1
+                  WHEN {value_col} IS DISTINCT FROM
+                  LAG({value_col}) OVER (PARTITION BY {g}
+                    ORDER BY {order_col}, {tiebreak_col})
+                  THEN 1 ELSE 0 END AS chg,
+             {tiebreak_col} AS tb
+      FROM ({table_sql})
+    ),
+    runs AS (
+      SELECT {g}, o, v,
+             SUM(chg) OVER (PARTITION BY {g} ORDER BY o, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM flagged
+    )
+    SELECT {g}, CAST(run AS BIGINT) AS run_idx,
+           MIN(v) AS value,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           MIN(o) AS start_order
+    FROM runs GROUP BY {g}, run
+    """

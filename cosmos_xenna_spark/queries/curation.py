@@ -192,3 +192,30 @@ def q_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_mining(
         docs, group_col="source", text_col="text", top_k=3, max_len=48
     )
+
+
+from cosmos_xenna_spark.operators.curation import (  # noqa: E402
+    pareto_cut,
+    pareto_cut_sql,
+)
+
+
+@register(
+    "q_pareto_cut",
+    oracle=pareto_cut_sql(
+        "SELECT lang, source, n_chars, doc_id FROM documents",
+        ["lang"],
+        "n_chars",
+        "doc_id",
+        target_ppm=800_000,
+    ),
+    description="Pareto concentration cut per language: minimum number of "
+    "documents (heaviest first) carrying 80% of total chars — the is-"
+    "capping-worth-it concentration summary; one keyed window carrying "
+    "rank + cumulative sum + totals, exact integer threshold",
+)
+def q_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "n_chars", "doc_id"
+    )
+    return pareto_cut(docs, ["lang"], "n_chars", "doc_id", target_ppm=800_000)

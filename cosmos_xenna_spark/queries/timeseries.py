@@ -288,3 +288,61 @@ def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         motif_len=3,
         min_count=2,
     )
+
+
+from cosmos_xenna_spark.operators.timeseries import (  # noqa: E402
+    business_days_between,
+    business_days_between_sql,
+    run_length_encode,
+    run_length_encode_sql,
+)
+
+
+@register(
+    "q_business_days",
+    oracle=f"""
+    SELECT o_orderkey,
+           {business_days_between_sql("o_orderdate", "l_shipdate")} AS biz_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_linenumber = 1
+    """,
+    description="business days (Mon-Fri) from order to first-line ship "
+    "date: closed-form weekday prefix arithmetic (full weeks x5 + clamped "
+    "weekday offset) — no calendar table, no explode, exact for any date "
+    "pair; one broadcast-joined scan",
+)
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber") == 1
+    ).select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            "o_orderkey",
+            business_days_between("o_orderdate", "l_shipdate").alias(
+                "biz_days"
+            ),
+        )
+    )
+
+
+@register(
+    "q_event_rle",
+    oracle=run_length_encode_sql(
+        "SELECT user_id, event_id, ts, event_type FROM events",
+        ["user_id"],
+        "ts",
+        "event_type",
+        "event_id",
+    ),
+    description="run-length encoding of each user's event-type sequence "
+    "(one row per maximal equal-value run, with run index / length / "
+    "start): the sequence-compression reduction — change-flag + running-"
+    "sum run ids, two keyed windows, null-safe value comparison",
+)
+def q_event_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return run_length_encode(ev, ["user_id"], "ts", "event_type", "event_id")

@@ -2401,3 +2401,95 @@ def test_vocab_jaccard_matches_python(spark, seed):
                 union = len(vocab[x] | vocab[y])
                 want[(x, y)] = (inter, union, 1_000_000 * inter // union)
     assert got == want and len(got) == 6
+
+
+@pytest.mark.parametrize("seed", [269, 271])
+def test_business_days_rle_pareto_match_python(spark, seed):
+    import datetime as dt
+
+    from cosmos_xenna_spark.operators.curation import pareto_cut
+    from cosmos_xenna_spark.operators.timeseries import (
+        business_days_between,
+        run_length_encode,
+    )
+
+    rng = random.Random(seed)
+    # business days: exhaustive-ish random date pairs vs day-walk
+    pairs = [
+        (
+            i,
+            dt.date(2023, 1, 1) + dt.timedelta(days=rng.randrange(0, 900)),
+            dt.date(2023, 1, 1) + dt.timedelta(days=rng.randrange(0, 900)),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pairs, "i long, s date, e date")
+    got = {
+        r.i: r.bd
+        for r in df.select(
+            "i", business_days_between("s", "e").alias("bd")
+        ).collect()
+    }
+    for i, s, e in pairs:
+        sign = 1 if e >= s else -1
+        lo, hi = (s, e) if e >= s else (e, s)
+        n = 0
+        d = lo + dt.timedelta(days=1)
+        while d <= hi:
+            if d.weekday() < 5:
+                n += 1
+            d += dt.timedelta(days=1)
+        assert got[i] == sign * n, (i, s, e, got[i], sign * n)
+
+    # RLE vs python
+    rows = []
+    eid = 0
+    for u in range(10):
+        for o in range(rng.randrange(3, 30)):
+            rows.append((u, eid, o, rng.choice(["a", "b", None])))
+            eid += 1
+    rdf = spark.createDataFrame(rows, "u long, eid long, o long, v string")
+    got_r = sorted(
+        (r.u, r.run_idx, r.value, r.run_len, r.start_order)
+        for r in run_length_encode(rdf, ["u"], "o", "v", "eid").collect()
+    )
+    want_r = []
+    by_u: dict = {}
+    for u, eid, o, v in rows:
+        by_u.setdefault(u, []).append((o, eid, v))
+    for u, seq in by_u.items():
+        seq.sort()
+        run_idx, prev, length, start = 0, object(), 0, None
+        for o, _, v in seq:
+            if v != prev or (run_idx == 0 and length == 0):
+                if length:
+                    want_r.append((u, run_idx, prev, length, start))
+                run_idx += 1
+                prev, length, start = v, 1, o
+            else:
+                length += 1
+        want_r.append((u, run_idx, prev, length, start))
+    assert got_r == sorted(want_r)
+
+    # pareto cut vs python
+    prows = [
+        (f"g{rng.randrange(4)}", rng.randrange(1, 500), i)
+        for i in range(400)
+    ]
+    pdf_ = spark.createDataFrame(prows, "g string, w long, i long")
+    got_p = {
+        r.g: (r.n_items, r.n_to_target, r.total_weight)
+        for r in pareto_cut(pdf_, ["g"], "w", "i", target_ppm=800_000).collect()
+    }
+    by_g: dict = {}
+    for g, w, i in prows:
+        by_g.setdefault(g, []).append((w, i))
+    for g, items in by_g.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        tot = sum(w for w, _ in items)
+        cum = 0
+        for rank, (w, _) in enumerate(items, 1):
+            cum += w
+            if 1_000_000 * cum >= 800_000 * tot:
+                assert got_p[g] == (len(items), rank, tot)
+                break
