@@ -207,6 +207,10 @@ _R10_QUEUE: tuple[str, ...] = (
     "q_business_days",
     "q_event_rle",
     "q_pareto_cut",
+    "q_hll_rollup",
+    "q_sessionize_capped",
+    "q_kfold_assign",
+    "q_shard_rebalance",
 )
 
 DRIVER_PRIORITY: dict[str, str] = {

@@ -1538,3 +1538,102 @@ def rfm_scores_sql(
                 + (1 + {n_tiles} * (rm - 1) // n) AS BIGINT) AS rfm_code
     FROM ranked
     """
+
+
+def sessionize_capped(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_secs: int = 1800,
+    max_secs: int = 14400,
+) -> DataFrame:
+    """Dual-condition sessionization (the Adobe/GA semantics): a new
+    session starts when EITHER the inactivity gap exceeds ``gap_secs``
+    OR the running session duration would exceed ``max_secs`` — the
+    second rule is what plain gap-cumsum sessionization
+    (``q_sessionization``) cannot express, because the split point
+    depends on the session start chosen by PREVIOUS splits: an
+    inherently sequential fold.
+
+    So this is a deliberate Python island: ``applyInPandas`` per
+    entity (the Stage-API pattern), walking each entity's
+    (ts, id)-ordered events once.  Emits ``(entity, event_id,
+    session_id, session_start_s)`` — all bigint, session ids 1-based
+    per entity in time order.  The DuckDB oracle replays the identical
+    walk as a per-entity recursive CTE, so the sequential semantics
+    have a hard cross-engine check.
+
+    Scale: per-entity series are bounded (events per user per horizon);
+    the one shuffle is the entity key, the walk is O(rows) in Arrow
+    batches.
+    """
+    import pandas as pd
+
+    base = events.select(
+        F.col(entity_col).cast("long").alias("entity"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div 1000000")
+        .cast("long")
+        .alias("ts_s"),
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_s", "event_id"])
+        sess, starts = [], []
+        sid, prev_ts, sess_start = 0, None, None
+        for t in pdf["ts_s"]:
+            t = int(t)
+            if (
+                prev_ts is None
+                or t - prev_ts > gap_secs
+                or t - sess_start > max_secs
+            ):
+                sid += 1
+                sess_start = t
+            sess.append(sid)
+            starts.append(sess_start)
+            prev_ts = t
+        pdf = pdf.assign(session_id=sess, session_start_s=starts)
+        return pdf[["entity", "event_id", "session_id", "session_start_s"]]
+
+    return base.groupBy("entity").applyInPandas(
+        walk,
+        schema="entity long, event_id long, session_id long, session_start_s long",
+    )
+
+
+def sessionize_capped_sql(
+    table_sql: str,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_secs: int = 1800,
+    max_secs: int = 14400,
+) -> str:
+    return f"""
+    WITH RECURSIVE base AS MATERIALIZED (
+      SELECT CAST({entity_col} AS BIGINT) AS entity,
+             CAST({id_col} AS BIGINT) AS event_id,
+             CAST(epoch_us({ts_col}) // 1000000 AS BIGINT) AS ts_s,
+             ROW_NUMBER() OVER (PARTITION BY {entity_col}
+               ORDER BY epoch_us({ts_col}), {id_col}) AS rn
+      FROM ({table_sql})
+    ),
+    walk(entity, event_id, ts_s, rn, session_id, session_start_s) AS (
+      SELECT entity, event_id, ts_s, rn, CAST(1 AS BIGINT), ts_s
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.entity, b.event_id, b.ts_s, b.rn,
+             CASE WHEN b.ts_s - w.ts_s > {gap_secs}
+                    OR b.ts_s - w.session_start_s > {max_secs}
+                  THEN w.session_id + 1 ELSE w.session_id END,
+             CASE WHEN b.ts_s - w.ts_s > {gap_secs}
+                    OR b.ts_s - w.session_start_s > {max_secs}
+                  THEN b.ts_s ELSE w.session_start_s END
+      FROM base b JOIN walk w ON b.entity = w.entity AND b.rn = w.rn + 1
+    )
+    SELECT entity, event_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(session_start_s AS BIGINT) AS session_start_s
+    FROM walk
+    """

@@ -305,3 +305,49 @@ def weighted_sample_fixed(
         .filter(F.col("__rn") <= k)
         .drop("__pri", "__rn")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    stratum_cols: list[str],
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Stratified k-fold assignment with EXACT balance: within each
+    stratum, items ranked by id get ``fold = (rank - 1) % k`` — every
+    stratum's folds differ in size by at most 1 (the guarantee
+    hash-based splitting (``deterministic_split``) can only give in
+    expectation).  Deterministic: rank is a total order on the id.
+
+    Emits the per-(stratum, fold) summary ``(stratum..., fold,
+    n_items)`` — the bounded audit artifact; join the same expression
+    back onto rows for the assignment itself.  One keyed window + one
+    fine-grained aggregation.
+    """
+    from pyspark.sql import Window
+
+    g = [F.col(c) for c in stratum_cols]
+    w = Window.partitionBy(*stratum_cols).orderBy(id_col)
+    return (
+        df.select(*g, F.col(id_col))
+        .withColumn("fold", (F.row_number().over(w) - 1) % k)
+        .groupBy(*stratum_cols, "fold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+        .select(*g, F.col("fold").cast("bigint").alias("fold"), "n_items")
+    )
+
+
+def kfold_assign_sql(
+    table_sql: str, stratum_cols: list[str], id_col: str, k: int = 5
+) -> str:
+    g = ", ".join(stratum_cols)
+    return f"""
+    SELECT {g}, CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (
+      SELECT {g},
+             (ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {id_col}) - 1) % {k}
+               AS fold
+      FROM ({table_sql})
+    ) GROUP BY {g}, fold
+    """

@@ -68,3 +68,110 @@ def shard_summary(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col(size_col).cast("bigint")).alias("total_size"),
     )
+
+
+def shard_rebalance_report(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """How many keys MOVE when the shard count grows n -> n+1, for two
+    assignment schemes side by side: modulo hashing (moves ~n/(n+1) of
+    all keys — the resharding catastrophe) and rendezvous/HRW hashing
+    (moves ~1/(n+1) — the minimal-disruption property that makes HRW
+    the right scheme for stateful shards).  The planning query to run
+    BEFORE a resharding, not after.
+
+    Exact ppm over the distinct key set.  HRW argmax is computed by
+    exploding the (n+1)-shard candidate list per key and taking one
+    window max — (n+1) rows per key, engine-portable (no struct-max
+    semantics relied on); mod assignment is row-local arithmetic.
+    """
+    from cosmos_xenna_spark.functions import md5_long63
+
+    keys = df.select(F.col(key_col).cast("string").alias("k")).distinct()
+    h = md5_long63(F.col("k"), prefix="shard:")
+    mod_moved = (
+        F.pmod(h, F.lit(n_shards)) != F.pmod(h, F.lit(n_shards + 1))
+    ).cast("bigint")
+    mod = keys.select(mod_moved.alias("moved")).agg(
+        F.lit("mod").alias("scheme"),
+        F.sum("moved").cast("bigint").alias("n_moved"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    # HRW: argmax_s md5(key || shard) over s in 0..n (the n+1 world);
+    # the n-world winner is the argmax restricted to s < n
+    cand = keys.select(
+        "k",
+        F.explode(
+            F.array(*[F.lit(s) for s in range(n_shards + 1)])
+        ).alias("s"),
+    ).withColumn(
+        "hs",
+        md5_long63(F.concat(F.col("k"), F.lit("#"), F.col("s").cast("string"))),
+    )
+    agg = cand.groupBy("k").agg(
+        F.max_by("s", "hs").alias("win_n1"),
+        F.max_by(
+            F.when(F.col("s") < n_shards, F.col("s")),
+            F.when(F.col("s") < n_shards, F.col("hs")),
+        ).alias("win_n"),
+    )
+    hrw = agg.select(
+        (F.col("win_n") != F.col("win_n1")).cast("bigint").alias("moved")
+    ).agg(
+        F.lit("hrw").alias("scheme"),
+        F.sum("moved").cast("bigint").alias("n_moved"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return (
+        mod.unionByName(hrw)
+        .select(
+            "scheme",
+            "n_moved",
+            "n_keys",
+            F.expr("1000000 * n_moved div n_keys").cast("bigint").alias("moved_ppm"),
+        )
+    )
+
+
+def shard_rebalance_report_sql(
+    table_sql: str, key_col: str, n_shards: int = 8
+) -> str:
+    from cosmos_xenna_spark.functions import md5_long63_sql
+
+    h = md5_long63_sql("k", prefix="shard:")
+    hs = md5_long63_sql("concat(k, '#', CAST(s AS VARCHAR))")
+    return f"""
+    WITH keys AS MATERIALIZED (
+      SELECT DISTINCT CAST({key_col} AS VARCHAR) AS k FROM ({table_sql})
+    ),
+    mod AS (
+      SELECT 'mod' AS scheme,
+             CAST(SUM(CASE WHEN h % {n_shards} <> h % {n_shards + 1}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM (SELECT {h} AS h FROM keys)
+    ),
+    cand AS (
+      SELECT k, s, {hs} AS hs
+      FROM keys, UNNEST(range({n_shards + 1})) AS t(s)
+    ),
+    winners AS (
+      SELECT k,
+             arg_max(s, hs) AS win_n1,
+             arg_max(CASE WHEN s < {n_shards} THEN s END,
+                     CASE WHEN s < {n_shards} THEN hs END) AS win_n
+      FROM cand GROUP BY k
+    ),
+    hrw AS (
+      SELECT 'hrw' AS scheme,
+             CAST(SUM(CASE WHEN win_n <> win_n1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM winners
+    )
+    SELECT scheme, n_moved, n_keys,
+           CAST(1000000 * n_moved // n_keys AS BIGINT) AS moved_ppm
+    FROM (SELECT * FROM mod UNION ALL SELECT * FROM hrw)
+    """

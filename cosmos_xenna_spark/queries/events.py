@@ -863,3 +863,27 @@ def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_scores(
         ev, "user_id", "ts", "value", "purchase", "event_type", n_tiles=5
     )
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    sessionize_capped,
+    sessionize_capped_sql,
+)
+
+
+@register(
+    "q_sessionize_capped",
+    oracle=sessionize_capped_sql(
+        "SELECT user_id, ts, event_id FROM events",
+        gap_secs=1800,
+        max_secs=14400,
+    ),
+    description="dual-condition sessionization (inactivity gap OR max "
+    "session duration — the GA semantics plain gap-cumsum cannot express "
+    "because splits depend on previous splits): per-entity sequential "
+    "walk as an applyInPandas island, checked against a per-entity "
+    "recursive-CTE oracle replaying the identical fold",
+)
+def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return sessionize_capped(ev, gap_secs=1800, max_secs=14400)

@@ -255,3 +255,24 @@ def q_sample_weighted_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
     )
     return weighted_sample_fixed(docs, ["lang"], "w", k=20, id_cols=["doc_id"])
+
+
+from cosmos_xenna_spark.operators.sampling import (  # noqa: E402
+    kfold_assign,
+    kfold_assign_sql,
+)
+
+
+@register(
+    "q_kfold_assign",
+    oracle=kfold_assign_sql(
+        "SELECT lang, doc_id FROM documents", ["lang"], "doc_id", k=5
+    ),
+    description="stratified k-fold assignment with EXACT balance (fold = "
+    "(rank-1) % k per stratum; fold sizes differ by at most 1 — the "
+    "guarantee hash splitting gives only in expectation); per-(stratum, "
+    "fold) audit summary, one keyed window",
+)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    return kfold_assign(docs, ["lang"], "doc_id", k=5)

@@ -35,3 +35,24 @@ _SHARD_CHARS = 4096
 def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return shard_summary(docs, "n_chars", ["doc_id"], _SHARD_CHARS)
+
+
+from cosmos_xenna_spark.operators.sharding import (  # noqa: E402
+    shard_rebalance_report,
+    shard_rebalance_report_sql,
+)
+
+
+@register(
+    "q_shard_rebalance",
+    oracle=shard_rebalance_report_sql(
+        "SELECT doc_id FROM documents", "doc_id", n_shards=8
+    ),
+    description="resharding impact report, n=8 -> 9: keys moved under "
+    "modulo hashing (~n/(n+1), the resharding catastrophe) vs rendezvous/"
+    "HRW hashing (~1/(n+1), minimal disruption) — exact ppm; HRW argmax "
+    "via exploded candidates + max_by/arg_max, engine-portable",
+)
+def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_rebalance_report(docs, "doc_id", n_shards=8)

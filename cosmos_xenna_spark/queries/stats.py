@@ -590,3 +590,26 @@ def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smoothed_rate(
         li, ["l_suppkey"], "ok", prior_ppm=500_000, prior_weight=100
     )
+
+
+from cosmos_xenna_spark.operators.hll import (  # noqa: E402
+    hll_rollup,
+    hll_rollup_sql,
+)
+
+
+@register(
+    "q_hll_rollup",
+    oracle=hll_rollup_sql(
+        "SELECT event_type, user_id FROM events", "event_type", "user_id"
+    ),
+    description="integer-exact HyperLogLog rollup: per-event-type distinct-"
+    "user registers (md5-hash buckets, rho = 53 - bit_length) merged by MAX "
+    "into the ALL row — the mergeable-sketch property demonstrated against "
+    "the exact distinct riding along; the dyadic-rational estimate "
+    "(2^-rho terms scaled 2^53) is bigint arithmetic end-to-end, so the "
+    "APPROXIMATE sketch has an EXACT cross-engine oracle",
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return hll_rollup(ev, "event_type", "user_id")

@@ -2493,3 +2493,112 @@ def test_business_days_rle_pareto_match_python(spark, seed):
             if 1_000_000 * cum >= 800_000 * tot:
                 assert got_p[g] == (len(items), rank, tot)
                 break
+
+
+@pytest.mark.parametrize("seed", [277, 281])
+def test_hll_rollup_accuracy_and_merge(spark, seed):
+    """HLL registers: (a) the estimate tracks the exact distinct within
+    the standard error envelope in BOTH regimes (linear-counting small
+    range, raw harmonic large range); (b) the ALL row's max-merged
+    registers equal sketching the union (its estimate is exactly what
+    a direct sketch of all rows yields)."""
+    from cosmos_xenna_spark.operators.hll import hll_rollup
+
+    rng = random.Random(seed)
+    rows = []
+    # small group: ~60 entities; large group: ~5000 entities
+    for _ in range(300):
+        rows.append(("small", rng.randrange(60)))
+    for _ in range(8000):
+        rows.append(("large", 1_000_000 + rng.randrange(5000)))
+    df = spark.createDataFrame(rows, "g string, e long")
+    got = {
+        r.scope: (r.est_distinct, r.method, r.exact_distinct)
+        for r in hll_rollup(df, "g", "e").collect()
+    }
+    for scope, (est, method, exact) in got.items():
+        rel = abs(est - exact) / exact
+        # m=256 -> raw standard error ~1.04/sqrt(256) = 6.5%; allow 4 sigma
+        assert rel < 0.26, (scope, est, exact, method, rel)
+    assert got["small"][1] == "lc"  # small range must take linear counting
+    # merge property: ALL computed directly == ALL via merged registers
+    direct = {
+        r.scope: r.est_distinct
+        for r in hll_rollup(
+            df.select(F.lit("ALL").alias("g"), "e"), "g", "e"
+        ).collect()
+    }
+    assert direct["ALL"] == got["ALL"][0]
+
+
+@pytest.mark.parametrize("seed", [283, 293])
+def test_sessionize_capped_matches_python(spark, seed):
+    import datetime as dt
+
+    from cosmos_xenna_spark.operators.eventops import sessionize_capped
+
+    rng = random.Random(seed)
+    gap, cap = 600, 3000
+    rows, eid = [], 0
+    for u in range(12):
+        t = 1_700_000_000 + rng.randrange(10_000)
+        for _ in range(rng.randrange(5, 60)):
+            t += rng.randrange(1, 1200)  # mixes intra-gap and gap-breaking
+            rows.append(
+                (u, eid, dt.datetime.utcfromtimestamp(t))
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {
+        r.event_id: (r.entity, r.session_id, r.session_start_s)
+        for r in sessionize_capped(
+            df, gap_secs=gap, max_secs=cap
+        ).collect()
+    }
+    by_u: dict = {}
+    for u, e, ts in rows:
+        by_u.setdefault(u, []).append((int(ts.replace(tzinfo=dt.timezone.utc).timestamp()), e))
+    for u, seq in by_u.items():
+        seq.sort()
+        sid, prev, start = 0, None, None
+        for t, e in seq:
+            if prev is None or t - prev > gap or t - start > cap:
+                sid += 1
+                start = t
+            assert got[e] == (u, sid, start), (u, e)
+            prev = t
+    # the cap binds: some session must have been split by duration alone
+    assert any(
+        got[e][1] != 1 for e in got
+    )
+
+
+@pytest.mark.parametrize("seed", [307, 311])
+def test_kfold_and_shard_rebalance(spark, seed):
+    from cosmos_xenna_spark.operators.sampling import kfold_assign
+    from cosmos_xenna_spark.operators.sharding import shard_rebalance_report
+
+    rng = random.Random(seed)
+    rows = [(f"s{rng.randrange(4)}", i) for i in range(rng.randrange(300, 400))]
+    df = spark.createDataFrame(rows, "g string, i long")
+    k = 5
+    got = {
+        (r.g, r.fold): r.n_items for r in kfold_assign(df, ["g"], "i", k=k).collect()
+    }
+    from collections import Counter
+
+    per_g = Counter(g for g, _ in rows)
+    for g, n in per_g.items():
+        sizes = [got.get((g, f), 0) for f in range(k)]
+        assert sum(sizes) == n
+        assert max(sizes) - min(sizes) <= 1, (g, sizes)  # exact balance
+
+    keys = spark.createDataFrame([(i,) for i in range(4000)], "i long")
+    rep = {
+        r.scheme: (r.n_moved, r.n_keys, r.moved_ppm)
+        for r in shard_rebalance_report(keys, "i", n_shards=8).collect()
+    }
+    # mod hashing moves ~8/9 of keys; HRW moves ~1/9 — with slack
+    assert rep["mod"][2] > 750_000, rep
+    assert rep["hrw"][2] < 200_000, rep
+    assert rep["hrw"][2] > 40_000, rep
