@@ -88,6 +88,43 @@ def _estimate(regs: DataFrame) -> DataFrame:
     )
 
 
+def register_frame(
+    df: DataFrame, group_col: str, entity_col: str
+) -> DataFrame:
+    """(scope, bucket, rho, __e) register contributions — the stateless
+    front half shared by the batch rollup and the streaming twin."""
+    h = md5_long63(F.col(entity_col).cast("string"), prefix="hll:")
+    return (
+        df.select(
+            F.col(group_col).cast("string").alias("scope"),
+            h.alias("__h"),
+            F.col(entity_col).alias("__e"),
+        )
+        .withColumn("bucket", F.pmod("__h", F.lit(M)))
+        .withColumn("__h2", F.expr(f"__h div {M}"))
+        .withColumn(
+            "rho",
+            F.when(F.col("__h2") == 0, F.lit(RHO_MAX)).otherwise(
+                F.lit(RHO_MAX) - F.length(F.bin("__h2"))
+            ),
+        )
+    )
+
+
+def estimate_from_registers(regs: list[int]) -> tuple[int, str, int]:
+    """Pure-Python mirror of the engine estimate: given the m register
+    values (0 = empty), return (est_distinct, method, n_zero) with the
+    EXACT integer arithmetic of the SQL forms — Python ints are
+    arbitrary precision, so this equals the decimal/HUGEINT result
+    bit-for-bit (used by the streaming twin's state emitter)."""
+    n_zero = sum(1 for r in regs if r == 0)
+    s = sum((1 << (RHO_MAX - r)) if r else (1 << RHO_MAX) for r in regs)
+    raw = ALPHA_E6 * M * M * (1 << RHO_MAX) // s // 1_000_000
+    if n_zero > 0 and raw <= 5 * M // 2:
+        return M * LC_TABLE_E6[n_zero - 1] // 1_000_000, "lc", n_zero
+    return raw, "raw", n_zero
+
+
 def hll_rollup(
     df: DataFrame,
     group_col: str,
@@ -102,20 +139,9 @@ def hll_rollup(
     along as the accuracy eval (drop it in production — it is the
     expensive column; the sketch is the cheap one).
     """
-    h = md5_long63(F.col(entity_col).cast("string"), prefix="hll:")
-    hashed = df.select(
-        F.col(group_col).cast("string").alias("scope"),
-        h.alias("__h"),
-        F.col(entity_col).alias("__e"),
-    ).withColumn("bucket", F.pmod("__h", F.lit(M))).withColumn(
-        "__h2", F.expr(f"__h div {M}")
-    ).withColumn(
-        "rho",
-        F.when(F.col("__h2") == 0, F.lit(RHO_MAX)).otherwise(
-            F.lit(RHO_MAX) - F.length(F.bin("__h2"))
-        ),
+    hashed = register_frame(df, group_col, entity_col).localCheckpoint(
+        eager=True
     )
-    hashed = hashed.localCheckpoint(eager=True)
     regs_g = hashed.groupBy("scope", "bucket").agg(F.max("rho").alias("r"))
     regs_all = regs_g.groupBy("bucket").agg(F.max("r").alias("r")).select(
         F.lit(all_label).alias("scope"), "bucket", "r"

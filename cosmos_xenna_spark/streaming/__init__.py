@@ -1325,3 +1325,68 @@ def streaming_peak_concurrency(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hll(
+    stream_df: DataFrame,
+    group_col: str = "event_type",
+    entity_col: str = "user_id",
+) -> DataFrame:
+    """Live distinct-count: the streaming form of
+    ``operators.hll.hll_rollup`` — per group, the integer-exact HLL
+    registers held as keyed state (one 256-entry register string,
+    ~1 KB per group key, CONSTANT in stream length — the state-size
+    contract exact-set distinct twins cannot give), estimate re-emitted
+    every micro-batch that touches the group.
+
+    The stateless front half (``operators.hll.register_frame``) and
+    the integer estimate (``operators.hll.estimate_from_registers``)
+    are the SAME code paths the batch operator and its DuckDB oracle
+    pin down, so the twin's final row per group equals the batch
+    row bit-for-bit on any replay — register max-merge is
+    order-insensitive, so unlike the accumulator twins this parity
+    holds under ARBITRARY cross-batch arrival order.
+    """
+    from cosmos_xenna_spark.operators.hll import (
+        M,
+        estimate_from_registers,
+        register_frame,
+    )
+
+    contrib = register_frame(stream_df, group_col, entity_col).select(
+        "scope", "bucket", "rho"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (joined,) = state.get if state.exists else (",".join("0" * 1),)
+        regs = (
+            [int(x) for x in joined.split(",")]
+            if state.exists
+            else [0] * M
+        )
+        for pdf in pdfs:
+            for b, r in zip(pdf["bucket"], pdf["rho"]):
+                b, r = int(b), int(r)
+                if r > regs[b]:
+                    regs[b] = r
+        state.update((",".join(str(r) for r in regs),))
+        est, method, n_zero = estimate_from_registers(regs)
+        yield pd.DataFrame(
+            {
+                "scope": [key[0]],
+                "est_distinct": [est],
+                "method": [method],
+                "n_zero_registers": [n_zero],
+            }
+        )
+
+    return contrib.groupBy("scope").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "scope string, est_distinct long, method string,"
+            " n_zero_registers long"
+        ),
+        stateStructType="regs string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

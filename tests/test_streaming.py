@@ -1151,3 +1151,35 @@ def test_streaming_peak_concurrency_matches_batch(spark, sf_dir, events_dir):
         for r in peak_concurrency(ev, ["event_type"], "s", "e").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_hll_matches_batch(spark, sf_dir, events_dir):
+    """Constant-state HLL twin: the per-group register string merges by
+    max across micro-batches, so the LAST row per group equals the
+    batch hll_rollup row under ANY arrival order (max is
+    order-insensitive — stronger than the accumulator twins'
+    ordered-replay contract)."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.hll import hll_rollup
+    from cosmos_xenna_spark.streaming import streaming_hll
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(streaming_hll(stream), "t_hll", "update")
+    _drain(q)
+    rows = spark.sql(
+        "SELECT scope, est_distinct, method, n_zero_registers FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY scope ORDER BY n_zero_registers ASC,"
+        "    est_distinct DESC) AS rn"
+        "  FROM t_hll) WHERE rn = 1"
+    ).collect()
+    got = sorted(
+        (r.scope, r.est_distinct, r.method, r.n_zero_registers) for r in rows
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    want = sorted(
+        (r.scope, r.est_distinct, r.method, r.n_zero_registers)
+        for r in hll_rollup(ev, "event_type", "user_id").collect()
+        if r.scope != "ALL"
+    )
+    assert got == want and len(got) > 0
