@@ -273,6 +273,16 @@ R9B_QUERIES = [
     "q_interval_union",
 ]
 
+# Round-9 late-session additions: the constant-state HLL rollup (the
+# register aggregation is the only corpus-sized shuffle), the
+# sequential applyInPandas sessionization island (per-entity walks),
+# and the HRW resharding report (explode factor n+1 per key).
+R9C_QUERIES = [
+    "q_hll_rollup",
+    "q_sessionize_capped",
+    "q_shard_rebalance",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -316,6 +326,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r9b":
         qset = "r9b"
         QUERIES = R9B_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r9c":
+        qset = "r9c"
+        QUERIES = R9C_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
@@ -343,7 +356,7 @@ def main() -> None:
         t0 = time.time()
         generate_lineitem(spark, out_dir)
         print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
-    if qset in ("r7b", "r7c", "r8", "r8b", "r9", "r9b"):
+    if qset in ("r7b", "r7c", "r8", "r8b", "r9", "r9b", "r9c"):
         t0 = time.time()
         if not os.path.exists(f"{out_dir}/lineitem.parquet"):
             generate_lineitem(spark, out_dir)
