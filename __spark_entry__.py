@@ -211,6 +211,7 @@ _R10_QUEUE: tuple[str, ...] = (
     "q_sessionize_capped",
     "q_kfold_assign",
     "q_shard_rebalance",
+    "q_countmin_eval",
 )
 
 DRIVER_PRIORITY: dict[str, str] = {

@@ -219,3 +219,24 @@ def q_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_chars", "doc_id"
     )
     return pareto_cut(docs, ["lang"], "n_chars", "doc_id", target_ppm=800_000)
+
+
+from cosmos_xenna_spark.operators.cms import (  # noqa: E402
+    cms_frequency_eval,
+    cms_frequency_eval_sql,
+)
+
+
+@register(
+    "q_countmin_eval",
+    oracle=cms_frequency_eval_sql("SELECT text FROM documents", top_k=20),
+    description="Count-Min sketch with an EXACT cross-engine contract "
+    "(md5-bucket integer cells, 4x256, mergeable): corpus word "
+    "frequencies sketched from the distinct-token table (ONE corpus "
+    "shuffle), evaluated on the exact top-20 — estimate >= exact by "
+    "construction, overestimate visible in the output; the approximate "
+    "algorithm's engines agree bit-for-bit",
+)
+def q_countmin_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return cms_frequency_eval(docs, top_k=20)

@@ -2602,3 +2602,45 @@ def test_kfold_and_shard_rebalance(spark, seed):
     assert rep["mod"][2] > 750_000, rep
     assert rep["hrw"][2] < 200_000, rep
     assert rep["hrw"][2] > 40_000, rep
+
+
+@pytest.mark.parametrize("seed", [313, 317])
+def test_countmin_matches_python_and_never_underestimates(spark, seed):
+    import hashlib
+
+    from cosmos_xenna_spark.operators.cms import (
+        DEPTH,
+        WIDTH,
+        cms_frequency_eval,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(400)]
+    docs = [
+        (" ".join(rng.choices(vocab, weights=range(1, 401), k=50)),)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    got = {
+        r.token: (r.exact_count, r.cms_estimate, r.overestimate)
+        for r in cms_frequency_eval(df, top_k=15).collect()
+    }
+    # python replay
+    from collections import Counter
+
+    counts = Counter(w for (t,) in docs for w in t.split(" ") if w)
+
+    def h63(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    cells = {}
+    for tok, c in counts.items():
+        for d in range(DEPTH):
+            key = (d, h63(f"{d}#{tok}") % WIDTH)
+            cells[key] = cells.get(key, 0) + c
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert len(got) == 15
+    for tok, c in top:
+        est = min(cells[(d, h63(f"{d}#{tok}") % WIDTH)] for d in range(DEPTH))
+        assert got[tok] == (c, est, est - c), tok
+        assert est >= c  # CMS never underestimates
