@@ -23,15 +23,26 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 
-def _alias_map_at(commit: str) -> dict[str, str]:
-    """surfaced-name -> original-name as of the given commit."""
-    try:
-        src = subprocess.run(
-            ["git", "show", f"{commit}:__spark_entry__.py"],
-            cwd=HERE, capture_output=True, text=True, check=True,
-        ).stdout
-    except subprocess.CalledProcessError:
-        return {}
+def _alias_map_at(commit: str | None) -> dict[str, str]:
+    """surfaced-name -> original-name as of the given commit.
+
+    ``commit=None`` reads the WORKING TREE entry file instead — used
+    for driver artifacts that exist on disk but are not yet committed
+    (the one-round ledger lag called out in VERDICT r8/r9: the driver
+    writes CORRECTNESS_rN.json after the snapshot commit, so ``git log
+    -- <artifact>`` is empty until the next round's first commit).
+    """
+    if commit is None:
+        with open(os.path.join(HERE, "__spark_entry__.py")) as f:
+            src = f.read()
+    else:
+        try:
+            src = subprocess.run(
+                ["git", "show", f"{commit}:__spark_entry__.py"],
+                cwd=HERE, capture_output=True, text=True, check=True,
+            ).stdout
+        except subprocess.CalledProcessError:
+            return {}
     # Execute only the alias-table portion: strip everything from the
     # first import of the package (the table is pure literals above it
     # in every revision).
@@ -81,13 +92,23 @@ def build() -> dict:
         f for f in os.listdir(HERE) if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
     )
     ledger: dict[str, dict] = {}
+    pending: list[str] = []
     for art in artifacts:
         rnd = int(re.search(r"r(\d+)", art).group(1))
         commit = subprocess.run(
             ["git", "log", "--format=%H", "-1", "--", art],
             cwd=HERE, capture_output=True, text=True, check=True,
         ).stdout.strip()
-        amap = _alias_map_at(commit) if commit else {}
+        if commit:
+            amap = _alias_map_at(commit)
+        else:
+            # Artifact present but not yet committed: the rotation in
+            # force when the driver ran is the CURRENT entry file (the
+            # driver runs against HEAD of the round it graded). Use the
+            # working tree and mark the ledger so the next commit is
+            # known to carry fresher rows than history shows.
+            amap = _alias_map_at(None)
+            pending.append(art)
         for surfaced in _green_rows(os.path.join(HERE, art)):
             original = amap.get(surfaced, surfaced)
             prev = ledger.get(original)
@@ -97,7 +118,7 @@ def build() -> dict:
     from cosmos_xenna_spark.queries import load_registry  # noqa: E402
 
     reg = load_registry()
-    return {
+    doc = {
         "queries": {
             name: ledger.get(
                 name,
@@ -110,6 +131,9 @@ def build() -> dict:
         "total": len(reg),
         "oracle_able": sum(1 for n in reg if reg[n].oracle is not None),
     }
+    if pending:
+        doc["pending_commit_artifacts"] = pending
+    return doc
 
 
 def main() -> None:
