@@ -127,6 +127,19 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       pack-sequences, pandas-UDF tokens, PII redact). Operators
 #       added DURING r9 queue for the r10 rotation (tracked in
 #       _R10_QUEUE below as they land).
+#   r10 (this window): ALL 27 operators added during r9 (_R10_QUEUE,
+#       verbatim) — after this round every oracle-able registry query
+#       that existed at the r9 snapshot (293/293) has a hard driver
+#       verdict. The spare 23 slots re-verify the oldest remaining
+#       cumulative rows on current code: the 16 remaining r4-era rows
+#       (predicates, quality signals, salted join, stratified sample,
+#       SCD2, simhash, stage pipeline, stream-static join, string
+#       funcs, correlated subquery, text stats, token count, top
+#       ngrams, train/val/test split, tumbling window, UDTF sentences)
+#       and the 7 alphabetically-first r5-era rows (bloom
+#       decontaminate, bloom semi join, chunk text, collocations,
+#       corr/covar, time-window dedup, domain cap). Operators added
+#       DURING r10 queue for the r11 rotation in _R11_QUEUE below.
 _R9_PROMOTIONS = (
     # never driver-verified (r8-session additions) — 16 promotions
     "q_scc",
@@ -214,8 +227,41 @@ _R10_QUEUE: tuple[str, ...] = (
     "q_countmin_eval",
 )
 
+# r10 window = all 27 r9-session additions (_R10_QUEUE) + 23
+# re-verification slots for the oldest cumulative rows (see ledger).
+_R10_PROMOTIONS = _R10_QUEUE + (
+    # re-verification — the 16 remaining r4-era rows
+    "q_predicates",
+    "q_quality_signals",
+    "q_salted_join",
+    "q_sample_stratified",
+    "q_scd2_history",
+    "q_simhash",
+    "q_stage_pipeline",
+    "q_stream_static_join",
+    "q_string_funcs",
+    "q_subquery_correlated",
+    "q_text_stats",
+    "q_token_count",
+    "q_top_ngrams",
+    "q_train_val_test_split",
+    "q_tumbling_window",
+    "q_udtf_sentences",
+    # re-verification — the 7 alphabetically-first r5-era rows
+    "q_bloom_decontaminate",
+    "q_bloom_semi_join",
+    "q_chunk_text",
+    "q_collocations",
+    "q_corr_covar",
+    "q_dedup_time_window",
+    "q_domain_cap",
+)
+
+# Operators added during the r10 session queue here for the r11 window.
+_R11_QUEUE: tuple[str, ...] = ()
+
 DRIVER_PRIORITY: dict[str, str] = {
-    name: f"q0_{name[2:]}" for name in _R9_PROMOTIONS
+    name: f"q0_{name[2:]}" for name in _R10_PROMOTIONS
 }
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
