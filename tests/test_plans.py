@@ -228,6 +228,12 @@ _BNLJ_ALLOWED = {
     # single-row broadcast entity total attached per tile pass (the
     # heavy-hitters pattern, three times)
     "q_rfm_scores",
+    # group-pair spine: `a.g < b.g` self-join over the checkpointed
+    # G-row signature table (one row per group BY CONSTRUCTION — the
+    # upstream groupBy(g) guarantees it); broadcast side is G rows of
+    # fixed 8*n_hashes-byte signatures, probe is the same G rows.
+    # Replaced the O(G^2) driver-built pair literal (VERDICT r9 #5).
+    "q_audience_overlap_sketch",
 }
 
 
