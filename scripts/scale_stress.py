@@ -283,6 +283,15 @@ R9C_QUERIES = [
     "q_shard_rebalance",
 ]
 
+# Round-10 100x closure (VERDICT r9 #2): the only two r9 shapes whose
+# 30x growth ratios (10.98x / 12.86x) exceeded the flag SHAPE without a
+# 100x point — cross-copy shared winnowing fingerprints (grows with
+# copies^2 by construction) and the max-plus frontier sweep.
+R10_QUERIES = [
+    "q_source_overlap",
+    "q_dag_layers",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -329,6 +338,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r9c":
         qset = "r9c"
         QUERIES = R9C_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r10":
+        qset = "r10"
+        QUERIES = R10_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
