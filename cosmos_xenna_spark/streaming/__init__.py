@@ -1390,3 +1390,163 @@ def streaming_hll(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_transition_matrix(
+    stream_df: DataFrame,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Live Markov transitions: the streaming form of
+    ``operators.eventops.transition_matrix`` — a CHANGELOG of
+    ``(src, dst, delta)`` transition-count increments emitted as each
+    entity's sequence extends (the serving-mode capability the
+    reference exposes through its queue source, specs.py:511-518).
+
+    Per-entity state is ONE row — the (epoch_us, id, type) of the
+    latest event seen — so state is O(entities), independent of stream
+    length.  Each micro-batch sorts its rows by (ts, id), prepends the
+    carried last event, pairs consecutive types, and emits per-(src,
+    dst) increments for this batch.  Spark forbids a second stateful
+    aggregation downstream of applyInPandasWithState in one query, so
+    the fold to the matrix (``SUM(delta) GROUP BY src, dst``; prob =
+    n / per-src total) belongs to the consumer — foreachBatch into a
+    keyed upsert, or the parity test's final fold, which matches the
+    batch operator's counts EXACTLY on any time-ordered replay
+    regardless of how batches split (the boundary pair comes from the
+    carried event).  Cross-batch out-of-order arrival degrades to
+    arrival-order pairing (the standing streaming-twin contract).
+    """
+    SEP = "\x1f"
+    prepared = stream_df.select(
+        F.col(entity_col).alias("entity"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.col(type_col).cast("string").alias("etype"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        last_us = last_id = None
+        last_type = None
+        if state.exists:
+            (packed,) = state.get
+            u, i, t = packed.split(SEP, 2)
+            last_us, last_id, last_type = int(u), int(i), t
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(u), int(i), str(t))
+                for u, i, t in zip(pdf["us"], pdf["eid"], pdf["etype"])
+            )
+        rows.sort()
+        deltas: dict[tuple[str, str], int] = {}
+        prev = last_type
+        for _, _, t in rows:
+            if prev is not None:
+                k = (prev, t)
+                deltas[k] = deltas.get(k, 0) + 1
+            prev = t
+        if rows:
+            last_us, last_id, last_type = rows[-1]
+            state.update((f"{last_us}{SEP}{last_id}{SEP}{last_type}",))
+        out = sorted(deltas.items())
+        yield pd.DataFrame(
+            {
+                "src": [k[0] for k, _ in out],
+                "dst": [k[1] for k, _ in out],
+                "delta": [d for _, d in out],
+            }
+        )
+
+    return prepared.groupBy("entity").applyInPandasWithState(
+        update,
+        outputStructType="src string, dst string, delta long",
+        stateStructType="last string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_gaps_islands(
+    stream_df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Live gaps-and-islands: the streaming form of
+    ``operators.eventops.gaps_islands`` — per entity, the CURRENT set
+    of maximal consecutive-active-day runs, re-emitted (with a
+    per-entity ``emit_seq``) whenever a batch touches the entity.
+
+    Per-entity state is the disjoint interval list itself (one
+    ``lo:hi`` pair per island) plus the sequence counter — bounded by
+    the entity's island count, never by event count, because same-day
+    events collapse into the existing interval.  Out-of-order days are
+    handled EXACTLY (a late day that bridges two islands merges them),
+    so unlike the accumulator twins this parity holds under ARBITRARY
+    cross-batch arrival order: after a full replay the max-``emit_seq``
+    snapshot per entity equals the batch operator bit-for-bit (parity
+    test).  Update-mode emission; the consumer keeps the latest
+    snapshot per entity.
+    """
+    SEP, KV = "\x1f", ":"
+    day = F.datediff(
+        F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    prepared = stream_df.select(
+        F.col(entity_col).alias("entity"), day.alias("day")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        intervals: list[list[int]] = []
+        seq = 0
+        if state.exists:
+            packed, seq = state.get
+            if packed:
+                intervals = [
+                    [int(a), int(b)]
+                    for a, b in (p.split(KV) for p in packed.split(SEP))
+                ]
+        days = set()
+        for pdf in pdfs:
+            days.update(int(d) for d in pdf["day"])
+        for d in sorted(days):
+            # insert day d, merging with any adjacent/overlapping runs
+            lo, hi = d, d
+            keep = []
+            for a, b in intervals:
+                if b < lo - 1 or a > hi + 1:
+                    keep.append([a, b])
+                else:
+                    lo, hi = min(lo, a), max(hi, b)
+            keep.append([lo, hi])
+            keep.sort()
+            intervals = keep
+        seq += 1
+        state.update(
+            (
+                SEP.join(f"{a}{KV}{b}" for a, b in intervals),
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "entity": [int(key[0])] * len(intervals),
+                "start_day": [a for a, _ in intervals],
+                "end_day": [b for _, b in intervals],
+                "n_days": [b - a + 1 for a, b in intervals],
+                "emit_seq": [seq] * len(intervals),
+            }
+        )
+
+    return prepared.groupBy("entity").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "entity long, start_day long, end_day long, n_days long,"
+            " emit_seq long"
+        ),
+        stateStructType="islands string, seq long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

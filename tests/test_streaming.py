@@ -4,6 +4,7 @@ serving-sink and keyed-state parity."""
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import sys
@@ -1183,3 +1184,142 @@ def test_streaming_hll_matches_batch(spark, sf_dir, events_dir):
         if r.scope != "ALL"
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_transition_matrix_matches_batch(spark, sf_dir, events_dir):
+    """Changelog parity: folding the emitted (src, dst, delta) stream
+    equals the batch Markov operator's counts exactly on a time-ordered
+    replay; prob re-derives as exact integer ratio from the fold."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.eventops import transition_matrix
+    from cosmos_xenna_spark.streaming import streaming_transition_matrix
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(
+        streaming_transition_matrix(stream), "t_trans", "append"
+    )
+    _drain(q)
+    got = {
+        (r.src, r.dst): r.n
+        for r in spark.sql(
+            "SELECT src, dst, CAST(SUM(delta) AS BIGINT) AS n"
+            " FROM t_trans GROUP BY src, dst"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    want = {
+        (r.src, r.dst): r.n
+        for r in transition_matrix(
+            ev, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_transition_matrix_batch_boundary_pairing(spark, tmp_path):
+    """The carried last-event state pairs ACROSS micro-batches: two
+    files split one user's sequence mid-stream and the boundary
+    transition still appears exactly once."""
+    from cosmos_xenna_spark.streaming import streaming_transition_matrix
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+
+    def drop(rows, name):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts_s string"
+        ).selectExpr(
+            "event_id", "user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    drop([(1, 7, "a", "2024-01-01 10:00:00"), (2, 7, "b", "2024-01-01 10:01:00")], "f1")
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, ts timestamp"
+    ).parquet(src)
+    q = to_memory_sink(
+        streaming_transition_matrix(stream), "t_trans_split", "append"
+    )
+    try:
+        q.processAllAvailable()
+        drop([(3, 7, "c", "2024-01-01 10:02:00")], "f2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = {
+        (r.src, r.dst): r.n
+        for r in spark.sql(
+            "SELECT src, dst, CAST(SUM(delta) AS BIGINT) AS n"
+            " FROM t_trans_split GROUP BY src, dst"
+        ).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_streaming_gaps_islands_matches_batch(spark, sf_dir, events_dir):
+    """Interval-merge parity: the max-emit_seq snapshot per entity
+    equals the batch rank-difference operator bit-for-bit (day
+    ordinals vs dates mapped through days-since-epoch)."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.operators.eventops import gaps_islands
+    from cosmos_xenna_spark.streaming import streaming_gaps_islands
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(streaming_gaps_islands(stream), "t_gaps", "update")
+    _drain(q)
+    got = sorted(
+        (r.entity, r.start_day, r.end_day, r.n_days)
+        for r in spark.sql(
+            "SELECT entity, start_day, end_day, n_days FROM ("
+            "  SELECT *, MAX(emit_seq) OVER (PARTITION BY entity) AS mx"
+            "  FROM t_gaps) WHERE emit_seq = mx"
+        ).collect()
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    epoch = datetime.date(1970, 1, 1)
+    want = sorted(
+        (
+            r.entity,
+            (r.start_day - epoch).days,
+            (r.end_day - epoch).days,
+            r.n_days,
+        )
+        for r in gaps_islands(ev, "user_id", "ts").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_gaps_islands_merges_bridging_day(spark, tmp_path):
+    """A late-arriving day that BRIDGES two existing islands merges
+    them into one — the exact out-of-order case accumulator twins
+    can't handle, handled here because state is the interval set."""
+    from cosmos_xenna_spark.streaming import streaming_gaps_islands
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "user_id long, ts_s string").selectExpr(
+            "user_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    drop([(7, "2024-01-01 10:00:00"), (7, "2024-01-03 10:00:00")])
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = to_memory_sink(streaming_gaps_islands(stream), "t_gaps_br", "update")
+    try:
+        q.processAllAvailable()
+        two = spark.sql(
+            "SELECT COUNT(*) AS n FROM t_gaps_br WHERE emit_seq = 1"
+        ).collect()[0].n
+        drop([(7, "2024-01-02 10:00:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert two == 2
+    final = spark.sql(
+        "SELECT start_day, end_day, n_days FROM t_gaps_br WHERE emit_seq = 2"
+    ).collect()
+    assert len(final) == 1 and final[0].n_days == 3
