@@ -258,7 +258,11 @@ _R10_PROMOTIONS = _R10_QUEUE + (
 )
 
 # Operators added during the r10 session queue here for the r11 window.
-_R11_QUEUE: tuple[str, ...] = ()
+_R11_QUEUE: tuple[str, ...] = (
+    "q_dsir_weights",
+    "q_kneser_ney_bigram",
+    "q_quality_linear_score",
+)
 
 DRIVER_PRIORITY: dict[str, str] = {
     name: f"q0_{name[2:]}" for name in _R10_PROMOTIONS

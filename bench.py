@@ -132,6 +132,12 @@ HEADLINE = [
     "q_eccentricity_probes",
     "q_rfm_scores",
     "q_nearest_event_join",
+    # r10 additions: the two double-explode corpus scans (DSIR model
+    # estimation + scoring, Kneser-Ney count table + windows) and the
+    # broadcast-model linear-classifier inference pass
+    "q_dsir_weights",
+    "q_kneser_ney_bigram",
+    "q_quality_linear_score",
 ]
 
 

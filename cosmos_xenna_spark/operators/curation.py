@@ -652,3 +652,158 @@ def pareto_cut_sql(
     WHERE 1000000 * cum >= {target_ppm} * tot
     GROUP BY {g}
     """
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much its hashed-bigram
+    distribution looks like a TARGET slice of the corpus versus the
+    corpus at large, then keep/resample the top of the ranking to
+    shift a 100 TB raw crawl toward the target domain without a
+    trained classifier.
+
+    Per the paper, features are word bigrams hashed into ``n_buckets``
+    buckets and the weight is a sum of per-feature log probability
+    ratios.  Floats-in-aggregates are forbidden repo-wide (cross-engine
+    log/sum drift), so the log is the INTEGER floor-log2 of the
+    add-one-smoothed ppm probability — ``length(bin(x)) - 1``, bit
+    identical in Spark and DuckDB — and the weight is an exact BIGINT
+    sum of (target_log2 - raw_log2) over the doc's bigram occurrences.
+    Quantization moves individual weights by < 1 bit but preserves the
+    ranking's shape; the selection gate thresholds on rank anyway.
+
+    Scale shape (two corpus passes, the DSIR minimum):
+      pass 1 — bigram explode -> bucket -> ONE aggregation producing
+        both raw and target counts per bucket (``count_if`` under the
+        same groupBy, so the target model costs no extra shuffle);
+        the result is exactly ``n_buckets`` rows -> per-bucket log-
+        ratio weights, broadcast.
+      pass 2 — bigram explode -> bucket -> broadcast-join the weight
+        table -> one partial-agg sum per doc.
+    Nothing corpus-sized is ever collected, checkpointed, or
+    broadcast; docs with < 2 tokens have no features and are absent.
+
+    Returns ``(id, n_features, dsir_weight)`` — all BIGINT.
+    """
+    from cosmos_xenna_spark.functions import md5_long63
+
+    def buckets(df: DataFrame) -> DataFrame:
+        ws = df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("__ws"),
+            target_pred.cast("int").alias("is_tgt"),
+        )
+        idx = F.when(
+            F.size("__ws") >= 2, F.sequence(F.lit(1), F.size("__ws") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        bg = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("__ws"), i), F.element_at(F.col("__ws"), i + 1)
+            ),
+        )
+        return ws.select(
+            "id", "is_tgt", F.explode(bg).alias("bg")
+        ).withColumn("bucket", F.pmod(md5_long63(F.col("bg")), F.lit(n_buckets)))
+
+    counts = (
+        buckets(docs)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("raw_n"),
+            F.sum("is_tgt").alias("tgt_n"),
+        )
+    )
+    # totals attach as a SINGLE-ROW broadcast (the heavy-hitters /
+    # modularity ledger pattern — allowlisted BNLJ: the broadcast side
+    # is one row of two BIGINTs, a constant-width probe per bucket row)
+    totals = counts.groupBy().agg(
+        F.sum("raw_n").alias("raw_tot"), F.sum("tgt_n").alias("tgt_tot")
+    )
+    # integer division via expr DIV (Spark's `/` on ints yields double)
+    # to mirror DuckDB's // exactly
+    flog2 = lambda c: F.length(F.bin(c)) - F.lit(1)  # noqa: E731
+    weights = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                flog2(
+                    F.expr(f"(tgt_n + 1) * 1000000 DIV (tgt_tot + {n_buckets}) + 1")
+                )
+                - flog2(
+                    F.expr(f"(raw_n + 1) * 1000000 DIV (raw_tot + {n_buckets}) + 1")
+                )
+            ).cast("bigint").alias("w"),
+        )
+    )
+    return (
+        buckets(docs)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("w").alias("dsir_weight"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_features").cast("bigint").alias("n_features"),
+            F.col("dsir_weight").cast("bigint").alias("dsir_weight"),
+        )
+    )
+
+
+def dsir_weights_sql(
+    docs_sql: str,
+    target_pred_sql: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+) -> str:
+    """DuckDB mirror — identical hash, bucketing, smoothing, floor-log2
+    (``length(bin(x)) - 1``) and integer div order."""
+    from cosmos_xenna_spark.functions import md5_long63_sql
+
+    h = md5_long63_sql("bg")
+    return f"""
+    WITH bg AS (
+      SELECT id, is_tgt, {h} % {n_buckets} AS bucket
+      FROM (
+        SELECT {id_col} AS id,
+               CASE WHEN {target_pred_sql} THEN 1 ELSE 0 END AS is_tgt,
+               a[i] || ' ' || a[i + 1] AS bg
+        FROM (SELECT *, string_split({text_col}, ' ') AS a FROM ({docs_sql})),
+             UNNEST(range(1, len(a))) AS t(i)
+      )
+    ),
+    counts AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS raw_n,
+             CAST(SUM(is_tgt) AS BIGINT) AS tgt_n
+      FROM bg GROUP BY bucket
+    ),
+    totals AS (
+      SELECT CAST(SUM(raw_n) AS BIGINT) AS raw_tot,
+             CAST(SUM(tgt_n) AS BIGINT) AS tgt_tot
+      FROM counts
+    ),
+    weights AS (
+      SELECT bucket,
+             CAST(
+               (length(bin((tgt_n + 1) * 1000000 // (tgt_tot + {n_buckets}) + 1)) - 1)
+               - (length(bin((raw_n + 1) * 1000000 // (raw_tot + {n_buckets}) + 1)) - 1)
+             AS BIGINT) AS w
+      FROM counts, totals
+    )
+    SELECT b.id AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(SUM(w.w) AS BIGINT) AS dsir_weight
+    FROM bg b JOIN weights w USING (bucket)
+    GROUP BY b.id
+    """

@@ -907,3 +907,216 @@ def compression_ratio(
         .mapInPandas(fn, schema=out_schema)
         .withColumnRenamed("__id", id_col)
     )
+
+
+def kneser_ney_bigram(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (Kneser & Ney
+    1995; Chen & Goodman 1999 — the smoothing behind KenLM, whose
+    perplexity scores drive CCNet-style corpus filtering): for the
+    top-``k`` bigrams by count, the absolute-discounted conditional
+    probability
+
+        P_KN(w2|w1) = max(c(w1,w2) - D, 0) / c(w1)
+                      + (D * N1+(w1,.) / c(w1)) * N1+(.,w2) / N1+(.,.)
+
+    with the standard D = 0.75.  Exact integer form (repo-wide no-log,
+    no-float-sum rule): D = 3/4 exactly, so every term scales by 4 and
+    the ppm result is
+
+        p_kn_ppm = (4*c12 - 3) * 1e6 DIV (4*c1)
+                 + (3 * n1fw * ((n1bw * 1e6) DIV n1t)) DIV (4*c1)
+
+    — one nested-div order, mirrored verbatim in the DuckDB oracle, so
+    both engines agree bit-for-bit.  (``n1bw * 1e6 DIV n1t <= 1e6``
+    bounds the second numerator by ``3e6 * n1fw``; no overflow at any
+    realistic vocabulary.)
+
+    Scale shape: ONE corpus pass — bigram explode into a map-side-
+    combined (w1, w2) count (the only corpus-sized shuffle).  All the
+    KN statistics are derived from that vocabulary-bounded frame:
+    c1 / N1+(w1,.) ride a single window over w1, N1+(.,w2) one window
+    over w2, and the type total N1+(.,.) attaches as a SINGLE-ROW
+    broadcast (the allowlisted ledger pattern).  Top-k is
+    TakeOrdered — no global sort.
+
+    Returns ``(w1, w2, n, c1, p_kn_ppm)`` — all BIGINT but the words.
+    """
+    ws = docs.select(F.split(F.col(text_col), " ").alias("__ws"))
+    idx = F.when(
+        F.size("__ws") >= 2, F.sequence(F.lit(1), F.size("__ws") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = ws.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("__ws"), i).alias("w1"),
+                    F.element_at(F.col("__ws"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    w1win = Window.partitionBy("w1")
+    w2win = Window.partitionBy("w2")
+    stats = counts.select(
+        "w1",
+        "w2",
+        "n",
+        F.sum("n").over(w1win).alias("c1"),
+        F.count(F.lit(1)).over(w1win).alias("n1fw"),
+        F.count(F.lit(1)).over(w2win).alias("n1bw"),
+    )
+    n1t = counts.groupBy().agg(F.count(F.lit(1)).alias("n1t"))
+    return (
+        stats.crossJoin(F.broadcast(n1t))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.expr(
+                "(4 * n - 3) * 1000000 DIV (4 * c1)"
+                " + (3 * n1fw * ((n1bw * 1000000) DIV n1t)) DIV (4 * c1)"
+            ).cast("bigint").alias("p_kn_ppm"),
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def kneser_ney_bigram_sql(docs_sql: str, text_col: str, k: int = 50) -> str:
+    """DuckDB mirror — identical discount, window stats, and nested
+    integer-div order."""
+    return f"""
+    WITH pairs AS (
+      SELECT a[i] AS w1, a[i + 1] AS w2
+      FROM (SELECT string_split({text_col}, ' ') AS a FROM ({docs_sql})),
+           UNNEST(range(1, len(a))) AS t(i)
+    ),
+    counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY w1, w2
+    ),
+    stats AS (
+      SELECT w1, w2, n,
+             CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+             CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n1fw,
+             CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n1bw
+      FROM counts
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1t FROM counts)
+    SELECT w1, w2, n, c1,
+           CAST(
+             (4 * n - 3) * 1000000 // (4 * c1)
+             + (3 * n1fw * ((n1bw * 1000000) // n1t)) // (4 * c1)
+           AS BIGINT) AS p_kn_ppm
+    FROM stats, tot
+    ORDER BY n DESC, w1, w2
+    LIMIT {k}
+    """
+
+
+def quality_linear_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    threshold: int = 0,
+) -> DataFrame:
+    """Linear quality-classifier INFERENCE at corpus scale — the
+    fastText-style hashed-bag-of-words scoring pass every production
+    quality filter runs (GPT-3/LLaMA-style "looks like the reference
+    corpus" gates): score(doc) = sum over token occurrences of
+    w[hash(token) % B], length-normalized, thresholded to a keep flag.
+
+    The model here is a DETERMINISTIC stand-in (weight = md5-derived
+    integer in [-1000, 1000] per bucket) so the query is self-contained
+    and oracle-checkable; a real deployment overwrites the ``weights``
+    frame with its trained vector — the plan is identical because the
+    model enters as DATA (a B-row broadcast table), not as code.  That
+    is the point being tested: inference is one explode + one broadcast
+    hash join + one partial-agg sum — no UDF, no model file on
+    executors, whole-stage codegen end to end.
+
+    Returns ``(id, n_tokens, score_milli, quality_pass)`` — BIGINT;
+    ``score_milli`` is the exact integer ``1000 * raw DIV n_tokens``
+    (signed integer division truncates toward zero IDENTICALLY in
+    Spark DIV and DuckDB // — both engines' integer div is
+    truncating, so the mirror holds for negative sums too).
+    """
+    from cosmos_xenna_spark.functions import md5_long63
+
+    spark = docs.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            F.pmod(
+                md5_long63(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        ).cast("bigint").alias("w"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("bucket", F.pmod(md5_long63(F.col("tok")), F.lit(n_buckets)))
+    return (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("raw"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("1000 * raw DIV n_tokens").cast("bigint").alias("score_milli"),
+            F.expr(f"CAST(1000 * raw DIV n_tokens >= {threshold} AS BIGINT)").alias(
+                "quality_pass"
+            ),
+        )
+    )
+
+
+def quality_linear_score_sql(
+    docs_sql: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    threshold: int = 0,
+) -> str:
+    """DuckDB mirror — identical hash weights, bucketing, and integer
+    div (both engines truncate toward zero)."""
+    from cosmos_xenna_spark.functions import md5_long63_sql
+
+    wh = md5_long63_sql("CAST(b AS STRING)", prefix="w:")
+    th = md5_long63_sql("tok")
+    return f"""
+    WITH weights AS (
+      SELECT b AS bucket, CAST({wh} % 2001 - 1000 AS BIGINT) AS w
+      FROM (SELECT UNNEST(range(0, {n_buckets})) AS b)
+    ),
+    toks AS (
+      SELECT {id_col} AS id, {th} % {n_buckets} AS bucket
+      FROM (
+        SELECT {id_col}, UNNEST(string_split({text_col}, ' ')) AS tok
+        FROM ({docs_sql})
+      )
+    ),
+    agg AS (
+      SELECT t.id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.w) AS BIGINT) AS raw
+      FROM toks t JOIN weights w USING (bucket)
+      GROUP BY t.id
+    )
+    SELECT id AS {id_col}, n_tokens,
+           CAST(1000 * raw // n_tokens AS BIGINT) AS score_milli,
+           CAST(1000 * raw // n_tokens >= {threshold} AS BIGINT) AS quality_pass
+    FROM agg
+    """

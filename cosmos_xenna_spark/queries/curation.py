@@ -240,3 +240,37 @@ from cosmos_xenna_spark.operators.cms import (  # noqa: E402
 def q_countmin_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
     return cms_frequency_eval(docs, top_k=20)
+
+
+from cosmos_xenna_spark.operators.curation import (  # noqa: E402
+    dsir_weights,
+    dsir_weights_sql,
+)
+
+_DSIR_TARGET_SQL = "source IN ('src0', 'src1', 'src2', 'src3')"
+
+
+@register(
+    "q_dsir_weights",
+    oracle=dsir_weights_sql(
+        "SELECT doc_id, text, source FROM documents",
+        _DSIR_TARGET_SQL,
+        "doc_id",
+        "text",
+        1024,
+    ),
+    description="DSIR importance weights for data selection (hashed-"
+    "bigram target-vs-raw floor-log2 ratio, exact BIGINT sum): the "
+    "classifier-free 'make the crawl look like the target domain' "
+    "resampling score; two corpus passes, 1024-row broadcast model, "
+    "one partial-agg doc sum",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return dsir_weights(
+        docs,
+        F.col("source").isin("src0", "src1", "src2", "src3"),
+        "doc_id",
+        "text",
+        n_buckets=1024,
+    )

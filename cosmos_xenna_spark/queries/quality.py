@@ -415,3 +415,40 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return compression_ratio(docs)
+
+
+from cosmos_xenna_spark.operators.quality import (  # noqa: E402
+    kneser_ney_bigram,
+    kneser_ney_bigram_sql,
+    quality_linear_score,
+    quality_linear_score_sql,
+)
+
+
+@register(
+    "q_kneser_ney_bigram",
+    oracle=kneser_ney_bigram_sql("SELECT text FROM documents", "text", 50),
+    description="interpolated Kneser-Ney bigram LM (D=3/4 exact, ppm "
+    "integer arithmetic): the smoothing behind KenLM perplexity "
+    "filters, bit-exact cross-engine; one corpus shuffle into the "
+    "(w1,w2) count table, all KN statistics windowed over that "
+    "vocabulary-bounded frame, top-50 via TakeOrdered",
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return kneser_ney_bigram(docs, "text", k=50)
+
+
+@register(
+    "q_quality_linear_score",
+    oracle=quality_linear_score_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", 4096, 0
+    ),
+    description="fastText-style hashed-bag-of-words linear classifier "
+    "inference: per-doc length-normalized score + keep flag via one "
+    "explode, one 4096-row broadcast model join, one partial-agg sum "
+    "— model-as-data, no UDF, codegen end to end",
+)
+def q_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_linear_score(docs, "doc_id", "text", n_buckets=4096, threshold=0)

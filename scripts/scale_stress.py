@@ -292,6 +292,17 @@ R10_QUERIES = [
     "q_dag_layers",
 ]
 
+# Round-10 session additions: the three LLM data-selection shapes —
+# DSIR hashed-bigram importance weights (two corpus explodes + a
+# 1024-row broadcast model), the Kneser-Ney bigram LM (one corpus
+# shuffle, vocabulary-bounded windows), and hashed linear-classifier
+# inference (one explode + broadcast join + partial-agg sum).
+R10B_QUERIES = [
+    "q_dsir_weights",
+    "q_kneser_ney_bigram",
+    "q_quality_linear_score",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -341,6 +352,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r10":
         qset = "r10"
         QUERIES = R10_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r10b":
+        qset = "r10b"
+        QUERIES = R10B_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and

@@ -2644,3 +2644,130 @@ def test_countmin_matches_python_and_never_underestimates(spark, seed):
         est = min(cells[(d, h63(f"{d}#{tok}") % WIDTH)] for d in range(DEPTH))
         assert got[tok] == (c, est, est - c), tok
         assert est >= c  # CMS never underestimates
+
+
+def _md5_63(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.mark.parametrize("seed", [4, 19])
+def test_dsir_weights_matches_pure_python(spark, seed):
+    from cosmos_xenna_spark.operators.curation import dsir_weights
+
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(40)]
+    docs = [
+        (
+            i,
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 30))),
+            "tgt" if rng.random() < 0.3 else "raw",
+        )
+        for i in range(120)
+    ]
+    B = 64
+    df = spark.createDataFrame(docs, "doc_id long, text string, src string")
+    got = {
+        r.doc_id: (r.n_features, r.dsir_weight)
+        for r in dsir_weights(
+            df, F.col("src") == "tgt", "doc_id", "text", n_buckets=B
+        ).collect()
+    }
+    raw_n: dict = {}
+    tgt_n: dict = {}
+    feats = {}
+    for i, text, src in docs:
+        ws = text.split(" ")
+        bs = [_md5_63(f"{a} {b}") % B for a, b in zip(ws, ws[1:])]
+        feats[i] = bs
+        for b in bs:
+            raw_n[b] = raw_n.get(b, 0) + 1
+            if src == "tgt":
+                tgt_n[b] = tgt_n.get(b, 0) + 1
+    raw_tot = sum(raw_n.values())
+    tgt_tot = sum(tgt_n.values())
+    flog2 = lambda x: x.bit_length() - 1  # noqa: E731
+    w = {
+        b: flog2((tgt_n.get(b, 0) + 1) * 1_000_000 // (tgt_tot + B) + 1)
+        - flog2((raw_n[b] + 1) * 1_000_000 // (raw_tot + B) + 1)
+        for b in raw_n
+    }
+    want = {
+        i: (len(bs), sum(w[b] for b in bs)) for i, bs in feats.items() if bs
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [6, 23])
+def test_kneser_ney_bigram_matches_pure_python(spark, seed):
+    from cosmos_xenna_spark.operators.quality import kneser_ney_bigram
+
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(15)]
+    docs = [
+        (" ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 25))),)
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    got = [
+        (r.w1, r.w2, r.n, r.c1, r.p_kn_ppm)
+        for r in kneser_ney_bigram(df, "text", k=30).collect()
+    ]
+    c12: dict = {}
+    for (text,) in docs:
+        ws = text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict = {}
+    n1fw: dict = {}
+    n1bw: dict = {}
+    for (a, b), n in c12.items():
+        c1[a] = c1.get(a, 0) + n
+        n1fw[a] = n1fw.get(a, 0) + 1
+        n1bw[b] = n1bw.get(b, 0) + 1
+    n1t = len(c12)
+    rows = []
+    for (a, b), n in c12.items():
+        p = (4 * n - 3) * 1_000_000 // (4 * c1[a]) + (
+            3 * n1fw[a] * ((n1bw[b] * 1_000_000) // n1t)
+        ) // (4 * c1[a])
+        rows.append((a, b, n, c1[a], p))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    assert got == rows[:30]
+    # probability sanity: every row in (0, 1e6]; the KN mass for a
+    # fully-observed context stays a probability after quantization
+    assert all(0 < r[4] <= 1_000_000 for r in got)
+
+
+@pytest.mark.parametrize("seed", [8, 29])
+def test_quality_linear_score_matches_pure_python(spark, seed):
+    from cosmos_xenna_spark.operators.quality import quality_linear_score
+
+    rng = random.Random(seed)
+    vocab = [f"tok{j}" for j in range(60)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 40))))
+        for i in range(100)
+    ]
+    B = 128
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.score_milli, r.quality_pass)
+        for r in quality_linear_score(
+            df, "doc_id", "text", n_buckets=B, threshold=0
+        ).collect()
+    }
+    weights = {b: _md5_63(f"w:{b}") % 2001 - 1000 for b in range(B)}
+
+    def trunc_div(a, d):
+        q = abs(a) // d
+        return q if a >= 0 else -q
+
+    want = {}
+    for i, text in docs:
+        toks = text.split(" ")
+        raw = sum(weights[_md5_63(t) % B] for t in toks)
+        sm = trunc_div(1000 * raw, len(toks))
+        want[i] = (len(toks), sm, 1 if sm >= 0 else 0)
+    assert got == want

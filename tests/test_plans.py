@@ -234,6 +234,12 @@ _BNLJ_ALLOWED = {
     # fixed 8*n_hashes-byte signatures, probe is the same G rows.
     # Replaced the O(G^2) driver-built pair literal (VERDICT r9 #5).
     "q_audience_overlap_sketch",
+    # single-row broadcast (raw_tot, tgt_tot) ledger attached to the
+    # n_buckets-row DSIR model table (the heavy-hitters pattern)
+    "q_dsir_weights",
+    # single-row broadcast bigram-type total N1+(.,.) attached to the
+    # vocabulary-bounded KN stats frame
+    "q_kneser_ney_bigram",
 }
 
 
