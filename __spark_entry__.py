@@ -262,6 +262,10 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_dsir_weights",
     "q_kneser_ney_bigram",
     "q_quality_linear_score",
+    "q_source_temperature_mix",
+    "q_harmonic_centrality_probes",
+    "q_link_prediction_jaccard",
+    "q_doc_surprisal",
 )
 
 DRIVER_PRIORITY: dict[str, str] = {

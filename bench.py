@@ -138,6 +138,11 @@ HEADLINE = [
     "q_dsir_weights",
     "q_kneser_ney_bigram",
     "q_quality_linear_score",
+    # r10 batch 2: the second hub-capped wedge join over the dedup
+    # graph (Jaccard index + two endpoint-degree joins), and the
+    # reference-LM shuffle join + doc agg (the perplexity-filter shape)
+    "q_link_prediction_jaccard",
+    "q_doc_surprisal",
 ]
 
 

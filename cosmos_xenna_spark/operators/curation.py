@@ -713,6 +713,10 @@ def dsir_weights(
             "id", "is_tgt", F.explode(bg).alias("bg")
         ).withColumn("bucket", F.pmod(md5_long63(F.col("bg")), F.lit(n_buckets)))
 
+    # Checkpoint the n_buckets-row count table: totals and weights both
+    # derive from it, and without materialization the totals branch
+    # re-executes the ENTIRE corpus explode+aggregate (a third corpus
+    # scan for a 1024-row reduction — caught in PLANS.json review).
     counts = (
         buckets(docs)
         .groupBy("bucket")
@@ -720,6 +724,7 @@ def dsir_weights(
             F.count(F.lit(1)).alias("raw_n"),
             F.sum("is_tgt").alias("tgt_n"),
         )
+        .localCheckpoint(eager=True)
     )
     # totals attach as a SINGLE-ROW broadcast (the heavy-hitters /
     # modularity ledger pattern — allowlisted BNLJ: the broadcast side
@@ -806,4 +811,91 @@ def dsir_weights_sql(
            CAST(SUM(w.w) AS BIGINT) AS dsir_weight
     FROM bg b JOIN weights w USING (bucket)
     GROUP BY b.id
+    """
+
+
+def source_temperature_mix(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    budget: int = 10_000,
+) -> DataFrame:
+    """Temperature-based mixture weighting at alpha = 1/2 (the
+    multilingual-training sampling rule of Lample & Conneau 2019 /
+    mT5: sample source i with probability proportional to
+    ``n_i^alpha``, flattening the head so low-resource sources are
+    not drowned): per source, the exact integer sqrt weight, its ppm
+    share of the mixture, the doc quota for a ``budget``-doc epoch,
+    and the quota CAPPED at the source's actual size with the unmet
+    deficit surfaced (a source smaller than its flattened share
+    cannot be oversampled without repetition — the real planning
+    number a data-mixing stage needs).
+
+    alpha = 1/2 is the one temperature with an EXACT integer form:
+    ``w_i = isqrt(n_i)``, computed as floor(sqrt(double)) plus a
+    one-step correction (``(s+1)^2 <= n -> s+1``; ``s^2 > n -> s-1``)
+    — exact for every n < 2^52 in both engines, immune to the
+    1-ulp boundary cases a bare FLOOR(SQRT(n)) inherits from libm.
+
+    Scale shape: ONE aggregation keyed by source (map-side partials)
+    collapses the corpus to a source-count-sized frame; the mixture
+    total attaches as a single-row broadcast (allowlisted ledger
+    pattern).  Returns ``(source, n_docs, w, target_ppm, quota,
+    quota_capped, deficit)`` — all BIGINT.
+    """
+    counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.col(id_col)).alias("n_docs")
+    )
+    s = "CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)"
+    isqrt = (
+        f"CASE WHEN ({s} + 1) * ({s} + 1) <= n_docs THEN {s} + 1 "
+        f"WHEN {s} * {s} > n_docs THEN {s} - 1 ELSE {s} END"
+    )
+    weighted = counts.withColumn("w", F.expr(isqrt).cast("bigint"))
+    tot = weighted.groupBy().agg(F.sum("w").alias("w_tot"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "w",
+            F.expr("w * 1000000 DIV w_tot").cast("bigint").alias("target_ppm"),
+            F.expr(f"{budget} * w DIV w_tot").cast("bigint").alias("quota"),
+            F.expr(f"LEAST({budget} * w DIV w_tot, n_docs)")
+            .cast("bigint")
+            .alias("quota_capped"),
+            F.expr(f"GREATEST({budget} * w DIV w_tot - n_docs, 0)")
+            .cast("bigint")
+            .alias("deficit"),
+        )
+    )
+
+
+def source_temperature_mix_sql(
+    docs_sql: str,
+    group_col: str,
+    id_col: str,
+    budget: int = 10_000,
+) -> str:
+    """DuckDB mirror — identical corrected isqrt and div order."""
+    s = "CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)"
+    isqrt = (
+        f"CASE WHEN ({s} + 1) * ({s} + 1) <= n_docs THEN {s} + 1 "
+        f"WHEN {s} * {s} > n_docs THEN {s} - 1 ELSE {s} END"
+    )
+    return f"""
+    WITH counts AS (
+      SELECT {group_col} AS grp, CAST(COUNT({id_col}) AS BIGINT) AS n_docs
+      FROM ({docs_sql}) GROUP BY {group_col}
+    ),
+    weighted AS (
+      SELECT grp, n_docs, CAST({isqrt} AS BIGINT) AS w FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot FROM weighted)
+    SELECT grp AS {group_col}, n_docs, w,
+           CAST(w * 1000000 // w_tot AS BIGINT) AS target_ppm,
+           CAST({budget} * w // w_tot AS BIGINT) AS quota,
+           CAST(LEAST({budget} * w // w_tot, n_docs) AS BIGINT) AS quota_capped,
+           CAST(GREATEST({budget} * w // w_tot - n_docs, 0) AS BIGINT) AS deficit
+    FROM weighted, tot
     """

@@ -1660,3 +1660,208 @@ def eccentricity_probes_sql(edges_sql: str, seeds_sql: str, n_hops: int) -> str:
            CAST(MIN(hops) AS BIGINT) AS nearest_probe_hops
     FROM {prev} GROUP BY node"""
     )
+
+
+def harmonic_centrality_probes(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Probe-panel harmonic centrality (Boldi & Vigna 2014, "Axioms
+    for centrality" — the closeness variant that handles disconnected
+    graphs, estimated exactly the way HyperBall does it at web scale:
+    from a fixed seed panel rather than all-pairs): per reached node,
+    ``harmonic_milli = sum over probes of 1e6 div d(probe, node)``
+    over the probes that reached it within ``n_hops`` (self-distance 0
+    excluded).  Scaling by ``n_nodes / n_probes`` turns the panel sum
+    into the classic estimator; the output keeps the raw integer sum
+    so the result is bit-exact cross-engine (the repo-wide div rule).
+
+    Same simultaneous-BFS frontier as :func:`eccentricity_probes`
+    (state keyed by (probe, node), one shared edge checkpoint, min-hop
+    merge per sweep); only the final aggregation differs.  Bit-exact
+    vs the unrolled SQL oracle for fixed ``n_hops``.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(node_col).alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("node"), F.lit(0).cast("bigint").alias("hops"))
+    )
+    for _ in range(n_hops):
+        dist = dist.localCheckpoint(eager=True)
+        step = e.join(
+            dist.select("s", F.col("node").alias("b"), "hops"), "b"
+        ).select("s", F.col("a").alias("node"), (F.col("hops") + 1).alias("hops"))
+        dist = (
+            dist.union(step).groupBy("s", "node").agg(F.min("hops").alias("hops"))
+        )
+    return (
+        dist.filter(F.col("hops") >= 1)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes_reached"),
+            F.sum(F.expr("1000000 DIV hops")).cast("bigint").alias("harmonic_milli"),
+        )
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            "n_probes_reached",
+            "harmonic_milli",
+        )
+    )
+
+
+def harmonic_centrality_probes_sql(
+    edges_sql: str, seeds_sql: str, n_hops: int
+) -> str:
+    """DuckDB mirror — the eccentricity-probes unrolled closure with
+    the harmonic final aggregation."""
+    steps = [
+        f"raw AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) WHERE src <> dst)",
+        """e AS MATERIALIZED (
+          SELECT src AS a, dst AS b FROM raw
+          UNION
+          SELECT dst, src FROM raw
+        )""",
+        f"""d0 AS (
+          SELECT DISTINCT node AS s, node, CAST(0 AS BIGINT) AS hops
+          FROM ({seeds_sql})
+        )""",
+    ]
+    prev = "d0"
+    for i in range(1, n_hops + 1):
+        steps.append(
+            f"""d{i} AS (
+              SELECT s, node, MIN(hops) AS hops FROM (
+                SELECT s, node, hops FROM {prev}
+                UNION ALL
+                SELECT p.s, e.a AS node, p.hops + 1 AS hops
+                FROM e JOIN {prev} p ON e.b = p.node
+              ) GROUP BY s, node
+            )"""
+        )
+        prev = f"d{i}"
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_probes_reached,
+           CAST(SUM(1000000 // hops) AS BIGINT) AS harmonic_milli
+    FROM {prev} WHERE hops >= 1 GROUP BY node"""
+    )
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard (Liben-Nowell &
+    Kleinberg 2003's strongest simple index alongside RA): for every
+    non-adjacent pair (a, b) with at least one common neighbor,
+    ``jaccard_ppm = 1e6 * |N(a) ∩ N(b)| div (deg(a) + deg(b) -
+    |N(a) ∩ N(b)|)`` — exact integer, bit-identical cross-engine.
+
+    Shares :func:`resource_allocation_link_prediction`'s wedge
+    discipline: common neighbors come from ONE middle-node equi-join
+    with the same ``max_degree`` hub cap (sum(deg^2) is the wedge
+    count; capped middles are what survives at 100 TB), so under the
+    cap the intersection count — and therefore the score — is over
+    CAP-SURVIVING common neighbors only (lower bound; same contract
+    as RA's dropped-hub contributions).  Endpoint degrees are TRUE
+    degrees, attached by two equi-joins on the vocabulary-bounded
+    degree table.  Non-adjacency via anti-join on the canonicalized
+    edge set (the ADVICE-r8 orientation rule).
+    """
+    # canonicalize BEFORE the distinct (least/greatest, the ADVICE-r8
+    # orientation rule): an edge present as both (3,7) and (7,3) must
+    # collapse to ONE undirected edge, or sym double-counts it and
+    # every degree/common-neighbor stat drifts by the duplicate count
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg_all = sym.groupBy(F.col("a").alias("z")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    mid = deg_all
+    if max_degree is not None:
+        mid = deg_all.filter(F.col("deg") <= max_degree)
+    half = sym.select(F.col("a"), F.col("b").alias("z")).join(
+        mid.select("z"), "z"
+    )
+    common = (
+        half.alias("l")
+        .join(
+            sym.select(F.col("a").alias("z"), F.col("b")).alias("r"),
+            F.col("l.z") == F.col("r.z"),
+        )
+        .filter(F.col("l.a") < F.col("r.b"))
+        .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    return (
+        common.join(und, ["a", "b"], "left_anti")
+        .join(deg_all.select(F.col("z").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg_all.select(F.col("z").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            F.col("a").cast("bigint").alias("node_a"),
+            F.col("b").cast("bigint").alias("node_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.expr("1000000 * cn DIV (deg_a + deg_b - cn)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+def jaccard_link_prediction_sql(
+    edges_sql: str, max_degree: int | None = None
+) -> str:
+    cap = f"WHERE deg <= {max_degree}" if max_degree is not None else ""
+    return f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({edges_sql}) WHERE src <> dst
+    ),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg_all AS MATERIALIZED (
+      SELECT a AS z, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY a
+    ),
+    mid AS (SELECT z FROM deg_all {cap}),
+    common AS (
+      SELECT l.a, r.b, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM sym l JOIN mid m ON l.b = m.z
+      JOIN sym r ON l.b = r.a
+      WHERE l.a < r.b
+      GROUP BY l.a, r.b
+    )
+    SELECT CAST(c.a AS BIGINT) AS node_a, CAST(c.b AS BIGINT) AS node_b,
+           c.cn AS common_neighbors,
+           CAST(1000000 * c.cn // (da.deg + db.deg - c.cn) AS BIGINT)
+             AS jaccard_ppm
+    FROM common c
+    ANTI JOIN und u ON c.a = u.a AND c.b = u.b
+    JOIN deg_all da ON c.a = da.z
+    JOIN deg_all db ON c.b = db.z
+    """

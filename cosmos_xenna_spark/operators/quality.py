@@ -960,7 +960,15 @@ def kneser_ney_bigram(
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    # Checkpoint the vocabulary-bounded count table: the window stats
+    # and the type total BOTH derive from it, and without
+    # materialization the n1t branch re-executes the corpus explode
+    # (a second full scan for a COUNT(*) over the vocab frame).
+    counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     w1win = Window.partitionBy("w1")
     w2win = Window.partitionBy("w2")
     stats = counts.select(
@@ -1119,4 +1127,131 @@ def quality_linear_score_sql(
            CAST(1000 * raw // n_tokens AS BIGINT) AS score_milli,
            CAST(1000 * raw // n_tokens >= {threshold} AS BIGINT) AS quality_pass
     FROM agg
+    """
+
+
+def doc_surprisal_rank(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document surprisal under a reference bigram LM — the full
+    CCNet/KenLM perplexity-filter SHAPE (train reference model ->
+    score every doc -> rank), with the repo's integer-exact stand-in
+    for log probability: each bigram contributes
+    ``20 - flog2(p_ppm + 1)`` "milli-bit" surprisal units, where
+    ``p_ppm = c(w1,w2) * 1e6 div c(w1)`` is the reference MLE in ppm
+    and ``flog2(x) = length(bin(x)) - 1`` (bit-identical cross-engine;
+    20 = flog2(1e6 + 1) caps the scale so in-model bigrams score ~0
+    and unseen ones score the maximum).  Mean surprisal per bigram is
+    the ranking key — high = far from the reference distribution, the
+    CCNet "tail" bucket.
+
+    Scale shape (the lm_novelty contract, upgraded from a binary
+    rare-or-not gate to a graded score): the reference model is a
+    (bigram, p_ppm) RELATION — shuffle-joined, never broadcast (a
+    web-scale bigram vocabulary is beyond broadcast size); doc
+    bigrams LEFT-join it (unseen bigrams get p_ppm = 0), then one
+    aggregation back on the doc id.  Row-local bigram expansion on
+    both passes.
+
+    Returns ``(id, n_bigrams, surprisal_sum, mean_surprisal_milli)``
+    — all BIGINT; ``mean_surprisal_milli = 1000 * sum div n``.
+    """
+
+    def expand(df: DataFrame) -> DataFrame:
+        ws = df.select(
+            F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__ws")
+        )
+        idx = F.when(
+            F.size("__ws") >= 2, F.sequence(F.lit(1), F.size("__ws") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return ws.select(
+            "id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(F.col("__ws"), i).alias("w1"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("__ws"), i),
+                            F.element_at(F.col("__ws"), i + 1),
+                        ).alias("bg"),
+                    ),
+                )
+            ).alias("p"),
+        ).select("id", "p.w1", "p.bg")
+    ref_bg = expand(ref)
+    model = (
+        ref_bg.groupBy("w1", "bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn(
+            "c1", F.sum("c12").over(Window.partitionBy("w1"))
+        )
+        .select("bg", F.expr("c12 * 1000000 DIV c1").alias("p_ppm"))
+    )
+    scored = (
+        expand(docs)
+        .join(model, "bg", "left")
+        .select(
+            "id",
+            F.expr(
+                "20 - (length(bin(COALESCE(p_ppm, 0) + 1)) - 1)"
+            ).alias("surp"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("surp").alias("surprisal_sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.col("surprisal_sum").cast("bigint").alias("surprisal_sum"),
+            F.expr("1000 * surprisal_sum DIV n_bigrams")
+            .cast("bigint")
+            .alias("mean_surprisal_milli"),
+        )
+    )
+
+
+def doc_surprisal_rank_sql(
+    docs_sql: str,
+    ref_sql: str,
+    id_col: str,
+    text_col: str,
+) -> str:
+    """DuckDB mirror — identical MLE ppm, flog2 cap, and div order."""
+
+    def expand(src: str) -> str:
+        return f"""
+        SELECT {id_col} AS id, a[i] AS w1, a[i] || ' ' || a[i + 1] AS bg
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS a FROM ({src})),
+             UNNEST(range(1, len(a))) AS t(i)
+        """
+
+    return f"""
+    WITH doc_bg AS ({expand(docs_sql)}),
+    ref_bg AS ({expand(ref_sql)}),
+    model AS (
+      SELECT bg, c12 * 1000000 // c1 AS p_ppm FROM (
+        SELECT w1, bg, COUNT(*) AS c12,
+               SUM(COUNT(*)) OVER (PARTITION BY w1) AS c1
+        FROM ref_bg GROUP BY w1, bg
+      )
+    ),
+    scored AS (
+      SELECT d.id,
+             20 - (length(bin(COALESCE(m.p_ppm, 0) + 1)) - 1) AS surp
+      FROM doc_bg d LEFT JOIN model m USING (bg)
+    )
+    SELECT id AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(surp) AS BIGINT) AS surprisal_sum,
+           CAST(1000 * SUM(surp) // COUNT(*) AS BIGINT) AS mean_surprisal_milli
+    FROM scored GROUP BY id
     """

@@ -274,3 +274,25 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n_buckets=1024,
     )
+
+
+from cosmos_xenna_spark.operators.curation import (  # noqa: E402
+    source_temperature_mix,
+    source_temperature_mix_sql,
+)
+
+
+@register(
+    "q_source_temperature_mix",
+    oracle=source_temperature_mix_sql(
+        "SELECT doc_id, source FROM documents", "source", "doc_id", 10_000
+    ),
+    description="temperature-based mixture weighting at alpha=1/2 "
+    "(the mT5/XLM low-resource flattening rule) with EXACT integer "
+    "sqrt weights (corrected floor-sqrt, immune to libm boundary "
+    "ulps): per-source ppm share, epoch quota, size-capped quota and "
+    "deficit; one map-side-combined aggregation + single-row ledger",
+)
+def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return source_temperature_mix(docs, "source", "doc_id", budget=10_000)

@@ -515,3 +515,54 @@ def q_eccentricity_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eccentricity_probes(
         edges, seeds, n_hops=4, src_col="doc_a", dst_col="doc_b"
     )
+
+
+from cosmos_xenna_spark.operators.graph import (  # noqa: E402
+    harmonic_centrality_probes_sql,
+    jaccard_link_prediction_sql,
+)
+
+
+@register(
+    "q_harmonic_centrality_probes",
+    oracle=harmonic_centrality_probes_sql(
+        _doc_pairs_edges_sql(),
+        "SELECT doc_id AS node FROM documents WHERE doc_id % 500 = 0",
+        n_hops=4,
+    ),
+    description="probe-panel harmonic centrality of the near-duplicate "
+    "graph (the HyperBall estimator's seed-panel form, handles "
+    "disconnection): per node, probes reached + sum(1e6 div d) over "
+    "the panel — exact integers, same simultaneous-BFS frontier as "
+    "the eccentricity probes; 4 sweeps, bit-exact vs unrolled oracle",
+)
+def q_harmonic_centrality_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import harmonic_centrality_probes
+
+    edges = _doc_pairs_edges(spark, sf_dir)
+    seeds = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 500 == 0)
+        .select(F.col("doc_id").alias("node"))
+    )
+    return harmonic_centrality_probes(
+        edges, seeds, n_hops=4, src_col="doc_a", dst_col="doc_b"
+    )
+
+
+@register(
+    "q_link_prediction_jaccard",
+    oracle=jaccard_link_prediction_sql(_doc_pairs_edges_sql(), max_degree=64),
+    description="neighbor-set Jaccard link prediction on the document "
+    "near-duplicate graph: 1e6*|common| div (deg_a+deg_b-|common|) for "
+    "non-adjacent wedge-connected pairs — same deg<=64 hub-capped "
+    "wedge join as the RA index (sum(deg^2) is the wedge count), true "
+    "endpoint degrees via two equi-joins on the degree table",
+)
+def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.operators.graph import jaccard_link_prediction
+
+    edges = _doc_pairs_edges(spark, sf_dir)
+    return jaccard_link_prediction(
+        edges, max_degree=64, src_col="doc_a", dst_col="doc_b"
+    )

@@ -452,3 +452,32 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return quality_linear_score(docs, "doc_id", "text", n_buckets=4096, threshold=0)
+
+
+from cosmos_xenna_spark.operators.quality import (  # noqa: E402
+    doc_surprisal_rank,
+    doc_surprisal_rank_sql,
+)
+
+
+@register(
+    "q_doc_surprisal",
+    oracle=doc_surprisal_rank_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')",
+        "doc_id",
+        "text",
+    ),
+    description="per-document surprisal under a reference bigram LM "
+    "(the full CCNet perplexity-filter shape, integer milli-bit "
+    "surprisal via capped floor-log2 of the reference MLE ppm): "
+    "graded upgrade of the binary lm_novelty gate — model as a "
+    "shuffle-joined relation (never broadcast at web-scale vocab), "
+    "one agg back on the doc id",
+)
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    ).select("doc_id", "text")
+    return doc_surprisal_rank(docs, ref, "doc_id", "text")

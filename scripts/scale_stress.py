@@ -303,6 +303,16 @@ R10B_QUERIES = [
     "q_quality_linear_score",
 ]
 
+# Round-10 batch 2: the second hub-capped wedge join (Jaccard link
+# prediction), the probe-panel BFS (state = probes x reached), and the
+# source-bounded temperature-mix aggregation.
+R10C_QUERIES = [
+    "q_link_prediction_jaccard",
+    "q_harmonic_centrality_probes",
+    "q_source_temperature_mix",
+    "q_doc_surprisal",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -355,6 +365,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r10b":
         qset = "r10b"
         QUERIES = R10B_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r10c":
+        qset = "r10c"
+        QUERIES = R10C_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and

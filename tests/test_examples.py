@@ -76,3 +76,9 @@ def test_graph_analytics_pipeline_runs():
     assert "trade loops:" in r.stdout
     assert "modularity" in r.stdout
     assert "OK" in r.stdout
+
+
+def test_data_selection_pipeline_example_runs():
+    p = _run(["examples/data_selection_pipeline.py", SF])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "mixture plan" in p.stdout and "after surprisal tail cut" in p.stdout

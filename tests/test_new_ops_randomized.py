@@ -2771,3 +2771,151 @@ def test_quality_linear_score_matches_pure_python(spark, seed):
         sm = trunc_div(1000 * raw, len(toks))
         want[i] = (len(toks), sm, 1 if sm >= 0 else 0)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [10, 31])
+def test_source_temperature_mix_matches_python(spark, seed):
+    from math import isqrt
+
+    from cosmos_xenna_spark.operators.curation import source_temperature_mix
+
+    rng = random.Random(seed)
+    # planted sizes include perfect squares and k^2 - 1 (the floor-sqrt
+    # libm boundary cases the corrected isqrt must get exactly right)
+    sizes = [1, 3, 4, 8, 9, 15, 16, 24, 25, 99, 100] + [
+        rng.randrange(1, 400) for _ in range(6)
+    ]
+    rows = []
+    i = 0
+    for g, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((i, f"s{g}"))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    B = 1000
+    got = {
+        r.source: (r.n_docs, r.w, r.target_ppm, r.quota, r.quota_capped, r.deficit)
+        for r in source_temperature_mix(df, "source", "doc_id", budget=B).collect()
+    }
+    ws = {f"s{g}": isqrt(n) for g, n in enumerate(sizes)}
+    tot = sum(ws.values())
+    want = {}
+    for g, n in enumerate(sizes):
+        w = ws[f"s{g}"]
+        q = B * w // tot
+        want[f"s{g}"] = (n, w, w * 1_000_000 // tot, q, min(q, n), max(q - n, 0))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [12, 37])
+def test_harmonic_centrality_probes_matches_python_bfs(spark, seed):
+    from cosmos_xenna_spark.operators.graph import harmonic_centrality_probes
+
+    rng = random.Random(seed)
+    n = 60
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(110)})
+    seeds_l = [0, 7, 21]
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    s_df = spark.createDataFrame([(s,) for s in seeds_l], "node long")
+    got = {
+        r.node: (r.n_probes_reached, r.harmonic_milli)
+        for r in harmonic_centrality_probes(e_df, s_df, n_hops=4).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want: dict = {}
+    for s in seeds_l:
+        dist = {s: 0}
+        frontier = [s]
+        for h in range(1, 5):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        for v, d in dist.items():
+            if d >= 1:
+                c, m = want.get(v, (0, 0))
+                want[v] = (c + 1, m + 1_000_000 // d)
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [14, 41])
+def test_jaccard_link_prediction_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.graph import jaccard_link_prediction
+
+    rng = random.Random(seed)
+    n = 40
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.node_a, r.node_b): (r.common_neighbors, r.jaccard_ppm)
+        for r in jaccard_link_prediction(e_df, max_degree=None).collect()
+    }
+    adj: dict = {}
+    und = set()
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+            und.add((min(a, b), max(a, b)))
+    want = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in und:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn >= 1:
+                want[(a, b)] = (
+                    cn,
+                    1_000_000 * cn // (len(adj[a]) + len(adj[b]) - cn),
+                )
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [16, 43])
+def test_doc_surprisal_matches_pure_python(spark, seed):
+    from cosmos_xenna_spark.operators.quality import doc_surprisal_rank
+
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(20)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 25))))
+        for i in range(90)
+    ]
+    ref = [d for d in docs if d[0] % 3 == 0]
+    d_df = spark.createDataFrame(docs, "doc_id long, text string")
+    r_df = spark.createDataFrame(ref, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.surprisal_sum, r.mean_surprisal_milli)
+        for r in doc_surprisal_rank(d_df, r_df, "doc_id", "text").collect()
+    }
+    c12: dict = {}
+    c1: dict = {}
+    for _, text in ref:
+        ws = text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    p_ppm = {k: n * 1_000_000 // c1[k[0]] for k, n in c12.items()}
+    want = {}
+    for i, text in docs:
+        ws = text.split(" ")
+        bgs = list(zip(ws, ws[1:]))
+        if not bgs:
+            continue
+        s = sum(20 - (p_ppm.get(bg, 0) + 1).bit_length() + 1 for bg in bgs)
+        want[i] = (len(bgs), s, 1000 * s // len(bgs))
+    assert got == want and len(got) > 0
+    # an in-model doc scores strictly below an out-of-vocab doc
+    oov = spark.createDataFrame(
+        [(999, "zz qq zz qq zz")], "doc_id long, text string"
+    )
+    oov_score = doc_surprisal_rank(oov, r_df, "doc_id", "text").collect()[0]
+    assert oov_score.mean_surprisal_milli == 20_000

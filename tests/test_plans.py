@@ -240,6 +240,9 @@ _BNLJ_ALLOWED = {
     # single-row broadcast bigram-type total N1+(.,.) attached to the
     # vocabulary-bounded KN stats frame
     "q_kneser_ney_bigram",
+    # single-row broadcast mixture-weight total attached to the
+    # source-count-sized isqrt weight table
+    "q_source_temperature_mix",
 }
 
 
