@@ -266,6 +266,8 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_harmonic_centrality_probes",
     "q_link_prediction_jaccard",
     "q_doc_surprisal",
+    "q_vocab_growth_curve",
+    "q_zipf_curve",
 )
 
 DRIVER_PRIORITY: dict[str, str] = {

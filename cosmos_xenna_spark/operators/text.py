@@ -282,3 +282,156 @@ def vocab_jaccard_sql(
     JOIN (SELECT g AS gb, n_vocab AS nb FROM sizes) USING (gb)
     WHERE na + nb - n_inter >= {min_union}
     """
+
+
+def vocab_growth_curve(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+):
+    """Heaps-law vocabulary-growth curve: cumulative distinct-word
+    count vs cumulative token count at ``n_buckets`` corpus prefixes
+    (doc-id order) — the standard diagnostic for "is this corpus still
+    contributing new vocabulary or replaying itself" (dedup leakage,
+    template saturation, crawl-frontier exhaustion all flatten it).
+
+    Exact and scale-safe: each word's FIRST bucket is one
+    ``min(bucket)`` aggregation over the (word, bucket) pairs (map-
+    side combined, vocabulary-sized result); per-bucket token and
+    first-word counts then collapse to ``n_buckets`` rows, and the
+    cumulative sums run over that bounded frame (global window over
+    <= n_buckets + 1 rows BY CONSTRUCTION — allowlisted; the corpus
+    never sorts globally).  The bucket split is integer arithmetic on
+    a driver-literal ``max(id)`` (the approxQuantile-cuts precedent:
+    bake data-derived literals, never re-derive per job).
+
+    Returns ``(bucket, cum_tokens, cum_vocab)`` — all BIGINT.
+    """
+    from pyspark.sql import Window
+
+    max_id = docs.agg(F.max(F.col(id_col))).collect()[0][0]
+    words = docs.select(
+        F.expr(f"CAST({id_col} * {n_buckets} DIV {int(max_id) + 1} AS BIGINT)").alias(
+            "bucket"
+        ),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    toks = words.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first = (
+        words.groupBy("word")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_words"))
+    )
+    per_bucket = toks.join(first, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("n_new_words", F.lit(0)).alias("n_new_words"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("n_new_words").over(w).cast("bigint").alias("cum_vocab"),
+    )
+
+
+def vocab_growth_curve_sql(
+    docs_sql: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB mirror — the max(id) literal becomes a scalar subquery
+    (same value the Spark builder baked)."""
+    mx = f"(SELECT MAX({id_col}) FROM ({docs_sql}))"
+    return f"""
+    WITH words AS (
+      SELECT CAST({id_col} * {n_buckets} // ({mx} + 1) AS BIGINT) AS bucket,
+             UNNEST(string_split({text_col}, ' ')) AS word
+      FROM ({docs_sql})
+    ),
+    toks AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM words GROUP BY bucket
+    ),
+    first AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new_words FROM (
+        SELECT word, MIN(bucket) AS bucket FROM words GROUP BY word
+      ) GROUP BY bucket
+    )
+    SELECT t.bucket,
+           CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(COALESCE(f.n_new_words, 0)) OVER (ORDER BY t.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+    FROM toks t LEFT JOIN first f USING (bucket)
+    """
+
+
+def zipf_curve(
+    docs,
+    text_col: str = "text",
+    max_rank: int = 256,
+):
+    """Zipf rank-frequency curve at doubling ranks (1, 2, 4, ...,
+    ``max_rank``): the word at each power-of-two rank and its count —
+    the corpus-health fingerprint (a natural corpus halves count
+    roughly per octave; template spam bulges the head, aggressive
+    dedup starves it).
+
+    Scale shape: one ``groupBy(word)`` with map-side combine, then the
+    DISTRIBUTED global rank (quantile bucketing + offset arithmetic,
+    :func:`~cosmos_xenna_spark.operators.ranking.global_row_number`)
+    over (-count, word) — the vocabulary never sorts in one task, the
+    classic trap of ``row_number() OVER (ORDER BY count DESC)``.
+
+    Returns ``(rank, word, n)`` — BIGINT rank/count.
+    """
+    from cosmos_xenna_spark.operators.ranking import global_row_number
+
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("neg_n", -F.col("n"))
+    )
+    ranked = global_row_number(counts, ["neg_n", "word"], out_col="rank")
+    picks = [1]
+    while picks[-1] * 2 <= max_rank:
+        picks.append(picks[-1] * 2)
+    return (
+        ranked.filter(F.col("rank").isin(picks))
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "word",
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def zipf_curve_sql(docs_sql: str, text_col: str, max_rank: int = 256) -> str:
+    """DuckDB mirror — the naive global ORDER BY the distributed rank
+    must equal (the oracle certifying the bucketing+offset machinery)."""
+    picks = [1]
+    while picks[-1] * 2 <= max_rank:
+        picks.append(picks[-1] * 2)
+    in_list = ", ".join(str(p) for p in picks)
+    return f"""
+    WITH counts AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT UNNEST(string_split({text_col}, ' ')) AS word
+        FROM ({docs_sql})
+      ) GROUP BY word
+    ),
+    ranked AS (
+      SELECT word, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+      FROM counts
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, word, n
+    FROM ranked WHERE rank IN ({in_list})
+    """

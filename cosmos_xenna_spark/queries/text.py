@@ -471,3 +471,40 @@ from cosmos_xenna_spark.operators.text import (  # noqa: E402
 def q_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("lang", "text")
     return vocab_jaccard(docs, group_col="lang")
+
+
+from cosmos_xenna_spark.operators.text import (  # noqa: E402
+    vocab_growth_curve,
+    vocab_growth_curve_sql,
+    zipf_curve,
+    zipf_curve_sql,
+)
+
+
+@register(
+    "q_vocab_growth_curve",
+    oracle=vocab_growth_curve_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", 10
+    ),
+    description="Heaps-law vocabulary growth: cumulative distinct words "
+    "vs cumulative tokens at 10 corpus prefixes — the 'is the crawl "
+    "still contributing vocabulary' diagnostic; first-bucket-per-word "
+    "aggregation (vocab-sized), cumsum over the 10-row bucket frame",
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_growth_curve(docs, "doc_id", "text", n_buckets=10)
+
+
+@register(
+    "q_zipf_curve",
+    oracle=zipf_curve_sql("SELECT text FROM documents", "text", 256),
+    description="Zipf rank-frequency fingerprint at doubling ranks "
+    "(1..256): word + count per power-of-two rank via the DISTRIBUTED "
+    "global rank (quantile buckets + offsets — the vocabulary never "
+    "sorts in one task); oracle is the naive global ORDER BY, so the "
+    "hash-match certifies the bucketing machinery",
+)
+def q_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return zipf_curve(docs, "text", max_rank=256)

@@ -313,6 +313,14 @@ R10C_QUERIES = [
     "q_doc_surprisal",
 ]
 
+# Round-10 batch 4: the corpus-statistics diagnostics — Heaps vocab
+# growth (vocab-sized first-bucket agg) and the Zipf doubling-rank
+# curve (distributed global rank over the vocabulary).
+R10D_QUERIES = [
+    "q_vocab_growth_curve",
+    "q_zipf_curve",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -368,6 +376,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r10c":
         qset = "r10c"
         QUERIES = R10C_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r10d":
+        qset = "r10d"
+        QUERIES = R10D_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and

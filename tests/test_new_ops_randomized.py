@@ -2919,3 +2919,69 @@ def test_doc_surprisal_matches_pure_python(spark, seed):
     )
     oov_score = doc_surprisal_rank(oov, r_df, "doc_id", "text").collect()[0]
     assert oov_score.mean_surprisal_milli == 20_000
+
+
+@pytest.mark.parametrize("seed", [18, 47])
+def test_vocab_growth_curve_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.text import vocab_growth_curve
+
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(80)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 20))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    nb = 10
+    got = sorted(
+        (r.bucket, r.cum_tokens, r.cum_vocab)
+        for r in vocab_growth_curve(df, "doc_id", "text", n_buckets=nb).collect()
+    )
+    max_id = max(i for i, _ in docs)
+    toks: dict = {}
+    first: dict = {}
+    for i, text in docs:
+        b = i * nb // (max_id + 1)
+        ws = text.split(" ")
+        toks[b] = toks.get(b, 0) + len(ws)
+        for w in ws:
+            if w not in first or b < first[w]:
+                first[w] = b
+    want = []
+    ct = cv = 0
+    for b in sorted(toks):
+        ct += toks[b]
+        cv += sum(1 for w, fb in first.items() if fb == b)
+        want.append((b, ct, cv))
+    assert got == want
+    # monotone, and cum_vocab can never exceed cum_tokens
+    assert all(v <= t for _, t, v in got)
+
+
+@pytest.mark.parametrize("seed", [22, 53])
+def test_zipf_curve_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.text import zipf_curve
+
+    rng = random.Random(seed)
+    # zipf-ish synthetic: word j appears ~ 1/(j+1) of the time
+    vocab = [f"w{j}" for j in range(60)]
+    weights = [1.0 / (j + 1) for j in range(60)]
+    docs = [
+        (" ".join(rng.choices(vocab, weights)[0] for _ in range(30)),)
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    got = sorted(
+        (r.rank, r.word, r.n) for r in zipf_curve(df, "text", max_rank=64).collect()
+    )
+    counts: dict = {}
+    for (text,) in docs:
+        for w in text.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = sorted(
+        (r, w, n)
+        for r, (w, n) in enumerate(ranked, start=1)
+        if r in (1, 2, 4, 8, 16, 32, 64)
+    )
+    assert got == want and len(got) >= 5

@@ -147,6 +147,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # rank window over an already-limited top-k list: bounded to the
     # list size by construction, not corpus-sized
     "q_rrf_fusion",
+    # cumulative sums over the <= n_buckets+1-row prefix frame (10-row
+    # bucket table BY CONSTRUCTION, never corpus rows)
+    "q_vocab_growth_curve",
 }
 
 
