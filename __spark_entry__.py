@@ -268,6 +268,8 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_doc_surprisal",
     "q_vocab_growth_curve",
     "q_zipf_curve",
+    "q_tar_members",
+    "q_wds_sample_stats",
 )
 
 DRIVER_PRIORITY: dict[str, str] = {

@@ -1,0 +1,279 @@
+"""WebDataset-style tar-shard handling — the container format
+multimodal training pipelines actually ship (tar shards of
+sample-grouped members, read sequentially at 100 TB: Weber et al.'s
+WebDataset, used by LAION / OpenCLIP / NeMo data pipelines).
+
+Three pieces:
+
+- :func:`tar_members` — a REAL ustar parser (POSIX.1-1988 header
+  layout: 512-byte blocks, octal size field at offset 124, typeflag
+  at 156, name at 0) over a binary shard column via Arrow
+  ``mapInPandas``: emits one row per member with its size and data
+  offset, so downstream readers can range-request individual members
+  out of object storage without unpacking the shard.
+- :func:`wds_samples` — pure-DataFrame sample assembly: WebDataset
+  groups members into samples by basename-before-first-dot; per
+  (shard, sample) this reports member count, modality flags and the
+  completeness bit every ingest job gates on.
+- :func:`attach_fake_tar_corpus` / :func:`build_tar` — deterministic
+  shard synthesizer (the ``attach_fake_image_corpus`` precedent):
+  member names/sizes derive arithmetically from the doc id, so the
+  registry queries have EXACT SQL oracles that recompute the whole
+  parse result — names, sizes, offsets via a running-sum window —
+  from the id column alone, certifying the parser end-to-end.
+  Independence from the parser is pinned separately in
+  ``tests/test_archive.py``: Python ``tarfile`` reads ``build_tar``
+  output and :func:`tar_members` reads ``tarfile``-built archives.
+
+Reference parity: the reference ships no archive handling (its
+pipelines take object-store URLs per sample, reference
+``examples/simple_vlm_inference.py``); this is the standard public
+WebDataset layout.
+
+Scale shape: parsing is row-local (one shard = one row through the
+Arrow batch); nothing shuffles until the member table aggregates, and
+the member table is members-per-shard x shards — the metadata scale,
+not the payload scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BLOCK = 512
+
+
+def _octal(value: int, width: int) -> bytes:
+    """NUL-terminated zero-padded octal field (ustar numeric form)."""
+    return f"{value:0{width - 1}o}".encode() + b"\x00"
+
+
+def tar_header(name: str, size: int, typeflag: bytes = b"0") -> bytes:
+    """One POSIX ustar header block for a regular member."""
+    if len(name.encode()) > 100:
+        raise ValueError(f"name too long for ustar: {name!r}")
+    h = bytearray(_BLOCK)
+    h[0 : len(name.encode())] = name.encode()
+    h[100:108] = _octal(0o644, 8)  # mode
+    h[108:116] = _octal(0, 8)  # uid
+    h[116:124] = _octal(0, 8)  # gid
+    h[124:136] = _octal(size, 12)
+    h[136:148] = _octal(0, 12)  # mtime (deterministic: epoch)
+    h[148:156] = b" " * 8  # checksum placeholder
+    h[156:157] = typeflag
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    chksum = sum(h)
+    h[148:156] = f"{chksum:06o}".encode() + b"\x00 "
+    return bytes(h)
+
+
+def build_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Assemble a ustar archive from (name, payload) pairs — the
+    corpus-synthesizer half (readable by Python ``tarfile``; pinned in
+    tests)."""
+    out = bytearray()
+    for name, payload in members:
+        out += tar_header(name, len(payload))
+        out += payload
+        pad = -len(payload) % _BLOCK
+        out += b"\x00" * pad
+    out += b"\x00" * (2 * _BLOCK)  # end-of-archive marker
+    return bytes(out)
+
+
+def parse_tar_members(payload: bytes) -> list[tuple[str, int, int, str]]:
+    """Pure-Python ustar walk: (name, size, data_offset, typeflag) per
+    member. Stops at the zero block; skips data by size rounded up to
+    the 512-byte block (the only two rules a sequential tar reader
+    needs)."""
+    out = []
+    pos = 0
+    n = len(payload)
+    while pos + _BLOCK <= n:
+        block = payload[pos : pos + _BLOCK]
+        if block.count(0) == _BLOCK:  # zero block: end of archive
+            break
+        raw_name = block[0:100].split(b"\x00", 1)[0]
+        size_field = block[124:136].split(b"\x00", 1)[0].strip(b" \x00")
+        size = int(size_field or b"0", 8)
+        typeflag = chr(block[156]) if block[156] else "0"
+        out.append((raw_name.decode(), size, pos + _BLOCK, typeflag))
+        pos += _BLOCK + (size + _BLOCK - 1) // _BLOCK * _BLOCK
+    return out
+
+
+def tar_members(
+    shards: DataFrame,
+    id_col: str = "shard_id",
+    payload_col: str = "shard",
+) -> DataFrame:
+    """Member table of a binary tar-shard column:
+    ``(shard_id, name, size_bytes, data_offset, typeflag)``.
+
+    Row-local Arrow parse — the shard payload never shuffles; only the
+    metadata rows leave the map stage.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"shard_id": [], "name": [], "size_bytes": [],
+                    "data_offset": [], "typeflag": []}
+            for sid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for name, size, off, tf in parse_tar_members(bytes(payload)):
+                    rows["shard_id"].append(int(sid))
+                    rows["name"].append(name)
+                    rows["size_bytes"].append(size)
+                    rows["data_offset"].append(off)
+                    rows["typeflag"].append(tf)
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(
+        fn,
+        schema=(
+            "shard_id long, name string, size_bytes long,"
+            " data_offset long, typeflag string"
+        ),
+    )
+
+
+def wds_samples(
+    members: DataFrame,
+    required: tuple[str, ...] = ("jpg", "txt"),
+) -> DataFrame:
+    """WebDataset sample assembly over a member table: sample key =
+    basename before the FIRST dot (the WebDataset grouping rule), one
+    row per (shard, sample) with member count, one ``has_<ext>`` flag
+    per required modality, and the completeness bit.
+
+    Pure DataFrame ops over the metadata table — one fine-grained
+    groupBy shuffle on (shard, sample key).
+    """
+    key = F.substring_index(F.col("name"), ".", 1)
+    ext = F.lower(F.element_at(F.split(F.col("name"), r"\."), -1))
+    tagged = members.select(
+        "shard_id", key.alias("sample_key"), ext.alias("ext")
+    )
+    flags = [
+        F.max(F.when(F.col("ext") == e, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias(f"has_{e}")
+        for e in required
+    ]
+    agg = tagged.groupBy("shard_id", "sample_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"), *flags
+    )
+    complete = None
+    for e in required:
+        c = F.col(f"has_{e}") == 1
+        complete = c if complete is None else (complete & c)
+    return agg.withColumn("complete", complete.cast("bigint"))
+
+
+# ---- deterministic corpus (arithmetic ground truth -> SQL oracle) ----
+
+# Per doc: a .jpg member always, a .txt member unless doc_id % 5 == 0
+# (planted incomplete samples). Sizes derive from the id so the oracle
+# can recompute every byte offset with integer arithmetic.
+JPG_SIZE = "({id} % 1000 + 100)"
+TXT_SIZE = "({id} % 500 + 50)"
+
+
+def fake_member_payload(name: str, size: int) -> bytes:
+    """Deterministic pseudo-payload (name-seeded repeating digest)."""
+    import hashlib
+
+    body = hashlib.sha256(name.encode()).digest()
+    return (body * (size // len(body) + 1))[:size]
+
+
+def attach_fake_tar_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    docs_per_shard: int = 4,
+) -> DataFrame:
+    """Build one tar shard per ``docs_per_shard`` consecutive ids:
+    members named ``{doc:08d}.jpg`` / ``{doc:08d}.txt`` (txt omitted
+    when ``doc % 5 == 0``), sizes ``doc % 1000 + 100`` /
+    ``doc % 500 + 50`` — everything a SQL oracle can recompute.
+    Returns ``(shard_id, shard)``.
+    """
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+    def fn(key, pdf):
+        ids = sorted(int(i) for i in pdf[id_col])
+        members: list[tuple[str, bytes]] = []
+        for i in ids:
+            jname = f"{i:08d}.jpg"
+            members.append((jname, fake_member_payload(jname, i % 1000 + 100)))
+            if i % 5 != 0:
+                tname = f"{i:08d}.txt"
+                members.append((tname, fake_member_payload(tname, i % 500 + 50)))
+        return pd.DataFrame(
+            {"shard_id": [int(key[0])], "shard": [build_tar(members)]}
+        )
+
+    shards = (
+        ensure_parallelism(df)
+        .select(
+            (F.col(id_col).cast("long") / docs_per_shard)
+            .cast("long")
+            .alias("__shard"),
+            F.col(id_col),
+        )
+        .groupBy("__shard")
+        .applyInPandas(fn, schema="shard_id long, shard binary")
+    )
+    return shards
+
+
+def tar_members_oracle_sql(
+    ids_sql: str, id_col: str, docs_per_shard: int = 4
+) -> str:
+    """Recompute the ENTIRE member table arithmetically from the id
+    column: names by printf, sizes by the planted formulas, offsets by
+    a running sum of 512-byte-rounded member footprints in member-name
+    order within each shard — certifying the parser's walk exactly."""
+    jpg = JPG_SIZE.format(id=id_col)
+    txt = TXT_SIZE.format(id=id_col)
+    return f"""
+    WITH m AS (
+      SELECT CAST({id_col} // {docs_per_shard} AS BIGINT) AS shard_id,
+             printf('%08d.jpg', {id_col}) AS name,
+             CAST({jpg} AS BIGINT) AS size_bytes
+      FROM ({ids_sql})
+      UNION ALL
+      SELECT CAST({id_col} // {docs_per_shard} AS BIGINT),
+             printf('%08d.txt', {id_col}),
+             CAST({txt} AS BIGINT)
+      FROM ({ids_sql}) WHERE {id_col} % 5 <> 0
+    )
+    SELECT shard_id, name, size_bytes,
+           CAST(COALESCE(SUM(512 + (size_bytes + 511) // 512 * 512)
+                  OVER (PARTITION BY shard_id ORDER BY name
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + 512 AS BIGINT) AS data_offset,
+           '0' AS typeflag
+    FROM m
+    """
+
+
+def wds_samples_oracle_sql(
+    ids_sql: str, id_col: str, docs_per_shard: int = 4
+) -> str:
+    return f"""
+    SELECT CAST({id_col} // {docs_per_shard} AS BIGINT) AS shard_id,
+           printf('%08d', {id_col}) AS sample_key,
+           CAST(CASE WHEN {id_col} % 5 = 0 THEN 1 ELSE 2 END AS BIGINT)
+             AS n_members,
+           CAST(1 AS BIGINT) AS has_jpg,
+           CAST(CASE WHEN {id_col} % 5 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS has_txt,
+           CAST(CASE WHEN {id_col} % 5 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS complete
+    FROM ({ids_sql})
+    """

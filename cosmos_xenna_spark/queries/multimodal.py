@@ -193,3 +193,47 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     cuts = video_scene_cuts(attach_fake_videos_scenes(docs), min_hamming=5)
     return cuts.select("id", "frame_idx", "ts_us")
+
+
+from cosmos_xenna_spark.operators.archive import (  # noqa: E402
+    attach_fake_tar_corpus,
+    tar_members,
+    tar_members_oracle_sql,
+    wds_samples,
+    wds_samples_oracle_sql,
+)
+
+
+@register(
+    "q_tar_members",
+    oracle=tar_members_oracle_sql(
+        "SELECT doc_id FROM documents", "doc_id", docs_per_shard=4
+    ),
+    description="WebDataset tar-shard member table: a REAL ustar parse "
+    "(octal size field, 512-byte block walk, zero-block terminator) "
+    "over binary shards via row-local mapInPandas — names, sizes and "
+    "data offsets for object-store range reads; the oracle recomputes "
+    "every offset arithmetically (running sum of block-rounded member "
+    "footprints), certifying the parser end-to-end",
+)
+def q_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = attach_fake_tar_corpus(docs, "doc_id", docs_per_shard=4)
+    return tar_members(shards)
+
+
+@register(
+    "q_wds_sample_stats",
+    oracle=wds_samples_oracle_sql(
+        "SELECT doc_id FROM documents", "doc_id", docs_per_shard=4
+    ),
+    description="WebDataset sample assembly + integrity gate: members "
+    "grouped by basename-before-first-dot into samples, per-sample "
+    "modality flags (jpg/txt) and the completeness bit (planted "
+    "incomplete samples at doc_id % 5 == 0) — the ingest check every "
+    "multimodal training job runs before touching payloads",
+)
+def q_wds_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = attach_fake_tar_corpus(docs, "doc_id", docs_per_shard=4)
+    return wds_samples(tar_members(shards), required=("jpg", "txt"))

@@ -321,6 +321,13 @@ R10D_QUERIES = [
     "q_zipf_curve",
 ]
 
+# Round-10 batch 5: the WebDataset tar-shard surface — row-local ustar
+# parse (payload never shuffles) + the sample-assembly aggregation.
+R10E_QUERIES = [
+    "q_tar_members",
+    "q_wds_sample_stats",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -379,6 +386,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r10d":
         qset = "r10d"
         QUERIES = R10D_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r10e":
+        qset = "r10e"
+        QUERIES = R10E_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
