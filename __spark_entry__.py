@@ -270,6 +270,7 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_zipf_curve",
     "q_tar_members",
     "q_wds_sample_stats",
+    "q_zip_members",
 )
 
 DRIVER_PRIORITY: dict[str, str] = {

@@ -277,3 +277,186 @@ def wds_samples_oracle_sql(
              AS complete
     FROM ({ids_sql})
     """
+
+
+# ---- ZIP (stored members) — the other common shard container ----
+
+import struct as _struct
+import zlib as _zlib
+
+_LFH_SIG = 0x04034B50
+_CDE_SIG = 0x02014B50
+_EOCD_SIG = 0x06054B50
+
+
+def build_zip(members: list[tuple[str, bytes]]) -> bytes:
+    """Assemble a STORE-method (uncompressed) ZIP from (name, payload)
+    pairs — local headers, central directory, EOCD; readable by Python
+    ``zipfile`` (pinned in tests). Deterministic: zeroed DOS time."""
+    out = bytearray()
+    central = bytearray()
+    for name, payload in members:
+        nm = name.encode()
+        crc = _zlib.crc32(payload) & 0xFFFFFFFF
+        lfh_off = len(out)
+        out += _struct.pack(
+            "<IHHHHHIIIHH",
+            _LFH_SIG, 20, 0, 0, 0, 0, crc, len(payload), len(payload),
+            len(nm), 0,
+        )
+        out += nm + payload
+        central += _struct.pack(
+            "<IHHHHHHIIIHHHHHII",
+            _CDE_SIG, 20, 20, 0, 0, 0, 0, crc, len(payload), len(payload),
+            len(nm), 0, 0, 0, 0, 0, lfh_off,
+        )
+        central += nm
+    cd_off = len(out)
+    out += central
+    out += _struct.pack(
+        "<IHHHHIIH",
+        _EOCD_SIG, 0, 0, len(members), len(members), len(central), cd_off, 0,
+    )
+    return bytes(out)
+
+
+def parse_zip_members(payload: bytes) -> list[tuple[str, int, int, int]]:
+    """Central-directory walk: (name, size, local_header_offset,
+    data_offset) per member. EOCD located by scanning backward for its
+    signature (the spec's rule — the trailing comment makes a fixed
+    position impossible); data offset re-derives from the LOCAL header's
+    own name/extra lengths, which the spec allows to differ from the
+    central entry's."""
+    # EOCD is in the last 22 + 65535 bytes; scan backward for the sig
+    start = max(0, len(payload) - 22 - 0xFFFF)
+    eocd = -1
+    for i in range(len(payload) - 22, start - 1, -1):
+        if _struct.unpack_from("<I", payload, i)[0] == _EOCD_SIG:
+            eocd = i
+            break
+    if eocd < 0:
+        raise ValueError("no EOCD signature — not a ZIP payload")
+    _, _, _, _, n_entries, _, cd_off, _ = _struct.unpack_from(
+        "<IHHHHIIH", payload, eocd
+    )
+    out = []
+    pos = cd_off
+    for _i in range(n_entries):
+        (sig, _vm, _vn, _fl, _m, _t, _d, _crc, _cs, usize, nlen, elen,
+         clen, _dk, _ia, _ea, lfh_off) = _struct.unpack_from(
+            "<IHHHHHHIIIHHHHHII", payload, pos
+        )
+        if sig != _CDE_SIG:
+            raise ValueError(f"bad central directory signature at {pos}")
+        name = payload[pos + 46 : pos + 46 + nlen].decode()
+        # local header's own lengths govern where data starts
+        (lsig, _lv, _lf, _lm, _lt, _ld, _lcrc, _lcs, _lus, lnlen,
+         lelen) = _struct.unpack_from("<IHHHHHIIIHH", payload, lfh_off)
+        if lsig != _LFH_SIG:
+            raise ValueError(f"bad local header signature at {lfh_off}")
+        data_off = lfh_off + 30 + lnlen + lelen
+        out.append((name, usize, lfh_off, data_off))
+        pos += 46 + nlen + elen + clen
+    return out
+
+
+def zip_members(
+    shards: DataFrame,
+    id_col: str = "shard_id",
+    payload_col: str = "shard",
+) -> DataFrame:
+    """Member table of a binary ZIP-shard column:
+    ``(shard_id, name, size_bytes, header_offset, data_offset)`` —
+    row-local central-directory parse, payload never shuffles."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"shard_id": [], "name": [], "size_bytes": [],
+                    "header_offset": [], "data_offset": []}
+            for sid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for name, size, hoff, doff in parse_zip_members(bytes(payload)):
+                    rows["shard_id"].append(int(sid))
+                    rows["name"].append(name)
+                    rows["size_bytes"].append(size)
+                    rows["header_offset"].append(hoff)
+                    rows["data_offset"].append(doff)
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(
+        fn,
+        schema=(
+            "shard_id long, name string, size_bytes long,"
+            " header_offset long, data_offset long"
+        ),
+    )
+
+
+def attach_fake_zip_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    docs_per_shard: int = 4,
+) -> DataFrame:
+    """ZIP twin of :func:`attach_fake_tar_corpus` — same member names,
+    sizes and planted incompleteness, STORE method, so the oracle can
+    recompute offsets: each member's footprint is 30 + name_len(12) +
+    size bytes, accumulated in member-name order."""
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+    def fn(key, pdf):
+        ids = sorted(int(i) for i in pdf[id_col])
+        members: list[tuple[str, bytes]] = []
+        for i in ids:
+            jname = f"{i:08d}.jpg"
+            members.append((jname, fake_member_payload(jname, i % 1000 + 100)))
+            if i % 5 != 0:
+                tname = f"{i:08d}.txt"
+                members.append((tname, fake_member_payload(tname, i % 500 + 50)))
+        return pd.DataFrame(
+            {"shard_id": [int(key[0])], "shard": [build_zip(members)]}
+        )
+
+    return (
+        ensure_parallelism(df)
+        .select(
+            (F.col(id_col).cast("long") / docs_per_shard)
+            .cast("long")
+            .alias("__shard"),
+            F.col(id_col),
+        )
+        .groupBy("__shard")
+        .applyInPandas(fn, schema="shard_id long, shard binary")
+    )
+
+
+def zip_members_oracle_sql(
+    ids_sql: str, id_col: str, docs_per_shard: int = 4
+) -> str:
+    """Arithmetic mirror: member footprint = 30-byte local header +
+    12-byte name + payload; header offsets by running sum in name
+    order, data offset = header + 42."""
+    jpg = JPG_SIZE.format(id=id_col)
+    txt = TXT_SIZE.format(id=id_col)
+    return f"""
+    WITH m AS (
+      SELECT CAST({id_col} // {docs_per_shard} AS BIGINT) AS shard_id,
+             printf('%08d.jpg', {id_col}) AS name,
+             CAST({jpg} AS BIGINT) AS size_bytes
+      FROM ({ids_sql})
+      UNION ALL
+      SELECT CAST({id_col} // {docs_per_shard} AS BIGINT),
+             printf('%08d.txt', {id_col}),
+             CAST({txt} AS BIGINT)
+      FROM ({ids_sql}) WHERE {id_col} % 5 <> 0
+    ),
+    laid AS (
+      SELECT shard_id, name, size_bytes,
+             CAST(COALESCE(SUM(30 + 12 + size_bytes)
+                    OVER (PARTITION BY shard_id ORDER BY name
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS header_offset
+      FROM m
+    )
+    SELECT shard_id, name, size_bytes, header_offset,
+           CAST(header_offset + 30 + 12 AS BIGINT) AS data_offset
+    FROM laid
+    """

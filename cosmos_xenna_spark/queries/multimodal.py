@@ -237,3 +237,28 @@ def q_wds_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     shards = attach_fake_tar_corpus(docs, "doc_id", docs_per_shard=4)
     return wds_samples(tar_members(shards), required=("jpg", "txt"))
+
+
+from cosmos_xenna_spark.operators.archive import (  # noqa: E402
+    attach_fake_zip_corpus,
+    zip_members,
+    zip_members_oracle_sql,
+)
+
+
+@register(
+    "q_zip_members",
+    oracle=zip_members_oracle_sql(
+        "SELECT doc_id FROM documents", "doc_id", docs_per_shard=4
+    ),
+    description="ZIP-shard member table: REAL central-directory parse "
+    "(backward EOCD scan, CD walk, data offsets re-derived from each "
+    "LOCAL header's own name/extra lengths per spec) over STORE-method "
+    "binary shards via row-local mapInPandas — the oracle recomputes "
+    "header and data offsets arithmetically (running sum of 30+12+size "
+    "footprints in name order)",
+)
+def q_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = attach_fake_zip_corpus(docs, "doc_id", docs_per_shard=4)
+    return zip_members(shards)

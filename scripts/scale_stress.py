@@ -326,6 +326,7 @@ R10D_QUERIES = [
 R10E_QUERIES = [
     "q_tar_members",
     "q_wds_sample_stats",
+    "q_zip_members",
 ]
 
 

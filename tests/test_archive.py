@@ -87,3 +87,130 @@ def test_tar_members_and_samples_on_spark(spark):
             assert samples[key] == (1, 1, 0, 0)
         else:
             assert samples[key] == (2, 1, 1, 1)
+
+
+@pytest.mark.parametrize("seed", [5, 13])
+def test_build_zip_readable_by_zipfile(seed):
+    """zipfile (independent reader) must see exactly the members the
+    engine writer emitted — names, sizes, payload bytes, CRCs."""
+    import zipfile
+
+    from cosmos_xenna_spark.operators.archive import build_zip
+
+    rng = random.Random(seed)
+    members = [
+        (f"{i:06d}.{ext}", bytes(rng.randrange(256) for _ in range(rng.randrange(0, 900))))
+        for i in range(6)
+        for ext in ("jpg", "txt")
+    ]
+    blob = build_zip(members)
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        got = [(i.filename, i.file_size, z.read(i.filename)) for i in z.infolist()]
+        assert z.testzip() is None  # CRCs all valid
+    assert got == [(n, len(p), p) for n, p in members]
+
+
+@pytest.mark.parametrize("seed", [7, 17])
+def test_parse_zip_members_reads_zipfile_output(seed):
+    """The engine parser must walk archives BUILT BY zipfile (the
+    independent writer, ZIP_STORED): names, sizes, data offsets —
+    offsets verified by slicing raw bytes. zipfile emits a trailing
+    archive comment in one variant to exercise the backward EOCD scan."""
+    import zipfile
+
+    from cosmos_xenna_spark.operators.archive import parse_zip_members
+
+    rng = random.Random(seed)
+    names_payloads = [
+        (f"d/{i:04d}.bin", bytes(rng.randrange(256) for _ in range(rng.randrange(1, 700))))
+        for i in range(8)
+    ]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_STORED) as z:
+        for name, payload in names_payloads:
+            z.writestr(name, payload)
+        if seed % 2:
+            z.comment = b"trailing comment exercising the EOCD scan"
+    blob = buf.getvalue()
+    got = parse_zip_members(blob)
+    assert [(n, s) for n, s, _, _ in got] == [
+        (n, len(p)) for n, p in names_payloads
+    ]
+    for (name, size, _hoff, doff), (_, payload) in zip(got, names_payloads):
+        assert blob[doff : doff + size] == payload
+
+
+def test_zip_members_on_spark(spark):
+    from cosmos_xenna_spark.operators.archive import (
+        attach_fake_zip_corpus,
+        fake_member_payload,
+        zip_members,
+    )
+
+    df = spark.range(24).withColumnRenamed("id", "doc_id")
+    shards = attach_fake_zip_corpus(df, "doc_id", docs_per_shard=4)
+    raw = {r.shard_id: bytes(r.shard) for r in shards.collect()}
+    rows = zip_members(shards).collect()
+    assert len(rows) == 24 + sum(1 for i in range(24) if i % 5 != 0)
+    for r in rows:
+        payload = raw[r.shard_id][r.data_offset : r.data_offset + r.size_bytes]
+        assert payload == fake_member_payload(r.name, r.size_bytes)
+
+
+def test_tar_members_over_binaryfile_stream(spark, tmp_path):
+    """Streaming shard ingest: tar shards dropped as FILES, picked up
+    by a binaryFile file-stream, parsed row-locally mid-stream — the
+    WebDataset arrival path (new shards land in object storage, the
+    member table accretes)."""
+    import os
+
+    from cosmos_xenna_spark.operators.archive import (
+        build_tar,
+        fake_member_payload,
+        tar_members,
+    )
+    from cosmos_xenna_spark.streaming import to_memory_sink
+
+    src = str(tmp_path / "shards")
+    os.makedirs(src)
+
+    def drop_shard(shard_no: int) -> None:
+        members = []
+        for i in range(shard_no * 2, shard_no * 2 + 2):
+            name = f"{i:08d}.jpg"
+            members.append((name, fake_member_payload(name, 100 + i)))
+        with open(os.path.join(src, f"shard-{shard_no:04d}.tar"), "wb") as f:
+            f.write(build_tar(members))
+
+    drop_shard(0)
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .option("pathGlobFilter", "*.tar")
+        .load(src)
+        .selectExpr(
+            "CAST(regexp_extract(path, 'shard-([0-9]+)', 1) AS LONG) AS shard_id",
+            "content AS shard",
+        )
+    )
+    q = to_memory_sink(tar_members(stream), "t_tar_stream", "append")
+    try:
+        q.processAllAvailable()
+        drop_shard(1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    rows = sorted(
+        (r.shard_id, r.name, r.size_bytes)
+        for r in spark.sql("SELECT * FROM t_tar_stream").collect()
+    )
+    assert rows == [
+        (0, "00000000.jpg", 100),
+        (0, "00000001.jpg", 101),
+        (1, "00000002.jpg", 102),
+        (1, "00000003.jpg", 103),
+    ]
