@@ -260,6 +260,8 @@ _R10_PROMOTIONS = _R10_QUEUE + (
 # Operators added during the r10 session queue here for the r11 window.
 _R11_QUEUE: tuple[str, ...] = (
     "q_dsir_weights",
+    "q_l_diversity",
+    "q_t_closeness",
     "q_kneser_ney_bigram",
     "q_quality_linear_score",
     "q_source_temperature_mix",

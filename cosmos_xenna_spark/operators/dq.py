@@ -665,3 +665,117 @@ def json_validity_sql(
              AS key_max
     FROM ({table_sql}) GROUP BY {g}
     """
+
+
+def l_diversity_sql(
+    table_sql: str, quasi_cols: list[str], sensitive_col: str, l: int
+) -> str:
+    """Shared SQL for :func:`l_diversity` — identical text runs on both
+    engines (only the input relation differs).  Integer-exact: counts
+    are BIGINT; the top-share ratio is FLOOR over an IEEE division both
+    engines perform identically."""
+    q = ", ".join(quasi_cols)
+    return f"""
+    WITH vc AS (
+      SELECT {q}, {sensitive_col} AS sensitive_value, COUNT(*) AS c
+      FROM ({table_sql}) GROUP BY {q}, {sensitive_col}
+    )
+    SELECT {q},
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           CAST(FLOOR(1000000.0 * MAX(c) / SUM(c)) AS BIGINT) AS top_share_ppm,
+           (COUNT(*) >= {l}) AS passes
+    FROM vc GROUP BY {q}
+    """
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+    view_name: str = "__l_diversity",
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2006): k-anonymity is
+    not enough when every row of a quasi-identifier group shares the
+    SAME sensitive value — the group is re-identifiable in aggregate.
+    For each quasi group this reports the number of distinct sensitive
+    values (``l_distinct``), the share of the most common one
+    (``top_share_ppm`` — the homogeneity-attack exposure), and a
+    ``passes`` flag for distinct-l.
+
+    Two-stage aggregation: one shuffle on (quasi, sensitive) with
+    map-side partials, then a group-count-sized rollup — the value
+    distribution never leaves the executors and the output is one row
+    per quasi group, so the audit costs one pass at any corpus size.
+    """
+    df.createOrReplaceTempView(view_name)
+    return df.sparkSession.sql(
+        l_diversity_sql(f"SELECT * FROM {view_name}", quasi_cols, sensitive_col, l)
+    )
+
+
+def t_closeness_sql(
+    table_sql: str, quasi_cols: list[str], sensitive_col: str, t_ppm: int
+) -> str:
+    """Shared SQL for :func:`t_closeness`.  The distance is total
+    variation (the L1 instantiation of t-closeness for categorical
+    sensitive attributes): ``TVD(g) = 1/2 * sum_v |c_gv/n_g - c_v/N|``.
+    Multiplying through by ``2*n_g*N`` keeps every term integer —
+    values ABSENT from a group contribute ``c_v * n_g``, folded in as
+    ``n_g * (N - sum_present c_v)`` so the sparse (group, value) frame
+    never needs a dense spine."""
+    q = ", ".join(quasi_cols)
+    return f"""
+    WITH vc AS (
+      SELECT {q}, {sensitive_col} AS sv, COUNT(*) AS c
+      FROM ({table_sql}) GROUP BY {q}, {sensitive_col}
+    ),
+    gv AS (SELECT sv, CAST(SUM(c) AS BIGINT) AS cv FROM vc GROUP BY sv),
+    tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS n FROM gv),
+    grp AS (SELECT {q}, CAST(SUM(c) AS BIGINT) AS ng FROM vc GROUP BY {q}),
+    agg AS (
+      SELECT {q}, MAX(gr.ng) AS ng, MAX(t.n) AS n,
+             CAST(SUM(ABS(vc.c * t.n - g.cv * gr.ng)) AS BIGINT) AS present_term,
+             CAST(SUM(g.cv) AS BIGINT) AS gv_present
+      FROM vc
+      JOIN gv g USING (sv)
+      JOIN grp gr USING ({q})
+      CROSS JOIN tot t
+      GROUP BY {q}
+    )
+    SELECT {q}, n_rows, tvd_ppm, (tvd_ppm > {t_ppm}) AS breaches FROM (
+      SELECT {q}, CAST(ng AS BIGINT) AS n_rows,
+             CAST(FLOOR(1000000.0 * (present_term + ng * (n - gv_present))
+                        / (2.0 * ng * n)) AS BIGINT) AS tvd_ppm
+      FROM agg
+    )
+    """
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int,
+    view_name: str = "__t_closeness",
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007): a group
+    can be l-diverse and still leak — if its sensitive-value
+    DISTRIBUTION differs sharply from the corpus-wide one, membership
+    alone updates an attacker's prior.  Reports per-group total
+    variation distance to the global distribution in exact ppm and a
+    ``breaches`` flag against ``t_ppm``.
+
+    One (quasi, sensitive) aggregation pass; the global value
+    distribution ``gv`` is vocabulary-bounded (broadcast side), the
+    per-group frame joins it once, and the single-row corpus total is
+    the allowlisted one-row broadcast.  Output is one row per quasi
+    group; skipping a dense group x value spine keeps the shuffle
+    proportional to OBSERVED combinations.  At >2^31-row corpora widen
+    ``c * n`` to DECIMAL before the product.
+    """
+    df.createOrReplaceTempView(view_name)
+    return df.sparkSession.sql(
+        t_closeness_sql(f"SELECT * FROM {view_name}", quasi_cols, sensitive_col, t_ppm)
+    )

@@ -249,3 +249,47 @@ def q_json_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "props")
     return json_validity(ev, ["event_type"], "props", "k")
+
+
+from cosmos_xenna_spark.operators.dq import (  # noqa: E402
+    l_diversity,
+    l_diversity_sql,
+    t_closeness,
+    t_closeness_sql,
+)
+
+_SENS_TABLE = "SELECT lang, source, n_chars // 25 AS band FROM documents"
+
+
+@register(
+    "q_l_diversity",
+    oracle=l_diversity_sql(_SENS_TABLE, ["lang", "source"], "band", 3),
+    description="l-diversity privacy audit: per quasi-identifier group, "
+    "distinct sensitive values + top-value share ppm + distinct-l pass "
+    "flag — the homogeneity-attack screen k-anonymity misses; two-stage "
+    "aggregation (one shuffle on (quasi, sensitive) with map-side "
+    "partials), output one row per quasi group",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("n_chars div 25").alias("band")
+    )
+    return l_diversity(docs, ["lang", "source"], "band", 3)
+
+
+@register(
+    "q_t_closeness",
+    oracle=t_closeness_sql(_SENS_TABLE, ["lang", "source"], "band", 300000),
+    description="t-closeness privacy audit: per quasi group, exact-integer "
+    "total-variation distance (ppm) between the group's sensitive-value "
+    "distribution and the corpus-wide one — the distribution-skew leak "
+    "l-diversity misses; sparse (group, value) frame (absent values folded "
+    "in arithmetically, no dense spine), vocabulary-bounded global "
+    "distribution broadcast, single-row corpus total as the allowlisted "
+    "one-row broadcast",
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("n_chars div 25").alias("band")
+    )
+    return t_closeness(docs, ["lang", "source"], "band", 300000)

@@ -2985,3 +2985,68 @@ def test_zipf_curve_matches_python(spark, seed):
         if r in (1, 2, 4, 8, 16, 32, 64)
     )
     assert got == want and len(got) >= 5
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_l_diversity_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.dq import l_diversity
+
+    rng = random.Random(seed)
+    rows = [
+        (f"g{rng.randrange(8)}", f"h{rng.randrange(3)}", rng.randrange(6))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "qa string, qb string, sv long")
+    got = {
+        (r.qa, r.qb): (r.n_rows, r.l_distinct, r.top_share_ppm, r.passes)
+        for r in l_diversity(df, ["qa", "qb"], "sv", 4).collect()
+    }
+    from collections import Counter
+
+    groups: dict = {}
+    for qa, qb, sv in rows:
+        groups.setdefault((qa, qb), Counter())[sv] += 1
+    want = {
+        g: (
+            sum(c.values()),
+            len(c),
+            int(1000000.0 * max(c.values()) / sum(c.values())),
+            len(c) >= 4,
+        )
+        for g, c in groups.items()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [9, 47])
+def test_t_closeness_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.dq import t_closeness
+
+    rng = random.Random(seed)
+    # skew one group's sensitive distribution hard so `breaches` has
+    # both branches
+    rows = [(f"g{rng.randrange(6)}", rng.randrange(5)) for _ in range(500)]
+    rows += [("g0", 4)] * 60
+    df = spark.createDataFrame(rows, "qa string, sv long")
+    t_ppm = 150000
+    got = {
+        r.qa: (r.n_rows, r.tvd_ppm, r.breaches)
+        for r in t_closeness(df, ["qa"], "sv", t_ppm).collect()
+    }
+    from collections import Counter
+
+    glob = Counter(sv for _, sv in rows)
+    n = sum(glob.values())
+    groups: dict = {}
+    for qa, sv in rows:
+        groups.setdefault(qa, Counter())[sv] += 1
+    want = {}
+    for g, c in groups.items():
+        ng = sum(c.values())
+        tvd2 = sum(abs(c.get(v, 0) * n - cv * ng) for v, cv in glob.items())
+        tvd_ppm = int(1000000.0 * tvd2 / (2.0 * ng * n))
+        want[g] = (ng, tvd_ppm, tvd_ppm > t_ppm)
+    assert got == want
+    assert any(b for _, _, b in got.values()) and not all(
+        b for _, _, b in got.values()
+    )

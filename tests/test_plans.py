@@ -246,6 +246,9 @@ _BNLJ_ALLOWED = {
     # single-row broadcast mixture-weight total attached to the
     # source-count-sized isqrt weight table
     "q_source_temperature_mix",
+    # single-row broadcast corpus total N attached to the sparse
+    # (quasi group, sensitive value) frame (the heavy-hitters pattern)
+    "q_t_closeness",
 }
 
 
