@@ -262,6 +262,9 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_dsir_weights",
     "q_l_diversity",
     "q_t_closeness",
+    "q_centroid_outliers",
+    "q_interval_iou_dedup",
+    "q_hilbert_key",
     "q_kneser_ney_bigram",
     "q_quality_linear_score",
     "q_source_temperature_mix",

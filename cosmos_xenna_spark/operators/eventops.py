@@ -1641,3 +1641,110 @@ def sessionize_capped_sql(
            CAST(session_start_s AS BIGINT) AS session_start_s
     FROM walk
     """
+
+
+def interval_iou_pairs(
+    iv: DataFrame,
+    key_col: str,
+    id_col: str,
+    lo_col: str,
+    hi_col: str,
+    iou_ppm_threshold: int,
+    bucket_width: int,
+) -> DataFrame:
+    """Clip-overlap dedup (the video-curation shape: a long recording
+    split by several cut detectors yields near-identical clips): all
+    within-key interval pairs whose intersection-over-union meets
+    ``iou_ppm_threshold`` — exact integers throughout (``lo``/``hi``
+    are integer seconds; the IoU test is the cross-multiplied
+    ``1e6 * inter >= thr * union``, never a float ratio).
+
+    Candidates come from the interval_overlap_join grid rewrite scoped
+    to the key: both sides explode to the (key, time-cell) ids they
+    touch, equi-join on that composite — never a per-key all-pairs —
+    and a pair overlapping several shared cells is kept only in the
+    cell containing the overlap's START (exactly-once without a
+    post-join distinct). ``bucket_width`` near the typical clip length
+    keeps the explode factor ~1-2 cells per row. The exploded frame is
+    checkpointed once and feeds both join sides.
+
+    Output: (key, keep_id, dup_id, inter_s, union_s, iou_ppm) with
+    ``keep_id < dup_id`` (survivor = lower id, the dedup convention).
+    """
+    w = int(bucket_width)
+    cells = iv.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    ).localCheckpoint(eager=True)
+    a = cells.select(
+        F.col(key_col).alias("__k"),
+        F.col("__cell"),
+        F.col(id_col).alias("keep_id"),
+        F.col(lo_col).alias("__lo_a"),
+        F.col(hi_col).alias("__hi_a"),
+    )
+    b = cells.select(
+        F.col(key_col).alias("__k"),
+        F.col("__cell"),
+        F.col(id_col).alias("dup_id"),
+        F.col(lo_col).alias("__lo_b"),
+        F.col(hi_col).alias("__hi_b"),
+    )
+    inter = F.least("__hi_a", "__hi_b") - F.greatest("__lo_a", "__lo_b")
+    union = (
+        (F.col("__hi_a") - F.col("__lo_a"))
+        + (F.col("__hi_b") - F.col("__lo_b"))
+        - inter
+    )
+    return (
+        a.join(b, ["__k", "__cell"])
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .filter(
+            F.col("__cell")
+            == F.floor(F.greatest("__lo_a", "__lo_b") / w).cast("long")
+        )
+        .withColumn("inter_s", inter.cast("bigint"))
+        .withColumn("union_s", union.cast("bigint"))
+        .filter(
+            (F.col("inter_s") > 0)
+            & (F.col("inter_s") * 1000000 >= F.lit(int(iou_ppm_threshold)) * F.col("union_s"))
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "keep_id",
+            "dup_id",
+            "inter_s",
+            "union_s",
+            F.expr("1000000 * inter_s DIV union_s").cast("bigint").alias("iou_ppm"),
+        )
+    )
+
+
+def interval_iou_pairs_sql(
+    iv_sql: str,
+    key_col: str,
+    id_col: str,
+    iou_ppm_threshold: int,
+) -> str:
+    """DuckDB mirror — the naive within-key self-join (no grid cells:
+    the oracle certifies that the grid rewrite emits exactly the
+    all-pairs result)."""
+    return f"""
+    SELECT {key_col}, keep_id, dup_id, inter_s, union_s,
+           CAST(1000000 * inter_s // union_s AS BIGINT) AS iou_ppm
+    FROM (
+      SELECT a.{key_col},
+             a.{id_col} AS keep_id, b.{id_col} AS dup_id,
+             CAST(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) AS BIGINT) AS inter_s,
+             CAST((a.hi - a.lo) + (b.hi - b.lo)
+                  - (LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo)) AS BIGINT) AS union_s
+      FROM ({iv_sql}) a JOIN ({iv_sql}) b
+        ON a.{key_col} = b.{key_col} AND a.{id_col} < b.{id_col}
+    )
+    WHERE inter_s > 0 AND 1000000 * inter_s >= {int(iou_ppm_threshold)} * union_s
+    """

@@ -66,3 +66,74 @@ def layout_by_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def hilbert_key_sql(
+    table_sql: str, id_cols: list[str], x_sql: str, y_sql: str, bits: int = 8
+) -> str:
+    """Shared SQL for the 2-D Hilbert index — identical text runs on
+    both engines. The classic xy2d loop (rx/ry bit tests, quadrant
+    ``(3*rx) XOR ry``, conditional reflect+swap) is unrolled into
+    ``bits`` nested selects; XOR and the branchy rotation are rewritten
+    as portable arithmetic/CASE:
+
+    - ``(3*rx) XOR ry  ==  3*rx + ry - 2*rx*ry``  (rx, ry in {0,1})
+    - rotate: ry=1 -> identity; ry=0, rx=0 -> swap;
+      ry=0, rx=1 -> (n-1-y, n-1-x)
+
+    Values are masked to the low ``bits`` (callers normalize like
+    zorder_key). Flat integer expressions: whole-stage codegen, no
+    UDF, bit-identical across engines.
+    """
+    if not 1 <= bits <= 15:
+        raise ValueError(f"bits must be 1..15, got {bits}")
+    n = 1 << bits
+    ids = ", ".join(id_cols)
+    sql = f"""
+      SELECT {ids}, CAST(({x_sql}) & {n - 1} AS BIGINT) AS __hcx,
+             CAST(({y_sql}) & {n - 1} AS BIGINT) AS __hcy,
+             CAST(0 AS BIGINT) AS __hd
+      FROM ({table_sql})
+    """
+    for t in range(bits):
+        s = 1 << (bits - 1 - t)
+        sql = f"""
+      SELECT {ids},
+             __hd + {s * s} * (3 * __hrx + __hry - 2 * __hrx * __hry) AS __hd,
+             CASE WHEN __hry = 1 THEN __hcx
+                  WHEN __hrx = 0 THEN __hcy
+                  ELSE {n - 1} - __hcy END AS __hcx,
+             CASE WHEN __hry = 1 THEN __hcy
+                  WHEN __hrx = 0 THEN __hcx
+                  ELSE {n - 1} - __hcx END AS __hcy
+      FROM (
+        SELECT {ids}, __hcx, __hcy, __hd,
+               CASE WHEN (__hcx & {s}) > 0 THEN 1 ELSE 0 END AS __hrx,
+               CASE WHEN (__hcy & {s}) > 0 THEN 1 ELSE 0 END AS __hry
+        FROM ({sql})
+      )
+    """
+    return f"SELECT {ids}, CAST(__hd AS BIGINT) AS hkey FROM ({sql})"
+
+
+def hilbert_key(
+    df: DataFrame,
+    id_cols: list[str],
+    x_sql: str,
+    y_sql: str,
+    bits: int = 8,
+    view_name: str = "__hilbert",
+) -> DataFrame:
+    """2-D Hilbert layout key (the locality-optimal alternative to
+    :func:`zorder_key`): consecutive key values are ALWAYS adjacent
+    cells, so a range of the key covers a more compact rectangle than
+    Morton order — measurably fewer files touched per 2-D range
+    predicate at the same file count (no Morton "jumps" across the
+    space). Same contract as zorder: normalize both dimensions to
+    [0, 2^bits) integers first, then ORDER BY / range-partition on
+    ``hkey`` for min/max-prunable files on both columns.
+    """
+    df.createOrReplaceTempView(view_name)
+    return df.sparkSession.sql(
+        hilbert_key_sql(f"SELECT * FROM {view_name}", id_cols, x_sql, y_sql, bits)
+    )

@@ -512,3 +512,97 @@ def quantize_embeddings_int8_sql(
            CAST(FLOOR(max_abs * 1000) AS BIGINT) AS max_abs_milli
     FROM base
     """
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Noisy-label screen: the ``k`` vectors FARTHEST from their own
+    label's centroid, per label — the SemDeDup-family curation step
+    that surfaces mislabeled / out-of-distribution samples before a
+    cluster-blocked dedup or an IVF index trusts the labels.
+
+    Exactness recipe (the :func:`q_label_centroids` fixed-point rule,
+    extended to distances): dimensions quantize to ``floor(x * 1e6)``
+    BIGINT; the centroid is re-quantized to the same grid with
+    ``FLOOR(sum / n)`` (one IEEE divide both engines perform
+    identically — sums stay under 2^53 by construction at 1e-6 scale),
+    so the squared distance is an exact BIGINT sum (per-term products
+    <= ~5.8e12, far under the 9.2e18 overflow line at any corpus
+    size).
+
+    Plan: one exchange on (label, dim) serves BOTH centroid moments as
+    window aggregates over the exploded frame (no centroid-table
+    join-back — the agg + join-back on the same key collapse), then
+    one (label, id) aggregation and a per-label top-k window.  Output
+    is ``k * n_labels`` rows.
+    """
+    dims = emb.select(
+        F.col(label_col).cast("bigint").alias("label"),
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x"),
+    ).select(
+        "label",
+        "vid",
+        (F.col("__pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("__x") * F.lit(1000000.0)).cast("bigint").alias("x_fp"),
+    )
+    w = Window.partitionBy("label", "dim")
+    diff = F.col("x_fp") - F.floor(
+        F.sum("x_fp").over(w) / F.count(F.lit(1)).over(w)
+    ).cast("bigint")
+    per_id = (
+        dims.withColumn("__t", diff * diff)
+        .groupBy("label", "vid")
+        .agg(F.sum("__t").cast("bigint").alias("dist2_fp"))
+    )
+    rk = Window.partitionBy("label").orderBy(F.desc("dist2_fp"), F.asc("vid"))
+    return (
+        per_id.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("label", F.col("vid").alias(id_col), "rank", "dist2_fp")
+    )
+
+
+def centroid_outliers_sql(
+    table_sql: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB mirror of :func:`centroid_outliers` — identical
+    quantization, centroid re-quantization, integer distance, and
+    tie-break."""
+    return f"""
+    WITH dims AS (
+      SELECT CAST({label_col} AS BIGINT) AS label, {id_col} AS vid,
+             CAST(d.i AS BIGINT) AS dim,
+             CAST(FLOOR(d.x * 1000000.0) AS BIGINT) AS x_fp
+      FROM (SELECT {label_col}, {id_col}, CAST({vec_col} AS DOUBLE[]) AS e
+            FROM ({table_sql})),
+           LATERAL (SELECT UNNEST(e) AS x, generate_subscripts(e, 1) AS i) d
+    ),
+    cstat AS (
+      SELECT label, vid,
+             x_fp - CAST(FLOOR(CAST(SUM(x_fp) OVER (PARTITION BY label, dim)
+                                    AS BIGINT)
+                               / COUNT(*) OVER (PARTITION BY label, dim))
+                         AS BIGINT) AS diff
+      FROM dims
+    ),
+    per_id AS (
+      SELECT label, vid, CAST(SUM(diff * diff) AS BIGINT) AS dist2_fp
+      FROM cstat GROUP BY label, vid
+    )
+    SELECT label, vid AS {id_col}, CAST(rank AS BIGINT) AS rank, dist2_fp FROM (
+      SELECT label, vid, dist2_fp,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist2_fp DESC, vid) AS rank
+      FROM per_id
+    ) WHERE rank <= {k}
+    """

@@ -887,3 +887,42 @@ from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
 def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     return sessionize_capped(ev, gap_secs=1800, max_secs=14400)
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    interval_iou_pairs,
+    interval_iou_pairs_sql,
+)
+
+_IOU_IV_SQL = """
+    SELECT user_id, event_id,
+           epoch_us(ts) // 1000000 AS lo,
+           epoch_us(ts) // 1000000 + 60 + (CAST(FLOOR(value) AS BIGINT) % 540)
+             AS hi
+    FROM events
+"""
+
+
+@register(
+    "q_interval_iou_dedup",
+    oracle=interval_iou_pairs_sql(_IOU_IV_SQL, "user_id", "event_id", 250000),
+    description="clip-overlap dedup (video-curation shape): within-user "
+    "interval pairs with IoU >= 0.25 — exact cross-multiplied integer test, "
+    "candidates from the grid-cell rewrite (explode to time cells, "
+    "equi-join on (key, cell), overlap-start cell rule for exactly-once) "
+    "— never a per-key all-pairs; the naive self-join oracle certifies "
+    "the grid emits the identical pair set",
+)
+def q_interval_iou_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = F.expr("unix_micros(ts) div 1000000")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("lo"),
+        (s + 60 + F.pmod(F.floor("value").cast("bigint"), F.lit(540))).alias("hi"),
+    )
+    return interval_iou_pairs(
+        iv, "user_id", "event_id", "lo", "hi",
+        iou_ppm_threshold=250000, bucket_width=1024,
+    )

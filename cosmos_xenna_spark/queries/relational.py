@@ -777,3 +777,37 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "o_orderkey", zorder_key(["__x", "__y"], 16).alias("zkey")
     )
+
+
+from cosmos_xenna_spark.operators.layout import hilbert_key, hilbert_key_sql  # noqa: E402
+
+
+@register(
+    "q_hilbert_key",
+    oracle=hilbert_key_sql(
+        "SELECT o_orderkey, o_custkey % 256 AS hx,"
+        " CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) % 256 AS hy"
+        " FROM orders",
+        ["o_orderkey"],
+        "hx",
+        "hy",
+        bits=8,
+    ),
+    description="Hilbert-curve layout key over (custkey, order day): the "
+    "locality-optimal alternative to q_zorder_key — consecutive keys are "
+    "always adjacent cells (no Morton jumps), so equal-size key-range "
+    "files cover tighter 2-D rectangles and min/max stats prune fewer "
+    "false-positive files per range predicate; unrolled xy2d arithmetic "
+    "(XOR and reflect+swap as CASE), flat integer exprs, zero shuffles",
+)
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).cast(
+        "bigint"
+    )
+    keyed = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey").cast("bigint") % 256).alias("hx"),
+        (day % 256).alias("hy"),
+    )
+    return hilbert_key(keyed, ["o_orderkey"], "hx", "hy", bits=8)

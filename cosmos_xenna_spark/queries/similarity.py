@@ -367,3 +367,24 @@ from cosmos_xenna_spark.operators.similarity import (  # noqa: E402
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return quantize_embeddings_int8(emb)
+
+
+from cosmos_xenna_spark.operators.similarity import (  # noqa: E402
+    centroid_outliers,
+    centroid_outliers_sql,
+)
+
+
+@register(
+    "q_centroid_outliers",
+    oracle=centroid_outliers_sql("SELECT vec_id, embedding, label FROM embeddings"),
+    description="noisy-label screen: per label, the 5 vectors farthest from "
+    "their own label centroid (exact 1e-6 fixed-point squared distance; "
+    "centroid re-quantized to the grid with one IEEE divide) — the "
+    "mislabel/OOD curation pass before cluster-blocked dedup or IVF trusts "
+    "the labels; one (label, dim) window exchange serves both centroid "
+    "moments, output k x n_labels rows",
+)
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, k=5)

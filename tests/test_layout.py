@@ -63,3 +63,50 @@ def test_zorder_layout_bounds_both_dimensions(spark):
     assert oy > side * 0.6
     # and z-order's worse dim beats single-dim's worse dim by 1.7x+
     assert max(zx, zy) * 1.7 < max(ox, oy), (zx, zy, ox, oy)
+
+
+def _xy2d(order_n, x, y):
+    d, s = 0, order_n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = order_n - 1 - x, order_n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_bijective(spark):
+    from cosmos_xenna_spark.operators.layout import hilbert_key
+
+    side = 32
+    pts = spark.createDataFrame(
+        [(x * side + y, x, y) for x in range(side) for y in range(side)],
+        "pid long, hx long, hy long",
+    )
+    rows = hilbert_key(pts, ["pid", "hx", "hy"], "hx", "hy", bits=5).collect()
+    got = {(r.hx, r.hy): r.hkey for r in rows}
+    assert got == {
+        (x, y): _xy2d(side, x, y) for x in range(side) for y in range(side)
+    }
+    assert sorted(got.values()) == list(range(side * side))
+
+
+def test_hilbert_consecutive_keys_are_adjacent_cells(spark):
+    """The locality property that justifies Hilbert over Morton:
+    consecutive key values are ALWAYS 4-neighbors (Morton violates
+    this at every power-of-two boundary jump)."""
+    from cosmos_xenna_spark.operators.layout import hilbert_key
+
+    side = 16
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(side) for y in range(side)], "hx long, hy long"
+    )
+    rows = hilbert_key(pts, ["hx", "hy"], "hx", "hy", bits=4).collect()
+    by_key = {r.hkey: (r.hx, r.hy) for r in rows}
+    for k in range(side * side - 1):
+        (x1, y1), (x2, y2) = by_key[k], by_key[k + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (k, by_key[k], by_key[k + 1])

@@ -3050,3 +3050,63 @@ def test_t_closeness_matches_python(spark, seed):
     assert any(b for _, _, b in got.values()) and not all(
         b for _, _, b in got.values()
     )
+
+
+@pytest.mark.parametrize("seed", [13, 61])
+def test_centroid_outliers_matches_numpy(spark, seed):
+    from cosmos_xenna_spark.operators.similarity import centroid_outliers
+
+    rng = np.random.default_rng(seed)
+    dim, n = 8, 120
+    labels = rng.integers(0, 4, n)
+    vecs = rng.normal(0, 0.4, (n, dim))
+    rows = [
+        (int(i), [float(x) for x in vecs[i]], int(labels[i])) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = sorted(
+        (r.label, r.rank, r.vec_id, r.dist2_fp)
+        for r in centroid_outliers(df, k=3).collect()
+    )
+    x_fp = np.floor(vecs * 1e6).astype(np.int64)
+    want = []
+    for lb in sorted(set(int(x) for x in labels)):
+        idx = [i for i in range(n) if labels[i] == lb]
+        c_fp = np.floor(x_fp[idx].sum(axis=0) / len(idx)).astype(np.int64)
+        d2 = {i: int(((x_fp[i] - c_fp) ** 2).sum()) for i in idx}
+        ordered = sorted(idx, key=lambda i: (-d2[i], i))
+        want += [(lb, r + 1, i, d2[i]) for r, i in enumerate(ordered[:3])]
+    assert got == sorted(want)
+
+
+@pytest.mark.parametrize("seed", [17, 71])
+def test_interval_iou_pairs_matches_bruteforce(spark, seed):
+    from cosmos_xenna_spark.operators.eventops import interval_iou_pairs
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(250):
+        lo = rng.randrange(0, 5000)
+        rows.append((f"k{rng.randrange(12)}", i, lo, lo + rng.randrange(1, 400)))
+    df = spark.createDataFrame(rows, "k string, id long, lo long, hi long")
+    thr = 300000
+    # small bucket width relative to spans: exercises the multi-cell
+    # exactly-once rule hard
+    got = sorted(
+        (r.k, r.keep_id, r.dup_id, r.inter_s, r.union_s, r.iou_ppm)
+        for r in interval_iou_pairs(
+            df, "k", "id", "lo", "hi", thr, bucket_width=64
+        ).collect()
+    )
+    want = []
+    for k, i, lo, hi in rows:
+        for k2, j, lo2, hi2 in rows:
+            if k2 != k or j <= i:
+                continue
+            inter = min(hi, hi2) - max(lo, lo2)
+            union = (hi - lo) + (hi2 - lo2) - inter
+            if inter > 0 and 1000000 * inter >= thr * union:
+                want.append((k, i, j, inter, union, 1000000 * inter // union))
+    assert got == sorted(want) and len(got) > 5
