@@ -265,6 +265,9 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_centroid_outliers",
     "q_interval_iou_dedup",
     "q_hilbert_key",
+    "q_symspell_suggest",
+    "q_ranking_eval",
+    "q_resolution_buckets",
     "q_kneser_ney_bigram",
     "q_quality_linear_score",
     "q_source_temperature_mix",

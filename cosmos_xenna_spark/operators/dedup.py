@@ -1132,3 +1132,58 @@ def fellegi_sunter_scores_sql(
     FROM p LEFT JOIN r ra ON p.{id_a} = ra.{id_col}
            LEFT JOIN r rb ON p.{id_b} = rb.{id_col}
     """
+
+
+def _del1_variants(col: str):
+    """The token itself + every single-character deletion (the SymSpell
+    distance-1 neighborhood). Two distance<=1 strings ALWAYS share at
+    least one variant (insert/delete: the shorter string; substitute:
+    the common deletion at the edit position), so a variant equi-join
+    is a complete candidate generator for edit distance 1."""
+    return F.array_union(
+        F.array(F.col(col)),
+        F.expr(
+            f"transform(sequence(1, length({col})),"
+            f" i -> concat(substring({col}, 1, i - 1), substring({col}, i + 1)))"
+        ),
+    )
+
+
+def symspell_edit1_join(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    q_col: str = "query_token",
+    d_col: str = "token",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """SymSpell fuzzy token match (Garbe's deletion-neighborhood
+    algorithm): every (query, dictionary) token pair within Levenshtein
+    distance 1 — spell-correction / fuzzy keyword matching at corpus
+    scale WITHOUT an all-pairs edit-distance join.
+
+    Both sides explode to their distance-1 deletion neighborhoods
+    (|token|+1 variants — vocabulary-sized tables), candidates come
+    from ONE variant equi-join, pairs dedupe, and the exact
+    ``levenshtein`` verify (bit-identical across engines) keeps true
+    matches only. The neighborhood intersection is COMPLETE for
+    distance 1 (see :func:`_del1_variants`), so the output equals the
+    naive all-pairs join exactly — the oracle certifies that.
+
+    Scale contract: variant buckets fan out quadratically only for
+    very short tokens (the '' variant of 1-char tokens pairs them
+    all) — callers bound token length >= 2; natural-vocabulary
+    buckets are tiny.
+    """
+    qv = (
+        queries.select(q_col)
+        .distinct()
+        .select(q_col, F.explode(_del1_variants(q_col)).alias("__v"))
+    )
+    dv = dictionary.select(d_col, *keep_cols, F.explode(_del1_variants(d_col)).alias("__v"))
+    return (
+        qv.join(dv, "__v")
+        .select(q_col, d_col, *keep_cols)
+        .distinct()
+        .withColumn("lev", F.levenshtein(F.col(q_col), F.col(d_col)).cast("bigint"))
+        .filter(F.col("lev") <= 1)
+    )

@@ -1058,3 +1058,63 @@ def attach_fake_videos_scenes(df: DataFrame, id_col: str = "doc_id") -> DataFram
     return ensure_parallelism(df.select(id_col)).mapInPandas(
         fn, schema="id long, video binary"
     )
+
+
+_ASPECT_BUCKETS: tuple[tuple[str, int, int], ...] = (
+    ("1:1", 1, 1),
+    ("4:3", 4, 3),
+    ("3:4", 3, 4),
+    ("16:9", 16, 9),
+    ("9:16", 9, 16),
+)
+
+
+def aspect_bucket_sql(w_expr: str, h_expr: str) -> str:
+    """Portable SQL expression assigning an image to the nearest
+    canonical aspect-ratio bucket (1:1, 4:3, 3:4, 16:9, 9:16) — the
+    resolution-bucketing step image/video training batches need (every
+    batch must share a shape; padding to one global shape wastes
+    compute).
+
+    Nearness is exact integer arithmetic: ``|w/h - aw/ah|`` compared
+    via ``1e9 * |w*ah - aw*h| div ah`` (the per-row ``h`` denominator
+    is common to all buckets and drops out). First bucket in canonical
+    order wins ties. Identical text runs on both engines."""
+    costs = [
+        f"(1000000000 * ABS(({w_expr}) * {ah} - {aw} * ({h_expr})) / {ah})"
+        for _, aw, ah in _ASPECT_BUCKETS
+    ]
+    least = "LEAST(" + ", ".join(costs) + ")"
+    case = " ".join(
+        f"WHEN {c} = {least} THEN '{name}'"
+        for c, (name, _, _) in zip(costs, _ASPECT_BUCKETS)
+    )
+    return f"(CASE {case} END)"
+
+
+def resolution_bucket_stats(
+    meta: DataFrame,
+    w_col: str = "width",
+    h_col: str = "height",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Aspect-bucket batching plan from an image-metadata table: per
+    canonical bucket, image count, total pixels, dimension envelope and
+    the number of fixed-size batches — the planning readout that sizes
+    a bucketed dataloader (rows assigned row-locally; one tiny
+    aggregation shuffle on the 5-bucket key)."""
+    bucket = F.expr(aspect_bucket_sql(w_col, h_col))
+    return (
+        meta.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.sum(F.col(w_col) * F.col(h_col)).cast("bigint").alias("sum_pixels"),
+            F.min(w_col).cast("bigint").alias("min_w"),
+            F.max(w_col).cast("bigint").alias("max_w"),
+            F.min(h_col).cast("bigint").alias("min_h"),
+            F.max(h_col).cast("bigint").alias("max_h"),
+            F.expr(f"CAST((COUNT(*) + {batch_size - 1}) DIV {batch_size} AS BIGINT)")
+            .alias("n_batches"),
+        )
+    )

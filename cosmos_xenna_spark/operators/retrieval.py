@@ -437,3 +437,137 @@ def boolean_and_search_sql(
     GROUP BY {id_col}
     HAVING COUNT(DISTINCT term) = {len(query_terms)}
     """
+
+
+def _ndcg_weights(k: int) -> list[int]:
+    """Integer DCG position weights: ``floor(1e9 / log2(rank+1))`` for
+    rank 1..k, precomputed in Python and injected as LITERALS into both
+    engines — the one place a log may appear in an oracle-matched
+    score (as a shared constant, never an engine-evaluated float)."""
+    import math
+
+    return [int(1e9 // math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def _weight_case(rank_expr: str, k: int) -> str:
+    cases = " ".join(
+        f"WHEN {r} THEN {w}" for r, w in enumerate(_ndcg_weights(k), start=1)
+    )
+    return f"(CASE {rank_expr} {cases} ELSE 0 END)"
+
+
+def ranking_eval(
+    rankings: DataFrame,
+    judgments: DataFrame,
+    k: int,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Offline ranking-quality evaluation: NDCG@k, MRR and recall@k per
+    query, exact integers end to end (the retrieval-eval step of a
+    search/RAG pipeline, run as data at corpus scale).
+
+    ``rankings`` is a run (one row per (query, doc) with rank 1..k);
+    ``judgments`` holds graded relevance (only rel >= 1 rows). DCG uses
+    integer position weights (:func:`_ndcg_weights`), so
+    ``ndcg_ppm = 1e6 * DCG_fp div IDCG_fp`` is engine-exact; MRR and
+    recall are integer ratios. The ideal ordering (IDCG) ranks
+    judgments by (rel desc, doc asc) — deterministic tie-break.
+
+    One (query, doc) equi-join + two per-query aggregations; output is
+    one row per ranked query (queries judged but never ranked are out
+    of scope of a run's eval). Queries with no relevant docs report
+    zeros rather than dropping out.
+    """
+    wcase = _weight_case(rank_col, k)
+    j = judgments.select(
+        F.col(query_col), F.col(doc_col), F.col(rel_col).cast("bigint").alias("__rel")
+    )
+    ranked = (
+        rankings.join(j, [query_col, doc_col], "left")
+        .withColumn("__rel0", F.coalesce(F.col("__rel"), F.lit(0)))
+        .groupBy(query_col)
+        .agg(
+            F.sum(F.expr(f"__rel0 * {wcase}")).cast("bigint").alias("__dcg"),
+            F.sum((F.col("__rel0") > 0).cast("bigint")).cast("bigint").alias("hits_at_k"),
+            F.min(F.when(F.col("__rel0") > 0, F.col(rank_col))).alias("__first"),
+        )
+    )
+    iw = Window.partitionBy(query_col).orderBy(F.desc("__rel"), F.asc(doc_col))
+    ideal = (
+        j.withColumn("__ir", F.row_number().over(iw))
+        .groupBy(query_col)
+        .agg(
+            F.sum(F.when(F.col("__ir") <= k, F.expr(f"__rel * {_weight_case('__ir', k)}")))
+            .cast("bigint")
+            .alias("__idcg"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rel"),
+        )
+    )
+    out = ranked.join(ideal, [query_col], "left")
+    return out.select(
+        query_col,
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint").alias("n_rel"),
+        F.col("hits_at_k"),
+        F.coalesce(F.expr("1000000 * __dcg DIV __idcg"), F.lit(0))
+        .cast("bigint")
+        .alias("ndcg_ppm"),
+        F.coalesce(F.expr("1000000 DIV __first"), F.lit(0))
+        .cast("bigint")
+        .alias("mrr_ppm"),
+        F.coalesce(F.expr("1000000 * hits_at_k DIV n_rel"), F.lit(0))
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
+
+
+def ranking_eval_sql(
+    rankings_sql: str,
+    judgments_sql: str,
+    k: int,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> str:
+    """DuckDB mirror of :func:`ranking_eval` — identical weights,
+    tie-breaks and zero-fills."""
+    wcase = _weight_case(rank_col, k)
+    iwcase = _weight_case("ir", k)
+    return f"""
+    WITH r AS ({rankings_sql}),
+    j AS (SELECT {query_col}, {doc_col}, CAST({rel_col} AS BIGINT) AS rel
+          FROM ({judgments_sql})),
+    ranked AS (
+      SELECT r.{query_col},
+             CAST(SUM(COALESCE(j.rel, 0) * {wcase}) AS BIGINT) AS dcg,
+             CAST(SUM(CASE WHEN COALESCE(j.rel, 0) > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_at_k,
+             MIN(CASE WHEN COALESCE(j.rel, 0) > 0 THEN {rank_col} END) AS first_rel
+      FROM r LEFT JOIN j
+        ON r.{query_col} = j.{query_col} AND r.{doc_col} = j.{doc_col}
+      GROUP BY r.{query_col}
+    ),
+    ideal AS (
+      SELECT {query_col},
+             CAST(SUM(CASE WHEN ir <= {k} THEN rel * {iwcase} END) AS BIGINT)
+               AS idcg,
+             CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY {query_col}
+                                     ORDER BY rel DESC, {doc_col}) AS ir
+        FROM j
+      ) GROUP BY {query_col}
+    )
+    SELECT ranked.{query_col},
+           CAST(COALESCE(ideal.n_rel, 0) AS BIGINT) AS n_rel,
+           ranked.hits_at_k,
+           CAST(COALESCE(1000000 * ranked.dcg // ideal.idcg, 0) AS BIGINT)
+             AS ndcg_ppm,
+           CAST(COALESCE(1000000 // ranked.first_rel, 0) AS BIGINT) AS mrr_ppm,
+           CAST(COALESCE(1000000 * ranked.hits_at_k // ideal.n_rel, 0) AS BIGINT)
+             AS recall_ppm
+    FROM ranked LEFT JOIN ideal ON ranked.{query_col} = ideal.{query_col}
+    """

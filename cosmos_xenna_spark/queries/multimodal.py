@@ -262,3 +262,51 @@ def q_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     shards = attach_fake_zip_corpus(docs, "doc_id", docs_per_shard=4)
     return zip_members(shards)
+
+
+from cosmos_xenna_spark.operators.multimodal import (  # noqa: E402
+    aspect_bucket_sql,
+    resolution_bucket_stats,
+)
+
+
+@register(
+    "q_resolution_buckets",
+    oracle=f"""
+    SELECT {aspect_bucket_sql('w', 'h')} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+           CAST(MIN(w) AS BIGINT) AS min_w, CAST(MAX(w) AS BIGINT) AS max_w,
+           CAST(MIN(h) AS BIGINT) AS min_h, CAST(MAX(h) AS BIGINT) AS max_h,
+           CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches
+    FROM (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN (doc_id % 8) + 4
+                  ELSE (doc_id % 16) + 4 END AS w,
+             CASE WHEN doc_id % 3 = 0 THEN (doc_id % 16) + 4
+                  ELSE (doc_id % 8) + 4 END AS h
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+    description="aspect-ratio bucket batching plan: images decode through "
+    "the real mapInPandas metadata path, assign row-locally to the nearest "
+    "of 5 canonical buckets (exact cross-multiplied nearness, shared "
+    "engine expression), then per-bucket counts/pixels/envelope/batch "
+    "count — the bucketed-dataloader planning step of image/video "
+    "training; oracle recomputes dims arithmetically from doc_id",
+)
+def q_resolution_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    meta = extract_image_metadata(attach_fake_images(docs))
+    # deterministic orientation mix: every third image is portrait
+    # (transpose) — exercises the 3:4 / 9:16 buckets the landscape-only
+    # fake dims never reach
+    oriented = meta.select(
+        F.when(F.col("id") % 3 == 0, F.col("height"))
+        .otherwise(F.col("width"))
+        .alias("width"),
+        F.when(F.col("id") % 3 == 0, F.col("width"))
+        .otherwise(F.col("height"))
+        .alias("height"),
+    )
+    return resolution_bucket_stats(oriented, batch_size=32)

@@ -359,3 +359,91 @@ _BOOL_TERMS = ["hash", "join", "scan"]
 def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return boolean_and_search(docs, _BOOL_TERMS)
+
+
+from cosmos_xenna_spark.operators.retrieval import (  # noqa: E402
+    doc_terms,
+    ranking_eval,
+    ranking_eval_sql,
+)
+
+_EVAL_TERMS = [("agg", 0), ("join", 1), ("scan", 2), ("sort", 3), ("window", 4)]
+_EVAL_K = 10
+
+_EVAL_TERMS_REL = "(VALUES " + ", ".join(
+    f"('{q}', {ti})" for q, ti in _EVAL_TERMS
+) + ") AS t(query, ti)"
+
+_EVAL_RANKINGS_SQL = f"""
+    SELECT query, doc_id, CAST(rk AS BIGINT) AS rank FROM (
+      SELECT tf.query, tf.doc_id,
+             row_number() OVER (PARTITION BY tf.query
+                                ORDER BY tf.tf DESC, tf.doc_id) AS rk
+      FROM (
+        SELECT t.query, d.doc_id, COUNT(*) AS tf
+        FROM (SELECT doc_id,
+                     UNNEST(regexp_extract_all(lower(text), '{TOKEN_REGEX}', 0))
+                       AS tok
+              FROM documents) d
+        JOIN {_EVAL_TERMS_REL} ON d.tok = t.query
+        GROUP BY t.query, d.doc_id
+      ) tf
+    ) WHERE rk <= {_EVAL_K}
+"""
+
+_EVAL_JUDGMENTS_SQL = f"""
+    SELECT query, doc_id, rel FROM (
+      SELECT t.query, d.doc_id,
+             CASE (d.doc_id * (t.ti + 3)) % 17
+               WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END AS rel
+      FROM documents d, {_EVAL_TERMS_REL}
+    ) WHERE rel > 0
+"""
+
+
+@register(
+    "q_ranking_eval",
+    oracle=ranking_eval_sql(_EVAL_RANKINGS_SQL, _EVAL_JUDGMENTS_SQL, _EVAL_K),
+    description="offline retrieval-quality eval: NDCG@10 / MRR / recall@10 "
+    "per query over a tf-ranked run vs graded synthetic judgments — exact "
+    "integers end to end (shared literal floor(1e9/log2(r+1)) DCG weights, "
+    "ppm ratios); one (query, doc) equi-join + two per-query aggregations; "
+    "judgments fan out row-locally (explode, no BNLJ cross join)",
+)
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pyspark.sql import Window
+
+    tset = [q for q, _ in _EVAL_TERMS]
+    tf = doc_terms(docs).filter(F.col("term").isin(tset))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    rankings = (
+        tf.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _EVAL_K)
+        .select(F.col("term").alias("query"), "doc_id", "rank")
+    )
+    judgments = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).alias("query"), F.lit(ti).alias("ti")
+                        )
+                        for q, ti in _EVAL_TERMS
+                    ]
+                )
+            ).alias("t"),
+        )
+        .select(
+            F.col("t.query").alias("query"),
+            "doc_id",
+            F.expr(
+                "CASE (doc_id * (t.ti + 3)) % 17"
+                " WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END"
+            ).alias("rel"),
+        )
+        .filter(F.col("rel") > 0)
+    )
+    return ranking_eval(rankings, judgments, _EVAL_K)

@@ -508,3 +508,97 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
     return zipf_curve(docs, "text", max_rank=256)
+
+
+from cosmos_xenna_spark.operators.dedup import symspell_edit1_join  # noqa: E402
+
+# Planted-typo query log (the arithmetic-ground-truth fixture pattern):
+# the closed synthetic vocabulary has no natural misspellings, so each
+# dictionary token is corrupted three deterministic ways — one
+# deletion, one insertion, one substitution, at freq-derived positions
+# — and the SymSpell join must recover the corrections exactly.
+_SYMSPELL_ORACLE = """
+    WITH toks AS (
+      SELECT UNNEST(regexp_extract_all(lower(text), '{rx}', 0)) AS t
+      FROM documents
+    ),
+    vocab AS (SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM toks GROUP BY t),
+    dict AS (SELECT token, freq FROM vocab
+             WHERE freq >= 5 AND length(token) >= 4),
+    q AS (
+      SELECT DISTINCT query_token FROM (
+        SELECT concat(substr(token, 1, freq % length(token)),
+                      substr(token, freq % length(token) + 2)) AS query_token
+        FROM dict
+        UNION ALL
+        SELECT concat(substr(token, 1, (freq // 3) % (length(token) + 1)),
+                      'x',
+                      substr(token, (freq // 3) % (length(token) + 1) + 1))
+        FROM dict
+        UNION ALL
+        SELECT concat(substr(token, 1, (freq // 9) % length(token)),
+                      'z',
+                      substr(token, (freq // 9) % length(token) + 2))
+        FROM dict
+      )
+    )
+    SELECT q.query_token, d.token AS suggestion, d.freq AS dict_freq,
+           CAST(levenshtein(q.query_token, d.token) AS BIGINT) AS lev
+    FROM q JOIN dict d ON levenshtein(q.query_token, d.token) <= 1
+""".format(rx=TOKEN_REGEX)
+
+
+@register(
+    "q_symspell_suggest",
+    oracle=_SYMSPELL_ORACLE,
+    description="SymSpell spell-correction join: planted-typo query tokens "
+    "(one deletion/insertion/substitution per dict word, freq-derived "
+    "positions) matched to the corpus dictionary at Levenshtein <= 1 via "
+    "deletion-neighborhood variant equi-join + exact verify — never an "
+    "all-pairs edit-distance join; the naive all-pairs oracle certifies "
+    "the neighborhood candidates are COMPLETE for distance 1",
+)
+def q_symspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_REGEX}', 0)")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    dict_df = (
+        vocab.filter((F.col("freq") >= 5) & (F.length("token") >= 4))
+        .localCheckpoint(eager=True)
+    )
+    q1 = dict_df.select(
+        F.expr(
+            "concat(substring(token, 1, freq % length(token)),"
+            " substring(token, freq % length(token) + 2))"
+        ).alias("query_token")
+    )
+    q2 = dict_df.select(
+        F.expr(
+            "concat(substring(token, 1, (freq div 3) % (length(token) + 1)),"
+            " 'x', substring(token, (freq div 3) % (length(token) + 1) + 1))"
+        ).alias("query_token")
+    )
+    q3 = dict_df.select(
+        F.expr(
+            "concat(substring(token, 1, (freq div 9) % length(token)),"
+            " 'z', substring(token, (freq div 9) % length(token) + 2))"
+        ).alias("query_token")
+    )
+    queries = q1.union(q2).union(q3)
+    out = symspell_edit1_join(
+        queries, dict_df, q_col="query_token", d_col="token", keep_cols=("freq",)
+    )
+    return out.select(
+        "query_token",
+        F.col("token").alias("suggestion"),
+        F.col("freq").alias("dict_freq"),
+        "lev",
+    )

@@ -1550,3 +1550,73 @@ def streaming_gaps_islands(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_countmin(
+    stream_df: DataFrame,
+    token_col: str = "event_type",
+) -> DataFrame:
+    """Live frequency sketch: the streaming form of
+    ``operators.cms`` — one Count-Min cell table (DEPTH x WIDTH
+    integer cells, ~6 KB) held as keyed state, updated by pure cell
+    ADDITION every micro-batch.
+
+    The stateless front half (md5 bucket derivation) is the same
+    hashing the batch operator and its DuckDB oracle pin down, and
+    cell sums are order-insensitive, so the final emitted cell table
+    equals the batch-built sketch bit-for-bit under ARBITRARY
+    cross-batch arrival order (the HLL-twin contract, for frequencies
+    instead of cardinalities). State is CONSTANT in stream length —
+    the whole point of sketching a stream.
+    """
+    from cosmos_xenna_spark.functions import md5_long63
+    from cosmos_xenna_spark.operators.cms import DEPTH, WIDTH
+
+    contrib = stream_df.select(
+        F.col(token_col).cast("string").alias("tok")
+    ).select(
+        F.lit("ALL").alias("scope"),
+        F.explode(F.array(*[F.lit(d) for d in range(DEPTH)])).alias("d"),
+        F.col("tok"),
+    ).select(
+        "scope",
+        "d",
+        F.pmod(
+            md5_long63(
+                F.concat(F.col("d").cast("string"), F.lit("#"), F.col("tok"))
+            ),
+            F.lit(WIDTH),
+        ).alias("col"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n_tokens, joined = state.get
+            cells = [int(x) for x in joined.split(",")]
+        else:
+            n_tokens, cells = 0, [0] * (DEPTH * WIDTH)
+        n_rows = 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            for d, c in zip(pdf["d"], pdf["col"]):
+                cells[int(d) * WIDTH + int(c)] += 1
+        n_tokens += n_rows // DEPTH
+        state.update((n_tokens, ",".join(str(v) for v in cells)))
+        yield pd.DataFrame(
+            {
+                "scope": [key[0]],
+                "n_tokens": [n_tokens],
+                "nonzero_cells": [sum(1 for v in cells if v)],
+                "cells": [",".join(str(v) for v in cells)],
+            }
+        )
+
+    return contrib.groupBy("scope").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "scope string, n_tokens long, nonzero_cells long, cells string"
+        ),
+        stateStructType="n_tokens long, cells string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

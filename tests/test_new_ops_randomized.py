@@ -3110,3 +3110,139 @@ def test_interval_iou_pairs_matches_bruteforce(spark, seed):
             if inter > 0 and 1000000 * inter >= thr * union:
                 want.append((k, i, j, inter, union, 1000000 * inter // union))
     assert got == sorted(want) and len(got) > 5
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("seed", [19, 83])
+def test_symspell_edit1_join_matches_bruteforce(spark, seed):
+    from cosmos_xenna_spark.operators.dedup import symspell_edit1_join
+
+    rng = random.Random(seed)
+
+    def word():
+        return "".join(
+            rng.choice("ab") for _ in range(rng.randrange(2, 7))
+        )
+
+    dict_words = sorted({word() for _ in range(60)})
+    queries = sorted({word() for _ in range(80)})
+    d = spark.createDataFrame(
+        [(w, i + 1) for i, w in enumerate(dict_words)], "token string, freq long"
+    )
+    q = spark.createDataFrame([(w,) for w in queries], "query_token string")
+    got = sorted(
+        (r.query_token, r.token, r.freq, r.lev)
+        for r in symspell_edit1_join(
+            q, d, q_col="query_token", d_col="token", keep_cols=("freq",)
+        ).collect()
+    )
+    want = sorted(
+        (qw, dw, i + 1, _lev(qw, dw))
+        for qw in queries
+        for i, dw in enumerate(dict_words)
+        if _lev(qw, dw) <= 1
+    )
+    assert got == want and len(got) > 20
+
+
+@pytest.mark.parametrize("seed", [23, 97])
+def test_ranking_eval_matches_python(spark, seed):
+    import math
+
+    from cosmos_xenna_spark.operators.retrieval import ranking_eval
+
+    rng = random.Random(seed)
+    k = 8
+    queries = [f"q{i}" for i in range(10)]
+    rank_rows, judg_rows = [], []
+    for q in queries:
+        docs = rng.sample(range(100), k)
+        rank_rows += [(q, d, r + 1) for r, d in enumerate(docs)]
+        judg_rows += [
+            (q, d, rng.randrange(1, 4))
+            for d in rng.sample(range(100), rng.randrange(0, 25))
+        ]
+    rankings = spark.createDataFrame(
+        rank_rows, "query string, doc_id long, rank long"
+    )
+    judgments = spark.createDataFrame(
+        judg_rows, "query string, doc_id long, rel long"
+    )
+    got = {
+        r.query: (r.n_rel, r.hits_at_k, r.ndcg_ppm, r.mrr_ppm, r.recall_ppm)
+        for r in ranking_eval(rankings, judgments, k).collect()
+    }
+    W = [int(1e9 // math.log2(r + 1)) for r in range(1, k + 1)]
+    want = {}
+    for q in queries:
+        rel = {d: rv for qq, d, rv in judg_rows if qq == q}
+        run = sorted(
+            [(r, d) for qq, d, r in rank_rows if qq == q]
+        )
+        dcg = sum(rel.get(d, 0) * W[r - 1] for r, d in run)
+        hits = sum(1 for _, d in run if d in rel)
+        first = min((r for r, d in run if d in rel), default=None)
+        ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        idcg = sum(rv * W[i] for i, (_, rv) in enumerate(ideal))
+        want[q] = (
+            len(rel),
+            hits,
+            1000000 * dcg // idcg if idcg else 0,
+            1000000 // first if first else 0,
+            1000000 * hits // len(rel) if rel else 0,
+        )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [29, 101])
+def test_resolution_bucket_stats_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.multimodal import (
+        _ASPECT_BUCKETS,
+        resolution_bucket_stats,
+    )
+
+    rng = random.Random(seed)
+    dims = [(rng.randrange(4, 40), rng.randrange(4, 40)) for _ in range(300)]
+    df = spark.createDataFrame(dims, "width long, height long")
+    got = {
+        r.bucket: (r.n_images, r.sum_pixels, r.min_w, r.max_w, r.min_h, r.max_h, r.n_batches)
+        for r in resolution_bucket_stats(df, batch_size=16).collect()
+    }
+
+    def assign(w, h):
+        costs = [
+            (1000000000 * abs(w * ah - aw * h) / ah, i)
+            for i, (_, aw, ah) in enumerate(_ASPECT_BUCKETS)
+        ]
+        m = min(c for c, _ in costs)
+        return next(
+            _ASPECT_BUCKETS[i][0] for c, i in costs if c == m
+        )
+
+    groups: dict = {}
+    for w, h in dims:
+        groups.setdefault(assign(w, h), []).append((w, h))
+    want = {
+        b: (
+            len(g),
+            sum(w * h for w, h in g),
+            min(w for w, _ in g),
+            max(w for w, _ in g),
+            min(h for _, h in g),
+            max(h for _, h in g),
+            (len(g) + 15) // 16,
+        )
+        for b, g in groups.items()
+    }
+    assert got == want and len(got) == 5

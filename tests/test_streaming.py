@@ -1323,3 +1323,49 @@ def test_streaming_gaps_islands_merges_bridging_day(spark, tmp_path):
         "SELECT start_day, end_day, n_days FROM t_gaps_br WHERE emit_seq = 2"
     ).collect()
     assert len(final) == 1 and final[0].n_days == 3
+
+
+def test_streaming_countmin_matches_batch(spark, sf_dir, events_dir):
+    """Constant-state Count-Min twin: cell sums are order-insensitive,
+    so the final emitted cell table equals the batch-built sketch
+    bit-for-bit under any cross-batch arrival order."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.functions import md5_long63
+    from cosmos_xenna_spark.operators.cms import DEPTH, WIDTH
+    from cosmos_xenna_spark.streaming import streaming_countmin
+
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(streaming_countmin(stream), "t_cms", "update")
+    _drain(q)
+    final = spark.sql(
+        "SELECT * FROM t_cms ORDER BY n_tokens DESC LIMIT 1"
+    ).collect()[0]
+    got = [int(x) for x in final.cells.split(",")]
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").cast("string").alias("tok")
+    )
+    cells = (
+        ev.select(
+            F.explode(F.array(*[F.lit(d) for d in range(DEPTH)])).alias("d"),
+            "tok",
+        )
+        .select(
+            "d",
+            F.pmod(
+                md5_long63(
+                    F.concat(F.col("d").cast("string"), F.lit("#"), F.col("tok"))
+                ),
+                F.lit(WIDTH),
+            ).alias("col"),
+        )
+        .groupBy("d", "col")
+        .agg(F.count(F.lit(1)).alias("cell"))
+        .collect()
+    )
+    want = [0] * (DEPTH * WIDTH)
+    for r in cells:
+        want[int(r.d) * WIDTH + int(r.col)] = int(r.cell)
+    assert got == want
+    assert final.n_tokens == ev.count()
+    assert final.nonzero_cells == sum(1 for v in want if v)
