@@ -268,6 +268,8 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_symspell_suggest",
     "q_ranking_eval",
     "q_resolution_buckets",
+    "q_calibration_bins",
+    "q_pr_curve",
     "q_kneser_ney_bigram",
     "q_quality_linear_score",
     "q_source_temperature_mix",

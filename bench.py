@@ -143,6 +143,13 @@ HEADLINE = [
     # reference-LM shuffle join + doc agg (the perplexity-filter shape)
     "q_link_prediction_jaccard",
     "q_doc_surprisal",
+    # r10 batch 3: the grid-cell interval self-join (IoU clip dedup —
+    # the round's pair-generating shape), the 64-dim explode + window
+    # centroid-distance screen, and the deletion-neighborhood variant
+    # join (vocab-bounded but corpus-scanned)
+    "q_interval_iou_dedup",
+    "q_centroid_outliers",
+    "q_symspell_suggest",
 ]
 
 

@@ -1255,3 +1255,166 @@ def doc_surprisal_rank_sql(
            CAST(1000 * SUM(surp) // COUNT(*) AS BIGINT) AS mean_surprisal_milli
     FROM scored GROUP BY id
     """
+
+
+def classifier_calibration(
+    scored: DataFrame,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> DataFrame:
+    """Calibration-bin profile of a scored corpus (the reliability
+    diagram / ECE input, computed as data): rows bin by FIXED-WIDTH
+    score bands over the declared ``[lo, hi)`` range (clamped at the
+    edges), and each bin reports size, exact integer mean score,
+    positive rate, mean linearly-mapped confidence, and the
+    |confidence - accuracy| gap — all ppm, all integer division, so
+    the profile is engine-exact.  ``sum(n * gap_ppm) / sum(n)`` is
+    ECE.  One aggregation pass on the 10-key bin column.
+    """
+    span = int(hi) - int(lo)
+    bin_expr = (
+        f"LEAST({n_bins - 1}, GREATEST(0,"
+        f" CAST(({score_col} - {lo}) * {n_bins} AS BIGINT) DIV {span}))"
+    )
+    conf = (
+        f"LEAST(1000000, GREATEST(0,"
+        f" CAST(({score_col} - {lo}) * 1000000 AS BIGINT) DIV {span}))"
+    )
+    return (
+        scored.select(
+            F.expr(bin_expr).cast("bigint").alias("bin"),
+            F.col(score_col).cast("bigint").alias("__s"),
+            F.expr(conf).cast("bigint").alias("__conf"),
+            F.col(label_col).cast("bigint").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("SUM(__s) DIV COUNT(*)").cast("bigint").alias("mean_score_milli"),
+            F.expr("1000000 * SUM(__y) DIV COUNT(*)").cast("bigint").alias("pos_ppm"),
+            F.expr("SUM(__conf) DIV COUNT(*)").cast("bigint").alias("conf_ppm"),
+            F.expr(
+                "ABS(SUM(__conf) DIV COUNT(*) - 1000000 * SUM(__y) DIV COUNT(*))"
+            ).cast("bigint").alias("gap_ppm"),
+        )
+    )
+
+
+def classifier_calibration_sql(
+    scored_sql: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> str:
+    """DuckDB mirror — identical bin clamp, confidence map, integer
+    divisions (both engines' integer division truncates)."""
+    span = int(hi) - int(lo)
+    bin_expr = (
+        f"LEAST({n_bins - 1}, GREATEST(0,"
+        f" CAST(({score_col} - {lo}) * {n_bins} AS BIGINT) // {span}))"
+    )
+    conf = (
+        f"LEAST(1000000, GREATEST(0,"
+        f" CAST(({score_col} - {lo}) * 1000000 AS BIGINT) // {span}))"
+    )
+    return f"""
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_score_milli,
+           CAST(1000000 * SUM(y) // COUNT(*) AS BIGINT) AS pos_ppm,
+           CAST(SUM(conf) // COUNT(*) AS BIGINT) AS conf_ppm,
+           CAST(ABS(SUM(conf) // COUNT(*) - 1000000 * SUM(y) // COUNT(*))
+                AS BIGINT) AS gap_ppm
+    FROM (
+      SELECT {bin_expr} AS bin, CAST({score_col} AS BIGINT) AS s,
+             {conf} AS conf, CAST({label_col} AS BIGINT) AS y
+      FROM ({scored_sql})
+    ) GROUP BY bin
+    """
+
+
+def pr_curve(
+    scored: DataFrame,
+    thresholds: list[int],
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> DataFrame:
+    """Precision/recall/F1 sweep over literal score thresholds — the
+    operating-point picker for a quality gate, computed in ONE corpus
+    pass: each row fans out to the |thresholds| cut points ROW-LOCALLY
+    (explode of a literal array — no threshold join, no re-scan per
+    point), then one aggregation on the threshold key.  Exact ppm
+    integer ratios with the 0-denominator rows reporting 0.
+    """
+    ts = [int(t) for t in thresholds]
+    fan = scored.select(
+        F.col(score_col).cast("bigint").alias("__s"),
+        F.col(label_col).cast("bigint").alias("__y"),
+        F.explode(F.array(*[F.lit(t).cast("bigint") for t in ts])).alias("thr"),
+    )
+    return (
+        fan.groupBy("thr")
+        .agg(
+            F.sum(F.expr("CAST(__s >= thr AND __y = 1 AS BIGINT)"))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.expr("CAST(__s >= thr AND __y = 0 AS BIGINT)"))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.expr("CAST(__s < thr AND __y = 1 AS BIGINT)"))
+            .cast("bigint")
+            .alias("fn"),
+        )
+        .select(
+            "thr",
+            "tp",
+            "fp",
+            "fn",
+            F.coalesce(F.expr("1000000 * tp DIV NULLIF(tp + fp, 0)"), F.lit(0))
+            .cast("bigint")
+            .alias("precision_ppm"),
+            F.coalesce(F.expr("1000000 * tp DIV NULLIF(tp + fn, 0)"), F.lit(0))
+            .cast("bigint")
+            .alias("recall_ppm"),
+            F.coalesce(F.expr("2000000 * tp DIV NULLIF(2 * tp + fp + fn, 0)"), F.lit(0))
+            .cast("bigint")
+            .alias("f1_ppm"),
+        )
+    )
+
+
+def pr_curve_sql(
+    scored_sql: str,
+    thresholds: list[int],
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> str:
+    """DuckDB mirror — identical fan-out and ratios.  0-denominator
+    integer division yields NULL in both engines; COALESCE to 0."""
+    ts = ", ".join(str(int(t)) for t in thresholds)
+    return f"""
+    SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn,
+           CAST(COALESCE(1000000 * tp // NULLIF(tp + fp, 0), 0) AS BIGINT)
+             AS precision_ppm,
+           CAST(COALESCE(1000000 * tp // NULLIF(tp + fn, 0), 0) AS BIGINT)
+             AS recall_ppm,
+           CAST(COALESCE(2000000 * tp // NULLIF(2 * tp + fp + fn, 0), 0) AS BIGINT)
+             AS f1_ppm
+    FROM (
+      SELECT thr,
+             CAST(SUM(CASE WHEN s >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN s < thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM (
+        SELECT CAST({score_col} AS BIGINT) AS s, CAST({label_col} AS BIGINT) AS y,
+               UNNEST([{ts}]) AS thr
+        FROM ({scored_sql})
+      ) GROUP BY thr
+    )
+    """

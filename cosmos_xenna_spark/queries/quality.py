@@ -481,3 +481,60 @@ def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin("src0", "src1", "src2", "src3")
     ).select("doc_id", "text")
     return doc_surprisal_rank(docs, ref, "doc_id", "text")
+
+
+from cosmos_xenna_spark.operators.quality import (  # noqa: E402
+    classifier_calibration,
+    classifier_calibration_sql,
+    pr_curve,
+    pr_curve_sql,
+    quality_linear_score_sql as _qls_sql,
+)
+
+# Scored corpus + synthetic binary labels for the model-eval queries
+# (labels arbitrary by design — eval operators measure a model against
+# judgments they do not control).
+_SCORED_SQL = f"""
+    SELECT s.doc_id, s.score_milli,
+           CASE WHEN s.doc_id % 7 < 3 THEN 1 ELSE 0 END AS label
+    FROM ({_qls_sql("SELECT doc_id, text FROM documents", "doc_id", "text", 4096, 0)}) s
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_linear_score(docs, "doc_id", "text", n_buckets=4096, threshold=0).select(
+        "doc_id",
+        "score_milli",
+        (F.col("doc_id") % 7 < 3).cast("bigint").alias("label"),
+    )
+
+
+@register(
+    "q_calibration_bins",
+    oracle=classifier_calibration_sql(_SCORED_SQL, lo=-500000, hi=250000, n_bins=10),
+    description="classifier calibration profile (reliability-diagram / ECE "
+    "input as data): fixed-width score bins with edge clamp, per bin exact "
+    "integer mean score, positive rate, mean mapped confidence and the "
+    "|confidence-accuracy| gap — all ppm integer division; one aggregation "
+    "pass on the 10-key bin column over the broadcast-model scoring pass",
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier_calibration(
+        _scored(spark, sf_dir), lo=-500000, hi=250000, n_bins=10
+    )
+
+
+_PR_THRESHOLDS = [-400000, -350000, -300000, -250000, -200000, -150000, -100000, -50000, 0]
+
+
+@register(
+    "q_pr_curve",
+    oracle=pr_curve_sql(_SCORED_SQL, _PR_THRESHOLDS),
+    description="precision/recall/F1 threshold sweep (quality-gate "
+    "operating-point picker): 9 literal cut points fanned out row-locally "
+    "(explode, no re-scan per point), one aggregation on the threshold "
+    "key, exact ppm ratios with 0-denominator rows reporting 0",
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pr_curve(_scored(spark, sf_dir), _PR_THRESHOLDS)

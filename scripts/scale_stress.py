@@ -329,6 +329,15 @@ R10E_QUERIES = [
     "q_zip_members",
 ]
 
+R10F_QUERIES = [
+    "q_interval_iou_dedup",
+    "q_centroid_outliers",
+    "q_ranking_eval",
+    "q_symspell_suggest",
+    "q_t_closeness",
+    "q_resolution_buckets",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -390,6 +399,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r10e":
         qset = "r10e"
         QUERIES = R10E_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r10f":
+        qset = "r10f"
+        QUERIES = R10F_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
@@ -417,6 +429,10 @@ def main() -> None:
         t0 = time.time()
         generate_lineitem(spark, out_dir)
         print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
+    if qset == "r10f" and not os.path.exists(f"{out_dir}/events.parquet"):
+        t0 = time.time()
+        generate_events(spark, out_dir)
+        print(f"generated {COPIES}x events in {time.time() - t0:.0f}s")
     if qset in ("r7b", "r7c", "r8", "r8b", "r9", "r9b", "r9c"):
         t0 = time.time()
         if not os.path.exists(f"{out_dir}/lineitem.parquet"):

@@ -3246,3 +3246,74 @@ def test_resolution_bucket_stats_matches_python(spark, seed):
         for b, g in groups.items()
     }
     assert got == want and len(got) == 5
+
+
+@pytest.mark.parametrize("seed", [37, 103])
+def test_classifier_calibration_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.quality import classifier_calibration
+
+    rng = random.Random(seed)
+    lo, hi, nb = -100, 300, 8
+    rows = [
+        (i, rng.randrange(-150, 350), rng.randrange(2)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, label long")
+    got = {
+        r.bin: (r.n, r.mean_score_milli, r.pos_ppm, r.conf_ppm, r.gap_ppm)
+        for r in classifier_calibration(df, lo, hi, nb).collect()
+    }
+    span = hi - lo
+    groups: dict = {}
+    for _, s, y in rows:
+        b = min(nb - 1, max(0, (s - lo) * nb // span))
+        groups.setdefault(b, []).append((s, y))
+    want = {}
+    for b, g in groups.items():
+        n = len(g)
+        ssum = sum(s for s, _ in g)
+        csum = sum(min(1000000, max(0, (s - lo) * 1000000 // span)) for s, _ in g)
+        pos = sum(y for _, y in g)
+        # spark DIV truncates toward zero; python // floors — mirror
+        # the truncation for possibly-negative sums
+        def tdiv(a, b2):
+            q = abs(a) // b2
+            return q if a >= 0 else -q
+
+        want[b] = (
+            n,
+            tdiv(ssum, n),
+            1000000 * pos // n,
+            tdiv(csum, n),
+            abs(tdiv(csum, n) - 1000000 * pos // n),
+        )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [41, 107])
+def test_pr_curve_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.quality import pr_curve
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(-100, 100), rng.randrange(2)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, label long")
+    # 120 guarantees an empty-prediction threshold (tp+fp = 0)
+    thrs = [-120, -60, 0, 60, 120]
+    got = {
+        r.thr: (r.tp, r.fp, r.fn, r.precision_ppm, r.recall_ppm, r.f1_ppm)
+        for r in pr_curve(df, thrs).collect()
+    }
+    want = {}
+    for t in thrs:
+        tp = sum(1 for _, s, y in rows if s >= t and y == 1)
+        fp = sum(1 for _, s, y in rows if s >= t and y == 0)
+        fn = sum(1 for _, s, y in rows if s < t and y == 1)
+        want[t] = (
+            tp,
+            fp,
+            fn,
+            1000000 * tp // (tp + fp) if tp + fp else 0,
+            1000000 * tp // (tp + fn) if tp + fn else 0,
+            2000000 * tp // (2 * tp + fp + fn) if 2 * tp + fp + fn else 0,
+        )
+    assert got == want
+    assert any(v[0] + v[1] == 0 for v in got.values())
