@@ -270,6 +270,8 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_resolution_buckets",
     "q_calibration_bins",
     "q_pr_curve",
+    "q_tiff_exif_meta",
+    "q_exif_privacy_audit",
     "q_kneser_ney_bigram",
     "q_quality_linear_score",
     "q_source_temperature_mix",

@@ -310,3 +310,70 @@ def q_resolution_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("height"),
     )
     return resolution_bucket_stats(oriented, batch_size=32)
+
+
+from cosmos_xenna_spark.operators.tiff import (  # noqa: E402
+    attach_fake_tiff_corpus,
+    tiff_entries,
+    tiff_entries_oracle_sql,
+)
+
+
+@register(
+    "q_tiff_exif_meta",
+    oracle=tiff_entries_oracle_sql(),
+    description="TIFF/EXIF IFD metadata extraction: REAL spec-correct IFD "
+    "walker (II/MM byte order — the corpus alternates endianness by id "
+    "parity — magic 42, inline-vs-offset value rule, EXIF + GPS sub-IFD "
+    "descent, RATIONAL as exact 1e6*num div den) over binary payloads via "
+    "row-local mapInPandas; the arithmetic oracle recomputes every entry "
+    "INCLUDING the sub-IFD pointer offsets from doc_id alone",
+)
+def q_tiff_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return tiff_entries(attach_fake_tiff_corpus(docs))
+
+
+@register(
+    "q_exif_privacy_audit",
+    oracle="""
+    SELECT 'cam' || CAST(doc_id % 7 AS STRING) AS make,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gps,
+           CAST(1000000 * SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS gps_ppm
+    FROM documents GROUP BY 1
+    """,
+    description="EXIF privacy audit (the pre-release GPS scrub readout): "
+    "per camera make, how many images carry a GPS IFD — derived entirely "
+    "from the parsed entry table (make = tag 271, GPS presence = the "
+    "34853 pointer), one metadata-sized aggregation; oracle recomputes "
+    "from doc_id arithmetic",
+)
+def q_exif_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    entries = tiff_entries(attach_fake_tiff_corpus(docs)).localCheckpoint(
+        eager=True
+    )
+    makes = entries.filter(F.col("tag") == 271).select(
+        "id", F.col("value_text").alias("make")
+    )
+    gps = (
+        entries.filter((F.col("tag") == 34853) & (F.col("ifd") == "ifd0"))
+        .select("id")
+        .withColumn("has_gps", F.lit(1))
+    )
+    return (
+        makes.join(gps, "id", "left")
+        .groupBy("make")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("has_gps"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_gps"),
+            F.expr(
+                "CAST(1000000 * SUM(COALESCE(has_gps, 0)) DIV COUNT(*) AS BIGINT)"
+            ).alias("gps_ppm"),
+        )
+    )
