@@ -272,6 +272,9 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_pr_curve",
     "q_tiff_exif_meta",
     "q_exif_privacy_audit",
+    "q_kmv_set_ops",
+    "q_churn_hazard",
+    "q_layout_skipping_eval",
     "q_kneser_ney_bigram",
     "q_quality_linear_score",
     "q_source_temperature_mix",

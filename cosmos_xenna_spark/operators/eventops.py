@@ -1748,3 +1748,98 @@ def interval_iou_pairs_sql(
     )
     WHERE inter_s > 0 AND 1000000 * inter_s >= {int(iou_ppm_threshold)} * union_s
     """
+
+
+def churn_hazard(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_gap_days: int = 28,
+    week_days: int = 7,
+) -> DataFrame:
+    """Survival-analysis hazard table over user tenure (the
+    Kaplan-Meier input, kept integer-exact): per tenure week ``w``,
+    how many users were still at risk, how many churned AT that
+    tenure, and the discrete hazard ``1e6 * d_w div n_risk_w``.
+
+    A user's tenure is ``(last_day - first_day) div week_days``; a user
+    has CHURNED when their last event is more than ``churn_gap_days``
+    before the corpus end (otherwise they are right-CENSORED: they
+    still contribute to n_risk up to their observed tenure — dropping
+    them is the classic survival-analysis bias).
+
+    One per-entity aggregation, the single-row corpus-end broadcast
+    (allowlisted), then the risk set by reverse cumulative sum over
+    the WEEK-COUNT frame — bounded by the observation span in weeks,
+    never corpus rows (allowlisted global window on that tiny frame).
+    """
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    per_user = events.groupBy(entity_col).agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    end = events.agg(F.max(day).alias("corpus_end"))
+    weeks = (
+        per_user.join(F.broadcast(end))
+        .select(
+            F.expr(f"(last_day - first_day) div {week_days}").alias("tenure_week"),
+            (
+                F.col("last_day")
+                <= F.col("corpus_end") - F.lit(int(churn_gap_days))
+            )
+            .cast("bigint")
+            .alias("churned"),
+        )
+        .groupBy("tenure_week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("churned").cast("bigint").alias("n_churned"),
+        )
+    )
+    w = Window.orderBy(F.asc("tenure_week")).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return weeks.select(
+        F.col("tenure_week").cast("bigint").alias("tenure_week"),
+        F.sum("c").over(w).cast("bigint").alias("n_risk"),
+        "n_churned",
+        F.expr("1000000 * n_churned DIV SUM(c) OVER (ORDER BY tenure_week"
+               " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+        .cast("bigint")
+        .alias("hazard_ppm"),
+    )
+
+
+def churn_hazard_sql(
+    events_sql: str,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_gap_days: int = 28,
+    week_days: int = 7,
+) -> str:
+    """DuckDB mirror — identical day/tenure arithmetic, censoring rule
+    and reverse-cumulative risk set."""
+    return f"""
+    WITH pu AS (
+      SELECT {entity_col},
+             MIN(epoch_us({ts_col}) // 86400000000) AS first_day,
+             MAX(epoch_us({ts_col}) // 86400000000) AS last_day
+      FROM ({events_sql}) GROUP BY {entity_col}
+    ),
+    e AS (SELECT MAX(epoch_us({ts_col}) // 86400000000) AS corpus_end
+          FROM ({events_sql})),
+    weeks AS (
+      SELECT (last_day - first_day) // {week_days} AS tenure_week,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN last_day <= corpus_end - {churn_gap_days}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+      FROM pu CROSS JOIN e
+      GROUP BY 1
+    )
+    SELECT CAST(tenure_week AS BIGINT) AS tenure_week,
+           CAST(SUM(c) OVER w AS BIGINT) AS n_risk,
+           n_churned,
+           CAST(1000000 * n_churned // (SUM(c) OVER w) AS BIGINT) AS hazard_ppm
+    FROM weeks
+    WINDOW w AS (ORDER BY tenure_week
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    """

@@ -137,3 +137,87 @@ def hilbert_key(
     return df.sparkSession.sql(
         hilbert_key_sql(f"SELECT * FROM {view_name}", id_cols, x_sql, y_sql, bits)
     )
+
+
+def layout_skipping_eval_sql(
+    table_sql: str,
+    x_sql: str,
+    y_sql: str,
+    bits: int = 8,
+    n_files: int = 64,
+    rect: tuple[int, int, int, int] = (32, 95, 64, 127),
+) -> str:
+    """Shared SQL comparing Hilbert vs Morton file-skipping on the SAME
+    rows: key both ways, split each ordering into ``n_files``
+    equal-width key ranges (the file layout a range-partitioned write
+    produces), collect per-file min/max stats for both dimensions, and
+    count the files a rectangle predicate would touch under standard
+    min/max pruning — plus the rows those files scan vs the rows that
+    actually match.  The quantified form of the Hilbert locality claim:
+    consecutive keys are adjacent cells, so equal key ranges cover
+    tighter rectangles and prune more files.
+    """
+    x0, x1, y0, y1 = rect
+    width = (1 << (2 * bits)) // n_files
+    zexpr = zorder_key_sql(["hx", "hy"], bits)
+    hil = hilbert_key_sql(
+        f"SELECT ({x_sql}) AS hx, ({y_sql}) AS hy FROM ({table_sql})",
+        ["hx", "hy"],
+        "hx",
+        "hy",
+        bits,
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT hx, hy, hkey, {zexpr} AS zkey FROM ({hil})
+    ),
+    layouts AS (
+      SELECT 'hilbert' AS layout,
+             CAST(FLOOR(hkey / {width}.0) AS BIGINT) AS f, hx, hy FROM keyed
+      UNION ALL
+      SELECT 'zorder',
+             CAST(FLOOR(zkey / {width}.0) AS BIGINT), hx, hy FROM keyed
+    ),
+    files AS (
+      SELECT layout, f, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(hx) AS x_min, MAX(hx) AS x_max,
+             MIN(hy) AS y_min, MAX(hy) AS y_max,
+             CAST(SUM(CASE WHEN hx BETWEEN {x0} AND {x1}
+                            AND hy BETWEEN {y0} AND {y1}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM layouts GROUP BY layout, f
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN x_min <= {x1} AND x_max >= {x0}
+                      AND y_min <= {y1} AND y_max >= {y0}
+                     THEN 1 ELSE 0 END AS touched
+      FROM files
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(touched) AS BIGINT) AS files_touched,
+           CAST(SUM(CASE WHEN touched = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matched
+    FROM flagged GROUP BY layout
+    """
+
+
+def layout_skipping_eval(
+    df: DataFrame,
+    x_sql: str,
+    y_sql: str,
+    bits: int = 8,
+    n_files: int = 64,
+    rect: tuple[int, int, int, int] = (32, 95, 64, 127),
+    view_name: str = "__layout_eval",
+) -> DataFrame:
+    """See :func:`layout_skipping_eval_sql` — one scan, one (layout,
+    file) aggregation (2 * n_files groups), one 2-row rollup; the
+    whole evaluation is metadata-scale after the first aggregate."""
+    df.createOrReplaceTempView(view_name)
+    return df.sparkSession.sql(
+        layout_skipping_eval_sql(
+            f"SELECT * FROM {view_name}", x_sql, y_sql, bits, n_files, rect
+        )
+    )

@@ -926,3 +926,47 @@ def q_interval_iou_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv, "user_id", "event_id", "lo", "hi",
         iou_ppm_threshold=250000, bucket_width=1024,
     )
+
+
+from cosmos_xenna_spark.operators.kmv import kmv_set_ops, kmv_set_ops_sql  # noqa: E402
+
+
+@register(
+    "q_kmv_set_ops",
+    oracle=kmv_set_ops_sql(
+        "SELECT event_type, user_id FROM events", "event_type", "user_id", k=64
+    ),
+    description="KMV (theta) sketch set operations: per event-type pair, "
+    "union AND intersection cardinality estimates from k=64 minimum md5 "
+    "hashes — the set-op capability HLL (union-only) and the MinHash "
+    "Jaccard sketch lack; fixed IEEE estimator over exact integers, "
+    "exact-regime fallback when the merged sketch is the union; one "
+    "corpus agg + G-row broadcast pair spine (audience-overlap contract)",
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_set_ops(ev, "event_type", "user_id", k=64)
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    churn_hazard,
+    churn_hazard_sql,
+)
+
+
+@register(
+    "q_churn_hazard",
+    # gap=1 day: the synthetic corpus is dense (every user active most
+    # days over a 29-day span), so only the tightest inactivity gap
+    # exercises both the churned and censored branches at every sf
+    oracle=churn_hazard_sql("SELECT user_id, ts FROM events", churn_gap_days=1),
+    description="survival-analysis hazard table (Kaplan-Meier input) over "
+    "user tenure weeks: per week, users at risk, churned-at-that-tenure "
+    "count, exact discrete hazard ppm — right-censored actives stay in "
+    "the risk set (dropping them is the classic survival bias); one "
+    "entity aggregation + single-row corpus-end broadcast + reverse "
+    "cumsum over the bounded week frame",
+)
+def q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return churn_hazard(ev, churn_gap_days=1)

@@ -811,3 +811,44 @@ def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         (day % 256).alias("hy"),
     )
     return hilbert_key(keyed, ["o_orderkey"], "hx", "hy", bits=8)
+
+
+from cosmos_xenna_spark.operators.layout import (  # noqa: E402
+    layout_skipping_eval,
+    layout_skipping_eval_sql,
+)
+
+
+@register(
+    "q_layout_skipping_eval",
+    # 96 files (NON-power-of-two: at power-of-two counts both orderings
+    # tile the grid into identical aligned blocks and the comparison is
+    # a wash) and an unaligned rectangle — the regime real tables live in
+    oracle=layout_skipping_eval_sql(
+        "SELECT o_custkey % 256 AS x,"
+        " CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) % 256"
+        " AS y FROM orders",
+        "x",
+        "y",
+        n_files=96,
+        rect=(100, 160, 90, 150),
+    ),
+    description="file-skipping evaluation, Hilbert vs Morton on the SAME "
+    "rows: 64 equal-width key-range files per layout, per-file min/max "
+    "stats, files touched by a 64x64 rectangle under standard pruning + "
+    "rows scanned vs matched — the quantified form of the Hilbert "
+    "locality claim; one scan, one (layout, file) agg, metadata-scale "
+    "after that",
+)
+def q_layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).cast(
+        "bigint"
+    )
+    keyed = orders.select(
+        (F.col("o_custkey").cast("bigint") % 256).alias("x"),
+        (day % 256).alias("y"),
+    )
+    return layout_skipping_eval(
+        keyed, "x", "y", n_files=96, rect=(100, 160, 90, 150)
+    )

@@ -3317,3 +3317,109 @@ def test_pr_curve_matches_python(spark, seed):
         )
     assert got == want
     assert any(v[0] + v[1] == 0 for v in got.values())
+
+
+@pytest.mark.parametrize("seed", [43, 109])
+def test_kmv_set_ops_matches_python_and_tracks_truth(spark, seed):
+    import hashlib
+
+    from cosmos_xenna_spark.operators.kmv import kmv_set_ops
+
+    rng = random.Random(seed)
+    k = 32
+    # overlapping segments with known intersections; g3 is SMALLER than
+    # k so its pairs exercise the exact-regime branch (merged sketch ==
+    # union)
+    membership = []
+    for g, (lo, hi) in enumerate(
+        [(0, 400), (200, 600), (450, 900), (0, 20), (700, 708)]
+    ):
+        for e in range(lo, hi):
+            membership.append((f"g{g}", e))
+    # duplicates must not matter (distinct entities per group)
+    membership += [m for m in membership if rng.random() < 0.2]
+    df = spark.createDataFrame(membership, "seg string, uid long")
+    got = {
+        (r.group_a, r.group_b): (
+            r.n_a, r.n_b, r.c_common, r.est_union, r.est_intersection
+        )
+        for r in kmv_set_ops(df, "seg", "uid", k=k).collect()
+    }
+
+    def h63(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    sets = {}
+    for g, e in membership:
+        sets.setdefault(g, set()).add(e)
+    want = {}
+    for ga in sorted(sets):
+        for gb in sorted(sets):
+            if ga >= gb:
+                continue
+            ha = sorted(h63(e) for e in sets[ga])[:k]
+            hb = sorted(h63(e) for e in sets[gb])[:k]
+            merged = sorted(set(ha) | set(hb))[:k]
+            t, m = max(merged), len(merged)
+            est_u = m if m < k else int((k - 1) * float(1 << 60) / t)
+            c = sum(1 for v in set(ha) & set(hb) if v <= t)
+            want[(ga, gb)] = (
+                len(sets[ga]), len(sets[gb]), c, est_u, c * est_u // k
+            )
+    assert got == want
+    # statistical backstop (kth-order-statistic variance at k=32 is
+    # ~18% 1-sigma; allow 5 sigma): a broken threshold rule lands
+    # orders of magnitude off, not within 90%
+    for (ga, gb), (_, _, _, est_u, est_i) in got.items():
+        true_u = len(sets[ga] | sets[gb])
+        assert abs(est_u - true_u) <= 0.9 * true_u
+        assert est_i <= est_u
+    # exact-regime: the (g3, g4) merged sketch holds 28 < k values, so
+    # it IS the union — the estimate equals the truth exactly
+    assert got[("g3", "g4")][3] == len(sets["g3"] | sets["g4"]) == 28
+    assert got[("g3", "g4")][4] == 0  # disjoint -> exact zero
+
+
+@pytest.mark.parametrize("seed", [53, 113])
+def test_churn_hazard_matches_python(spark, seed):
+    import datetime as dt
+
+    from cosmos_xenna_spark.operators.eventops import churn_hazard
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(80):
+        start = rng.randrange(0, 40)
+        span = rng.randrange(0, 120)
+        n_ev = rng.randrange(1, 6)
+        days = sorted(
+            {start} | {start + rng.randrange(0, span + 1) for _ in range(n_ev)}
+        )
+        for d in days:
+            rows.append((u, base + dt.timedelta(days=d, hours=u % 24)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    gap, wk = 14, 7
+    got = {
+        r.tenure_week: (r.n_risk, r.n_churned, r.hazard_ppm)
+        for r in churn_hazard(df, churn_gap_days=gap, week_days=wk).collect()
+    }
+    per_user: dict = {}
+    for u, ts in rows:
+        d = int(ts.timestamp()) // 86400
+        f, l = per_user.get(u, (d, d))
+        per_user[u] = (min(f, d), max(l, d))
+    end = max(l for _, l in per_user.values())
+    weeks: dict = {}
+    for f, l in per_user.values():
+        w = (l - f) // wk
+        c, ch = weeks.get(w, (0, 0))
+        weeks[w] = (c + 1, ch + (1 if l <= end - gap else 0))
+    want = {}
+    for w in weeks:
+        n_risk = sum(c for w2, (c, _) in weeks.items() if w2 >= w)
+        ch = weeks[w][1]
+        want[w] = (n_risk, ch, 1000000 * ch // n_risk)
+    assert got == want
+    assert any(ch > 0 for _, ch, _ in got.values())
+    assert any(ch == 0 for _, ch, _ in got.values()) or len(got) > 3

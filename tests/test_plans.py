@@ -150,6 +150,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # cumulative sums over the <= n_buckets+1-row prefix frame (10-row
     # bucket table BY CONSTRUCTION, never corpus rows)
     "q_vocab_growth_curve",
+    # reverse cumulative risk set over the WEEK-COUNT frame — bounded
+    # by the observation span in weeks, never corpus rows
+    "q_churn_hazard",
 }
 
 
@@ -249,6 +252,12 @@ _BNLJ_ALLOWED = {
     # single-row broadcast corpus total N attached to the sparse
     # (quasi group, sensitive value) frame (the heavy-hitters pattern)
     "q_t_closeness",
+    # G-row broadcast group-pair spine over the checkpointed KMV
+    # signature/count table (the audience_overlap_sketch contract)
+    "q_kmv_set_ops",
+    # single-row broadcast corpus-end day attached to the per-entity
+    # tenure frame (the heavy-hitters pattern)
+    "q_churn_hazard",
 }
 
 
