@@ -150,6 +150,10 @@ HEADLINE = [
     "q_interval_iou_dedup",
     "q_centroid_outliers",
     "q_symspell_suggest",
+    # r10 batch 4: the binary-decode corpus pass (TIFF IFD walk through
+    # Arrow batches) and the sketch-signature pair spine
+    "q_tiff_exif_meta",
+    "q_kmv_set_ops",
 ]
 
 

@@ -1620,3 +1620,71 @@ def streaming_countmin(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_kmv(
+    stream_df: DataFrame,
+    group_col: str = "event_type",
+    entity_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Live KMV (theta) sketch: per group, the k smallest md5 entity
+    hashes held as keyed state (k bigints, CONSTANT in stream length),
+    re-emitted with the distinct-count estimate every micro-batch that
+    touches the group.
+
+    k-min merge is order-insensitive (the HLL-register contract), so
+    the final per-group signature — and therefore every downstream
+    set-operation estimate ``operators.kmv`` derives from it — equals
+    the batch-built sketch bit-for-bit under ARBITRARY cross-batch
+    arrival order. Completes the sketch-twin family: HLL
+    (cardinality), Count-Min (frequency), KMV (set operations).
+    """
+    from cosmos_xenna_spark.functions import md5_long63
+    from cosmos_xenna_spark.operators.kmv import _HASH_SPACE
+
+    contrib = stream_df.select(
+        F.col(group_col).cast("string").alias("scope"),
+        md5_long63(F.col(entity_col).cast("string")).alias("h"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            (joined,) = state.get
+            mins = sorted(int(x) for x in joined.split(",") if x)
+        else:
+            mins = []
+        seen = set(mins)
+        for pdf in pdfs:
+            for h in pdf["h"]:
+                h = int(h)
+                if h not in seen:
+                    seen.add(h)
+                    mins.append(h)
+        mins = sorted(seen)[:k]
+        state.update((",".join(str(v) for v in mins),))
+        m = len(mins)
+        if m < k:
+            est = m
+        else:
+            est = int((k - 1) * _HASH_SPACE / mins[-1])
+        yield pd.DataFrame(
+            {
+                "scope": [key[0]],
+                "n_mins": [m],
+                "kth_hash": [mins[-1] if mins else None],
+                "est_distinct": [est],
+                "signature": [",".join(str(v) for v in mins)],
+            }
+        )
+
+    return contrib.groupBy("scope").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "scope string, n_mins long, kth_hash long, est_distinct long,"
+            " signature string"
+        ),
+        stateStructType="mins string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -329,6 +329,15 @@ R10E_QUERIES = [
     "q_zip_members",
 ]
 
+R10G_QUERIES = [
+    "q_tiff_exif_meta",
+    "q_kmv_set_ops",
+    "q_churn_hazard",
+    "q_calibration_bins",
+    "q_pr_curve",
+    "q_layout_skipping_eval",
+]
+
 R10F_QUERIES = [
     "q_interval_iou_dedup",
     "q_centroid_outliers",
@@ -402,6 +411,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r10f":
         qset = "r10f"
         QUERIES = R10F_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r10g":
+        qset = "r10g"
+        QUERIES = R10G_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
@@ -429,10 +441,14 @@ def main() -> None:
         t0 = time.time()
         generate_lineitem(spark, out_dir)
         print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
-    if qset == "r10f" and not os.path.exists(f"{out_dir}/events.parquet"):
+    if qset in ("r10f", "r10g") and not os.path.exists(f"{out_dir}/events.parquet"):
         t0 = time.time()
         generate_events(spark, out_dir)
         print(f"generated {COPIES}x events in {time.time() - t0:.0f}s")
+    if qset == "r10g" and not os.path.exists(f"{out_dir}/orders.parquet"):
+        t0 = time.time()
+        generate_orders(spark, out_dir)
+        print(f"generated {COPIES}x orders in {time.time() - t0:.0f}s")
     if qset in ("r7b", "r7c", "r8", "r8b", "r9", "r9b", "r9c"):
         t0 = time.time()
         if not os.path.exists(f"{out_dir}/lineitem.parquet"):

@@ -82,3 +82,10 @@ def test_data_selection_pipeline_example_runs():
     p = _run(["examples/data_selection_pipeline.py", SF])
     assert p.returncode == 0, p.stderr[-2000:]
     assert "mixture plan" in p.stdout and "after surprisal tail cut" in p.stdout
+
+
+def test_video_curation_pipeline_example_runs():
+    p = _run(["examples/video_curation_pipeline.py", SF])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "after IoU dedup" in p.stdout and "resolution buckets" in p.stdout
+    assert "GPS-clean" in p.stdout and "shards" in p.stdout

@@ -1369,3 +1369,39 @@ def test_streaming_countmin_matches_batch(spark, sf_dir, events_dir):
     assert got == want
     assert final.n_tokens == ev.count()
     assert final.nonzero_cells == sum(1 for v in want if v)
+
+
+def test_streaming_kmv_matches_batch(spark, sf_dir, events_dir):
+    """Constant-state KMV twin: k-min merge is order-insensitive, so
+    the final per-group signature equals the batch k smallest distinct
+    hashes bit-for-bit under any cross-batch arrival order."""
+    from pyspark.sql import Window
+
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.functions import md5_long63
+    from cosmos_xenna_spark.streaming import streaming_kmv
+
+    k = 16
+    stream = events_file_stream(spark, events_dir)
+    q = to_memory_sink(streaming_kmv(stream, k=k), "t_kmv", "update")
+    _drain(q)
+    rows = spark.sql(
+        "SELECT scope, signature FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY scope ORDER BY n_mins DESC, kth_hash ASC) AS rn"
+        "  FROM t_kmv) WHERE rn = 1"
+    ).collect()
+    got = {r.scope: r.signature for r in rows}
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").cast("string").alias("scope"),
+        md5_long63(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("scope").orderBy(F.asc("h"))
+    want_rows = (
+        ev.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k).collect()
+    )
+    want: dict = {}
+    for r in sorted(want_rows, key=lambda r: (r.scope, r.h)):
+        want.setdefault(r.scope, []).append(str(r.h))
+    assert got == {s: ",".join(v) for s, v in want.items()} and len(got) > 0
