@@ -689,6 +689,22 @@ def l_diversity_sql(
     """
 
 
+def _counts_frame(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, alias: str
+) -> DataFrame:
+    """ONE corpus aggregation to the sparse (quasi, sensitive, count)
+    frame, eagerly checkpointed: the shared SQL's CTE would otherwise
+    be inlined per consumer and re-scan the corpus once per reference
+    (4 scans for t-closeness — the DSIR/KN count-table lesson)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*quasi_cols, F.col(sensitive_col).alias(alias))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def l_diversity(
     df: DataFrame,
     quasi_cols: list[str],
@@ -709,10 +725,17 @@ def l_diversity(
     distribution never leaves the executors and the output is one row
     per quasi group, so the audit costs one pass at any corpus size.
     """
-    df.createOrReplaceTempView(view_name)
-    return df.sparkSession.sql(
-        l_diversity_sql(f"SELECT * FROM {view_name}", quasi_cols, sensitive_col, l)
-    )
+    vc = _counts_frame(df, quasi_cols, sensitive_col, "sensitive_value")
+    vc.createOrReplaceTempView(view_name)
+    q = ", ".join(quasi_cols)
+    return df.sparkSession.sql(f"""
+    SELECT {q},
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           CAST(FLOOR(1000000.0 * MAX(c) / SUM(c)) AS BIGINT) AS top_share_ppm,
+           (COUNT(*) >= {l}) AS passes
+    FROM {view_name} GROUP BY {q}
+    """)
 
 
 def t_closeness_sql(
@@ -775,7 +798,29 @@ def t_closeness(
     proportional to OBSERVED combinations.  At >2^31-row corpora widen
     ``c * n`` to DECIMAL before the product.
     """
-    df.createOrReplaceTempView(view_name)
-    return df.sparkSession.sql(
-        t_closeness_sql(f"SELECT * FROM {view_name}", quasi_cols, sensitive_col, t_ppm)
+    vc = _counts_frame(df, quasi_cols, sensitive_col, "sv")
+    vc.createOrReplaceTempView(view_name)
+    q = ", ".join(quasi_cols)
+    return df.sparkSession.sql(f"""
+    WITH gv AS (SELECT sv, CAST(SUM(c) AS BIGINT) AS cv
+                FROM {view_name} GROUP BY sv),
+    tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS n FROM gv),
+    grp AS (SELECT {q}, CAST(SUM(c) AS BIGINT) AS ng
+            FROM {view_name} GROUP BY {q}),
+    agg AS (
+      SELECT {q}, MAX(gr.ng) AS ng, MAX(t.n) AS n,
+             CAST(SUM(ABS(vc.c * t.n - g.cv * gr.ng)) AS BIGINT) AS present_term,
+             CAST(SUM(g.cv) AS BIGINT) AS gv_present
+      FROM {view_name} vc
+      JOIN gv g USING (sv)
+      JOIN grp gr USING ({q})
+      CROSS JOIN tot t
+      GROUP BY {q}
     )
+    SELECT {q}, n_rows, tvd_ppm, (tvd_ppm > {t_ppm}) AS breaches FROM (
+      SELECT {q}, CAST(ng AS BIGINT) AS n_rows,
+             CAST(FLOOR(1000000.0 * (present_term + ng * (n - gv_present))
+                        / (2.0 * ng * n)) AS BIGINT) AS tvd_ppm
+      FROM agg
+    )
+    """)

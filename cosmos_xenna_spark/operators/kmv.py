@@ -64,6 +64,9 @@ def kmv_set_ops(
     )
     counts = eg.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     groups = counts.localCheckpoint(eager=True)
+    # one BNLJ builds the pair spine; the eager checkpoint keeps the
+    # three downstream consumers (two merge branches + the final
+    # attach) from re-planning the non-equi join each time
     pairs = (
         groups.select(F.col("g").alias("ga"), F.col("n").alias("n_a"))
         .join(
@@ -72,6 +75,7 @@ def kmv_set_ops(
             ),
             F.col("ga") < F.col("gb"),
         )
+        .localCheckpoint(eager=True)
     )
     merged = pairs.join(
         sig.select(F.col("g").alias("ga"), "h"), "ga"

@@ -171,3 +171,55 @@ def test_percentile_approx_error_contract(spark, sf_dir):
     rank_a = bisect.bisect_left(vals, approx)
     rank_e = n * 0.5
     assert abs(rank_a - rank_e) <= n / 100 + 1, (rank_a, rank_e, n)
+
+
+def test_wds_datasource_reads_shard_directory(spark, tmp_path):
+    """Custom Python DataSource (Spark 4 API): one input partition per
+    shard, member rows identical to the operator-path parser."""
+    from cosmos_xenna_spark.operators.archive import build_tar, parse_tar_members
+    from cosmos_xenna_spark.sources.wds_datasource import register_wds_source
+
+    want = []
+    for s in range(4):
+        members = [
+            (f"{s}-{i:04d}.jpg", bytes([65 + i]) * (10 + 7 * i))
+            for i in range(s + 2)
+        ]
+        payload = build_tar(members)
+        (tmp_path / f"shard-{s}.tar").write_bytes(payload)
+        for row in parse_tar_members(payload):
+            want.append((f"shard-{s}.tar",) + tuple(row))
+    register_wds_source(spark)
+    df = spark.read.format("wds").load(str(tmp_path))
+    assert sorted(tuple(r) for r in df.collect()) == sorted(want)
+    # partition planning: one task per shard
+    assert df.rdd.getNumPartitions() == 4
+    # composes as a normal table: aggregate member bytes per shard
+    from pyspark.sql import functions as F
+
+    agg = {
+        r.shard: r.total
+        for r in df.groupBy("shard")
+        .agg(F.sum("size").cast("bigint").alias("total"))
+        .collect()
+    }
+    for s in range(4):
+        assert agg[f"shard-{s}.tar"] == sum(10 + 7 * i for i in range(s + 2))
+
+
+def test_wds_datasource_single_file_and_errors(spark, tmp_path):
+    from cosmos_xenna_spark.operators.archive import build_tar
+    from cosmos_xenna_spark.sources.wds_datasource import register_wds_source
+
+    p = tmp_path / "one.tar"
+    p.write_bytes(build_tar([("a.txt", b"xyz")]))
+    register_wds_source(spark)
+    rows = spark.read.format("wds").load(str(p)).collect()
+    assert len(rows) == 1 and rows[0].name == "a.txt" and rows[0].size == 3
+
+    import pytest as _pytest
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(Exception, match="no .tar shards"):
+        spark.read.format("wds").load(str(empty)).collect()
