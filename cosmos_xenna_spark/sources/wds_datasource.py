@@ -53,6 +53,9 @@ class WdsDataSource(DataSource):
     def reader(self, schema) -> "WdsShardReader":
         return WdsShardReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "WdsStreamReader":
+        return WdsStreamReader(self.options)
+
 
 class WdsShardReader(DataSourceReader):
     def __init__(self, options):
@@ -90,3 +93,60 @@ class WdsShardReader(DataSourceReader):
 def register_wds_source(spark) -> None:
     """Idempotent registration of the ``wds`` format on a session."""
     spark.dataSource.register(WdsDataSource)
+
+
+class WdsStreamReader:
+    """``spark.readStream.format("wds")``: micro-batch ingestion of a
+    GROWING shard directory — each trigger picks up newly-landed
+    ``.tar`` files (name-sorted; the WebDataset convention writes
+    shards once, immutably, so filename presence IS the commit signal)
+    and emits their member rows. The offset is the sorted list of
+    files already emitted, so replays between checkpointed offsets are
+    exactly reproducible (``readBetweenOffsets`` re-reads exactly the
+    file-set difference)."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        self._suffix = options.get("suffix", ".tar")
+        if not self._path:
+            raise ValueError("wds source requires a path")
+
+    def _list(self) -> list[str]:
+        if os.path.isdir(self._path):
+            return sorted(
+                f for f in os.listdir(self._path) if f.endswith(self._suffix)
+            )
+        return [os.path.basename(self._path)]
+
+    def initialOffset(self) -> dict:
+        return {"files": ""}
+
+    def _rows_for(self, names: list[str]):
+        from cosmos_xenna_spark.operators.archive import parse_tar_members
+
+        base = self._path if os.path.isdir(self._path) else os.path.dirname(
+            self._path
+        )
+        for shard in names:
+            with open(os.path.join(base, shard), "rb") as f:
+                payload = f.read()
+            for name, size, off, typeflag in parse_tar_members(payload):
+                yield (shard, name, size, off, typeflag)
+
+    def read(self, start: dict):
+        seen = set(start["files"].split("\x1f")) if start["files"] else set()
+        now = self._list()
+        fresh = [f for f in now if f not in seen]
+        end = {"files": "\x1f".join(sorted(seen | set(fresh)))}
+        # a LIST ITERATOR, not a generator: Spark's prefetch cache both
+        # copy.copy()s and next()s the returned iterator — list
+        # iterators are picklable/copyable in CPython, generators not
+        return iter(list(self._rows_for(fresh))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start["files"].split("\x1f")) if start["files"] else set()
+        upto = set(end["files"].split("\x1f")) if end["files"] else set()
+        return iter(list(self._rows_for(sorted(upto - seen))))
+
+    def commit(self, end: dict) -> None:
+        pass

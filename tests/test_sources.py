@@ -223,3 +223,44 @@ def test_wds_datasource_single_file_and_errors(spark, tmp_path):
     empty.mkdir()
     with _pytest.raises(Exception, match="no .tar shards"):
         spark.read.format("wds").load(str(empty)).collect()
+
+
+def test_wds_datasource_streaming_accretes_new_shards(spark, tmp_path):
+    """spark.readStream.format('wds'): shards landing mid-stream emit
+    their member rows exactly once (offset = emitted file set)."""
+    from cosmos_xenna_spark.operators.archive import build_tar
+    from cosmos_xenna_spark.sources.wds_datasource import register_wds_source
+
+    register_wds_source(spark)
+    d = tmp_path / "shards"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (d / "shard-0.tar").write_bytes(
+        build_tar([("a.txt", b"xx"), ("b.txt", b"yyy")])
+    )
+    q = (
+        spark.readStream.format("wds")
+        .option("path", str(d))
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_wds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = sorted(
+            (r.shard, r.name, r.size)
+            for r in spark.sql("SELECT * FROM t_wds_stream").collect()
+        )
+        assert got1 == [("shard-0.tar", "a.txt", 2), ("shard-0.tar", "b.txt", 3)]
+        (d / "shard-1.tar").write_bytes(build_tar([("c.txt", b"zzzz")]))
+        q.processAllAvailable()
+        got2 = sorted(
+            (r.shard, r.name, r.size)
+            for r in spark.sql("SELECT * FROM t_wds_stream").collect()
+        )
+        assert got2 == got1 + [("shard-1.tar", "c.txt", 4)]
+    finally:
+        q.stop()
