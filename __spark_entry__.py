@@ -275,6 +275,7 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_kmv_set_ops",
     "q_churn_hazard",
     "q_layout_skipping_eval",
+    "q_arrival_disorder",
     "q_kneser_ney_bigram",
     "q_quality_linear_score",
     "q_source_temperature_mix",

@@ -1843,3 +1843,80 @@ def churn_hazard_sql(
     WINDOW w AS (ORDER BY tenure_week
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     """
+
+
+def arrival_disorder_audit(
+    events: DataFrame,
+    group_col: str = "event_type",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Watermark-sizing audit: how out-of-order does each stream
+    partition actually arrive?  Within each entity's GENERATION order
+    (``seq_col``), an event is LATE when its event time is behind the
+    running maximum event time seen so far; the audit reports, per
+    group, the late-event rate and the maximum lateness in seconds —
+    exactly the statistic that picks a streaming watermark delay (a
+    watermark below ``max_late_s`` drops data; far above it holds
+    state needlessly).
+
+    One keyed window (entity, ordered by seq) + one group aggregation;
+    exact integers (epoch seconds, ppm rate).
+    """
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.asc(seq_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sec = F.expr(f"unix_micros({ts_col}) div 1000000")
+    lateness = F.greatest(
+        F.lit(0).cast("bigint"),
+        (F.max(sec).over(w) - sec).cast("bigint"),
+    )
+    audited = events.select(
+        F.col(group_col).alias("g"),
+        F.coalesce(lateness, F.lit(0)).alias("__late_s"),
+    )
+    return (
+        audited.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("__late_s") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_late"),
+            F.expr("1000000 * SUM(CAST(__late_s > 0 AS BIGINT)) DIV COUNT(*)")
+            .cast("bigint")
+            .alias("late_ppm"),
+            F.max("__late_s").cast("bigint").alias("max_late_s"),
+        )
+    )
+
+
+def arrival_disorder_audit_sql(
+    events_sql: str,
+    group_col: str = "event_type",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> str:
+    """DuckDB mirror — identical running-max lateness and ratios."""
+    return f"""
+    WITH audited AS (
+      SELECT {group_col} AS g,
+             GREATEST(0, COALESCE(
+               MAX(epoch_us({ts_col}) // 1000000) OVER (
+                 PARTITION BY {entity_col} ORDER BY {seq_col}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - epoch_us({ts_col}) // 1000000, 0)) AS late_s
+      FROM ({events_sql})
+    )
+    SELECT g AS {group_col},
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(1000000 * SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS late_ppm,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s
+    FROM audited GROUP BY g
+    """

@@ -970,3 +970,42 @@ from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
 def q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     return churn_hazard(ev, churn_gap_days=1)
+
+
+from cosmos_xenna_spark.operators.eventops import (  # noqa: E402
+    arrival_disorder_audit,
+    arrival_disorder_audit_sql,
+)
+
+
+# The synthetic corpus assigns event_id in timestamp order (zero
+# natural disorder), so the registry query PLANTS a deterministic
+# arrival permutation — arrival_seq = md5(event_id) — the planted-typo
+# fixture precedent: the audit must then measure the disorder that
+# permutation provably creates, identically in both engines.
+_DISORDER_SQL = (
+    "SELECT event_type, user_id, ts, "
+    "CAST(CONCAT('0x', substr(md5(CAST(event_id AS STRING)), 1, 15)) AS BIGINT)"
+    " AS arrival_seq FROM events"
+)
+
+
+@register(
+    "q_arrival_disorder",
+    oracle=arrival_disorder_audit_sql(_DISORDER_SQL, seq_col="arrival_seq"),
+    description="watermark-sizing audit: per event type, the late-arrival "
+    "rate and maximum lateness vs the per-entity running max event time in "
+    "arrival order (planted deterministic permutation — the corpus has no "
+    "natural disorder) — the exact statistic that picks a streaming "
+    "watermark delay; one keyed window + one aggregation, exact integers",
+)
+def q_arrival_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cosmos_xenna_spark.functions import md5_long63
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "ts",
+        md5_long63(F.col("event_id").cast("string")).alias("arrival_seq"),
+    )
+    return arrival_disorder_audit(ev, seq_col="arrival_seq")

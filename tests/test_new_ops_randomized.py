@@ -3423,3 +3423,42 @@ def test_churn_hazard_matches_python(spark, seed):
     assert got == want
     assert any(ch > 0 for _, ch, _ in got.values())
     assert any(ch == 0 for _, ch, _ in got.values()) or len(got) > 3
+
+
+@pytest.mark.parametrize("seed", [59, 127])
+def test_arrival_disorder_audit_matches_python(spark, seed):
+    import datetime as dt
+
+    from cosmos_xenna_spark.operators.eventops import arrival_disorder_audit
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    seq = 0
+    for _ in range(400):
+        g = f"t{rng.randrange(3)}"
+        u = rng.randrange(20)
+        # jittered event times: ~40% land behind the entity's running max
+        ts = base + dt.timedelta(seconds=seq * 10 + rng.randrange(-120, 60))
+        rows.append((g, u, ts, seq))
+        seq += 1
+    df = spark.createDataFrame(rows, "g string, u long, ts timestamp, s long")
+    got = {
+        r.g: (r.n_events, r.n_late, r.late_ppm, r.max_late_s)
+        for r in arrival_disorder_audit(
+            df, group_col="g", entity_col="u", ts_col="ts", seq_col="s"
+        ).collect()
+    }
+    run_max: dict = {}
+    stats: dict = {}
+    for g, u, ts, s in sorted(rows, key=lambda r: r[3]):
+        sec = int(ts.timestamp())
+        late = max(0, run_max.get(u, sec) - sec)
+        run_max[u] = max(run_max.get(u, sec), sec)
+        n, nl, mx = stats.get(g, (0, 0, 0))
+        stats[g] = (n + 1, nl + (1 if late > 0 else 0), max(mx, late))
+    want = {
+        g: (n, nl, 1000000 * nl // n, mx) for g, (n, nl, mx) in stats.items()
+    }
+    assert got == want
+    assert any(nl > 0 for _, nl, _, _ in got.values())
