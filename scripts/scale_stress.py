@@ -338,6 +338,10 @@ R10G_QUERIES = [
     "q_layout_skipping_eval",
 ]
 
+R10H_QUERIES = [
+    "q_arrival_disorder",
+]
+
 R10F_QUERIES = [
     "q_interval_iou_dedup",
     "q_centroid_outliers",
@@ -414,6 +418,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r10g":
         qset = "r10g"
         QUERIES = R10G_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r10h":
+        qset = "r10h"
+        QUERIES = R10H_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
@@ -441,7 +448,7 @@ def main() -> None:
         t0 = time.time()
         generate_lineitem(spark, out_dir)
         print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
-    if qset in ("r10f", "r10g") and not os.path.exists(f"{out_dir}/events.parquet"):
+    if qset in ("r10f", "r10g", "r10h") and not os.path.exists(f"{out_dir}/events.parquet"):
         t0 = time.time()
         generate_events(spark, out_dir)
         print(f"generated {COPIES}x events in {time.time() - t0:.0f}s")
