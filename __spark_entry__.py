@@ -276,6 +276,8 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_churn_hazard",
     "q_layout_skipping_eval",
     "q_arrival_disorder",
+    "q_roc_auc",
+    "q_gains_table",
     "q_kneser_ney_bigram",
     "q_quality_linear_score",
     "q_source_temperature_mix",

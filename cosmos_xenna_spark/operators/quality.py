@@ -1418,3 +1418,175 @@ def pr_curve_sql(
       ) GROUP BY thr
     )
     """
+
+
+def roc_auc(
+    scored: DataFrame,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact ROC-AUC as the Mann-Whitney rank statistic, integer end to
+    end: ``AUC = (2*sum(midranks of positives) - npos*(npos+1)) /
+    (2*npos*nneg)``, with tie MIDRANKS handled exactly by doubling —
+    for a score value with ``cnt`` rows starting after ``cum_before``
+    predecessors, ``2*midrank = 2*cum_before + cnt + 1``.
+
+    Shape: one aggregation to the score-VALUE frame (bounded by the
+    score domain, not the corpus), a DISTRIBUTED cumulative count over
+    it (quantile-bucketed ``global_cumsum`` — no single-partition
+    window), and a single-row finish.  Completes the classifier-eval
+    family (calibration bins, PR sweep) with the threshold-free
+    ranking metric.
+    """
+    from cosmos_xenna_spark.operators.ranking import global_cumsum
+
+    vals = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+        F.sum(F.col(label_col).cast("bigint")).cast("bigint").alias("__pos"),
+    )
+    vals = global_cumsum(vals, "__cnt", ["__s"], out_col="__cum")
+    out = vals.agg(
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("__cnt") - F.col("__pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("__pos")
+            * (2 * (F.col("__cum") - F.col("__cnt")) + F.col("__cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("__mid2"),
+    )
+    return out.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST(1000000 * (__mid2 - n_pos * (n_pos + 1))"
+            " DIV NULLIF(2 * n_pos * n_neg, 0) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+def roc_auc_sql(
+    scored_sql: str,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> str:
+    """DuckDB mirror — identical midrank doubling and finish (the
+    oracle may use the plain ORDER BY window; it certifies the
+    distributed cumsum machinery)."""
+    return f"""
+    WITH vals AS (
+      SELECT {score_col} AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST({label_col} AS BIGINT)) AS BIGINT) AS pos
+      FROM ({scored_sql}) GROUP BY {score_col}
+    ),
+    c AS (
+      SELECT *, CAST(SUM(cnt) OVER (ORDER BY s) AS BIGINT) AS cum FROM vals
+    )
+    SELECT n_pos, n_neg,
+           CAST(1000000 * (mid2 - n_pos * (n_pos + 1))
+                // NULLIF(2 * n_pos * n_neg, 0) AS BIGINT) AS auc_ppm
+    FROM (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS mid2
+      FROM c
+    )
+    """
+
+
+def gains_table(
+    scored: DataFrame,
+    n_total: int,
+    n_tiles: int = 10,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cumulative gains / lift table: rank the corpus by score
+    descending, split into ``n_tiles`` equal-population tiles via the
+    DISTRIBUTED global row number (quantile buckets + offsets, never a
+    single-partition sort), and per tile report size, positives, the
+    cumulative capture rate and the lift — the "top decile captures
+    X% of positives" readout that sizes a review/labeling budget.
+    ``n_total`` is the corpus row count (a driver literal, the
+    bounded-scalar pattern).  All ppm ratios exact integers; the final
+    cumulative pass runs on the ``n_tiles``-row frame.
+    """
+    from cosmos_xenna_spark.operators.ranking import global_row_number
+
+    keyed = scored.select(
+        (-F.col(score_col).cast("bigint")).alias("__negs"),
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("bigint").alias("__y"),
+    )
+    ranked = global_row_number(keyed, ["__negs", "__id"], out_col="__rn")
+    tiles = (
+        ranked.select(
+            F.expr(f"1 + {n_tiles} * (__rn - 1) DIV {int(n_total)}").alias("tile"),
+            "__y",
+        )
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__y").cast("bigint").alias("n_pos"),
+        )
+    )
+    w = Window.orderBy(F.asc("tile")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.orderBy(F.asc("tile")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return tiles.select(
+        F.col("tile").cast("bigint").alias("tile"),
+        "n",
+        "n_pos",
+        F.expr(
+            "CAST(1000000 * SUM(n_pos) OVER (ORDER BY tile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " DIV NULLIF(SUM(n_pos) OVER (ORDER BY tile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 0)"
+            " AS BIGINT)"
+        ).alias("cum_capture_ppm"),
+        F.expr(
+            f"CAST(1000000 * n_pos * {int(n_total)}"
+            " DIV NULLIF(n * SUM(n_pos) OVER (ORDER BY tile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 0)"
+            " AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+def gains_table_sql(
+    scored_sql: str,
+    n_total,
+    n_tiles: int = 10,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror — identical rank arithmetic and ratios.
+    ``n_total`` may be an int or a scalar-subquery string (the
+    scale-relative-threshold pattern), e.g.
+    ``"(SELECT COUNT(*) FROM documents)"``."""
+    return f"""
+    WITH ranked AS (
+      SELECT CAST({label_col} AS BIGINT) AS y,
+             row_number() OVER (ORDER BY -CAST({score_col} AS BIGINT),
+                                {id_col}) AS rn
+      FROM ({scored_sql})
+    ),
+    tiles AS (
+      SELECT 1 + {n_tiles} * (rn - 1) // {n_total} AS tile,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST(tile AS BIGINT) AS tile, n, n_pos,
+           CAST(1000000 * SUM(n_pos) OVER (ORDER BY tile)
+                // NULLIF(SUM(n_pos) OVER (), 0) AS BIGINT)
+             AS cum_capture_ppm,
+           CAST(1000000 * n_pos * {n_total}
+                // NULLIF(n * SUM(n_pos) OVER (), 0) AS BIGINT) AS lift_ppm
+    FROM tiles
+    """

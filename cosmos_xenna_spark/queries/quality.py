@@ -538,3 +538,42 @@ _PR_THRESHOLDS = [-400000, -350000, -300000, -250000, -200000, -150000, -100000,
 )
 def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve(_scored(spark, sf_dir), _PR_THRESHOLDS)
+
+
+from cosmos_xenna_spark.operators.quality import (  # noqa: E402
+    gains_table,
+    gains_table_sql,
+    roc_auc,
+    roc_auc_sql,
+)
+
+
+@register(
+    "q_roc_auc",
+    oracle=roc_auc_sql(_SCORED_SQL),
+    description="exact ROC-AUC as the Mann-Whitney rank statistic with "
+    "integer tie midranks (doubled to stay integral): one aggregation to "
+    "the bounded score-VALUE frame, a DISTRIBUTED cumulative count over "
+    "it (quantile-bucketed global_cumsum — never a single-partition "
+    "window), single-row finish; the threshold-free classifier metric "
+    "completing calibration + PR",
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roc_auc(_scored(spark, sf_dir))
+
+
+@register(
+    "q_gains_table",
+    oracle=gains_table_sql(
+        _SCORED_SQL, "(SELECT COUNT(*) FROM documents)", n_tiles=10
+    ),
+    description="cumulative gains/lift deciles: corpus ranked by score "
+    "desc via the DISTRIBUTED global row number, equal-population tiles "
+    "by exact rank arithmetic, per tile capture rate + lift in exact ppm "
+    "— the review-budget readout; the cumulative pass runs on the "
+    "10-row tile frame (bounded by construction)",
+)
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    n_total = sc.count()
+    return gains_table(sc, n_total=n_total, n_tiles=10)

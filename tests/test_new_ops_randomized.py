@@ -3462,3 +3462,67 @@ def test_arrival_disorder_audit_matches_python(spark, seed):
     }
     assert got == want
     assert any(nl > 0 for _, nl, _, _ in got.values())
+
+
+@pytest.mark.parametrize("seed", [61, 131])
+def test_roc_auc_matches_sklearn_free_python(spark, seed):
+    from cosmos_xenna_spark.operators.quality import roc_auc
+
+    rng = random.Random(seed)
+    # heavy ties: scores from a small domain
+    rows = [(i, rng.randrange(-5, 6), rng.randrange(2)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, label long")
+    got = roc_auc(df).collect()[0]
+    # pure-python Mann-Whitney with midranks
+    scores = sorted(s for _, s, _ in rows)
+    from collections import Counter
+
+    cnt = Counter(scores)
+    cum, midrank2 = 0, {}
+    for v in sorted(cnt):
+        midrank2[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    npos = sum(y for _, _, y in rows)
+    nneg = len(rows) - npos
+    mid2 = sum(midrank2[s] for _, s, y in rows if y == 1)
+    auc_ppm = 1000000 * (mid2 - npos * (npos + 1)) // (2 * npos * nneg)
+    assert (got.n_pos, got.n_neg, got.auc_ppm) == (npos, nneg, auc_ppm)
+    # sanity: a perfect ranking scores 1e6, a constant scores ~0.5e6
+    perfect = spark.createDataFrame(
+        [(i, i, 1 if i >= 50 else 0) for i in range(100)],
+        "doc_id long, score_milli long, label long",
+    )
+    assert roc_auc(perfect).collect()[0].auc_ppm == 1000000
+
+
+@pytest.mark.parametrize("seed", [67, 137])
+def test_gains_table_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.quality import gains_table
+
+    rng = random.Random(seed)
+    n = 300
+    rows = [(i, rng.randrange(-1000, 1000), rng.randrange(2)) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, label long")
+    nt = 6
+    got = {
+        r.tile: (r.n, r.n_pos, r.cum_capture_ppm, r.lift_ppm)
+        for r in gains_table(df, n_total=n, n_tiles=nt).collect()
+    }
+    ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+    tiles: dict = {}
+    for rn, (_, _, y) in enumerate(ranked, start=1):
+        t = 1 + nt * (rn - 1) // n
+        c, p = tiles.get(t, (0, 0))
+        tiles[t] = (c + 1, p + y)
+    total_pos = sum(p for _, p in tiles.values())
+    want, cum = {}, 0
+    for t in sorted(tiles):
+        c, p = tiles[t]
+        cum += p
+        want[t] = (
+            c,
+            p,
+            1000000 * cum // total_pos,
+            1000000 * p * n // (c * total_pos),
+        )
+    assert got == want

@@ -153,6 +153,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # reverse cumulative risk set over the WEEK-COUNT frame — bounded
     # by the observation span in weeks, never corpus rows
     "q_churn_hazard",
+    # cumulative capture over the n_tiles-row tile frame (10 rows BY
+    # CONSTRUCTION, never corpus rows)
+    "q_gains_table",
 }
 
 
