@@ -1440,9 +1440,16 @@ def roc_auc(
     """
     from cosmos_xenna_spark.operators.ranking import global_cumsum
 
-    vals = scored.groupBy(F.col(score_col).alias("__s")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
-        F.sum(F.col(label_col).cast("bigint")).cast("bigint").alias("__pos"),
+    vals = (
+        scored.groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+            F.sum(F.col(label_col).cast("bigint")).cast("bigint").alias("__pos"),
+        )
+        # global_cumsum runs approxQuantile + a count pass + the main
+        # job: checkpoint the tiny value frame so the corpus-sized
+        # scoring subplan executes ONCE, not once per internal pass
+        .localCheckpoint(eager=True)
     )
     vals = global_cumsum(vals, "__cnt", ["__s"], out_col="__cum")
     out = vals.agg(
@@ -1518,7 +1525,10 @@ def gains_table(
         (-F.col(score_col).cast("bigint")).alias("__negs"),
         F.col(id_col).alias("__id"),
         F.col(label_col).cast("bigint").alias("__y"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ global_row_number makes three passes (quantiles, bucket counts,
+    # rank job); the checkpoint pins the 3-column projection so the
+    # upstream scoring explode runs once
     ranked = global_row_number(keyed, ["__negs", "__id"], out_col="__rn")
     tiles = (
         ranked.select(

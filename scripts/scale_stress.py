@@ -342,6 +342,11 @@ R10H_QUERIES = [
     "q_arrival_disorder",
 ]
 
+R10I_QUERIES = [
+    "q_roc_auc",
+    "q_gains_table",
+]
+
 R10F_QUERIES = [
     "q_interval_iou_dedup",
     "q_centroid_outliers",
@@ -421,6 +426,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r10h":
         qset = "r10h"
         QUERIES = R10H_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r10i":
+        qset = "r10i"
+        QUERIES = R10I_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
