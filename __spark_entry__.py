@@ -140,6 +140,25 @@ from cosmos_xenna_spark.session import apply_runtime_confs  # noqa: E402
 #       decontaminate, bloom semi join, chunk text, collocations,
 #       corr/covar, time-window dedup, domain cap). Operators added
 #       DURING r10 queue for the r11 rotation in _R11_QUEUE below.
+#       CORRECTNESS_r10: 49/50 — the one red row was
+#       q_embedding_quantize, whose array<bigint> codes column broke
+#       the driver's pandas canonicalizer (values oracle-correct; the
+#       registry's scalar-output contract now enforced by
+#       tests/test_plans.py::test_registry_outputs_scalar_only).
+#   r11 (this window): ALL 30 operators added during r10 (_R11_QUEUE,
+#       verbatim) + the FIXED q_embedding_quantize (codes now emitted
+#       as a comma-joined string) — after this round every oracle-able
+#       registry query that existed at the r10 snapshot (323/323) has
+#       a hard driver verdict: the first fully-closed ledger. The
+#       spare 19 slots re-verify the oldest remaining cumulative rows
+#       on current code: the 19 alphabetically-first r5-era rows (DQ
+#       expectations, keep-best fuzzy dedup, heavy hitters, histogram,
+#       incremental agg, linear interpolation, inverted index,
+#       right/semi joins, k-anonymity, MAD outliers, mixture
+#       rebalance, audio windows, frame sample, z-score outliers,
+#       PageRank plain/weighted, percentile gate, JSON predicates).
+#       Operators added DURING r11 queue for the r12 rotation in
+#       _R12_QUEUE below.
 _R9_PROMOTIONS = (
     # never driver-verified (r8-session additions) — 16 promotions
     "q_scc",
@@ -291,8 +310,41 @@ _R11_QUEUE: tuple[str, ...] = (
     "q_zip_members",
 )
 
+# Operators added during the r11 session queue here for the r12 window.
+_R12_QUEUE: tuple[str, ...] = (
+    "q_zip_deflate_members",
+)
+
+# r11 window = all 30 r10-session additions (_R11_QUEUE) + the fixed
+# q_embedding_quantize (r10's one red row; surface fix only) + 19
+# re-verification slots for the oldest cumulative rows (see ledger).
+_R11_PROMOTIONS = _R11_QUEUE + (
+    # the r10 red row, re-surfaced with scalar-only output columns
+    "q_embedding_quantize",
+    # re-verification — the 19 alphabetically-first r5-era rows
+    "q_dq_expectations",
+    "q_fuzzy_dedup_keep",
+    "q_heavy_hitters",
+    "q_histogram",
+    "q_incremental_agg",
+    "q_interpolate_linear",
+    "q_inverted_index",
+    "q_join_right",
+    "q_join_semi",
+    "q_k_anonymity",
+    "q_mad_outliers",
+    "q_mixture_rebalance",
+    "q_multimodal_audio_windows",
+    "q_multimodal_frame_sample",
+    "q_outlier_zscore",
+    "q_pagerank",
+    "q_pagerank_weighted",
+    "q_percentile_gate",
+    "q_predicates_json_extra",
+)
+
 DRIVER_PRIORITY: dict[str, str] = {
-    name: f"q0_{name[2:]}" for name in _R10_PROMOTIONS
+    name: f"q0_{name[2:]}" for name in _R11_PROMOTIONS
 }
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 

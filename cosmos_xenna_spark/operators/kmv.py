@@ -129,9 +129,16 @@ def kmv_set_ops(
         "n_b",
         "c_common",
         "est_union",
-        F.expr("c_common * est_union DIV " + str(k)).cast("bigint").alias(
-            "est_intersection"
-        ),
+        # theta rule: when the merged sketch held fewer than k values
+        # (m < k) NO truncation occurred — theta=1 and c_common IS the
+        # exact intersection; scaling it by est_union/k would bias it
+        # low by a factor of m/k in exactly the regime where the
+        # sketch is lossless (two 20-value groups sharing 10 entities
+        # at k=64 must report 10, not 10*20/64=3).
+        F.when(F.col("m") < k, F.col("c_common"))
+        .otherwise(F.expr("c_common * est_union DIV " + str(k)))
+        .cast("bigint")
+        .alias("est_intersection"),
     )
 
 
@@ -185,7 +192,9 @@ def kmv_set_ops_sql(
     )
     SELECT s.ga AS group_a, s.gb AS group_b, p.n_a, p.n_b, s.c_common,
            est_union,
-           CAST(s.c_common * est_union // {k} AS BIGINT) AS est_intersection
+           CAST(CASE WHEN s.m < {k} THEN s.c_common
+                     ELSE s.c_common * est_union // {k}
+                END AS BIGINT) AS est_intersection
     FROM (
       SELECT *,
              CAST(CASE WHEN m < {k} THEN m

@@ -1437,6 +1437,13 @@ def roc_auc(
     window), and a single-row finish.  Completes the classifier-eval
     family (calibration bins, PR sweep) with the threshold-free
     ranking metric.
+
+    Scale note (the ``t_closeness`` convention): the ppm numerator
+    ``1000000 * (__mid2 - n_pos*(n_pos+1))`` ~ ``2e6 * n_pos * n_neg``
+    overflows BIGINT once ``n_pos * n_neg`` exceeds ~4.6e12 (~4-5M
+    balanced scored rows). With ANSI mode on this is a loud arithmetic
+    error, not silent corruption; past that line, pre-aggregate per
+    stratum or widen the finish to DECIMAL(38,0).
     """
     from cosmos_xenna_spark.operators.ranking import global_cumsum
 
@@ -1518,6 +1525,12 @@ def gains_table(
     ``n_total`` is the corpus row count (a driver literal, the
     bounded-scalar pattern).  All ppm ratios exact integers; the final
     cumulative pass runs on the ``n_tiles``-row frame.
+
+    Scale note (the ``t_closeness`` convention): the lift numerator
+    ``1000000 * cum_pos * n_total`` overflows BIGINT once
+    ``cum_pos * n_total`` exceeds ~9.2e12 (~3M positives in a 3M-row
+    corpus, or earlier when skewed) — loud under ANSI mode, not
+    silent; widen the n_tiles-row finish to DECIMAL past that line.
     """
     from cosmos_xenna_spark.operators.ranking import global_row_number
 

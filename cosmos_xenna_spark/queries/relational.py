@@ -834,11 +834,12 @@ from cosmos_xenna_spark.operators.layout import (  # noqa: E402
         rect=(100, 160, 90, 150),
     ),
     description="file-skipping evaluation, Hilbert vs Morton on the SAME "
-    "rows: 64 equal-width key-range files per layout, per-file min/max "
-    "stats, files touched by a 64x64 rectangle under standard pruning + "
-    "rows scanned vs matched — the quantified form of the Hilbert "
-    "locality claim; one scan, one (layout, file) agg, metadata-scale "
-    "after that",
+    "rows: 96 equal-width key-range files per layout (non-power-of-two "
+    "by design — aligned block counts make the comparison a wash), "
+    "per-file min/max stats, files touched by an unaligned 61x61 "
+    "rectangle (x 100..160, y 90..150) under standard pruning + rows "
+    "scanned vs matched — the quantified form of the Hilbert locality "
+    "claim; one scan, one (layout, file) agg, metadata-scale after that",
 )
 def q_layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

@@ -357,16 +357,29 @@ from cosmos_xenna_spark.operators.similarity import (  # noqa: E402
 
 @register(
     "q_embedding_quantize",
-    oracle=quantize_embeddings_int8_sql("SELECT vec_id, embedding FROM embeddings"),
+    oracle="SELECT vec_id, array_to_string(codes, ',') AS codes_csv, "
+    "n_dims, max_abs_milli FROM ("
+    + quantize_embeddings_int8_sql("SELECT vec_id, embedding FROM embeddings")
+    + ")",
     description="symmetric int8 embedding quantization: per vector "
     "floor(x*127/max_abs) codes + floor(1000*max_abs) scale — the 4x "
     "memory / SIMD-dot compression before sharding a billion-vector ANN "
     "index; row-local (zero shuffle), float->double widening exact, "
-    "floor not round (round-half rules differ across engines)",
+    "floor not round (round-half rules differ across engines). Codes "
+    "emitted as a comma-joined string: the registry's output-dtype "
+    "contract is scalar-only columns (the external driver's pandas "
+    "canonicalizer sort_values-es every column; ndarray cells are "
+    "unhashable), enforced by test_registry_outputs_scalar_only",
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return quantize_embeddings_int8(emb)
+    q = quantize_embeddings_int8(emb)
+    return q.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes_csv"),
+        "n_dims",
+        "max_abs_milli",
+    )
 
 
 from cosmos_xenna_spark.operators.similarity import (  # noqa: E402

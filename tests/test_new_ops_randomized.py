@@ -3329,10 +3329,12 @@ def test_kmv_set_ops_matches_python_and_tracks_truth(spark, seed):
     k = 32
     # overlapping segments with known intersections; g3 is SMALLER than
     # k so its pairs exercise the exact-regime branch (merged sketch ==
-    # union)
+    # union); g5 overlaps g3 by 10 entities with |merged|=30 < k, so
+    # the (g3, g5) pair pins the NON-disjoint exact regime (theta=1:
+    # c_common IS the intersection, no est_union/k scaling)
     membership = []
     for g, (lo, hi) in enumerate(
-        [(0, 400), (200, 600), (450, 900), (0, 20), (700, 708)]
+        [(0, 400), (200, 600), (450, 900), (0, 20), (700, 708), (10, 30)]
     ):
         for e in range(lo, hi):
             membership.append((f"g{g}", e))
@@ -3363,8 +3365,10 @@ def test_kmv_set_ops_matches_python_and_tracks_truth(spark, seed):
             t, m = max(merged), len(merged)
             est_u = m if m < k else int((k - 1) * float(1 << 60) / t)
             c = sum(1 for v in set(ha) & set(hb) if v <= t)
+            # theta rule: m < k means no truncation -> c is EXACT
+            est_i = c if m < k else c * est_u // k
             want[(ga, gb)] = (
-                len(sets[ga]), len(sets[gb]), c, est_u, c * est_u // k
+                len(sets[ga]), len(sets[gb]), c, est_u, est_i
             )
     assert got == want
     # statistical backstop (kth-order-statistic variance at k=32 is
@@ -3378,6 +3382,11 @@ def test_kmv_set_ops_matches_python_and_tracks_truth(spark, seed):
     # it IS the union — the estimate equals the truth exactly
     assert got[("g3", "g4")][3] == len(sets["g3"] | sets["g4"]) == 28
     assert got[("g3", "g4")][4] == 0  # disjoint -> exact zero
+    # NON-disjoint exact regime: g3=(0,20), g5=(10,30) share exactly 10
+    # entities, merged sketch 30 < k -> est_intersection must be the
+    # EXACT 10 (the pre-fix c*est_union//k rule reported 10*30//32=9)
+    assert got[("g3", "g5")][3] == len(sets["g3"] | sets["g5"]) == 30
+    assert got[("g3", "g5")][4] == len(sets["g3"] & sets["g5"]) == 10
 
 
 @pytest.mark.parametrize("seed", [53, 113])

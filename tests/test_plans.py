@@ -383,3 +383,31 @@ def test_schema_of_json_utility(spark):
         F.schema_of_json(F.lit('{"k": 1, "s": "x"}')).alias("ddl")
     ).collect()[0]
     assert "k" in row.ddl and "BIGINT" in row.ddl.upper()
+
+
+def test_registry_outputs_scalar_only(spark, sf_dir):
+    """Lint: no registry query's OUTPUT schema may contain an Array,
+    Map, or Binary column. The external correctness driver
+    canonicalizes results through a pandas DataFrame sort_values over
+    every column; an ndarray/bytes cell is unhashable there, so a
+    non-scalar output column ERRORs in the driver even when the values
+    are oracle-correct (q_embedding_quantize, round 10 — the one red
+    row of the round, caught only by the driver). Serialize instead:
+    array_join(...) / long-form explode, with the matching
+    array_to_string in the DuckDB oracle."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType
+
+    offenders = {}
+    for name, spec in load_registry().items():
+        try:
+            df = spec.builder(spark, sf_dir)
+        except Exception:
+            continue  # other tests own build failures
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, BinaryType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-scalar output columns (driver-unsafe): {offenders}"
