@@ -289,25 +289,38 @@ _CDE_SIG = 0x02014B50
 _EOCD_SIG = 0x06054B50
 
 
-def build_zip(members: list[tuple[str, bytes]]) -> bytes:
-    """Assemble a STORE-method (uncompressed) ZIP from (name, payload)
-    pairs — local headers, central directory, EOCD; readable by Python
-    ``zipfile`` (pinned in tests). Deterministic: zeroed DOS time."""
+def build_zip(members: list[tuple[str, bytes]], method: int = 0) -> bytes:
+    """Assemble a ZIP from (name, payload) pairs — local headers,
+    central directory, EOCD; readable by Python ``zipfile`` (pinned in
+    tests). Deterministic: zeroed DOS time, fixed compression level.
+
+    ``method`` 0 = STORE (default, byte-identical to the original
+    store-only builder) or 8 = DEFLATE (raw-deflate member bodies,
+    ``zlib`` level 9 — the method real-world WebDataset/zip shards
+    actually use); CRC is always of the UNCOMPRESSED payload per spec.
+    """
+    if method not in (0, 8):
+        raise NotImplementedError(f"zip method {method} (only 0=store, 8=deflate)")
     out = bytearray()
     central = bytearray()
     for name, payload in members:
         nm = name.encode()
         crc = _zlib.crc32(payload) & 0xFFFFFFFF
+        if method == 8:
+            co = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+            body = co.compress(payload) + co.flush()
+        else:
+            body = payload
         lfh_off = len(out)
         out += _struct.pack(
             "<IHHHHHIIIHH",
-            _LFH_SIG, 20, 0, 0, 0, 0, crc, len(payload), len(payload),
+            _LFH_SIG, 20, 0, method, 0, 0, crc, len(body), len(payload),
             len(nm), 0,
         )
-        out += nm + payload
+        out += nm + body
         central += _struct.pack(
             "<IHHHHHHIIIHHHHHII",
-            _CDE_SIG, 20, 20, 0, 0, 0, 0, crc, len(payload), len(payload),
+            _CDE_SIG, 20, 20, 0, method, 0, 0, crc, len(body), len(payload),
             len(nm), 0, 0, 0, 0, 0, lfh_off,
         )
         central += nm
@@ -360,6 +373,61 @@ def parse_zip_members(payload: bytes) -> list[tuple[str, int, int, int]]:
     return out
 
 
+def parse_zip_entries(
+    payload: bytes,
+) -> list[tuple[str, int, int, int, int, int, int]]:
+    """Full central-directory walk:
+    ``(name, method, usize, csize, crc32, lfh_off, data_off)`` per
+    member — the deflate-aware superset of :func:`parse_zip_members`
+    (same EOCD backward scan, same local-header re-derivation of the
+    data offset)."""
+    start = max(0, len(payload) - 22 - 0xFFFF)
+    eocd = -1
+    for i in range(len(payload) - 22, start - 1, -1):
+        if _struct.unpack_from("<I", payload, i)[0] == _EOCD_SIG:
+            eocd = i
+            break
+    if eocd < 0:
+        raise ValueError("no EOCD signature — not a ZIP payload")
+    _, _, _, _, n_entries, _, cd_off, _ = _struct.unpack_from(
+        "<IHHHHIIH", payload, eocd
+    )
+    out = []
+    pos = cd_off
+    for _i in range(n_entries):
+        (sig, _vm, _vn, _fl, method, _t, _d, crc, csize, usize, nlen,
+         elen, clen, _dk, _ia, _ea, lfh_off) = _struct.unpack_from(
+            "<IHHHHHHIIIHHHHHII", payload, pos
+        )
+        if sig != _CDE_SIG:
+            raise ValueError(f"bad central directory signature at {pos}")
+        name = payload[pos + 46 : pos + 46 + nlen].decode()
+        (lsig, _lv, _lf, _lm, _lt, _ld, _lcrc, _lcs, _lus, lnlen,
+         lelen) = _struct.unpack_from("<IHHHHHIIIHH", payload, lfh_off)
+        if lsig != _LFH_SIG:
+            raise ValueError(f"bad local header signature at {lfh_off}")
+        data_off = lfh_off + 30 + lnlen + lelen
+        out.append((name, method, usize, csize, crc, lfh_off, data_off))
+        pos += 46 + nlen + elen + clen
+    return out
+
+
+def zip_extract_member(
+    payload: bytes, method: int, csize: int, data_off: int
+) -> bytes:
+    """Extract ONE member's uncompressed bytes: slice the body at the
+    local-header-derived offset, inflate raw-deflate (method 8) via
+    ``zlib``; STORE passes through. Other methods raise by name (the
+    honest-capability convention: bzip2/lzma/zstd members exist in the
+    wild but are out of contract)."""
+    body = payload[data_off : data_off + csize]
+    if method == 0:
+        return body
+    if method == 8:
+        return _zlib.decompress(body, -15)
+    raise NotImplementedError(f"zip compression method {method}")
+
+
 def zip_members(
     shards: DataFrame,
     id_col: str = "shard_id",
@@ -395,11 +463,14 @@ def attach_fake_zip_corpus(
     df: DataFrame,
     id_col: str = "doc_id",
     docs_per_shard: int = 4,
+    method: int = 0,
 ) -> DataFrame:
     """ZIP twin of :func:`attach_fake_tar_corpus` — same member names,
-    sizes and planted incompleteness, STORE method, so the oracle can
-    recompute offsets: each member's footprint is 30 + name_len(12) +
-    size bytes, accumulated in member-name order."""
+    sizes and planted incompleteness; STORE method by default so the
+    offset oracle can recompute every byte position (footprint
+    30 + name_len(12) + size in member-name order), ``method=8`` for
+    DEFLATE shards (offsets no longer arithmetic — the deflate oracle
+    certifies names/sizes/CRC round-trips instead)."""
     from cosmos_xenna_spark.operators.dedup import ensure_parallelism
 
     def fn(key, pdf):
@@ -412,7 +483,7 @@ def attach_fake_zip_corpus(
                 tname = f"{i:08d}.txt"
                 members.append((tname, fake_member_payload(tname, i % 500 + 50)))
         return pd.DataFrame(
-            {"shard_id": [int(key[0])], "shard": [build_zip(members)]}
+            {"shard_id": [int(key[0])], "shard": [build_zip(members, method=method)]}
         )
 
     return (
@@ -459,4 +530,85 @@ def zip_members_oracle_sql(
     SELECT shard_id, name, size_bytes, header_offset,
            CAST(header_offset + 30 + 12 AS BIGINT) AS data_offset
     FROM laid
+    """
+
+
+def zip_inflate_members(
+    shards: DataFrame,
+    id_col: str = "shard_id",
+    payload_col: str = "shard",
+) -> DataFrame:
+    """Deflate-aware member EXTRACTION over a binary ZIP-shard column:
+    per member, walk the central directory (:func:`parse_zip_entries`),
+    slice the body at the local-header-derived offset, INFLATE
+    raw-deflate members via ``zlib`` (STORE passes through), and emit
+    ``(shard_id, name, method, size_bytes, csize_bytes, crc_ok)`` where
+    ``size_bytes`` is the length of the actually-inflated payload and
+    ``crc_ok`` checks ``crc32(inflated)`` against the header CRC AND
+    the inflated length against the declared usize — the end-to-end
+    integrity pass a WebDataset ingest runs on real-world (deflate)
+    zip shards before trusting any sample.
+
+    Row-local ``mapInPandas``: the shard payload never shuffles; only
+    metadata rows leave the map stage. csize_bytes rides along for
+    compression accounting (not oracle-predictable — deflate output
+    length is codec-version territory; the oracle certifies the
+    crc/size round-trip instead).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"shard_id": [], "name": [], "method": [],
+                    "size_bytes": [], "csize_bytes": [], "crc_ok": []}
+            for sid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                for name, method, usize, csize, crc, _h, doff in (
+                    parse_zip_entries(payload)
+                ):
+                    data = zip_extract_member(payload, method, csize, doff)
+                    ok = int(
+                        len(data) == usize
+                        and (_zlib.crc32(data) & 0xFFFFFFFF) == crc
+                    )
+                    rows["shard_id"].append(int(sid))
+                    rows["name"].append(name)
+                    rows["method"].append(method)
+                    rows["size_bytes"].append(len(data))
+                    rows["csize_bytes"].append(csize)
+                    rows["crc_ok"].append(ok)
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(
+        fn,
+        schema=(
+            "shard_id long, name string, method long, size_bytes long,"
+            " csize_bytes long, crc_ok long"
+        ),
+    )
+
+
+def zip_inflate_members_oracle_sql(
+    ids_sql: str, id_col: str, docs_per_shard: int = 4, method: int = 8
+) -> str:
+    """Arithmetic mirror for the deflate-shard integrity pass: names
+    and UNCOMPRESSED sizes from the planted formulas, method as built,
+    crc_ok identically 1 (the parser must round-trip every member).
+    csize is deliberately absent — deflate output length is a codec
+    property, not ground truth."""
+    jpg = JPG_SIZE.format(id=id_col)
+    txt = TXT_SIZE.format(id=id_col)
+    return f"""
+    SELECT CAST({id_col} // {docs_per_shard} AS BIGINT) AS shard_id,
+           printf('%08d.jpg', {id_col}) AS name,
+           CAST({method} AS BIGINT) AS method,
+           CAST({jpg} AS BIGINT) AS size_bytes,
+           CAST(1 AS BIGINT) AS crc_ok
+    FROM ({ids_sql})
+    UNION ALL
+    SELECT CAST({id_col} // {docs_per_shard} AS BIGINT),
+           printf('%08d.txt', {id_col}),
+           CAST({method} AS BIGINT),
+           CAST({txt} AS BIGINT),
+           CAST(1 AS BIGINT)
+    FROM ({ids_sql}) WHERE {id_col} % 5 <> 0
     """

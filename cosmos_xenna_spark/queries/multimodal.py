@@ -264,6 +264,35 @@ def q_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zip_members(shards)
 
 
+from cosmos_xenna_spark.operators.archive import (  # noqa: E402
+    zip_inflate_members,
+    zip_inflate_members_oracle_sql,
+)
+
+
+@register(
+    "q_zip_deflate_members",
+    oracle=zip_inflate_members_oracle_sql(
+        "SELECT doc_id FROM documents", "doc_id", docs_per_shard=4, method=8
+    ),
+    description="DEFLATE-shard member extraction + integrity: real-world "
+    "zips compress members (method 8, raw deflate) — central-directory "
+    "walk, per-member zlib inflate at the local-header-derived offset, "
+    "crc32-of-inflated vs header CRC and inflated-length vs declared "
+    "usize; row-local mapInPandas, payloads never shuffle. The oracle "
+    "recomputes names/uncompressed sizes arithmetically and requires "
+    "crc_ok=1 for every member — the round-trip certificate (csize is "
+    "a codec property, checked differentially vs zipfile in tests, not "
+    "here). Completes the shard-container story for real-world archives",
+)
+def q_zip_deflate_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = attach_fake_zip_corpus(docs, "doc_id", docs_per_shard=4, method=8)
+    return zip_inflate_members(shards).select(
+        "shard_id", "name", "method", "size_bytes", "crc_ok"
+    )
+
+
 from cosmos_xenna_spark.operators.multimodal import (  # noqa: E402
     aspect_bucket_sql,
     resolution_bucket_stats,

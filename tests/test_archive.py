@@ -214,3 +214,103 @@ def test_tar_members_over_binaryfile_stream(spark, tmp_path):
         (1, "00000002.jpg", 102),
         (1, "00000003.jpg", 103),
     ]
+
+
+@pytest.mark.parametrize("seed", [9, 21])
+def test_build_zip_deflate_readable_by_zipfile(seed):
+    """DEFLATE direction 1: zipfile (independent reader) must inflate
+    archives the engine writer emitted with method=8 — names, sizes,
+    payload bytes, CRCs all round-trip."""
+    import zipfile
+
+    from cosmos_xenna_spark.operators.archive import build_zip
+
+    rng = random.Random(seed)
+    members = [
+        (f"{i:06d}.{ext}", bytes(rng.randrange(256) for _ in range(rng.randrange(0, 900))))
+        for i in range(6)
+        for ext in ("jpg", "txt")
+    ]
+    # mix in a highly-compressible member (deflate must actually shrink)
+    members.append(("big.txt", b"spark" * 400))
+    blob = build_zip(members, method=8)
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        assert z.testzip() is None  # CRCs all valid
+        infos = z.infolist()
+        got = [(i.filename, i.file_size, z.read(i.filename)) for i in infos]
+        assert all(i.compress_type == zipfile.ZIP_DEFLATED for i in infos)
+        big = next(i for i in infos if i.filename == "big.txt")
+        assert big.compress_size < big.file_size
+    assert got == [(n, len(p), p) for n, p in members]
+    assert len(blob) < len(build_zip(members, method=0))
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_zip_extract_reads_zipfile_deflate_output(seed):
+    """DEFLATE direction 2: the engine parser + inflater must extract
+    archives BUILT BY zipfile with ZIP_DEFLATED — methods, sizes, CRCs
+    and the inflated bytes themselves."""
+    import zipfile
+    import zlib
+
+    from cosmos_xenna_spark.operators.archive import (
+        parse_zip_entries,
+        zip_extract_member,
+    )
+
+    rng = random.Random(seed)
+    names_payloads = [
+        (
+            f"d/{i:04d}.bin",
+            # alternate compressible / incompressible payloads
+            (b"ab" * rng.randrange(1, 400))
+            if i % 2
+            else bytes(rng.randrange(256) for _ in range(rng.randrange(1, 700))),
+        )
+        for i in range(8)
+    ]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as z:
+        for name, payload in names_payloads:
+            z.writestr(name, payload)
+        if seed % 2:
+            z.comment = b"trailing comment exercising the EOCD scan"
+    blob = buf.getvalue()
+    entries = parse_zip_entries(blob)
+    assert [(n, m, u) for n, m, u, _c, _crc, _h, _d in entries] == [
+        (n, 8, len(p)) for n, p in names_payloads
+    ]
+    for (name, method, usize, csize, crc, _h, doff), (_, payload) in zip(
+        entries, names_payloads
+    ):
+        data = zip_extract_member(blob, method, csize, doff)
+        assert data == payload
+        assert (zlib.crc32(data) & 0xFFFFFFFF) == crc
+
+
+def test_zip_inflate_members_on_spark(spark):
+    from cosmos_xenna_spark.operators.archive import (
+        attach_fake_zip_corpus,
+        zip_inflate_members,
+    )
+
+    df = spark.range(24).withColumnRenamed("id", "doc_id")
+    shards = attach_fake_zip_corpus(df, "doc_id", docs_per_shard=4, method=8)
+    rows = zip_inflate_members(shards).collect()
+    assert len(rows) == 24 + sum(1 for i in range(24) if i % 5 != 0)
+    for r in rows:
+        assert r.method == 8
+        assert r.crc_ok == 1
+        want = (r.name.endswith(".jpg") and int(r.name[:8]) % 1000 + 100) or (
+            int(r.name[:8]) % 500 + 50
+        )
+        assert r.size_bytes == want
+        # repeating-digest payloads must actually compress
+        assert r.csize_bytes < r.size_bytes or r.size_bytes < 64
+
+
+def test_zip_extract_unknown_method_raises():
+    from cosmos_xenna_spark.operators.archive import zip_extract_member
+
+    with pytest.raises(NotImplementedError, match="method 12"):
+        zip_extract_member(b"\x00" * 64, 12, 8, 0)
