@@ -313,6 +313,9 @@ _R11_QUEUE: tuple[str, ...] = (
 # Operators added during the r11 session queue here for the r12 window.
 _R12_QUEUE: tuple[str, ...] = (
     "q_zip_deflate_members",
+    "q_ab_test_zscore",
+    "q_cuped_variance_reduction",
+    "q_greedy_max_coverage",
 )
 
 # r11 window = all 30 r10-session additions (_R11_QUEUE) + the fixed

@@ -899,3 +899,168 @@ def source_temperature_mix_sql(
            CAST(GREATEST({budget} * w // w_tot - n_docs, 0) AS BIGINT) AS deficit
     FROM weighted, tot
     """
+
+
+def greedy_max_coverage(
+    docs: DataFrame,
+    k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pool_mod: int = 37,
+) -> DataFrame:
+    """Greedy maximum-coverage data selection (facility-location lite):
+    pick ``k`` documents, each maximizing the count of word BIGRAMS not
+    yet covered by the picks so far — the classic (1 - 1/e)-approximate
+    submodular-selection step behind coverage-driven corpus subsetting
+    (select the dev set / annotation budget that spans the most
+    vocabulary), deterministic tie-break on ascending id.
+
+    Candidates come from a hash-sampled POOL (md5(id) % pool_mod == 0,
+    scale-relative: ~1/pool_mod of the corpus at every sf) — greedy
+    selection at 100 TB always runs over a bounded candidate pool, not
+    the raw corpus; the token table the gains are computed from is the
+    full pool's bigram set.
+
+    Emits one row per step: ``(step, doc_id, gain, covered_total)``.
+    Zero-gain steps are well-defined (LEFT-join counting keeps fully-
+    covered candidates at gain 0, tie-broken by id) so the recursion
+    never dies early.
+
+    Scale shape: the pool token table is built ONCE and eagerly
+    checkpointed; each of the k steps is one broadcast anti-join on
+    the (small, bounded) covered-token set + one map-side-combined
+    gain aggregation + a TakeOrdered top-1 — k bounded scalar collects
+    (the graph.py per-iteration-maximum precedent), never a growing
+    lineage.
+    """
+    from cosmos_xenna_spark.functions import md5_long63
+
+    spark = docs.sparkSession
+    pool = docs.filter(
+        md5_long63(F.col(id_col).cast("string"), prefix="cov|") % pool_mod
+        == 0
+    )
+    base = pool.select(
+        F.col(id_col).cast("bigint").alias("__id"),
+        F.split(F.col(text_col), " ").alias("__ws"),
+    )
+    toks = (
+        base.filter(F.size("__ws") >= 2)
+        .select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - 1),"
+                    " i -> array_join(slice(__ws, i, 2), ' '))"
+                )
+            ).alias("__tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand = toks.select("__id").distinct().localCheckpoint(eager=True)
+
+    chosen: list[int] = []
+    rows: list[tuple[int, int, int, int]] = []
+    for step in range(1, k + 1):
+        uncov = toks
+        if chosen:
+            covered = toks.filter(F.col("__id").isin(chosen)).select("__tok")
+            uncov = toks.join(
+                F.broadcast(covered.distinct()), "__tok", "left_anti"
+            )
+        remaining = cand
+        if chosen:
+            remaining = remaining.filter(~F.col("__id").isin(chosen))
+        gains = (
+            remaining.join(uncov, "__id", "left")
+            .groupBy("__id")
+            .agg(F.count("__tok").cast("bigint").alias("__gain"))
+        )
+        top = gains.orderBy(F.desc("__gain"), F.asc("__id")).limit(1).collect()
+        if not top:
+            break  # pool exhausted before k picks (tiny-corpus case)
+        chosen.append(int(top[0]["__id"]))
+        covered_total = (
+            toks.filter(F.col("__id").isin(chosen))
+            .select("__tok")
+            .distinct()
+            .count()
+        )
+        rows.append(
+            (step, int(top[0]["__id"]), int(top[0]["__gain"]), covered_total)
+        )
+    return spark.createDataFrame(
+        rows, "step long, doc_id long, gain long, covered_total long"
+    )
+
+
+def greedy_max_coverage_sql(
+    docs_sql: str,
+    k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pool_mod: int = 37,
+) -> str:
+    """DuckDB mirror: the greedy recursion unrolled into k CTE steps
+    (the iterative-oracle convention — pagerank/SCC precedent), same
+    pool hash, same bigrams, same LEFT-join zero-gain handling, same
+    (gain DESC, id ASC) tie-break."""
+    from cosmos_xenna_spark.functions import md5_long63_sql
+
+    h = md5_long63_sql(f"CAST({id_col} AS STRING)", prefix="cov|")
+    ctes = [
+        f"""dt AS MATERIALIZED (
+      SELECT DISTINCT id, token FROM (
+        SELECT id, array_to_string(ws[i:i+1], ' ') AS token
+        FROM (SELECT CAST({id_col} AS BIGINT) AS id,
+                     string_split({text_col}, ' ') AS ws
+              FROM ({docs_sql}) WHERE {h} % {pool_mod} = 0),
+             UNNEST(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2
+      )
+    )""",
+        "ids AS (SELECT DISTINCT id FROM dt)",
+    ]
+    prev_winners = []
+    selects = []
+    for step in range(1, k + 1):
+        not_chosen = (
+            "WHERE ids.id NOT IN ("
+            + " UNION ALL ".join(f"SELECT id FROM w{j}" for j in prev_winners)
+            + ")"
+            if prev_winners
+            else ""
+        )
+        if prev_winners:
+            uncov = (
+                f"(SELECT * FROM dt WHERE token NOT IN"
+                f" (SELECT token FROM c{prev_winners[-1]}))"
+            )
+        else:
+            uncov = "dt"
+        ctes.append(
+            f"""w{step} AS (
+      SELECT id, gain FROM (
+        SELECT ids.id, CAST(COUNT(u.token) AS BIGINT) AS gain
+        FROM ids LEFT JOIN {uncov} u ON u.id = ids.id
+        {not_chosen}
+        GROUP BY ids.id
+      ) ORDER BY gain DESC, id LIMIT 1
+    )"""
+        )
+        winners_so_far = prev_winners + [step]
+        ctes.append(
+            f"""c{step} AS (
+      SELECT DISTINCT token FROM dt WHERE id IN (
+        {" UNION ALL ".join(f"SELECT id FROM w{j}" for j in winners_so_far)}
+      )
+    )"""
+        )
+        selects.append(
+            f"SELECT CAST({step} AS BIGINT) AS step, id AS doc_id, gain,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM c{step})"
+            f" AS covered_total FROM w{step}"
+        )
+        prev_winners = winners_so_far
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

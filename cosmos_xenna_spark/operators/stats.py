@@ -1731,3 +1731,179 @@ def smoothed_rate_sql(
              AS rate_raw_ppm
     FROM ({table_sql}) GROUP BY {g}
     """
+
+
+# The z-statistic finish as ONE shared SQL expression string: both
+# engines evaluate the identical fixed IEEE double-op sequence over the
+# four exact integer counts (the chi-squared/linreg precedent — only
+# float SUMS are cross-engine-unsafe; sqrt and divide are correctly
+# rounded). 1.959963984540054 is repr() of the exact double for the
+# 95% two-sided normal quantile.
+_AB_Z_EXPR = (
+    "(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    " - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    " / NULLIF(SQRT((CAST(conv_a + conv_b AS DOUBLE)"
+    "         / CAST(n_a + n_b AS DOUBLE))"
+    "        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)"
+    "                 / CAST(n_a + n_b AS DOUBLE))"
+    "        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    ", 0.0)"
+)
+
+
+def ab_test_two_proportion(
+    units: DataFrame,
+    variant_col: str = "variant",
+    convert_col: str = "converted",
+) -> DataFrame:
+    """Two-proportion A/B test readout: per-variant unit and conversion
+    counts, exact ppm rates, the lift, and the pooled two-proportion
+    z-statistic — the experiment-analysis primitive every product
+    pipeline runs over its event stream.
+
+    ``units`` is one row per experimental UNIT (already deduplicated —
+    a user counted twice corrupts the variance): ``variant_col`` is
+    0/1, ``convert_col`` is 0/1. One aggregation to a single row;
+    counts and rates are exact integers, the z-score is a fixed
+    IEEE double-op sequence over those integers (cross-engine exact —
+    the chi-squared precedent), and ``significant`` gates |z| at the
+    exact double 1.959963984540054 (two-sided 95%).
+
+    Scale shape: one partial-aggregated global agg — no shuffle wider
+    than the four counters. NULL z (a variant with zero units) is the
+    caller's data bug; ANSI division will say so loudly.
+    """
+    one = units.agg(
+        F.sum(F.when(F.col(variant_col) == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col(variant_col) == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(
+            F.when(F.col(variant_col) == 0, F.col(convert_col)).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(
+            F.when(F.col(variant_col) == 1, F.col(convert_col)).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    return one.selectExpr(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        "CAST(1000000 * conv_a DIV n_a AS BIGINT) AS rate_a_ppm",
+        "CAST(1000000 * conv_b DIV n_b AS BIGINT) AS rate_b_ppm",
+        "CAST(1000000 * conv_b DIV n_b - 1000000 * conv_a DIV n_a"
+        " AS BIGINT) AS lift_ppm",
+        f"{_AB_Z_EXPR} AS z",
+        f"CAST(CASE WHEN ABS({_AB_Z_EXPR}) >= 1.959963984540054"
+        " THEN 1 ELSE 0 END AS BIGINT) AS significant",
+    )
+
+
+def ab_test_two_proportion_sql(
+    units_sql: str,
+    variant_col: str = "variant",
+    convert_col: str = "converted",
+) -> str:
+    """DuckDB mirror — the identical counting and the VERBATIM z
+    expression (shared text, shared double sequence)."""
+    return f"""
+    WITH one AS (
+      SELECT
+        CAST(SUM(CASE WHEN {variant_col} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN {variant_col} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN {variant_col} = 0 THEN {convert_col} ELSE 0 END)
+             AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN {variant_col} = 1 THEN {convert_col} ELSE 0 END)
+             AS BIGINT) AS conv_b
+      FROM ({units_sql})
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST(1000000 * conv_a // n_a AS BIGINT) AS rate_a_ppm,
+           CAST(1000000 * conv_b // n_b AS BIGINT) AS rate_b_ppm,
+           CAST(1000000 * conv_b // n_b - 1000000 * conv_a // n_a
+                AS BIGINT) AS lift_ppm,
+           {_AB_Z_EXPR} AS z,
+           CAST(CASE WHEN ABS({_AB_Z_EXPR}) >= 1.959963984540054
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM one
+    """
+
+
+def cuped_moments(
+    units: DataFrame,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance-reduction accounting from exact integer moments:
+    with X = a unit's PRE-experiment metric and Y its in-experiment
+    metric, the CUPED adjustment ``Y - theta * (X - mean(X))`` with
+    ``theta = cov(X, Y) / var(X)`` shrinks metric variance by exactly
+    ``corr(X, Y)^2`` — the standard experimentation-platform trick
+    (Deng et al., WSDM 2013) that cuts required sample sizes.
+
+    Everything stays integer-exact: centered second moments as
+    ``n*Sxy - Sx*Sy`` in DECIMAL(38), ``theta_micro = 1e6 * sxy DIV
+    sxx``, and ``var_reduction_ppm = 1e6 * sxy^2 DIV (sxx * syy)`` —
+    no float anywhere. One aggregation pass.
+
+    Scale note (the ``t_closeness`` convention): ``sxy^2`` overflows
+    DECIMAL(38) once |n*Sxy - Sx*Sy| exceeds ~1e16 (about 1e9 units
+    with per-unit metrics in the hundreds); past that line divide the
+    moments by gcd-scale factors or widen through a string round-trip.
+    """
+    x = F.col(pre_col).cast("decimal(38,0)")
+    y = F.col(post_col).cast("decimal(38,0)")
+    raw = units.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * F.col(pre_col)).alias("sxx_raw"),
+        F.sum(x * F.col(post_col)).alias("sxy_raw"),
+        F.sum(y * F.col(post_col)).alias("syy_raw"),
+    )
+    return raw.selectExpr(
+        "CAST(n AS BIGINT) AS n_units",
+        "CAST(n * sxx_raw - sx * sx AS BIGINT) AS sxx",
+        "CAST(n * sxy_raw - sx * sy AS BIGINT) AS sxy",
+        "CAST(n * syy_raw - sy * sy AS BIGINT) AS syy",
+        "CAST((1000000 * (n * sxy_raw - sx * sy))"
+        " DIV NULLIF(n * sxx_raw - sx * sx, 0) AS BIGINT) AS theta_micro",
+        "CAST((1000000 * (n * sxy_raw - sx * sy) * (n * sxy_raw - sx * sy))"
+        " DIV NULLIF((n * sxx_raw - sx * sx) * (n * syy_raw - sy * sy), 0)"
+        " AS BIGINT) AS var_reduction_ppm",
+    )
+
+
+def cuped_moments_sql(units_sql: str, pre_col: str, post_col: str) -> str:
+    """DuckDB mirror — HUGEINT carries the centered moments exactly."""
+    return f"""
+    WITH raw AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM({pre_col}) AS HUGEINT) AS sx,
+             CAST(SUM({post_col}) AS HUGEINT) AS sy,
+             CAST(SUM(CAST({pre_col} AS HUGEINT) * {pre_col}) AS HUGEINT)
+               AS sxx_raw,
+             CAST(SUM(CAST({pre_col} AS HUGEINT) * {post_col}) AS HUGEINT)
+               AS sxy_raw,
+             CAST(SUM(CAST({post_col} AS HUGEINT) * {post_col}) AS HUGEINT)
+               AS syy_raw
+      FROM ({units_sql})
+    )
+    SELECT CAST(n AS BIGINT) AS n_units,
+           CAST(n * sxx_raw - sx * sx AS BIGINT) AS sxx,
+           CAST(n * sxy_raw - sx * sy AS BIGINT) AS sxy,
+           CAST(n * syy_raw - sy * sy AS BIGINT) AS syy,
+           CAST((1000000 * (n * sxy_raw - sx * sy))
+                // NULLIF(n * sxx_raw - sx * sx, 0) AS BIGINT) AS theta_micro,
+           CAST((1000000 * (n * sxy_raw - sx * sy) * (n * sxy_raw - sx * sy))
+                // NULLIF((n * sxx_raw - sx * sx) * (n * syy_raw - sy * sy), 0)
+                AS BIGINT) AS var_reduction_ppm
+    FROM raw
+    """

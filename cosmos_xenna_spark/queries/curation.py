@@ -296,3 +296,28 @@ from cosmos_xenna_spark.operators.curation import (  # noqa: E402
 def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return source_temperature_mix(docs, "source", "doc_id", budget=10_000)
+
+
+from cosmos_xenna_spark.operators.curation import (  # noqa: E402
+    greedy_max_coverage,
+    greedy_max_coverage_sql,
+)
+
+
+@register(
+    "q_greedy_max_coverage",
+    oracle=greedy_max_coverage_sql(
+        "SELECT doc_id, text FROM documents", k=6
+    ),
+    description="greedy maximum-coverage data selection (facility-"
+    "location lite, the (1-1/e)-approximate submodular subset step): "
+    "pick 6 docs from a hash-sampled candidate pool, each maximizing "
+    "uncovered-bigram count, deterministic id tie-break; per step the "
+    "pick, its marginal gain and cumulative coverage. Oracle = the "
+    "recursion unrolled into 6 CTE steps (the pagerank convention); "
+    "Spark side = checkpointed pool token table + k bounded top-1 "
+    "collects, broadcast anti-joins on the covered set",
+)
+def q_greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return greedy_max_coverage(docs, k=6)

@@ -1009,3 +1009,85 @@ def q_arrival_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long63(F.col("event_id").cast("string")).alias("arrival_seq"),
     )
     return arrival_disorder_audit(ev, seq_col="arrival_seq")
+
+
+from cosmos_xenna_spark.functions import md5_long63, md5_long63_sql  # noqa: E402
+from cosmos_xenna_spark.operators.stats import (  # noqa: E402
+    ab_test_two_proportion,
+    ab_test_two_proportion_sql,
+    cuped_moments,
+    cuped_moments_sql,
+)
+
+# conversion = the user's FIRST event (by event_id) is a purchase —
+# a ~20% rate that stays mid-range at every sf (a "user ever
+# purchased" gate saturates to 100% as events-per-user grows, which
+# degenerates the pooled variance to zero)
+_AB_UNITS_SQL = f"""
+    SELECT {md5_long63_sql("CAST(user_id AS STRING)", prefix="ab|")} % 2
+             AS variant,
+           CASE WHEN MIN_BY(event_type, event_id) = 'purchase'
+                THEN 1 ELSE 0 END AS converted
+    FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "q_ab_test_zscore",
+    oracle=ab_test_two_proportion_sql(_AB_UNITS_SQL),
+    description="two-proportion A/B test readout: users hash-assigned "
+    "to variants (md5 bit — the deterministic bucketing every "
+    "experimentation platform uses), conversion = any purchase event; "
+    "per-variant exact counts/ppm rates, lift, and the pooled z-score "
+    "as a fixed IEEE double-op sequence over exact integers (the "
+    "chi-squared precedent), significance gated at the exact double "
+    "for two-sided 95%. One user-grain agg + one single-row finish",
+)
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.when(F.min_by("event_type", "event_id") == "purchase", 1)
+        .otherwise(0)
+        .alias("converted")
+    )
+    units = units.select(
+        (md5_long63(F.col("user_id").cast("string"), prefix="ab|") % 2).alias(
+            "variant"
+        ),
+        "converted",
+    )
+    return ab_test_two_proportion(units)
+
+
+_CUPED_CUT = "TIMESTAMP '2024-01-16 00:00:00'"
+_CUPED_UNITS_SQL = f"""
+    SELECT user_id,
+           SUM(CASE WHEN ts < {_CUPED_CUT} THEN 1 ELSE 0 END) AS pre_cnt,
+           SUM(CASE WHEN ts >= {_CUPED_CUT} THEN 1 ELSE 0 END) AS post_cnt
+    FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "q_cuped_variance_reduction",
+    oracle=cuped_moments_sql(_CUPED_UNITS_SQL, "pre_cnt", "post_cnt"),
+    description="CUPED variance-reduction accounting (Deng et al. WSDM "
+    "2013): per-user pre-period activity (before Jan 16) as the "
+    "covariate for the in-period metric; exact integer centered "
+    "moments n*Sxy - Sx*Sy in DECIMAL(38), theta in exact micro-units "
+    "and the variance reduction corr^2 in exact ppm — the sample-size "
+    "shrinkage readout, no float anywhere. One user-grain agg + one "
+    "single-row finish",
+)
+def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    units = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pre_cnt"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("post_cnt"),
+    )
+    return cuped_moments(units, "pre_cnt", "post_cnt")

@@ -356,6 +356,17 @@ R10F_QUERIES = [
     "q_resolution_buckets",
 ]
 
+# Round-11 session additions: deflate-shard extraction (payload-heavy
+# mapInPandas — shards grow with docs), the two experiment-analysis
+# aggregations over the replicated events (user count grows linearly),
+# and greedy coverage (pool grows with the corpus; k stays 6).
+R11_QUERIES = [
+    "q_zip_deflate_members",
+    "q_ab_test_zscore",
+    "q_cuped_variance_reduction",
+    "q_greedy_max_coverage",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -429,6 +440,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r10i":
         qset = "r10i"
         QUERIES = R10I_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r11":
+        qset = "r11"
+        QUERIES = R11_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
@@ -456,7 +470,7 @@ def main() -> None:
         t0 = time.time()
         generate_lineitem(spark, out_dir)
         print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
-    if qset in ("r10f", "r10g", "r10h") and not os.path.exists(f"{out_dir}/events.parquet"):
+    if qset in ("r10f", "r10g", "r10h", "r11") and not os.path.exists(f"{out_dir}/events.parquet"):
         t0 = time.time()
         generate_events(spark, out_dir)
         print(f"generated {COPIES}x events in {time.time() - t0:.0f}s")

@@ -89,3 +89,9 @@ def test_video_curation_pipeline_example_runs():
     assert p.returncode == 0, p.stderr[-2000:]
     assert "after IoU dedup" in p.stdout and "resolution buckets" in p.stdout
     assert "GPS-clean" in p.stdout and "shards" in p.stdout
+
+
+def test_continuous_serving_pipeline_example_runs():
+    p = _run(["examples/continuous_serving_pipeline.py"])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "continuous serving done: 600 requests scored" in p.stdout

@@ -3535,3 +3535,116 @@ def test_gains_table_matches_python(spark, seed):
             1000000 * p * n // (c * total_pos),
         )
     assert got == want
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark DIV / DuckDB //)."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+@pytest.mark.parametrize("seed", [31, 97])
+def test_ab_test_two_proportion_matches_python(spark, seed):
+    import math
+
+    from cosmos_xenna_spark.operators.stats import ab_test_two_proportion
+
+    rng = random.Random(seed)
+    units = [(rng.randrange(2), 1 if rng.random() < 0.3 else 0) for _ in range(400)]
+    df = spark.createDataFrame(units, "variant long, converted long")
+    r = ab_test_two_proportion(df).collect()[0]
+    n_a = sum(1 for v, _ in units if v == 0)
+    n_b = len(units) - n_a
+    c_a = sum(c for v, c in units if v == 0)
+    c_b = sum(c for v, c in units if v == 1)
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (n_a, n_b, c_a, c_b)
+    assert r.rate_a_ppm == 1000000 * c_a // n_a
+    assert r.lift_ppm == 1000000 * c_b // n_b - 1000000 * c_a // n_a
+    # the identical fixed double sequence in python IEEE arithmetic
+    pp = float(c_a + c_b) / float(n_a + n_b)
+    se = math.sqrt(pp * (1.0 - pp) * (1.0 / float(n_a) + 1.0 / float(n_b)))
+    z = (float(c_b) / float(n_b) - float(c_a) / float(n_a)) / se
+    assert r.z == z
+    assert r.significant == (1 if abs(z) >= 1.959963984540054 else 0)
+
+
+def test_ab_test_degenerate_pooled_rate_yields_null_z(spark):
+    from cosmos_xenna_spark.operators.stats import ab_test_two_proportion
+
+    # every unit converted -> pooled p = 1, se = 0: z must be NULL (not
+    # an ANSI divide-by-zero crash), significant 0
+    df = spark.createDataFrame(
+        [(0, 1)] * 5 + [(1, 1)] * 7, "variant long, converted long"
+    )
+    r = ab_test_two_proportion(df).collect()[0]
+    assert r.z is None
+    assert r.significant == 0
+
+
+@pytest.mark.parametrize("seed,flip", [(41, 1), (101, -1)])
+def test_cuped_moments_matches_python(spark, seed, flip):
+    from cosmos_xenna_spark.operators.stats import cuped_moments
+
+    rng = random.Random(seed)
+    # flip=-1 plants NEGATIVE correlation: sxy < 0 exercises the
+    # truncate-toward-zero division branch on both engines
+    units = []
+    for _ in range(300):
+        x = rng.randrange(0, 50)
+        noise = rng.randrange(-5, 6)
+        units.append((x, max(0, flip * x + 60 + noise)))
+    df = spark.createDataFrame(units, "pre_cnt long, post_cnt long")
+    r = cuped_moments(df, "pre_cnt", "post_cnt").collect()[0]
+    n = len(units)
+    sx = sum(x for x, _ in units)
+    sy = sum(y for _, y in units)
+    sxx = n * sum(x * x for x, _ in units) - sx * sx
+    sxy = n * sum(x * y for x, y in units) - sx * sy
+    syy = n * sum(y * y for _, y in units) - sy * sy
+    assert (r.n_units, r.sxx, r.sxy, r.syy) == (n, sxx, sxy, syy)
+    assert r.theta_micro == _tdiv(1000000 * sxy, sxx)
+    assert r.var_reduction_ppm == _tdiv(1000000 * sxy * sxy, sxx * syy)
+    if flip == -1:
+        assert r.sxy < 0 and r.theta_micro < 0
+    assert 0 <= r.var_reduction_ppm <= 1000000
+
+
+@pytest.mark.parametrize("seed", [61, 131])
+def test_greedy_max_coverage_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.curation import greedy_max_coverage
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 25))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 5
+    got = [
+        (r.step, r.doc_id, r.gain, r.covered_total)
+        for r in greedy_max_coverage(df, k=k, pool_mod=1)
+        .orderBy("step")
+        .collect()
+    ]
+    # python replay: exact greedy with (gain desc, id asc) tie-break
+    toksets = {}
+    for i, text in docs:
+        ws = text.split(" ")
+        toksets[i] = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    covered: set = set()
+    chosen: list = []
+    want = []
+    for step in range(1, k + 1):
+        best = min(
+            (i for i in toksets if i not in chosen),
+            key=lambda i: (-len(toksets[i] - covered), i),
+        )
+        gain = len(toksets[best] - covered)
+        covered |= toksets[best]
+        chosen.append(best)
+        want.append((step, best, gain, len(covered)))
+    assert got == want
+    # submodularity sanity: marginal gains are non-increasing
+    gains = [g for _, _, g, _ in got]
+    assert gains == sorted(gains, reverse=True)
