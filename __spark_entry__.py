@@ -316,6 +316,10 @@ _R12_QUEUE: tuple[str, ...] = (
     "q_ab_test_zscore",
     "q_cuped_variance_reduction",
     "q_greedy_max_coverage",
+    "q_did_estimator",
+    "q_ratio_metric_delta",
+    "q_qini_uplift",
+    "q_multiclass_f1",
 )
 
 # r11 window = all 30 r10-session additions (_R11_QUEUE) + the fixed

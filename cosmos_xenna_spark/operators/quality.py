@@ -1613,3 +1613,107 @@ def gains_table_sql(
                 // NULLIF(n * SUM(n_pos) OVER (), 0) AS BIGINT) AS lift_ppm
     FROM tiles
     """
+
+
+def qini_table(
+    scored: DataFrame,
+    n_total: int,
+    n_tiles: int = 10,
+    score_col: str = "score",
+    variant_col: str = "variant",
+    convert_col: str = "converted",
+    id_col: str = "unit_id",
+) -> DataFrame:
+    """Qini / uplift decile table: rank units by a TARGETING score
+    descending, split into ``n_tiles`` equal-population tiles via the
+    distributed global row number, and per tile report treatment/
+    control sizes and conversions plus the CUMULATIVE Qini value
+
+        qini(t) = cum_conv_T(t) - cum_conv_C(t) * cum_n_T(t) / cum_n_C(t)
+
+    in exact milli-conversions (one integer truncation per tile) — the
+    uplift-model evaluation readout ("targeting the top decile buys N
+    incremental conversions") that ``gains_table`` cannot give because
+    it has no control arm. ``n_total`` is a driver literal (bounded-
+    scalar pattern; scalar subquery in the oracle).
+
+    Scale shape: the gains_table machinery — eagerly checkpointed
+    4-column projection, quantile-bucketed global row number (never a
+    single-partition sort), one tile aggregation, cumulative windows
+    ONLY on the n_tiles-row frame (allowlisted oracle shape).
+    """
+    from cosmos_xenna_spark.operators.ranking import global_row_number
+
+    keyed = scored.select(
+        (-F.col(score_col).cast("bigint")).alias("__negs"),
+        F.col(id_col).alias("__id"),
+        F.col(variant_col).cast("bigint").alias("__v"),
+        F.col(convert_col).cast("bigint").alias("__c"),
+    ).localCheckpoint(eager=True)
+    ranked = global_row_number(keyed, ["__negs", "__id"], out_col="__rn")
+    tiles = (
+        ranked.select(
+            F.expr(f"1 + {n_tiles} * (__rn - 1) DIV {int(n_total)}").alias("tile"),
+            "__v",
+            "__c",
+        )
+        .groupBy("tile")
+        .agg(
+            F.sum("__v").cast("bigint").alias("n_t"),
+            F.sum(1 - F.col("__v")).cast("bigint").alias("n_c"),
+            F.sum(F.col("__v") * F.col("__c")).cast("bigint").alias("conv_t"),
+            F.sum((1 - F.col("__v")) * F.col("__c"))
+            .cast("bigint")
+            .alias("conv_c"),
+        )
+    )
+    cum = "SUM({c}) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    return tiles.select(
+        F.col("tile").cast("bigint").alias("tile"),
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.expr(
+            f"CAST((1000 * ({cum.format(c='conv_t')} * {cum.format(c='n_c')}"
+            f" - {cum.format(c='conv_c')} * {cum.format(c='n_t')}))"
+            f" DIV NULLIF({cum.format(c='n_c')}, 0) AS BIGINT)"
+        ).alias("cum_qini_milli"),
+    )
+
+
+def qini_table_sql(
+    scored_sql: str,
+    n_total,
+    n_tiles: int = 10,
+    score_col: str = "score",
+    variant_col: str = "variant",
+    convert_col: str = "converted",
+    id_col: str = "unit_id",
+) -> str:
+    cum = (
+        "SUM({c}) OVER (ORDER BY tile"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT {variant_col} AS v, {convert_col} AS c,
+             row_number() OVER (ORDER BY -CAST({score_col} AS BIGINT),
+                                {id_col}) AS rn
+      FROM ({scored_sql})
+    ),
+    tiles AS (
+      SELECT CAST(1 + {n_tiles} * (rn - 1) // ({n_total}) AS BIGINT) AS tile,
+             CAST(SUM(v) AS BIGINT) AS n_t,
+             CAST(SUM(1 - v) AS BIGINT) AS n_c,
+             CAST(SUM(v * c) AS BIGINT) AS conv_t,
+             CAST(SUM((1 - v) * c) AS BIGINT) AS conv_c
+      FROM ranked GROUP BY 1
+    )
+    SELECT tile, n_t, n_c, conv_t, conv_c,
+           CAST((1000 * ({cum.format(c='conv_t')} * {cum.format(c='n_c')}
+                 - {cum.format(c='conv_c')} * {cum.format(c='n_t')}))
+                // NULLIF({cum.format(c='n_c')}, 0) AS BIGINT)
+             AS cum_qini_milli
+    FROM tiles
+    """

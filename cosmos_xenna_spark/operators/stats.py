@@ -1739,6 +1739,17 @@ def smoothed_rate_sql(
 # float SUMS are cross-engine-unsafe; sqrt and divide are correctly
 # rounded). 1.959963984540054 is repr() of the exact double for the
 # 95% two-sided normal quantile.
+
+# SRM (sample-ratio-mismatch) gate: under a 50/50 split the variant
+# counts are Binomial(n, 1/2); srm_z = (n_b - n_a) / sqrt(n_a + n_b)
+# is the exact normal approximation z. |srm_z| >= 3.89 (~1e-4
+# two-sided) is the standard "randomization is broken, do not read the
+# metric" tripwire. Same fixed-IEEE-sequence contract as the z score.
+_SRM_Z_EXPR = (
+    "(CAST(n_b AS DOUBLE) - CAST(n_a AS DOUBLE))"
+    " / SQRT(CAST(n_a + n_b AS DOUBLE))"
+)
+
 _AB_Z_EXPR = (
     "(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
     " - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
@@ -1767,7 +1778,11 @@ def ab_test_two_proportion(
     counts and rates are exact integers, the z-score is a fixed
     IEEE double-op sequence over those integers (cross-engine exact —
     the chi-squared precedent), and ``significant`` gates |z| at the
-    exact double 1.959963984540054 (two-sided 95%).
+    exact double 1.959963984540054 (two-sided 95%). ``srm_z`` /
+    ``srm_broken`` carry the sample-ratio-mismatch tripwire (|z| of
+    the split vs 50/50 at the ~1e-4 two-sided gate): an experiment
+    with broken randomization must be flagged BEFORE anyone reads the
+    metric z.
 
     Scale shape: one partial-aggregated global agg — no shuffle wider
     than the four counters. NULL z (a variant with zero units) is the
@@ -1803,6 +1818,9 @@ def ab_test_two_proportion(
         f"{_AB_Z_EXPR} AS z",
         f"CAST(CASE WHEN ABS({_AB_Z_EXPR}) >= 1.959963984540054"
         " THEN 1 ELSE 0 END AS BIGINT) AS significant",
+        f"{_SRM_Z_EXPR} AS srm_z",
+        f"CAST(CASE WHEN ABS({_SRM_Z_EXPR}) >= 3.890591886413094"
+        " THEN 1 ELSE 0 END AS BIGINT) AS srm_broken",
     )
 
 
@@ -1831,7 +1849,10 @@ def ab_test_two_proportion_sql(
                 AS BIGINT) AS lift_ppm,
            {_AB_Z_EXPR} AS z,
            CAST(CASE WHEN ABS({_AB_Z_EXPR}) >= 1.959963984540054
-                THEN 1 ELSE 0 END AS BIGINT) AS significant
+                THEN 1 ELSE 0 END AS BIGINT) AS significant,
+           {_SRM_Z_EXPR} AS srm_z,
+           CAST(CASE WHEN ABS({_SRM_Z_EXPR}) >= 3.890591886413094
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_broken
     FROM one
     """
 
@@ -1906,4 +1927,331 @@ def cuped_moments_sql(units_sql: str, pre_col: str, post_col: str) -> str:
                 // NULLIF((n * sxx_raw - sx * sx) * (n * syy_raw - sy * sy), 0)
                 AS BIGINT) AS var_reduction_ppm
     FROM raw
+    """
+
+
+def did_estimator(
+    units: DataFrame,
+    variant_col: str = "variant",
+    pre_col: str = "pre_metric",
+    post_col: str = "post_metric",
+) -> DataFrame:
+    """Difference-in-differences point estimate, integer-exact: with
+    treatment/control groups (``variant_col`` 1/0) and a per-unit
+    integer metric before and after the intervention,
+
+        DiD = (mean_post_T - mean_pre_T) - (mean_post_C - mean_pre_C)
+
+    computed as ONE exact rational over the common denominator
+    ``n_t * n_c`` and floored to micro-units:
+    ``1e6 * ((Spost_t - Spre_t) * n_c - (Spost_c - Spre_c) * n_t)
+    DIV (n_t * n_c)`` — a single truncation instead of four mean
+    floors, no float anywhere. The parallel-trends readout every
+    quasi-experimental launch analysis starts from when randomized
+    assignment isn't available.
+
+    One aggregation to a single row (partial-combined counters only).
+    DECIMAL(38) headroom: the cross product ``S * n`` overflows past
+    ~1e19 units x metric — the t_closeness convention applies.
+    """
+    t = F.col(variant_col) == 1
+    raw = units.agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("decimal(38,0)").alias("n_t"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("decimal(38,0)").alias("n_c"),
+        F.sum(F.when(t, F.col(pre_col)).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("spre_t"),
+        F.sum(F.when(t, F.col(post_col)).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("spost_t"),
+        F.sum(F.when(~t, F.col(pre_col)).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("spre_c"),
+        F.sum(F.when(~t, F.col(post_col)).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("spost_c"),
+    )
+    return raw.selectExpr(
+        "CAST(n_t AS BIGINT) AS n_treat",
+        "CAST(n_c AS BIGINT) AS n_ctrl",
+        "CAST(spre_t AS BIGINT) AS sum_pre_treat",
+        "CAST(spost_t AS BIGINT) AS sum_post_treat",
+        "CAST(spre_c AS BIGINT) AS sum_pre_ctrl",
+        "CAST(spost_c AS BIGINT) AS sum_post_ctrl",
+        "CAST((1000000 * ((spost_t - spre_t) * n_c - (spost_c - spre_c) * n_t))"
+        " DIV NULLIF(n_t * n_c, 0) AS BIGINT) AS did_micro",
+    )
+
+
+def did_estimator_sql(
+    units_sql: str,
+    variant_col: str = "variant",
+    pre_col: str = "pre_metric",
+    post_col: str = "post_metric",
+) -> str:
+    return f"""
+    WITH raw AS (
+      SELECT
+        CAST(SUM(CASE WHEN {variant_col} = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+          AS n_t,
+        CAST(SUM(CASE WHEN {variant_col} <> 1 THEN 1 ELSE 0 END) AS HUGEINT)
+          AS n_c,
+        CAST(SUM(CASE WHEN {variant_col} = 1 THEN {pre_col} ELSE 0 END)
+             AS HUGEINT) AS spre_t,
+        CAST(SUM(CASE WHEN {variant_col} = 1 THEN {post_col} ELSE 0 END)
+             AS HUGEINT) AS spost_t,
+        CAST(SUM(CASE WHEN {variant_col} <> 1 THEN {pre_col} ELSE 0 END)
+             AS HUGEINT) AS spre_c,
+        CAST(SUM(CASE WHEN {variant_col} <> 1 THEN {post_col} ELSE 0 END)
+             AS HUGEINT) AS spost_c
+      FROM ({units_sql})
+    )
+    SELECT CAST(n_t AS BIGINT) AS n_treat,
+           CAST(n_c AS BIGINT) AS n_ctrl,
+           CAST(spre_t AS BIGINT) AS sum_pre_treat,
+           CAST(spost_t AS BIGINT) AS sum_post_treat,
+           CAST(spre_c AS BIGINT) AS sum_pre_ctrl,
+           CAST(spost_c AS BIGINT) AS sum_post_ctrl,
+           CAST((1000000 * ((spost_t - spre_t) * n_c - (spost_c - spre_c) * n_t))
+                // NULLIF(n_t * n_c, 0) AS BIGINT) AS did_micro
+    FROM raw
+    """
+
+
+# Delta-method finish for a ratio-of-sums metric, as shared SQL text
+# over the six exact integer moments (n, sx, sy, sxx, sxy, syy). Every
+# decimal/HUGEINT -> DOUBLE conversion routes through a STRING
+# round-trip (strtod is correctly rounded in both engines; a direct
+# DECIMAL->DOUBLE cast is NOT once the unscaled value passes 2^53 —
+# the dsum convention).
+_RATIO_LAYER1 = [
+    "CAST(n AS BIGINT) AS n_units",
+    "CAST(sx AS BIGINT) AS sum_num",
+    "CAST(sy AS BIGINT) AS sum_den",
+    "CAST(CAST(sx AS STRING) AS DOUBLE)"
+    " / CAST(CAST(sy AS STRING) AS DOUBLE) AS ratio",
+    "CAST(CAST(sy AS STRING) AS DOUBLE)"
+    " / CAST(CAST(n AS STRING) AS DOUBLE) AS my",
+    "CAST(CAST(n * sxx_raw - sx * sx AS STRING) AS DOUBLE)"
+    " / (CAST(CAST(n AS STRING) AS DOUBLE)"
+    " * CAST(CAST(NULLIF(n - 1, 0) AS STRING) AS DOUBLE)) AS vx",
+    "CAST(CAST(n * sxy_raw - sx * sy AS STRING) AS DOUBLE)"
+    " / (CAST(CAST(n AS STRING) AS DOUBLE)"
+    " * CAST(CAST(NULLIF(n - 1, 0) AS STRING) AS DOUBLE)) AS cxy",
+    "CAST(CAST(n * syy_raw - sy * sy AS STRING) AS DOUBLE)"
+    " / (CAST(CAST(n AS STRING) AS DOUBLE)"
+    " * CAST(CAST(NULLIF(n - 1, 0) AS STRING) AS DOUBLE)) AS vy",
+]
+_RATIO_SE = (
+    "SQRT((vx - 2.0 * ratio * cxy + ratio * ratio * vy)"
+    " / CAST(CAST(n_units AS STRING) AS DOUBLE)) / my"
+)
+_RATIO_LAYER2 = [
+    "n_units",
+    "sum_num",
+    "sum_den",
+    "ratio",
+    f"{_RATIO_SE} AS se",
+    f"ratio - 1.959963984540054 * ({_RATIO_SE}) AS ci_lo",
+    f"ratio + 1.959963984540054 * ({_RATIO_SE}) AS ci_hi",
+]
+
+
+def ratio_metric_delta(
+    units: DataFrame,
+    num_col: str,
+    den_col: str,
+) -> DataFrame:
+    """Delta-method standard error and 95% CI for a RATIO-of-sums
+    metric (CTR, purchases-per-session, tokens-per-doc): the unit of
+    randomization is the user but the metric is sum(x)/sum(y), so the
+    naive binomial variance is wrong — the classic experimentation-
+    platform correction (Deng et al., KDD 2017 "ratio metrics"):
+
+        Var(R) ~ (var_x - 2 R cov_xy + R^2 var_y) / (n * mean_y^2)
+
+    Everything derives from six exact integer moments in one
+    aggregation; the finish is a fixed IEEE double sequence SHARED as
+    SQL text between engines, with every wide-integer -> double
+    conversion routed through a STRING round-trip (the dsum
+    convention). ``n=1`` or ``sum_den=0`` yield NULL se/CI loudly
+    rather than a wrong number.
+    """
+    x = F.col(num_col).cast("decimal(38,0)")
+    y = F.col(den_col).cast("decimal(38,0)")
+    raw = units.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * F.col(num_col)).alias("sxx_raw"),
+        F.sum(x * F.col(den_col)).alias("sxy_raw"),
+        F.sum(y * F.col(den_col)).alias("syy_raw"),
+    )
+    return raw.selectExpr(*_RATIO_LAYER1).selectExpr(*_RATIO_LAYER2)
+
+
+def ratio_metric_delta_sql(units_sql: str, num_col: str, den_col: str) -> str:
+    layer1 = ", ".join(_RATIO_LAYER1)
+    layer2 = ", ".join(_RATIO_LAYER2)
+    return f"""
+    WITH raw AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM({num_col}) AS HUGEINT) AS sx,
+             CAST(SUM({den_col}) AS HUGEINT) AS sy,
+             CAST(SUM(CAST({num_col} AS HUGEINT) * {num_col}) AS HUGEINT)
+               AS sxx_raw,
+             CAST(SUM(CAST({num_col} AS HUGEINT) * {den_col}) AS HUGEINT)
+               AS sxy_raw,
+             CAST(SUM(CAST({den_col} AS HUGEINT) * {den_col}) AS HUGEINT)
+               AS syy_raw
+      FROM ({units_sql})
+    ),
+    layer1 AS (SELECT {layer1} FROM raw)
+    SELECT {layer2} FROM layer1
+    """
+
+
+def multiclass_f1(
+    preds: DataFrame,
+    gold_col: str = "gold",
+    pred_col: str = "predicted",
+) -> DataFrame:
+    """Multi-class precision/recall/F1 table + macro and micro
+    summary rows — the classifier-eval readout for multi-class
+    heuristics (language ID, quality tiers, topic routing) that the
+    binary PR/ROC family can't express.
+
+    Classes are the labels PRESENT IN GOLD (the sklearn convention:
+    a label that is only ever predicted contributes fp to nothing —
+    its rows count as fn for their gold class). Per class: exact
+    integer tp/fp/fn and ppm ratios (``f1 = 2tp / (2tp+fp+fn)`` — the
+    harmonic mean without intermediate division). Two synthetic rows
+    close the table: ``__macro__`` (unweighted integer mean of the
+    per-class ppms — each DIV truncation happens exactly once per
+    class, then once for the mean, mirrored in the oracle) and
+    ``__micro__`` (pooled counts; micro-P equals micro-R only when
+    every prediction is a tracked class — a predicted-only label
+    absorbs predictions and the pooled fp/fn diverge).
+
+    Scale shape: one (gold, pred) confusion aggregation (map-side
+    combined, vocabulary-sized output), everything after runs on the
+    confusion frame — class-count scale, not corpus scale.
+    """
+    conf = (
+        preds.select(
+            F.col(gold_col).cast("string").alias("g"),
+            F.col(pred_col).cast("string").alias("p"),
+        )
+        .groupBy("g", "p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    classes = conf.select(F.col("g").alias("cls")).distinct()
+    tp = conf.filter(F.col("g") == F.col("p")).select(
+        F.col("g").alias("cls"), F.col("n").alias("tp")
+    )
+    fp = (
+        conf.filter(F.col("g") != F.col("p"))
+        .groupBy(F.col("p").alias("cls"))
+        .agg(F.sum("n").cast("bigint").alias("fp"))
+    )
+    fn = (
+        conf.filter(F.col("g") != F.col("p"))
+        .groupBy(F.col("g").alias("cls"))
+        .agg(F.sum("n").cast("bigint").alias("fn"))
+    )
+    per_class = (
+        classes.join(tp, "cls", "left")
+        .join(fp, "cls", "left")
+        .join(fn, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("bigint").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("bigint").alias("fn"),
+        )
+        .selectExpr(
+            "cls",
+            "tp",
+            "fp",
+            "fn",
+            "CAST(1000000 * tp DIV NULLIF(tp + fp, 0) AS BIGINT)"
+            " AS precision_ppm",
+            "CAST(1000000 * tp DIV NULLIF(tp + fn, 0) AS BIGINT)"
+            " AS recall_ppm",
+            "CAST(2000000 * tp DIV NULLIF(2 * tp + fp + fn, 0) AS BIGINT)"
+            " AS f1_ppm",
+        )
+        .localCheckpoint(eager=True)
+    )
+    macro = per_class.selectExpr(
+        "'__macro__' AS cls",
+        "CAST(SUM(tp) AS BIGINT) AS tp",
+        "CAST(SUM(fp) AS BIGINT) AS fp",
+        "CAST(SUM(fn) AS BIGINT) AS fn",
+        "CAST(SUM(COALESCE(precision_ppm, 0)) DIV COUNT(*) AS BIGINT)"
+        " AS precision_ppm",
+        "CAST(SUM(COALESCE(recall_ppm, 0)) DIV COUNT(*) AS BIGINT)"
+        " AS recall_ppm",
+        "CAST(SUM(COALESCE(f1_ppm, 0)) DIV COUNT(*) AS BIGINT) AS f1_ppm",
+    )
+    micro = per_class.selectExpr(
+        "'__micro__' AS cls",
+        "CAST(SUM(tp) AS BIGINT) AS tp",
+        "CAST(SUM(fp) AS BIGINT) AS fp",
+        "CAST(SUM(fn) AS BIGINT) AS fn",
+        "CAST(1000000 * SUM(tp) DIV NULLIF(SUM(tp) + SUM(fp), 0) AS BIGINT)"
+        " AS precision_ppm",
+        "CAST(1000000 * SUM(tp) DIV NULLIF(SUM(tp) + SUM(fn), 0) AS BIGINT)"
+        " AS recall_ppm",
+        "CAST(2000000 * SUM(tp) DIV NULLIF(2 * SUM(tp) + SUM(fp) + SUM(fn), 0)"
+        " AS BIGINT) AS f1_ppm",
+    )
+    return per_class.unionByName(macro).unionByName(micro)
+
+
+def multiclass_f1_sql(
+    preds_sql: str, gold_col: str = "gold", pred_col: str = "predicted"
+) -> str:
+    return f"""
+    WITH conf AS MATERIALIZED (
+      SELECT CAST({gold_col} AS VARCHAR) AS g, CAST({pred_col} AS VARCHAR) AS p,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ({preds_sql}) GROUP BY 1, 2
+    ),
+    per_class AS MATERIALIZED (
+      SELECT cls, tp, fp, fn,
+             CAST(1000000 * tp // NULLIF(tp + fp, 0) AS BIGINT) AS precision_ppm,
+             CAST(1000000 * tp // NULLIF(tp + fn, 0) AS BIGINT) AS recall_ppm,
+             CAST(2000000 * tp // NULLIF(2 * tp + fp + fn, 0) AS BIGINT) AS f1_ppm
+      FROM (
+        SELECT c.cls,
+               CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+               CAST(COALESCE(f1.fp, 0) AS BIGINT) AS fp,
+               CAST(COALESCE(f2.fn, 0) AS BIGINT) AS fn
+        FROM (SELECT DISTINCT g AS cls FROM conf) c
+        LEFT JOIN (SELECT g AS cls, n AS tp FROM conf WHERE g = p) t
+          ON t.cls = c.cls
+        LEFT JOIN (SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS fp FROM conf
+                   WHERE g <> p GROUP BY p) f1 ON f1.cls = c.cls
+        LEFT JOIN (SELECT g AS cls, CAST(SUM(n) AS BIGINT) AS fn FROM conf
+                   WHERE g <> p GROUP BY g) f2 ON f2.cls = c.cls
+      )
+    )
+    SELECT * FROM per_class
+    UNION ALL
+    SELECT '__macro__', CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT),
+           CAST(SUM(fn) AS BIGINT),
+           CAST(SUM(COALESCE(precision_ppm, 0)) // COUNT(*) AS BIGINT),
+           CAST(SUM(COALESCE(recall_ppm, 0)) // COUNT(*) AS BIGINT),
+           CAST(SUM(COALESCE(f1_ppm, 0)) // COUNT(*) AS BIGINT)
+    FROM per_class
+    UNION ALL
+    SELECT '__micro__', CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT),
+           CAST(SUM(fn) AS BIGINT),
+           CAST(1000000 * SUM(tp) // NULLIF(SUM(tp) + SUM(fp), 0) AS BIGINT),
+           CAST(1000000 * SUM(tp) // NULLIF(SUM(tp) + SUM(fn), 0) AS BIGINT),
+           CAST(2000000 * SUM(tp) // NULLIF(2 * SUM(tp) + SUM(fp) + SUM(fn), 0)
+                AS BIGINT)
+    FROM per_class
     """

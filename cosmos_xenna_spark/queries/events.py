@@ -1091,3 +1091,134 @@ def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("post_cnt"),
     )
     return cuped_moments(units, "pre_cnt", "post_cnt")
+
+
+from cosmos_xenna_spark.operators.stats import (  # noqa: E402
+    did_estimator,
+    did_estimator_sql,
+)
+
+_DID_UNITS_SQL = f"""
+    SELECT {md5_long63_sql("CAST(user_id AS STRING)", prefix="did|")} % 2
+             AS variant,
+           SUM(CASE WHEN ts < {_CUPED_CUT} THEN 1 ELSE 0 END) AS pre_metric,
+           SUM(CASE WHEN ts >= {_CUPED_CUT} THEN 1 ELSE 0 END) AS post_metric
+    FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "q_did_estimator",
+    oracle=did_estimator_sql(_DID_UNITS_SQL),
+    description="difference-in-differences point estimate: md5-bit "
+    "treatment assignment, per-user activity before/after the Jan 16 "
+    "intervention; DiD as ONE exact rational over the common "
+    "denominator n_t*n_c floored to micro-units (a single truncation, "
+    "not four mean floors, no floats) — the quasi-experimental launch "
+    "readout when randomization isn't available. One user-grain agg + "
+    "single-row finish",
+)
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    units = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pre_metric"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("post_metric"),
+    )
+    units = units.select(
+        (md5_long63(F.col("user_id").cast("string"), prefix="did|") % 2).alias(
+            "variant"
+        ),
+        "pre_metric",
+        "post_metric",
+    )
+    return did_estimator(units)
+
+
+from cosmos_xenna_spark.operators.stats import (  # noqa: E402
+    ratio_metric_delta,
+    ratio_metric_delta_sql,
+)
+
+_RATIO_UNITS_SQL = """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS n_purchases,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "q_ratio_metric_delta",
+    oracle=ratio_metric_delta_sql(_RATIO_UNITS_SQL, "n_purchases", "n_events"),
+    description="delta-method SE + 95% CI for a ratio-of-sums metric "
+    "(purchases per event, user-randomized): the experimentation-"
+    "platform correction for ratio metrics where the naive binomial "
+    "variance is wrong; six exact integer moments in one agg, fixed "
+    "IEEE double finish shared as SQL text, wide-int->double through "
+    "STRING round-trips (the dsum convention), NULL-loud degenerate "
+    "cases",
+)
+def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return ratio_metric_delta(units, "n_purchases", "n_events")
+
+
+from cosmos_xenna_spark.operators.quality import (  # noqa: E402
+    qini_table,
+    qini_table_sql,
+)
+
+_UPLIFT_UNITS_SQL = f"""
+    SELECT user_id AS unit_id,
+           {md5_long63_sql("CAST(user_id AS STRING)", prefix="uplift|")} % 2
+             AS variant,
+           CASE WHEN MIN_BY(event_type, event_id) = 'purchase'
+                THEN 1 ELSE 0 END AS converted,
+           SUM(CASE WHEN ts < {_CUPED_CUT} THEN 1 ELSE 0 END) AS score
+    FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "q_qini_uplift",
+    oracle=qini_table_sql(
+        _UPLIFT_UNITS_SQL,
+        "(SELECT COUNT(DISTINCT user_id) FROM events)",
+        n_tiles=10,
+    ),
+    description="Qini/uplift decile table: users ranked by a targeting "
+    "score (pre-period activity) via the distributed global row number, "
+    "equal-population tiles; per tile treatment/control sizes and "
+    "conversions + the cumulative Qini value in exact milli-incremental-"
+    "conversions — the uplift-evaluation readout gains_table cannot give "
+    "(no control arm there); cumulative pass on the 10-row tile frame",
+)
+def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    units = ev.groupBy(F.col("user_id").alias("unit_id")).agg(
+        F.when(F.min_by("event_type", "event_id") == "purchase", 1)
+        .otherwise(0)
+        .alias("converted"),
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("score"),
+    )
+    units = units.withColumn(
+        "variant",
+        md5_long63(F.col("unit_id").cast("string"), prefix="uplift|") % 2,
+    )
+    n_total = units.count()
+    return qini_table(units, n_total=n_total, n_tiles=10)

@@ -602,3 +602,30 @@ def q_symspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("freq").alias("dict_freq"),
         "lev",
     )
+
+
+from cosmos_xenna_spark.operators.stats import (  # noqa: E402
+    multiclass_f1,
+    multiclass_f1_sql,
+)
+from cosmos_xenna_spark.operators.text import langid_col  # noqa: E402
+
+
+@register(
+    "q_multiclass_f1",
+    oracle=multiclass_f1_sql(
+        f"SELECT lang, {_langid_expr_sql()} AS predicted FROM documents",
+        gold_col="lang",
+        pred_col="predicted",
+    ),
+    description="multi-class precision/recall/F1 over the language-ID "
+    "heuristic vs gold labels: per class exact tp/fp/fn + ppm ratios "
+    "(f1 = 2tp/(2tp+fp+fn), one truncation), plus __macro__ (unweighted "
+    "integer mean of per-class ppms) and __micro__ (pooled = accuracy) "
+    "rows — the multi-class eval the binary PR/ROC family can't give; "
+    "one confusion agg, class-count scale after",
+)
+def q_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    preds = docs.select(F.col("lang").alias("gold"), langid_col().alias("predicted"))
+    return multiclass_f1(preds, "gold", "predicted")

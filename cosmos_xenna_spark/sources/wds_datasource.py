@@ -19,8 +19,11 @@ The parser is the SAME spec-correct ustar walk the operator path uses
 (``operators.archive.parse_tar_members``) — one implementation, two
 ingestion surfaces.
 
-Options: ``path`` (directory or single file), ``suffix`` (default
-``.tar``).
+Options: ``path`` (directory or single file), ``container`` (``tar``,
+the default, or ``zip`` — store or DEFLATE members; the zip schema
+carries the compression ``method`` and ``csize`` instead of the tar
+``typeflag``, and data offsets come from each LOCAL header per spec),
+``suffix`` (default ``.tar`` / ``.zip`` by container).
 """
 
 from __future__ import annotations
@@ -45,6 +48,11 @@ class WdsDataSource(DataSource):
         return "wds"
 
     def schema(self) -> str:
+        if self.options.get("container", "tar") == "zip":
+            return (
+                "shard string, name string, size long, data_offset long,"
+                " method long, csize long"
+            )
         return (
             "shard string, name string, size long, data_offset long,"
             " typeflag string"
@@ -60,7 +68,10 @@ class WdsDataSource(DataSource):
 class WdsShardReader(DataSourceReader):
     def __init__(self, options):
         self._path = options.get("path")
-        self._suffix = options.get("suffix", ".tar")
+        self._container = options.get("container", "tar")
+        if self._container not in ("tar", "zip"):
+            raise ValueError(f"wds container must be tar or zip, got {self._container}")
+        self._suffix = options.get("suffix", "." + self._container)
         if not self._path:
             raise ValueError("wds source requires a path")
 
@@ -81,13 +92,22 @@ class WdsShardReader(DataSourceReader):
     def read(self, partition: WdsShardPartition) -> Iterator[tuple]:
         # import inside: executes on executors; keeps the partition
         # planning (driver side) import-light
-        from cosmos_xenna_spark.operators.archive import parse_tar_members
+        from cosmos_xenna_spark.operators.archive import (
+            parse_tar_members,
+            parse_zip_entries,
+        )
 
         with open(partition.path, "rb") as f:
             payload = f.read()
         shard = os.path.basename(partition.path)
-        for name, size, data_offset, typeflag in parse_tar_members(payload):
-            yield (shard, name, size, data_offset, typeflag)
+        if self._container == "zip":
+            for name, method, usize, csize, _crc, _h, doff in parse_zip_entries(
+                payload
+            ):
+                yield (shard, name, usize, doff, method, csize)
+        else:
+            for name, size, data_offset, typeflag in parse_tar_members(payload):
+                yield (shard, name, size, data_offset, typeflag)
 
 
 def register_wds_source(spark) -> None:
@@ -107,7 +127,10 @@ class WdsStreamReader:
 
     def __init__(self, options):
         self._path = options.get("path")
-        self._suffix = options.get("suffix", ".tar")
+        self._container = options.get("container", "tar")
+        if self._container not in ("tar", "zip"):
+            raise ValueError(f"wds container must be tar or zip, got {self._container}")
+        self._suffix = options.get("suffix", "." + self._container)
         if not self._path:
             raise ValueError("wds source requires a path")
 
@@ -122,7 +145,10 @@ class WdsStreamReader:
         return {"files": ""}
 
     def _rows_for(self, names: list[str]):
-        from cosmos_xenna_spark.operators.archive import parse_tar_members
+        from cosmos_xenna_spark.operators.archive import (
+            parse_tar_members,
+            parse_zip_entries,
+        )
 
         base = self._path if os.path.isdir(self._path) else os.path.dirname(
             self._path
@@ -130,8 +156,14 @@ class WdsStreamReader:
         for shard in names:
             with open(os.path.join(base, shard), "rb") as f:
                 payload = f.read()
-            for name, size, off, typeflag in parse_tar_members(payload):
-                yield (shard, name, size, off, typeflag)
+            if self._container == "zip":
+                for name, method, usize, csize, _crc, _h, doff in (
+                    parse_zip_entries(payload)
+                ):
+                    yield (shard, name, usize, doff, method, csize)
+            else:
+                for name, size, off, typeflag in parse_tar_members(payload):
+                    yield (shard, name, size, off, typeflag)
 
     def read(self, start: dict):
         seen = set(start["files"].split("\x1f")) if start["files"] else set()

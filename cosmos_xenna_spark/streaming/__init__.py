@@ -1688,3 +1688,82 @@ def streaming_kmv(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ab_monitor(
+    stream_df: DataFrame,
+    experiment_col: str = "experiment",
+    variant_col: str = "variant",
+    convert_col: str = "converted",
+) -> DataFrame:
+    """Live A/B experiment monitor: the streaming twin of
+    ``operators.stats.ab_test_two_proportion`` — per experiment, four
+    O(1) counters (units and conversions per variant) held as keyed
+    state and re-emitted with the current readout every micro-batch
+    that touches the experiment: the dashboard row an experimentation
+    platform refreshes as units arrive.
+
+    Counter addition is order-insensitive (the HLL-twin contract), so
+    the FINAL emitted counts — and therefore the exact ppm rates and
+    the fixed-double z — equal the batch operator's bit-for-bit under
+    arbitrary cross-batch arrival order (parity test). Input is
+    unit-grain (each experimental unit arrives once); the state is
+    four bigints per experiment, constant in stream length.
+
+    The z/SRM finish here mirrors the batch operator's shared SQL
+    expression in numpy doubles — the identical IEEE op sequence.
+    """
+    import math
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n_a, n_b, c_a, c_b = state.get
+        else:
+            n_a = n_b = c_a = c_b = 0
+        for pdf in pdfs:
+            for v, c in zip(pdf[variant_col], pdf[convert_col]):
+                if int(v) == 0:
+                    n_a += 1
+                    c_a += int(c)
+                else:
+                    n_b += 1
+                    c_b += int(c)
+        state.update((n_a, n_b, c_a, c_b))
+        z = None
+        if n_a and n_b:
+            pp = float(c_a + c_b) / float(n_a + n_b)
+            se = math.sqrt(
+                pp * (1.0 - pp) * (1.0 / float(n_a) + 1.0 / float(n_b))
+            )
+            z = (
+                (float(c_b) / float(n_b) - float(c_a) / float(n_a)) / se
+                if se != 0.0
+                else None
+            )
+        yield pd.DataFrame(
+            {
+                "experiment": [str(key[0])],
+                "n_a": [n_a],
+                "n_b": [n_b],
+                "conv_a": [c_a],
+                "conv_b": [c_b],
+                "rate_a_ppm": [1_000_000 * c_a // n_a if n_a else None],
+                "rate_b_ppm": [1_000_000 * c_b // n_b if n_b else None],
+                "z": [z],
+                "significant": [
+                    1 if z is not None and abs(z) >= 1.959963984540054 else 0
+                ],
+            }
+        )
+
+    return stream_df.groupBy(experiment_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "experiment string, n_a long, n_b long, conv_a long,"
+            " conv_b long, rate_a_ppm long, rate_b_ppm long,"
+            " z double, significant long"
+        ),
+        stateStructType="n_a long, n_b long, conv_a long, conv_b long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

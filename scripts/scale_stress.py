@@ -365,6 +365,9 @@ R11_QUERIES = [
     "q_ab_test_zscore",
     "q_cuped_variance_reduction",
     "q_greedy_max_coverage",
+    "q_did_estimator",
+    "q_ratio_metric_delta",
+    "q_qini_uplift",
 ]
 
 

@@ -3566,6 +3566,9 @@ def test_ab_test_two_proportion_matches_python(spark, seed):
     z = (float(c_b) / float(n_b) - float(c_a) / float(n_a)) / se
     assert r.z == z
     assert r.significant == (1 if abs(z) >= 1.959963984540054 else 0)
+    srm = (float(n_b) - float(n_a)) / math.sqrt(float(n_a + n_b))
+    assert r.srm_z == srm
+    assert r.srm_broken == (1 if abs(srm) >= 3.890591886413094 else 0)
 
 
 def test_ab_test_degenerate_pooled_rate_yields_null_z(spark):
@@ -3648,3 +3651,189 @@ def test_greedy_max_coverage_matches_python(spark, seed):
     # submodularity sanity: marginal gains are non-increasing
     gains = [g for _, _, g, _ in got]
     assert gains == sorted(gains, reverse=True)
+
+
+def test_ab_test_srm_tripwire_fires_on_broken_split(spark):
+    from cosmos_xenna_spark.operators.stats import ab_test_two_proportion
+
+    # 400 vs 100 split: srm_z = 300/sqrt(500) ~ 13.4 — far past the
+    # 1e-4 gate; a healthy 250/250 split must NOT fire
+    broken = spark.createDataFrame(
+        [(0, 0)] * 400 + [(1, 0)] * 99 + [(1, 1)],
+        "variant long, converted long",
+    )
+    assert ab_test_two_proportion(broken).collect()[0].srm_broken == 1
+    healthy = spark.createDataFrame(
+        [(0, 0)] * 249 + [(0, 1)] + [(1, 0)] * 249 + [(1, 1)],
+        "variant long, converted long",
+    )
+    assert ab_test_two_proportion(healthy).collect()[0].srm_broken == 0
+
+
+@pytest.mark.parametrize("seed", [71, 137])
+def test_did_estimator_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.stats import did_estimator
+
+    rng = random.Random(seed)
+    units = []
+    for _ in range(250):
+        v = rng.randrange(2)
+        pre = rng.randrange(0, 40)
+        # plant a true treatment effect of +7 on top of a shared +3 trend
+        post = pre + 3 + (7 if v else 0) + rng.randrange(-2, 3)
+        units.append((v, pre, max(0, post)))
+    df = spark.createDataFrame(units, "variant long, pre_metric long, post_metric long")
+    r = did_estimator(df).collect()[0]
+    n_t = sum(1 for v, _, _ in units if v == 1)
+    n_c = len(units) - n_t
+    spre_t = sum(p for v, p, _ in units if v == 1)
+    spost_t = sum(p for v, _, p in units if v == 1)
+    spre_c = sum(p for v, p, _ in units if v == 0)
+    spost_c = sum(p for v, _, p in units if v == 0)
+    assert (r.n_treat, r.n_ctrl) == (n_t, n_c)
+    assert (r.sum_pre_treat, r.sum_post_treat) == (spre_t, spost_t)
+    assert (r.sum_pre_ctrl, r.sum_post_ctrl) == (spre_c, spost_c)
+    want = _tdiv(
+        1000000 * ((spost_t - spre_t) * n_c - (spost_c - spre_c) * n_t),
+        n_t * n_c,
+    )
+    assert r.did_micro == want
+    # the planted effect must be recovered within the noise envelope
+    assert 5_000_000 < r.did_micro < 9_000_000
+
+
+@pytest.mark.parametrize("seed", [73, 139])
+def test_ratio_metric_delta_matches_python(spark, seed):
+    import math
+
+    from cosmos_xenna_spark.operators.stats import ratio_metric_delta
+
+    rng = random.Random(seed)
+    units = []
+    for _ in range(200):
+        y = rng.randrange(1, 60)
+        x = rng.randrange(0, y + 1)
+        units.append((x, y))
+    df = spark.createDataFrame(units, "x long, y long")
+    r = ratio_metric_delta(df, "x", "y").collect()[0]
+    n = len(units)
+    sx = sum(x for x, _ in units)
+    sy = sum(y for _, y in units)
+    sxx = sum(x * x for x, _ in units)
+    sxy = sum(x * y for x, y in units)
+    syy = sum(y * y for _, y in units)
+    assert (r.n_units, r.sum_num, r.sum_den) == (n, sx, sy)
+    # the identical fixed IEEE sequence (string round-trips are exact
+    # for these magnitudes; python float() is strtod too)
+    ratio = float(sx) / float(sy)
+    my = float(sy) / float(n)
+    vx = float(n * sxx - sx * sx) / (float(n) * float(n - 1))
+    cxy = float(n * sxy - sx * sy) / (float(n) * float(n - 1))
+    vy = float(n * syy - sy * sy) / (float(n) * float(n - 1))
+    se = math.sqrt((vx - 2.0 * ratio * cxy + ratio * ratio * vy) / float(n)) / my
+    assert r.ratio == ratio
+    assert r.se == se
+    assert r.ci_lo == ratio - 1.959963984540054 * se
+    assert r.ci_hi == ratio + 1.959963984540054 * se
+    assert r.ci_lo < ratio < r.ci_hi
+
+
+def test_ratio_metric_delta_degenerate_is_null_not_wrong(spark):
+    from cosmos_xenna_spark.operators.stats import ratio_metric_delta
+
+    # a single unit: n-1 = 0 -> se/CI NULL (loud), ratio still exact
+    df = spark.createDataFrame([(3, 10)], "x long, y long")
+    r = ratio_metric_delta(df, "x", "y").collect()[0]
+    assert r.ratio == 0.3
+    assert r.se is None and r.ci_lo is None and r.ci_hi is None
+
+
+@pytest.mark.parametrize("seed", [83, 149])
+def test_qini_table_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.quality import qini_table
+
+    rng = random.Random(seed)
+    units = []
+    for i in range(300):
+        v = rng.randrange(2)
+        score = rng.randrange(0, 100)
+        # uplift concentrated in high-score units: treated high-score
+        # units convert at 60%, everyone else at 20%
+        p = 0.6 if (v and score >= 70) else 0.2
+        units.append((i, v, 1 if rng.random() < p else 0, score))
+    df = spark.createDataFrame(units, "unit_id long, variant long, converted long, score long")
+    k = 10
+    got = [
+        (r.tile, r.n_t, r.n_c, r.conv_t, r.conv_c, r.cum_qini_milli)
+        for r in qini_table(df, n_total=len(units), n_tiles=k)
+        .orderBy("tile")
+        .collect()
+    ]
+    order = sorted(units, key=lambda u: (-u[3], u[0]))
+    tiles: dict = {}
+    for rn, (i, v, c, _s) in enumerate(order, start=1):
+        t = 1 + k * (rn - 1) // len(units)
+        nt, nc, ct, cc = tiles.get(t, (0, 0, 0, 0))
+        tiles[t] = (nt + v, nc + (1 - v), ct + v * c, cc + (1 - v) * c)
+    want = []
+    cnt = cnc = cct = ccc = 0
+    for t in sorted(tiles):
+        nt, nc, ct, cc = tiles[t]
+        cnt += nt; cnc += nc; cct += ct; ccc += cc
+        q = _tdiv(1000 * (cct * cnc - ccc * cnt), cnc) if cnc else None
+        want.append((t, nt, nc, ct, cc, q))
+    assert got == want
+    # the planted top-decile uplift must make qini strictly positive at
+    # the end (treated convert more overall)
+    assert got[-1][5] > 0
+    # and the curve must rise fastest over the high-score tiles
+    assert got[2][5] > got[0][5] // 3
+
+
+@pytest.mark.parametrize("seed", [89, 151])
+def test_multiclass_f1_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.stats import multiclass_f1
+
+    rng = random.Random(seed)
+    labels = ["en", "de", "fr", "es"]
+    rows = []
+    for _ in range(400):
+        g = rng.choice(labels)
+        # 70% correct, the rest confused to a random label; 'xx' is a
+        # predicted-only label (never gold): contributes fn to its gold
+        # rows, gets NO class row of its own (sklearn convention)
+        p = g if rng.random() < 0.7 else rng.choice(labels + ["xx"])
+        rows.append((g, p))
+    df = spark.createDataFrame(rows, "gold string, predicted string")
+    got = {r.cls: (r.tp, r.fp, r.fn, r.precision_ppm, r.recall_ppm, r.f1_ppm)
+           for r in multiclass_f1(df).collect()}
+    want = {}
+    per = []
+    for c in labels:
+        tp = sum(1 for g, p in rows if g == c and p == c)
+        fp = sum(1 for g, p in rows if g != c and p == c)
+        fn = sum(1 for g, p in rows if g == c and p != c)
+        pr = 1000000 * tp // (tp + fp) if tp + fp else None
+        rc = 1000000 * tp // (tp + fn) if tp + fn else None
+        f1 = 2000000 * tp // (2 * tp + fp + fn) if 2 * tp + fp + fn else None
+        want[c] = (tp, fp, fn, pr, rc, f1)
+        per.append((tp, fp, fn, pr or 0, rc or 0, f1 or 0))
+    n_cls = len(labels)
+    ttp = sum(x[0] for x in per); tfp = sum(x[1] for x in per); tfn = sum(x[2] for x in per)
+    want["__macro__"] = (
+        ttp, tfp, tfn,
+        sum(x[3] for x in per) // n_cls,
+        sum(x[4] for x in per) // n_cls,
+        sum(x[5] for x in per) // n_cls,
+    )
+    want["__micro__"] = (
+        ttp, tfp, tfn,
+        1000000 * ttp // (ttp + tfp),
+        1000000 * ttp // (ttp + tfn),
+        2000000 * ttp // (2 * ttp + tfp + tfn),
+    )
+    assert "xx" not in got
+    assert got == want
+    # with a predicted-only label absorbing predictions, pooled fp and
+    # fn diverge (micro-P != micro-R) — the asymmetry is real, not a bug
+    assert got["__micro__"][1] != got["__micro__"][2]

@@ -156,6 +156,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     # cumulative capture over the n_tiles-row tile frame (10 rows BY
     # CONSTRUCTION, never corpus rows)
     "q_gains_table",
+    # same n_tiles-row tile frame, treatment/control cumulative sums
+    "q_qini_uplift",
 }
 
 

@@ -264,3 +264,94 @@ def test_wds_datasource_streaming_accretes_new_shards(spark, tmp_path):
         assert got2 == got1 + [("shard-1.tar", "c.txt", 4)]
     finally:
         q.stop()
+
+
+def test_wds_datasource_zip_container(spark, tmp_path):
+    """container=zip: the same scan surface over ZIP shards (store AND
+    deflate members) — member rows carry method/csize, data offsets
+    re-derived from each LOCAL header; zipfile-built archives read
+    identically (independent writer)."""
+    import io
+    import zipfile
+
+    from cosmos_xenna_spark.operators.archive import build_zip, parse_zip_entries
+    from cosmos_xenna_spark.sources.wds_datasource import register_wds_source
+
+    want = []
+    for s, method in ((0, 0), (1, 8), (2, 8)):
+        members = [
+            (f"{s}-{i:04d}.txt", bytes([65 + i]) * (20 + 9 * i))
+            for i in range(s + 2)
+        ]
+        payload = build_zip(members, method=method)
+        (tmp_path / f"shard-{s}.zip").write_bytes(payload)
+        for name, m, usize, csize, _crc, _h, doff in parse_zip_entries(payload):
+            want.append((f"shard-{s}.zip", name, usize, doff, m, csize))
+    # one zipfile-built shard (the independent writer), deflate
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as z:
+        z.writestr("w/ext.bin", b"ab" * 300)
+    (tmp_path / "shard-9.zip").write_bytes(buf.getvalue())
+    for name, m, usize, csize, _crc, _h, doff in parse_zip_entries(buf.getvalue()):
+        want.append(("shard-9.zip", name, usize, doff, m, csize))
+
+    register_wds_source(spark)
+    df = spark.read.format("wds").option("container", "zip").load(str(tmp_path))
+    assert df.columns == ["shard", "name", "size", "data_offset", "method", "csize"]
+    assert sorted(tuple(r) for r in df.collect()) == sorted(want)
+    assert df.rdd.getNumPartitions() == 4  # one task per shard
+    # deflate shards really compressed: csize < size on the repeated payload
+    row9 = [r for r in df.collect() if r.shard == "shard-9.zip"][0]
+    assert row9.method == 8 and row9.csize < row9.size
+
+
+def test_wds_datasource_streaming_zip_accretes(spark, tmp_path):
+    from cosmos_xenna_spark.operators.archive import build_zip
+    from cosmos_xenna_spark.sources.wds_datasource import register_wds_source
+
+    register_wds_source(spark)
+    d = tmp_path / "zshards"
+    d.mkdir()
+    ckpt = str(tmp_path / "zckpt")
+    (d / "shard-0.zip").write_bytes(
+        build_zip([("a.txt", b"xx" * 40)], method=8)
+    )
+    q = (
+        spark.readStream.format("wds")
+        .option("path", str(d))
+        .option("container", "zip")
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_wds_zip_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = sorted(
+            (r.shard, r.name, r.size, r.method)
+            for r in spark.sql("SELECT * FROM t_wds_zip_stream").collect()
+        )
+        assert got1 == [("shard-0.zip", "a.txt", 80, 8)]
+        (d / "shard-1.zip").write_bytes(build_zip([("c.txt", b"z" * 7)]))
+        q.processAllAvailable()
+        got2 = sorted(
+            (r.shard, r.name, r.size, r.method)
+            for r in spark.sql("SELECT * FROM t_wds_zip_stream").collect()
+        )
+        assert got2 == got1 + [("shard-1.zip", "c.txt", 7, 0)]
+    finally:
+        q.stop()
+
+
+def test_wds_datasource_bad_container_rejected(spark, tmp_path):
+    from cosmos_xenna_spark.sources.wds_datasource import register_wds_source
+
+    register_wds_source(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="tar or zip"):
+        spark.read.format("wds").option("container", "rar").load(
+            str(tmp_path)
+        ).collect()

@@ -1405,3 +1405,56 @@ def test_streaming_kmv_matches_batch(spark, sf_dir, events_dir):
     for r in sorted(want_rows, key=lambda r: (r.scope, r.h)):
         want.setdefault(r.scope, []).append(str(r.h))
     assert got == {s: ",".join(v) for s, v in want.items()} and len(got) > 0
+
+
+def test_streaming_ab_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """O(1)-counter A/B twin: counter addition is order-insensitive, so
+    after a full replay of the unit-grain frame (split across files ->
+    multiple micro-batches) the final emitted counts, ppm rates and the
+    fixed-double z equal the batch operator's bit-for-bit."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.functions import md5_long63
+    from cosmos_xenna_spark.operators.stats import ab_test_two_proportion
+    from cosmos_xenna_spark.streaming import streaming_ab_monitor
+
+    ev = load_table(spark, sf_dir, "events")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(F.min_by("event_type", "event_id") == "purchase", 1)
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select(
+            F.lit("exp1").alias("experiment"),
+            (md5_long63(F.col("user_id").cast("string"), prefix="ab|") % 2)
+            .alias("variant"),
+            "converted",
+        )
+    )
+    d = str(tmp_path / "units")
+    units.repartition(3).write.parquet(d)  # 3 files -> cross-batch arrival
+
+    stream = (
+        spark.readStream.schema("experiment string, variant long, converted long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = to_memory_sink(streaming_ab_monitor(stream), "t_ab", "update")
+    _drain(q)
+    final = spark.sql(
+        "SELECT * FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY experiment ORDER BY n_a + n_b DESC) AS rn"
+        "  FROM t_ab) WHERE rn = 1"
+    ).collect()[0]
+
+    want = ab_test_two_proportion(units).collect()[0]
+    assert (final.n_a, final.n_b, final.conv_a, final.conv_b) == (
+        want.n_a, want.n_b, want.conv_a, want.conv_b,
+    )
+    assert (final.rate_a_ppm, final.rate_b_ppm) == (
+        want.rate_a_ppm, want.rate_b_ppm,
+    )
+    assert final.z == want.z  # identical IEEE sequence, bit-equal
+    assert final.significant == want.significant
