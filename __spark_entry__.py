@@ -320,6 +320,7 @@ _R12_QUEUE: tuple[str, ...] = (
     "q_ratio_metric_delta",
     "q_qini_uplift",
     "q_multiclass_f1",
+    "q_ab_test_by_segment",
 )
 
 # r11 window = all 30 r10-session additions (_R11_QUEUE) + the fixed

@@ -1747,17 +1747,22 @@ def smoothed_rate_sql(
 # metric" tripwire. Same fixed-IEEE-sequence contract as the z score.
 _SRM_Z_EXPR = (
     "(CAST(n_b AS DOUBLE) - CAST(n_a AS DOUBLE))"
-    " / SQRT(CAST(n_a + n_b AS DOUBLE))"
+    " / NULLIF(SQRT(CAST(n_a + n_b AS DOUBLE)), 0.0)"
 )
 
+# every denominator NULLIF-guarded: a segment missing a variant arm
+# (the grouped form) or a degenerate pooled rate must yield NULL, not
+# an ANSI divide-by-zero crash; NULLIF(x, 0.0) is the identity on
+# every non-degenerate input, so the IEEE sequence is unchanged.
 _AB_Z_EXPR = (
-    "(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
-    " - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    "(CAST(conv_b AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0.0)"
+    " - CAST(conv_a AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0.0))"
     " / NULLIF(SQRT((CAST(conv_a + conv_b AS DOUBLE)"
-    "         / CAST(n_a + n_b AS DOUBLE))"
+    "         / NULLIF(CAST(n_a + n_b AS DOUBLE), 0.0))"
     "        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)"
-    "                 / CAST(n_a + n_b AS DOUBLE))"
-    "        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    "                 / NULLIF(CAST(n_a + n_b AS DOUBLE), 0.0))"
+    "        * (1.0 / NULLIF(CAST(n_a AS DOUBLE), 0.0)"
+    "           + 1.0 / NULLIF(CAST(n_b AS DOUBLE), 0.0)))"
     ", 0.0)"
 )
 
@@ -1766,6 +1771,7 @@ def ab_test_two_proportion(
     units: DataFrame,
     variant_col: str = "variant",
     convert_col: str = "converted",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-proportion A/B test readout: per-variant unit and conversion
     counts, exact ppm rates, the lift, and the pooled two-proportion
@@ -1784,11 +1790,17 @@ def ab_test_two_proportion(
     with broken randomization must be flagged BEFORE anyone reads the
     metric z.
 
-    Scale shape: one partial-aggregated global agg — no shuffle wider
-    than the four counters. NULL z (a variant with zero units) is the
-    caller's data bug; ANSI division will say so loudly.
+    ``group_cols`` turns the single-row readout into a per-segment
+    table (heterogeneous treatment effects: one z per market segment /
+    country / platform) — identical arithmetic per group, NULL z for
+    a segment missing a variant arm.
+
+    Scale shape: one partial-aggregated agg (global or keyed) — no
+    shuffle wider than four counters per group. NULL z (a variant with
+    zero units) is the caller's data bug; ANSI division will say so
+    loudly in the global form, NULLIF-silently per segment.
     """
-    one = units.agg(
+    aggs = (
         F.sum(F.when(F.col(variant_col) == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_a"),
@@ -1806,15 +1818,20 @@ def ab_test_two_proportion(
         .cast("bigint")
         .alias("conv_b"),
     )
+    if group_cols:
+        one = units.groupBy(*group_cols).agg(*aggs)
+    else:
+        one = units.agg(*aggs)
     return one.selectExpr(
+        *(group_cols or []),
         "n_a",
         "n_b",
         "conv_a",
         "conv_b",
-        "CAST(1000000 * conv_a DIV n_a AS BIGINT) AS rate_a_ppm",
-        "CAST(1000000 * conv_b DIV n_b AS BIGINT) AS rate_b_ppm",
-        "CAST(1000000 * conv_b DIV n_b - 1000000 * conv_a DIV n_a"
-        " AS BIGINT) AS lift_ppm",
+        "CAST(1000000 * conv_a DIV NULLIF(n_a, 0) AS BIGINT) AS rate_a_ppm",
+        "CAST(1000000 * conv_b DIV NULLIF(n_b, 0) AS BIGINT) AS rate_b_ppm",
+        "CAST(1000000 * conv_b DIV NULLIF(n_b, 0)"
+        " - 1000000 * conv_a DIV NULLIF(n_a, 0) AS BIGINT) AS lift_ppm",
         f"{_AB_Z_EXPR} AS z",
         f"CAST(CASE WHEN ABS({_AB_Z_EXPR}) >= 1.959963984540054"
         " THEN 1 ELSE 0 END AS BIGINT) AS significant",
@@ -1828,25 +1845,29 @@ def ab_test_two_proportion_sql(
     units_sql: str,
     variant_col: str = "variant",
     convert_col: str = "converted",
+    group_cols: list[str] | None = None,
 ) -> str:
     """DuckDB mirror — the identical counting and the VERBATIM z
-    expression (shared text, shared double sequence)."""
+    expression (shared text, shared double sequence); ``group_cols``
+    mirrors the per-segment form."""
+    g = ", ".join(group_cols) + ", " if group_cols else ""
+    gby = f"GROUP BY {', '.join(group_cols)}" if group_cols else ""
     return f"""
     WITH one AS (
-      SELECT
+      SELECT {g}
         CAST(SUM(CASE WHEN {variant_col} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         CAST(SUM(CASE WHEN {variant_col} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
         CAST(SUM(CASE WHEN {variant_col} = 0 THEN {convert_col} ELSE 0 END)
              AS BIGINT) AS conv_a,
         CAST(SUM(CASE WHEN {variant_col} = 1 THEN {convert_col} ELSE 0 END)
              AS BIGINT) AS conv_b
-      FROM ({units_sql})
+      FROM ({units_sql}) {gby}
     )
-    SELECT n_a, n_b, conv_a, conv_b,
-           CAST(1000000 * conv_a // n_a AS BIGINT) AS rate_a_ppm,
-           CAST(1000000 * conv_b // n_b AS BIGINT) AS rate_b_ppm,
-           CAST(1000000 * conv_b // n_b - 1000000 * conv_a // n_a
-                AS BIGINT) AS lift_ppm,
+    SELECT {g}n_a, n_b, conv_a, conv_b,
+           CAST(1000000 * conv_a // NULLIF(n_a, 0) AS BIGINT) AS rate_a_ppm,
+           CAST(1000000 * conv_b // NULLIF(n_b, 0) AS BIGINT) AS rate_b_ppm,
+           CAST(1000000 * conv_b // NULLIF(n_b, 0)
+                - 1000000 * conv_a // NULLIF(n_a, 0) AS BIGINT) AS lift_ppm,
            {_AB_Z_EXPR} AS z,
            CAST(CASE WHEN ABS({_AB_Z_EXPR}) >= 1.959963984540054
                 THEN 1 ELSE 0 END AS BIGINT) AS significant,

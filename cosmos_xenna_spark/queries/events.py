@@ -1222,3 +1222,49 @@ def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_total = units.count()
     return qini_table(units, n_total=n_total, n_tiles=10)
+
+
+_AB_SEG_UNITS_SQL = f"""
+    SELECT c_mktsegment AS segment,
+           {md5_long63_sql("CAST(user_id AS STRING)", prefix="ab|")} % 2
+             AS variant,
+           CASE WHEN MIN_BY(event_type, event_id) = 'purchase'
+                THEN 1 ELSE 0 END AS converted
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY user_id, c_mktsegment
+"""
+
+
+@register(
+    "q_ab_test_by_segment",
+    oracle=ab_test_two_proportion_sql(
+        _AB_SEG_UNITS_SQL, group_cols=["segment"]
+    ),
+    description="heterogeneous treatment effects: the two-proportion "
+    "A/B readout PER MARKET SEGMENT (broadcast dimension join to the "
+    "unit grain, then one keyed agg) — per-segment exact counts/ppm "
+    "rates and the fixed-IEEE z; a segment missing a variant arm "
+    "reports NULL z (every denominator NULLIF-guarded, not an ANSI "
+    "crash) — small-segment arms DO go empty at low sf",
+)
+def q_ab_test_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    units = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("user_id", "segment")
+        .agg(
+            F.when(F.min_by("event_type", "event_id") == "purchase", 1)
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select(
+            "segment",
+            (md5_long63(F.col("user_id").cast("string"), prefix="ab|") % 2)
+            .alias("variant"),
+            "converted",
+        )
+    )
+    return ab_test_two_proportion(units, group_cols=["segment"])

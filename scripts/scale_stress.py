@@ -368,6 +368,8 @@ R11_QUERIES = [
     "q_did_estimator",
     "q_ratio_metric_delta",
     "q_qini_uplift",
+    "q_multiclass_f1",
+    "q_ab_test_by_segment",
 ]
 
 
@@ -477,6 +479,10 @@ def main() -> None:
         t0 = time.time()
         generate_events(spark, out_dir)
         print(f"generated {COPIES}x events in {time.time() - t0:.0f}s")
+    if qset == "r11" and not os.path.exists(f"{out_dir}/customer.parquet"):
+        t0 = time.time()
+        generate_customer(spark, out_dir)
+        print(f"generated {COPIES}x customer in {time.time() - t0:.0f}s")
     if qset == "r10g" and not os.path.exists(f"{out_dir}/orders.parquet"):
         t0 = time.time()
         generate_orders(spark, out_dir)

@@ -95,3 +95,10 @@ def test_continuous_serving_pipeline_example_runs():
     p = _run(["examples/continuous_serving_pipeline.py"])
     assert p.returncode == 0, p.stderr[-2000:]
     assert "continuous serving done: 600 requests scored" in p.stdout
+
+
+def test_experiment_analysis_pipeline_example_runs():
+    p = _run(["examples/experiment_analysis_pipeline.py", SF])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "experiment analysis done over" in p.stdout
+    assert "SRM: split" in p.stdout and "Qini final:" in p.stdout

@@ -3837,3 +3837,25 @@ def test_multiclass_f1_matches_python(spark, seed):
     # with a predicted-only label absorbing predictions, pooled fp and
     # fn diverge (micro-P != micro-R) — the asymmetry is real, not a bug
     assert got["__micro__"][1] != got["__micro__"][2]
+
+
+def test_ab_test_grouped_handles_empty_arms(spark):
+    from cosmos_xenna_spark.operators.stats import ab_test_two_proportion
+
+    df = spark.createDataFrame(
+        # s1: both arms; s2: variant-1 only (empty control arm)
+        [("s1", 0, 0), ("s1", 0, 1), ("s1", 1, 1), ("s1", 1, 0),
+         ("s2", 1, 1), ("s2", 1, 0)],
+        "seg string, variant long, converted long",
+    )
+    got = {
+        r.seg: r
+        for r in ab_test_two_proportion(df, group_cols=["seg"]).collect()
+    }
+    assert got["s1"].n_a == 2 and got["s1"].n_b == 2
+    assert got["s1"].z is not None
+    # empty arm: every ratio involving n_a is NULL, not a crash
+    s2 = got["s2"]
+    assert (s2.n_a, s2.n_b) == (0, 2)
+    assert s2.rate_a_ppm is None and s2.z is None and s2.significant == 0
+    assert s2.rate_b_ppm == 500000
