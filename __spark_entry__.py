@@ -321,6 +321,8 @@ _R12_QUEUE: tuple[str, ...] = (
     "q_qini_uplift",
     "q_multiclass_f1",
     "q_ab_test_by_segment",
+    "q_tiff_lzw_strips",
+    "q_bloom_skipping_eval",
 )
 
 # r11 window = all 30 r10-session additions (_R11_QUEUE) + the fixed

@@ -221,3 +221,179 @@ def layout_skipping_eval(
             f"SELECT * FROM {view_name}", x_sql, y_sql, bits, n_files, rect
         )
     )
+
+
+# ---- Bloom file-index skipping (the point-lookup complement of the
+# min/max eval above) ----
+
+_BLOOM_M = 256  # bits per file
+_BLOOM_K = 2  # hash functions
+
+
+def bloom_skipping_eval(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    probe_keys: tuple[int, ...],
+    rows_per_file: int = 32,
+) -> DataFrame:
+    """Quantified Bloom file-index evaluation: lay rows into files of
+    ``rows_per_file`` consecutive ids (the unsorted-ingest layout),
+    build an exact per-file Bloom index (m=256 bits, k=2 md5-derived
+    positions) over ``key_col``, and for each PROBE key report how
+    many files each pruning strategy touches:
+
+    - ``minmax_touched`` — min/max zone maps (the only stats the
+      layout eval above uses): on uniformly-distributed keys every
+      file's [min, max] covers the probe, so zone maps skip ~nothing;
+    - ``bloom_touched`` — files whose Bloom MAY contain the key
+      (both bit positions set);
+    - ``true_files`` — files actually containing it (``bloom_fp`` =
+      the false-positive overhead; Bloom never false-negatives, which
+      the oracle match certifies row-for-row).
+
+    The lakehouse point-lookup story in one table: zone maps prune
+    ranges, Bloom prunes point predicates — a ~5% false-positive rate
+    at 32 keys/file vs zone maps touching 100%.
+
+    Scale shape: one keyed aggregation to per-file stats + a distinct
+    (file, bit) frame (metadata scale: n_files x <= 64 rows); probes
+    are a literal spine broadcast into three equi-joins. No payload
+    ever re-reads.
+    """
+    from pyspark.sql import functions as F
+
+    from cosmos_xenna_spark.functions import md5_long63
+
+    spark = df.sparkSession
+    filed = df.select(
+        F.expr(f"CAST({id_col} AS BIGINT) div {int(rows_per_file)}").alias("f"),
+        F.col(key_col).cast("bigint").alias("k"),
+    ).localCheckpoint(eager=True)
+    stats = filed.groupBy("f").agg(
+        F.min("k").alias("kmin"), F.max("k").alias("kmax")
+    )
+    bit = lambda i, c: md5_long63(  # noqa: E731
+        F.col(c).cast("string"), prefix=f"b{i}|"
+    ) % _BLOOM_M
+    bits = (
+        filed.select("f", bit(0, "k").alias("b"))
+        .unionByName(filed.select("f", bit(1, "k").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    probes = spark.createDataFrame(
+        [(int(p),) for p in probe_keys], "pk long"
+    )
+    p = probes.select(
+        "pk", bit(0, "pk").alias("pb0"), bit(1, "pk").alias("pb1")
+    )
+    b0 = bits.select("f", F.col("b").alias("pb0"))
+    b1 = bits.select("f", F.col("b").alias("pb1"))
+    bloom_touched = (
+        p.join(b0, "pb0")
+        .join(b1, ["pb1", "f"])
+        .select("pk", "f")
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bloom_touched"))
+    )
+    minmax_touched = (
+        p.crossJoin(F.broadcast(stats))
+        .filter((F.col("kmin") <= F.col("pk")) & (F.col("pk") <= F.col("kmax")))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("minmax_touched"))
+    )
+    true_files = (
+        p.join(filed, p.pk == filed.k)
+        .select("pk", "f")
+        .distinct()
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_files"))
+    )
+    n_files = stats.agg(F.count(F.lit(1)).cast("bigint").alias("n_files"))
+    out = (
+        probes.join(bloom_touched, "pk", "left")
+        .join(minmax_touched, "pk", "left")
+        .join(true_files, "pk", "left")
+        .crossJoin(F.broadcast(n_files))
+        .select(
+            F.col("pk").cast("bigint").alias("probe_key"),
+            "n_files",
+            F.coalesce("minmax_touched", F.lit(0)).cast("bigint").alias(
+                "minmax_touched"
+            ),
+            F.coalesce("bloom_touched", F.lit(0)).cast("bigint").alias(
+                "bloom_touched"
+            ),
+            F.coalesce("true_files", F.lit(0)).cast("bigint").alias(
+                "true_files"
+            ),
+            (
+                F.coalesce("bloom_touched", F.lit(0))
+                - F.coalesce("true_files", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("bloom_fp"),
+        )
+    )
+    return out
+
+
+def bloom_skipping_eval_sql(
+    table_sql: str,
+    id_col: str,
+    key_col: str,
+    probe_keys: tuple[int, ...],
+    rows_per_file: int = 32,
+) -> str:
+    """DuckDB mirror — identical md5 bit positions and file layout."""
+    from cosmos_xenna_spark.functions import md5_long63_sql
+
+    def bit(i: int, expr: str) -> str:
+        return f"({md5_long63_sql(f'CAST({expr} AS VARCHAR)', prefix=f'b{i}|')} % {_BLOOM_M})"
+
+    plist = ", ".join(f"({int(p)})" for p in probe_keys)
+    return f"""
+    WITH filed AS MATERIALIZED (
+      SELECT CAST(CAST({id_col} AS BIGINT) // {rows_per_file} AS BIGINT) AS f,
+             CAST({key_col} AS BIGINT) AS k
+      FROM ({table_sql})
+    ),
+    stats AS (SELECT f, MIN(k) AS kmin, MAX(k) AS kmax FROM filed GROUP BY f),
+    bits AS MATERIALIZED (
+      SELECT DISTINCT f, b FROM (
+        SELECT f, {bit(0, 'k')} AS b FROM filed
+        UNION ALL
+        SELECT f, {bit(1, 'k')} FROM filed
+      )
+    ),
+    probes AS (SELECT CAST(pk AS BIGINT) AS pk FROM (VALUES {plist}) v(pk)),
+    p AS (SELECT pk, {bit(0, 'pk')} AS pb0, {bit(1, 'pk')} AS pb1 FROM probes),
+    bloom_touched AS (
+      SELECT p.pk, CAST(COUNT(DISTINCT b0.f) AS BIGINT) AS bloom_touched
+      FROM p JOIN bits b0 ON b0.b = p.pb0
+             JOIN bits b1 ON b1.b = p.pb1 AND b1.f = b0.f
+      GROUP BY p.pk
+    ),
+    minmax_touched AS (
+      SELECT p.pk, CAST(COUNT(*) AS BIGINT) AS minmax_touched
+      FROM p JOIN stats s ON s.kmin <= p.pk AND p.pk <= s.kmax
+      GROUP BY p.pk
+    ),
+    true_files AS (
+      SELECT p.pk, CAST(COUNT(DISTINCT filed.f) AS BIGINT) AS true_files
+      FROM p JOIN filed ON filed.k = p.pk
+      GROUP BY p.pk
+    )
+    SELECT probes.pk AS probe_key,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM stats) AS n_files,
+           CAST(COALESCE(minmax_touched, 0) AS BIGINT) AS minmax_touched,
+           CAST(COALESCE(bloom_touched, 0) AS BIGINT) AS bloom_touched,
+           CAST(COALESCE(true_files, 0) AS BIGINT) AS true_files,
+           CAST(COALESCE(bloom_touched, 0) - COALESCE(true_files, 0)
+                AS BIGINT) AS bloom_fp
+    FROM probes
+    LEFT JOIN bloom_touched USING (pk)
+    LEFT JOIN minmax_touched USING (pk)
+    LEFT JOIN true_files USING (pk)
+    """

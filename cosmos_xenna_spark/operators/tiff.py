@@ -319,3 +319,379 @@ def tiff_entries_oracle_sql(doc_table: str = "documents") -> str:
       SELECT id, 'gps', 1, 3, 2, 2, NULL, 'E' FROM ids WHERE has_gps
     )
     """
+
+
+# ---- LZW-compressed strips (TIFF 6.0 Appendix F) + Predictor 2 ----
+#
+# The compression real-world TIFFs actually use. The Appendix-F LZW
+# variant differs from GIF's (operators/gif.py) in BOTH framing rules:
+# codes pack MSB-first (GIF: LSB-first), and the code width grows one
+# code EARLY — when the next table index reaches 2^w - 1, not 2^w
+# ("early change", the classic cross-implementation incompatibility).
+# Clear=256, EOI=257, first dictionary code 258; the encoder must emit
+# Clear first and re-emit it at table index 4094 per spec.
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """Appendix-F LZW encoder (the independent-writer half: the fake
+    corpus and the round-trip differentials run real dictionary growth
+    through the early-change boundaries, not just literal streams)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        wb = w + bytes([b])
+        if wb in table:
+            w = wb
+            continue
+        emit(table[w], width)
+        table[wb] = next_code
+        next_code += 1
+        # early change: the ENCODER widens as soon as the next index
+        # to assign equals 2^w - 1 (one sooner than GIF)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:  # spec: clear before the table overflows
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """Appendix-F LZW decoder: MSB-first variable-width codes with the
+    early-change width rule mirrored from the encoder (decoder widens
+    after the APPEND that brings the table length to 2^w - 1)."""
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read_code(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return _LZW_EOI  # truncated stream: treat as end
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        return code
+
+    out = bytearray()
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < max_out:
+        code = read_code(width)
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"TIFF LZW: invalid code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        # early-change pairing, derived: the decoder's table is ONE
+        # entry behind the encoder's at the moment a code is read
+        # (the decoder appends for code i while processing code i+1),
+        # so where the encoder widens at next_code == 2^w - 1, the
+        # decoder must widen at len(table) == 2^w - 2 — one entry
+        # earlier again. The GIF pairing (gif.py) is 2^w exactly for
+        # the same lag reason; Appendix F's early change shifts both
+        # sides by one. Pinned by the width-growth roundtrip test.
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out[:max_out])
+
+
+def _undo_predictor2(rows: bytes, width: int) -> bytes:
+    """Predictor 2 (horizontal differencing): each strip row stores
+    deltas; reconstruct by a running mod-256 sum per row."""
+    out = bytearray(rows)
+    for r in range(0, len(out) - width + 1, width):
+        for x in range(1, width):
+            out[r + x] = (out[r + x] + out[r + x - 1]) & 0xFF
+    return bytes(out)
+
+
+def build_tiff_gray(
+    width: int,
+    height: int,
+    pixels: bytes,
+    compression: int = 5,
+    predictor: int = 1,
+    rows_per_strip: int = 4,
+    little_endian: bool = True,
+) -> bytes:
+    """Independent writer for a strip-organized 8-bit grayscale TIFF:
+    header + one IFD (sorted tags per spec) + out-of-line value areas +
+    strip data; ``compression`` 1 (none) or 5 (LZW), ``predictor`` 1 or
+    2 (horizontal differencing applied per row before compression)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    bo = "<" if little_endian else ">"
+    strips: list[bytes] = []
+    for top in range(0, height, rows_per_strip):
+        rows = pixels[top * width : min(top + rows_per_strip, height) * width]
+        if predictor == 2:
+            raw = bytearray(rows)
+            for r in range(0, len(raw) - width + 1, width):
+                for x in range(width - 1, 0, -1):
+                    raw[r + x] = (raw[r + x] - raw[r + x - 1]) & 0xFF
+            rows = bytes(raw)
+        strips.append(tiff_lzw_encode(rows) if compression == 5 else rows)
+    n_strips = len(strips)
+    entries = [
+        (256, 3, [width]),
+        (257, 3, [height]),
+        (258, 3, [8]),
+        (259, 3, [compression]),
+        (262, 3, [1]),
+        (273, 4, [0] * n_strips),  # StripOffsets patched below
+        (277, 3, [1]),
+        (278, 3, [rows_per_strip]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    if predictor == 2:
+        entries.append((317, 3, [2]))
+    entries.sort(key=lambda e: e[0])
+    n = len(entries)
+    ifd_off = 8
+    entries_end = ifd_off + 2 + 12 * n + 4
+    # layout: header | IFD | out-of-line value area | strip data.
+    # Only arrays wider than 4 bytes go out of line; size the value
+    # area first so strip offsets are known before the IFD is emitted.
+    extra_len = sum(
+        _TYPE_SIZES[t] * len(vals)
+        for _tag, t, vals in entries
+        if _TYPE_SIZES[t] * len(vals) > 4
+    )
+    strip_base = entries_end + extra_len
+    strip_offs = []
+    off = strip_base
+    for s in strips:
+        strip_offs.append(off)
+        off += len(s)
+    out = bytearray()
+    out += (b"II" if little_endian else b"MM") + struct.pack(bo + "H", 42)
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", n)
+    extra = bytearray()
+    for tag, t, vals in entries:
+        if tag == 273:
+            vals = strip_offs
+        count = _count_of(t, vals)
+        packed = _pack_values(t, vals, bo)
+        out += struct.pack(bo + "HHI", tag, t, count)
+        if len(packed) <= 4:
+            out += packed.ljust(4, b"\x00")
+        else:
+            out += struct.pack(bo + "I", entries_end + len(extra))
+            extra += packed
+    out += struct.pack(bo + "I", 0)  # next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a strip-organized 8-bit grayscale TIFF -> (width, height,
+    pixels row-major): both byte orders, compression 1 (none) and 5
+    (Appendix-F LZW), predictor 1/2. Other compressions raise by name
+    (the honest-capability convention)."""
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    n = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, t, count = struct.unpack_from(bo + "HHI", payload, base)
+        size = _TYPE_SIZES.get(t, 1) * count
+        voff = base + 8 if size <= 4 else struct.unpack_from(bo + "I", payload, base + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}.get(t)
+        if fmt:
+            tags[tag] = list(
+                struct.unpack_from(bo + fmt * count, payload, voff)
+            )
+    width = tags[256][0]
+    height = tags[257][0]
+    comp = tags.get(259, [1])[0]
+    pred = tags.get(317, [1])[0]
+    rps = tags.get(278, [height])[0]
+    offs = tags[273]
+    counts = tags[279]
+    if comp not in (1, 5):
+        raise NotImplementedError(f"TIFF compression {comp}")
+    pixels = bytearray()
+    for s, (o, c) in enumerate(zip(offs, counts)):
+        rows_here = min(rps, height - s * rps)
+        raw = payload[o : o + c]
+        if comp == 5:
+            raw = tiff_lzw_decode(raw, rows_here * width)
+        if pred == 2:
+            raw = _undo_predictor2(raw, width)
+        pixels += raw
+    return width, height, bytes(pixels[: width * height])
+
+
+def fake_tiff_pixel(doc_id: int, x: int, y: int) -> int:
+    """The corpus pixel formula — arithmetic, so SQL oracles recompute
+    the full decoded image."""
+    return (x * 7 + y * 13 + int(doc_id)) % 251
+
+
+def fake_tiff_image(doc_id: int) -> bytes:
+    """Deterministic grayscale strip TIFF per doc: dims from the id,
+    compression alternates none/LZW (id % 3 == 0 -> none), predictor 2
+    on odd ids, byte order alternates with id parity — every decoder
+    branch is exercised across any id range."""
+    i = int(doc_id)
+    w = i % 16 + 4
+    h = i % 8 + 4
+    px = bytes(fake_tiff_pixel(i, x, y) for y in range(h) for x in range(w))
+    return build_tiff_gray(
+        w,
+        h,
+        px,
+        compression=1 if i % 3 == 0 else 5,
+        predictor=2 if i % 2 else 1,
+        little_endian=(i % 2 == 0),
+    )
+
+
+def attach_fake_tiff_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {"id": ids, "tiff": [fake_tiff_image(i) for i in ids]}
+            )
+
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(fn, schema="id long, tiff binary")
+
+
+def tiff_gray_stats(shards: DataFrame) -> DataFrame:
+    """Decode every TIFF and emit full-image integrity stats:
+    ``(id, width, height, compression, predictor, n_strips, pixel_sum,
+    pixel_min, pixel_max)`` — the pixel checksum certifies the whole
+    strip walk + LZW + predictor pipeline, not just the header parse.
+    Row-local mapInPandas; payloads never shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "width", "height", "compression", "predictor",
+                "n_strips", "pixel_sum", "pixel_min", "pixel_max")}
+            for i, payload in zip(pdf["id"], pdf["tiff"]):
+                payload = bytes(payload)
+                w, h, px = decode_tiff_gray(payload)
+                bo = "<" if payload[:2] == b"II" else ">"
+                ifd_off = struct.unpack_from(bo + "I", payload, 4)[0]
+                n = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+                tags = {}
+                for e in range(n):
+                    base = ifd_off + 2 + 12 * e
+                    tag, t, count = struct.unpack_from(bo + "HHI", payload, base)
+                    tags[tag] = (t, count, base)
+                comp = struct.unpack_from(bo + "H", payload, tags[259][2] + 8)[0]
+                pred = (
+                    struct.unpack_from(bo + "H", payload, tags[317][2] + 8)[0]
+                    if 317 in tags
+                    else 1
+                )
+                rows["id"].append(int(i))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["compression"].append(comp)
+                rows["predictor"].append(pred)
+                rows["n_strips"].append(tags[273][1])
+                rows["pixel_sum"].append(sum(px))
+                rows["pixel_min"].append(min(px))
+                rows["pixel_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(
+        fn,
+        schema=(
+            "id long, width long, height long, compression long,"
+            " predictor long, n_strips long, pixel_sum long,"
+            " pixel_min long, pixel_max long"
+        ),
+    )
+
+
+def tiff_gray_stats_oracle_sql(doc_table: str = "documents") -> str:
+    """Arithmetic mirror: dims/compression/predictor/strip count from
+    the id formulas; the pixel stats recomputed by expanding the full
+    (x, y) grid per doc and evaluating the corpus pixel formula."""
+    return f"""
+    WITH dims AS (
+      SELECT doc_id AS id,
+             CAST(doc_id % 16 + 4 AS BIGINT) AS width,
+             CAST(doc_id % 8 + 4 AS BIGINT) AS height,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 5 END AS BIGINT)
+               AS compression,
+             CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS BIGINT)
+               AS predictor,
+             CAST((doc_id % 8 + 4 + 3) // 4 AS BIGINT) AS n_strips
+      FROM {doc_table}
+    ),
+    px AS (
+      SELECT id, width, height, compression, predictor, n_strips,
+             (CAST(x AS BIGINT) * 7 + CAST(y AS BIGINT) * 13 + id) % 251 AS v
+      FROM dims,
+           UNNEST(range(0, width)) AS gx(x),
+           UNNEST(range(0, height)) AS gy(y)
+    )
+    SELECT id, width, height, compression, predictor, n_strips,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(MIN(v) AS BIGINT) AS pixel_min,
+           CAST(MAX(v) AS BIGINT) AS pixel_max
+    FROM px
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """

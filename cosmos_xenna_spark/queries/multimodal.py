@@ -406,3 +406,27 @@ def q_exif_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gps_ppm"),
         )
     )
+
+
+from cosmos_xenna_spark.operators.tiff import (  # noqa: E402
+    attach_fake_tiff_images,
+    tiff_gray_stats,
+    tiff_gray_stats_oracle_sql,
+)
+
+
+@register(
+    "q_tiff_lzw_strips",
+    oracle=tiff_gray_stats_oracle_sql("documents"),
+    description="LZW-compressed TIFF strip decode (TIFF 6.0 Appendix F "
+    "— MSB-first codes with the EARLY-CHANGE width rule, the classic "
+    "cross-implementation incompatibility vs GIF's LSB/late variant) + "
+    "Predictor-2 horizontal differencing: full per-image pixel checksum "
+    "(sum/min/max over every decoded pixel) certifies the strip walk + "
+    "entropy decode + predictor end-to-end; the corpus alternates "
+    "none/LZW compression, predictor 1/2 and BOTH byte orders by id. "
+    "Row-local mapInPandas, payloads never shuffle",
+)
+def q_tiff_lzw_strips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return tiff_gray_stats(attach_fake_tiff_images(docs))

@@ -853,3 +853,41 @@ def q_layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_skipping_eval(
         keyed, "x", "y", n_files=96, rect=(100, 160, 90, 150)
     )
+
+
+from cosmos_xenna_spark.operators.layout import (  # noqa: E402
+    bloom_skipping_eval,
+    bloom_skipping_eval_sql,
+)
+
+_BLOOM_PROBES = (3, 17, 42, 99, 128, 200, 211, 228)
+
+
+@register(
+    "q_bloom_skipping_eval",
+    oracle=bloom_skipping_eval_sql(
+        # key stride-scrambled so each 32-id file's key set spans the
+        # whole [0, 229) domain: min/max zone maps cover every probe
+        # (the blind spot), while the Bloom index prunes to the true
+        # containers + false positives — a contiguous key (doc_id %
+        # 229) would give each file a narrow key RANGE and hide the
+        # point-lookup story
+        "SELECT doc_id, (doc_id * 131 + 17) % 229 AS key_id FROM documents",
+        "doc_id",
+        "key_id",
+        _BLOOM_PROBES,
+    ),
+    description="Bloom file-index skipping eval — the point-lookup "
+    "complement of q_layout_skipping_eval: files of 32 consecutive ids "
+    "(unsorted-ingest layout), exact per-file Bloom (m=256, k=2 md5 "
+    "bits) over a uniformly-distributed key; per probe key, files "
+    "touched under min/max zone maps (~all of them — the zone-map "
+    "blind spot) vs the Bloom index (true containers + ~5% false "
+    "positives, never a false negative — certified row-for-row by the "
+    "oracle); metadata-scale after one keyed agg",
+)
+def q_bloom_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ((F.col("doc_id") * 131 + 17) % 229).alias("key_id")
+    )
+    return bloom_skipping_eval(docs, "doc_id", "key_id", _BLOOM_PROBES)

@@ -370,6 +370,8 @@ R11_QUERIES = [
     "q_qini_uplift",
     "q_multiclass_f1",
     "q_ab_test_by_segment",
+    "q_tiff_lzw_strips",
+    "q_bloom_skipping_eval",
 ]
 
 

@@ -6,6 +6,7 @@ full width."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from cosmos_xenna_spark.operators.layout import layout_by_zorder, zorder_key
@@ -129,3 +130,46 @@ def test_hilbert_skips_more_files_than_morton(spark, sf_dir):
     h, z = rows["hilbert"], rows["zorder"]
     assert h[2] == z[2]  # same ground truth
     assert h[0] < z[0] and h[1] < z[1], rows
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_bloom_skipping_eval_matches_python(spark, seed):
+    import hashlib
+    import random as _random
+
+    from cosmos_xenna_spark.operators.layout import bloom_skipping_eval
+
+    rng = _random.Random(seed)
+    rows = [(i, rng.randrange(0, 64)) for i in range(200)]
+    probes = (1, 7, 13, 40, 63)
+    df = spark.createDataFrame(rows, "rid long, k long")
+    got = {
+        r.probe_key: (r.n_files, r.minmax_touched, r.bloom_touched,
+                      r.true_files, r.bloom_fp)
+        for r in bloom_skipping_eval(df, "rid", "k", probes,
+                                     rows_per_file=16).collect()
+    }
+
+    def bit(i, v):
+        h = int(hashlib.md5(f"b{i}|{v}".encode()).hexdigest()[:15], 16)
+        return h % 256
+
+    files: dict = {}
+    for rid, k in rows:
+        files.setdefault(rid // 16, []).append(k)
+    want = {}
+    for pk in probes:
+        mm = sum(1 for ks in files.values() if min(ks) <= pk <= max(ks))
+        bl = sum(
+            1
+            for ks in files.values()
+            if {bit(0, pk), bit(1, pk)}
+            <= {bit(i, v) for v in ks for i in (0, 1)}
+        )
+        tr = sum(1 for ks in files.values() if pk in ks)
+        want[pk] = (len(files), mm, bl, tr, bl - tr)
+    assert got == want
+    # Bloom never false-negatives and beats zone maps on point lookups
+    for pk in probes:
+        assert want[pk][2] >= want[pk][3]
+        assert want[pk][2] <= want[pk][1] + want[pk][4]

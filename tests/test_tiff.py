@@ -115,3 +115,139 @@ def test_malformed_inputs_raise():
         parse_tiff_entries(b"II" + struct.pack("<HI", 41, 8) + b"\x00" * 8)
     with pytest.raises(ValueError):
         parse_tiff_entries(b"II\x2a\x00")  # truncated header
+
+
+# ---- Appendix-F LZW strips ----
+
+
+def test_tiff_lzw_handpacked_vector_decodes():
+    """Independent-of-the-encoder anchor: a hand-packed MSB-first
+    9-bit stream [Clear, 'A', 'B', 258, EOI] — code 258 must resolve
+    to the just-built 'AB' entry (the code==len(table) special case)."""
+    from cosmos_xenna_spark.operators.tiff import tiff_lzw_decode
+
+    codes = [256, 65, 66, 258, 257]
+    acc, nbits, out = 0, 0, bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    assert tiff_lzw_decode(bytes(out), 10) == b"ABAB"
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_tiff_lzw_roundtrip_through_width_growth(seed):
+    """Encoder<->decoder roundtrip on data long enough to cross the
+    9->10->11->12-bit EARLY-change boundaries AND the spec's 4094
+    table clear — a late-change (GIF-timing) decoder fails this at the
+    first boundary."""
+    import random as _random
+
+    from cosmos_xenna_spark.operators.tiff import (
+        tiff_lzw_decode,
+        tiff_lzw_encode,
+    )
+
+    rng = _random.Random(seed)
+    data = bytes(rng.randrange(256) for _ in range(6000))
+    enc = tiff_lzw_encode(data)
+    assert tiff_lzw_decode(enc, len(data)) == data
+    assert len(enc) < len(data) * 2  # sanity: codes are <= 12 bits
+    # compressible data actually compresses
+    rep = (b"abcd" * 800)
+    assert len(tiff_lzw_encode(rep)) < len(rep) // 4
+
+
+def test_tiff_lzw_invalid_code_raises():
+    from cosmos_xenna_spark.operators.tiff import tiff_lzw_decode
+
+    # 9-bit stream: Clear then code 300 with an EMPTY table tail
+    codes = [256, 300]
+    acc, nbits, out = 0, 0, bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    with pytest.raises(ValueError, match="invalid code"):
+        tiff_lzw_decode(bytes(out), 10)
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 7, 12, 37, 101])
+def test_tiff_gray_roundtrip_all_branches(doc_id):
+    """Writer->decoder pixel equality across the corpus branches:
+    none/LZW compression, predictor 1/2, both byte orders, multi-strip
+    (height > rows_per_strip)."""
+    from cosmos_xenna_spark.operators.tiff import (
+        decode_tiff_gray,
+        fake_tiff_image,
+        fake_tiff_pixel,
+    )
+
+    w, h, px = decode_tiff_gray(fake_tiff_image(doc_id))
+    assert (w, h) == (doc_id % 16 + 4, doc_id % 8 + 4)
+    assert px == bytes(
+        fake_tiff_pixel(doc_id, x, y) for y in range(h) for x in range(w)
+    )
+
+
+def test_tiff_predictor2_changes_bytes_but_not_pixels():
+    """Predictor 2 must alter the ENCODED strip bytes (horizontal
+    deltas) while the decoded pixels stay identical — a no-op
+    predictor implementation passes roundtrips but fails this."""
+    from cosmos_xenna_spark.operators.tiff import (
+        build_tiff_gray,
+        decode_tiff_gray,
+    )
+
+    w, h = 8, 4
+    px = bytes((x * 31 + y * 5) % 256 for y in range(h) for x in range(w))
+    t1 = build_tiff_gray(w, h, px, compression=5, predictor=1)
+    t2 = build_tiff_gray(w, h, px, compression=5, predictor=2)
+    assert t1 != t2
+    assert decode_tiff_gray(t1)[2] == px
+    assert decode_tiff_gray(t2)[2] == px
+
+
+def test_tiff_gray_stats_on_spark(spark):
+    from cosmos_xenna_spark.operators.tiff import (
+        attach_fake_tiff_images,
+        fake_tiff_pixel,
+        tiff_gray_stats,
+    )
+
+    df = spark.range(24).withColumnRenamed("id", "doc_id")
+    rows = tiff_gray_stats(attach_fake_tiff_images(df)).collect()
+    assert len(rows) == 24
+    for r in rows:
+        i = r.id
+        w, h = i % 16 + 4, i % 8 + 4
+        px = [fake_tiff_pixel(i, x, y) for y in range(h) for x in range(w)]
+        assert (r.width, r.height) == (w, h)
+        assert r.compression == (1 if i % 3 == 0 else 5)
+        assert r.predictor == (2 if i % 2 else 1)
+        assert r.n_strips == (h + 3) // 4
+        assert (r.pixel_sum, r.pixel_min, r.pixel_max) == (
+            sum(px), min(px), max(px),
+        )
+
+
+def test_tiff_unknown_compression_raises():
+    from cosmos_xenna_spark.operators.tiff import (
+        build_tiff_gray,
+        decode_tiff_gray,
+    )
+
+    t = bytearray(build_tiff_gray(4, 4, bytes(16), compression=1))
+    # patch the Compression tag value in place (tag 259, LE corpus)
+    idx = t.find((259).to_bytes(2, "little"))
+    t[idx + 8] = 7  # JPEG-in-TIFF: out of contract
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        decode_tiff_gray(bytes(t))
