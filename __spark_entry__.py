@@ -323,6 +323,7 @@ _R12_QUEUE: tuple[str, ...] = (
     "q_ab_test_by_segment",
     "q_tiff_lzw_strips",
     "q_bloom_skipping_eval",
+    "q_kmv_anotb",
 )
 
 # r11 window = all 30 r10-session additions (_R11_QUEUE) + the fixed

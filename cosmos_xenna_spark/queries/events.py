@@ -1268,3 +1268,24 @@ def q_ab_test_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ab_test_two_proportion(units, group_cols=["segment"])
+
+
+from cosmos_xenna_spark.operators.kmv import kmv_anotb, kmv_anotb_sql  # noqa: E402
+
+
+@register(
+    "q_kmv_anotb",
+    oracle=kmv_anotb_sql(
+        "SELECT event_type, user_id FROM events", "event_type", "user_id", k=64
+    ),
+    description="KMV (theta) set-DIFFERENCE estimates per event-type "
+    "pair: |A\\B| and |B\\A| from the k=64 minimum md5 hashes — the "
+    "third theta operation completing the union/intersection pair in "
+    "q_kmv_set_ops ('users segment A has that B doesn't' without "
+    "re-reading the raw sets); only hashes under the merged threshold "
+    "vote, exact (theta=1) when the merged sketch IS the union; shared "
+    "pair-base builder, equi-joins on k-sized frames after",
+)
+def q_kmv_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_anotb(ev, "event_type", "user_id", k=64)

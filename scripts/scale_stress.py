@@ -372,6 +372,7 @@ R11_QUERIES = [
     "q_ab_test_by_segment",
     "q_tiff_lzw_strips",
     "q_bloom_skipping_eval",
+    "q_kmv_anotb",
 ]
 
 

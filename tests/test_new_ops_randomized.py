@@ -3859,3 +3859,62 @@ def test_ab_test_grouped_handles_empty_arms(spark):
     assert (s2.n_a, s2.n_b) == (0, 2)
     assert s2.rate_a_ppm is None and s2.z is None and s2.significant == 0
     assert s2.rate_b_ppm == 500000
+
+
+@pytest.mark.parametrize("seed", [47, 107])
+def test_kmv_anotb_matches_python_and_tracks_truth(spark, seed):
+    import hashlib
+
+    from cosmos_xenna_spark.operators.kmv import kmv_anotb
+
+    rng = random.Random(seed)
+    k = 32
+    membership = []
+    for g, (lo, hi) in enumerate(
+        [(0, 400), (200, 600), (0, 20), (10, 30)]
+    ):
+        for e in range(lo, hi):
+            membership.append((f"g{g}", e))
+    membership += [m for m in membership if rng.random() < 0.2]
+    df = spark.createDataFrame(membership, "seg string, uid long")
+    got = {
+        (r.group_a, r.group_b): (
+            r.n_a, r.n_b, r.c_a_only, r.c_b_only, r.est_union,
+            r.est_a_not_b, r.est_b_not_a,
+        )
+        for r in kmv_anotb(df, "seg", "uid", k=k).collect()
+    }
+
+    def h63(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    sets: dict = {}
+    for g, e in membership:
+        sets.setdefault(g, set()).add(e)
+    for ga in sorted(sets):
+        for gb in sorted(sets):
+            if ga >= gb:
+                continue
+            ha = set(sorted(h63(e) for e in sets[ga])[:k])
+            hb = set(sorted(h63(e) for e in sets[gb])[:k])
+            merged = sorted(ha | hb)[:k]
+            t, m = max(merged), len(merged)
+            est_u = m if m < k else int((k - 1) * float(1 << 60) / t)
+            ca = sum(1 for v in ha if v <= t and v not in hb)
+            cb = sum(1 for v in hb if v <= t and v not in ha)
+            cc = sum(1 for v in ha & hb if v <= t)
+            ea = ca if m < k else ca * est_u // k
+            eb = cb if m < k else cb * est_u // k
+            assert got[(ga, gb)] == (
+                len(sets[ga]), len(sets[gb]), ca, cb, est_u, ea, eb,
+            )
+            # partition identity: every merged hash <= t is a-only,
+            # b-only or common
+            assert ca + cb + cc == m
+    # NON-disjoint exact regime: g2=(0,20), g3=(10,30) share 10 ->
+    # |A\B| = |B\A| = exactly 10 (merged sketch 30 < k, theta=1)
+    assert got[("g2", "g3")][5] == 10
+    assert got[("g2", "g3")][6] == 10
+    # statistical backstop on the big overlapping pair
+    n_a, n_b, _, _, est_u, ea, eb = got[("g0", "g1")]
+    assert abs(ea - 200) <= 180 and abs(eb - 200) <= 180  # 5-sigma-ish
