@@ -237,10 +237,15 @@ def kmv_anotb(
     aggregation is equi-joins on the pair key.
     """
     sig, pairs, th = _kmv_pair_base(df, group_col, entity_col, k)
+    # th and pairs are G^2-row frames BY CONSTRUCTION (one row per
+    # group pair — the audience-overlap contract): broadcast them into
+    # every counting join so the only exchanges left are the group-bys
+    th = th.localCheckpoint(eager=True)
 
     def below(side: str, out: str) -> DataFrame:
         return (
-            th.join(sig.select(F.col("g").alias(side), "h"), side)
+            sig.select(F.col("g").alias(side), "h")
+            .join(F.broadcast(th), side)
             .filter(F.col("h") <= F.col("t"))
             .groupBy("ga", "gb")
             .agg(F.count(F.lit(1)).cast("bigint").alias(out))
@@ -252,7 +257,7 @@ def kmv_anotb(
         sig.select(F.col("g").alias("ga"), "h")
         .join(sig.select(F.col("g").alias("gb"), "h"), "h")
         .filter(F.col("ga") < F.col("gb"))
-        .join(th, ["ga", "gb"])
+        .join(F.broadcast(th), ["ga", "gb"])
         .filter(F.col("h") <= F.col("t"))
         .groupBy("ga", "gb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_common"))
@@ -265,10 +270,10 @@ def kmv_anotb(
         )
     )
     out = (
-        th.join(a_below, ["ga", "gb"], "left")
-        .join(b_below, ["ga", "gb"], "left")
-        .join(common_below, ["ga", "gb"], "left")
-        .join(pairs, ["ga", "gb"])
+        th.join(F.broadcast(a_below), ["ga", "gb"], "left")
+        .join(F.broadcast(b_below), ["ga", "gb"], "left")
+        .join(F.broadcast(common_below), ["ga", "gb"], "left")
+        .join(F.broadcast(pairs), ["ga", "gb"])
         .withColumn("est_union", est_union)
         .withColumn(
             "c_a_only",

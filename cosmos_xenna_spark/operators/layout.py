@@ -297,8 +297,13 @@ def bloom_skipping_eval(
         .groupBy("pk")
         .agg(F.count(F.lit(1)).cast("bigint").alias("bloom_touched"))
     )
+    # BNLJ direction matters at scale: the file-stats frame grows
+    # linearly with the corpus (metadata scale, but NOT broadcastable
+    # at 100 TB) while the probe spine is a literal handful of rows —
+    # broadcast the PROBES and stream the stats (the kNN query-set
+    # precedent; allowlisted).
     minmax_touched = (
-        p.crossJoin(F.broadcast(stats))
+        stats.crossJoin(F.broadcast(p.select("pk")))
         .filter((F.col("kmin") <= F.col("pk")) & (F.col("pk") <= F.col("kmax")))
         .groupBy("pk")
         .agg(F.count(F.lit(1)).cast("bigint").alias("minmax_touched"))

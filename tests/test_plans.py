@@ -263,6 +263,14 @@ _BNLJ_ALLOWED = {
     # single-row broadcast corpus-end day attached to the per-entity
     # tenure frame (the heavy-hitters pattern)
     "q_churn_hazard",
+    # two tiny-broadcast sites: the 8-row LITERAL probe spine streamed
+    # against the file-stats range predicate (the kNN query-set
+    # direction — the file frame grows with the corpus, the probes
+    # don't), and the single-row n_files total attach
+    "q_bloom_skipping_eval",
+    # G-row broadcast group-pair spine (the q_kmv_set_ops contract,
+    # shared _kmv_pair_base builder)
+    "q_kmv_anotb",
 }
 
 
