@@ -324,6 +324,8 @@ _R12_QUEUE: tuple[str, ...] = (
     "q_tiff_lzw_strips",
     "q_bloom_skipping_eval",
     "q_kmv_anotb",
+    "q_ab_mann_whitney",
+    "q_doc_keywords",
 )
 
 # r11 window = all 30 r10-session additions (_R11_QUEUE) + the fixed

@@ -571,3 +571,82 @@ def ranking_eval_sql(
              AS recall_ppm
     FROM ranked LEFT JOIN ideal ON ranked.{query_col} = ideal.{query_col}
     """
+
+
+def doc_keywords(
+    docs: DataFrame,
+    n_docs: int,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` keywords by exact integer LIFT score
+    ``1e6 * tf * N div df`` (tf-idf with the log-free N/df odds — the
+    module's cross-engine idf convention), deterministic tie-break on
+    ascending term — the topic-tagging / faceting pass a curation
+    pipeline runs to label documents before mixture decisions.
+
+    ``n_docs`` is a driver literal (the bounded-scalar pattern; scalar
+    subquery in the oracle). Rare distinctive terms (low df) score
+    highest per occurrence; corpus-wide stopwords are crushed by the
+    df denominator — no stopword list needed.
+
+    Scale shape: one tokenize explode + the (doc, term) tf aggregation,
+    one vocabulary-sized df aggregation, an equi-join back on term,
+    and a per-DOC window top-k (partitioned by doc id — never global).
+    """
+    dt = doc_terms(docs, id_col, text_col).localCheckpoint(eager=True)
+    df_t = dt.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = dt.join(df_t, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        F.expr(f"CAST(1000000 * tf * {int(n_docs)} DIV df AS BIGINT)").alias(
+            "score_micro"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score_micro")
+    )
+
+
+def doc_keywords_sql(
+    docs_sql: str,
+    n_docs_sql: str,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror — same tokenizer regex, lift arithmetic and
+    (score desc, term asc) tie-break."""
+    from cosmos_xenna_spark.operators.text import TOKEN_REGEX
+
+    return f"""
+    WITH dt AS MATERIALIZED (
+      SELECT {id_col}, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT {id_col},
+               UNNEST(regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}'))
+                 AS term
+        FROM ({docs_sql})
+      ) GROUP BY {id_col}, term
+    ),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY term),
+    scored AS (
+      SELECT dt.{id_col}, dt.term, dt.tf, dft.df,
+             CAST(1000000 * dt.tf * ({n_docs_sql}) // dft.df AS BIGINT)
+               AS score_micro
+      FROM dt JOIN dft USING (term)
+    )
+    SELECT {id_col}, CAST(rank AS BIGINT) AS rank, term, tf, df, score_micro
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY {id_col}
+                                   ORDER BY score_micro DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

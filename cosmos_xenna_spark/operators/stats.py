@@ -2276,3 +2276,131 @@ def multiclass_f1_sql(
                 AS BIGINT)
     FROM per_class
     """
+
+
+# Mann-Whitney finish as shared SQL text over the five exact integers
+# (u2 = 2U, n_a, n_b, n_all, tie_sum): the tie-corrected normal
+# approximation z = (U - n_a*n_b/2) / sqrt(Var), with
+# Var = n_a*n_b/12 * ((n+1) - sum(t^3 - t)/(n*(n-1))). Everything
+# stays integral until the finish (2U keeps tie midranks integral —
+# the roc_auc doubling rule); bigint->double casts are exact below
+# 2^53 in both engines.
+_MW_VAR4 = (
+    "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3.0"
+    " * (CAST(n_all + 1 AS DOUBLE)"
+    "    - CAST(tie_sum AS DOUBLE)"
+    "      / NULLIF(CAST(n_all AS DOUBLE) * CAST(n_all - 1 AS DOUBLE), 0.0)))"
+)
+_MW_Z_EXPR = (
+    f"CAST(u2 - n_a * n_b AS DOUBLE) / NULLIF(SQRT({_MW_VAR4}), 0.0)"
+)
+
+
+def ab_mann_whitney(
+    units: DataFrame,
+    variant_col: str = "variant",
+    metric_col: str = "metric",
+) -> DataFrame:
+    """Mann-Whitney (Wilcoxon rank-sum) A/B test on a per-unit metric —
+    the NONPARAMETRIC readout for skewed metrics (revenue, session
+    length, event counts) where the two-proportion/t-test normality
+    story breaks: compares entire rank distributions, robust to
+    outliers by construction.
+
+    Integer-exact core (the roc_auc machinery — Mann-Whitney IS the
+    AUC statistic): bounded metric-VALUE frame, distributed
+    quantile-bucketed cumulative count (never a single-partition
+    window), tie MIDRANKS kept integral by doubling
+    (``2*midrank = 2*cum_before + cnt + 1``), ``u2 = 2U`` exact. The
+    finish adds the tie-corrected normal z as a fixed IEEE double
+    sequence shared as SQL text. ``prob_b_gt_a_ppm = U / (n_a*n_b)``
+    is the common-language effect size (ties count half).
+
+    Scale note (the roc_auc convention): ``1e6 * u2`` overflows BIGINT
+    once ``n_a * n_b`` exceeds ~4.6e12; ``tie_sum`` (sum of t^3 - t)
+    overflows first on heavily-tied billion-row metrics — widen to
+    DECIMAL past that line.
+    """
+    from cosmos_xenna_spark.operators.ranking import global_cumsum
+
+    vals = (
+        units.groupBy(F.col(metric_col).alias("__m"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+            F.sum(F.col(variant_col).cast("bigint"))
+            .cast("bigint")
+            .alias("__pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vals = global_cumsum(vals, "__cnt", ["__m"], out_col="__cum")
+    agg = vals.agg(
+        F.sum(F.col("__cnt") - F.col("__pos")).cast("bigint").alias("n_a"),
+        F.sum("__pos").cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("__pos")
+            * (2 * (F.col("__cum") - F.col("__cnt")) + F.col("__cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("__mid2"),
+        F.sum(
+            F.col("__cnt") * F.col("__cnt") * F.col("__cnt") - F.col("__cnt")
+        )
+        .cast("bigint")
+        .alias("tie_sum"),
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        "n_a + n_b AS n_all",
+        "CAST(__mid2 - n_b * (n_b + 1) AS BIGINT) AS u2",
+        "tie_sum",
+    ).selectExpr(
+        "n_a",
+        "n_b",
+        "u2",
+        "tie_sum",
+        "CAST(1000000 * u2 DIV NULLIF(2 * n_a * n_b, 0) AS BIGINT)"
+        " AS prob_b_gt_a_ppm",
+        f"{_MW_Z_EXPR} AS z",
+        f"CAST(CASE WHEN ABS({_MW_Z_EXPR}) >= 1.959963984540054"
+        " THEN 1 ELSE 0 END AS BIGINT) AS significant",
+    )
+
+
+def ab_mann_whitney_sql(
+    units_sql: str,
+    variant_col: str = "variant",
+    metric_col: str = "metric",
+) -> str:
+    """DuckDB mirror — plain ORDER BY cumulative window (certifying the
+    distributed cumsum) + the VERBATIM shared z finish."""
+    return f"""
+    WITH vals AS (
+      SELECT {metric_col} AS m, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST({variant_col} AS BIGINT)) AS BIGINT) AS pos
+      FROM ({units_sql}) GROUP BY {metric_col}
+    ),
+    c AS (
+      SELECT *, CAST(SUM(cnt) OVER (ORDER BY m) AS BIGINT) AS cum FROM vals
+    ),
+    agg AS (
+      SELECT CAST(SUM(cnt - pos) AS BIGINT) AS n_a,
+             CAST(SUM(pos) AS BIGINT) AS n_b,
+             CAST(SUM(pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS mid2,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+      FROM c
+    ),
+    base AS (
+      SELECT n_a, n_b, n_a + n_b AS n_all,
+             CAST(mid2 - n_b * (n_b + 1) AS BIGINT) AS u2, tie_sum
+      FROM agg
+    )
+    SELECT n_a, n_b, u2, tie_sum,
+           CAST(1000000 * u2 // NULLIF(2 * n_a * n_b, 0) AS BIGINT)
+             AS prob_b_gt_a_ppm,
+           {_MW_Z_EXPR} AS z,
+           CAST(CASE WHEN ABS({_MW_Z_EXPR}) >= 1.959963984540054
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM base
+    """

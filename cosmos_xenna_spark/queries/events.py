@@ -1289,3 +1289,41 @@ from cosmos_xenna_spark.operators.kmv import kmv_anotb, kmv_anotb_sql  # noqa: E
 def q_kmv_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     return kmv_anotb(ev, "event_type", "user_id", k=64)
+
+
+from cosmos_xenna_spark.operators.stats import (  # noqa: E402
+    ab_mann_whitney,
+    ab_mann_whitney_sql,
+)
+
+_MW_UNITS_SQL = f"""
+    SELECT {md5_long63_sql("CAST(user_id AS STRING)", prefix="ab|")} % 2
+             AS variant,
+           COUNT(*) AS metric
+    FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "q_ab_mann_whitney",
+    oracle=ab_mann_whitney_sql(_MW_UNITS_SQL),
+    description="Mann-Whitney rank-sum A/B test on per-user activity — "
+    "the nonparametric readout for skewed metrics where t-test "
+    "normality breaks: integer-exact 2U via the roc_auc midrank "
+    "machinery (bounded value frame + distributed quantile-bucketed "
+    "cumsum, ties doubled to stay integral), tie-corrected normal z as "
+    "a shared fixed IEEE double finish, common-language effect size "
+    "P(b>a) in exact ppm",
+)
+def q_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("metric")
+    )
+    units = units.select(
+        (md5_long63(F.col("user_id").cast("string"), prefix="ab|") % 2).alias(
+            "variant"
+        ),
+        "metric",
+    )
+    return ab_mann_whitney(units)

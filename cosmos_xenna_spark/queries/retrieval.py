@@ -447,3 +447,29 @@ def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rel") > 0)
     )
     return ranking_eval(rankings, judgments, _EVAL_K)
+
+
+from cosmos_xenna_spark.operators.retrieval import (  # noqa: E402
+    doc_keywords,
+    doc_keywords_sql,
+)
+
+
+@register(
+    "q_doc_keywords",
+    oracle=doc_keywords_sql(
+        "SELECT doc_id, text FROM documents",
+        "(SELECT COUNT(*) FROM documents)",
+        k=3,
+    ),
+    description="per-document top-3 keywords by exact integer lift "
+    "1e6*tf*N div df (log-free tf-idf odds, the module's cross-engine "
+    "idf convention; stopwords crushed by the df denominator, no list "
+    "needed), deterministic term tie-break — the topic-tagging pass "
+    "before mixture decisions; tokenize explode + vocab-sized df join "
+    "+ per-DOC window top-k, never a global sort",
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    return doc_keywords(docs, n_docs=n_docs, k=3)

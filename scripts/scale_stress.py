@@ -373,6 +373,8 @@ R11_QUERIES = [
     "q_tiff_lzw_strips",
     "q_bloom_skipping_eval",
     "q_kmv_anotb",
+    "q_ab_mann_whitney",
+    "q_doc_keywords",
 ]
 
 

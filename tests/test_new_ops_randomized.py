@@ -3918,3 +3918,104 @@ def test_kmv_anotb_matches_python_and_tracks_truth(spark, seed):
     # statistical backstop on the big overlapping pair
     n_a, n_b, _, _, est_u, ea, eb = got[("g0", "g1")]
     assert abs(ea - 200) <= 180 and abs(eb - 200) <= 180  # 5-sigma-ish
+
+
+@pytest.mark.parametrize("seed", [91, 157])
+def test_ab_mann_whitney_matches_python(spark, seed):
+    import math
+
+    from cosmos_xenna_spark.operators.stats import ab_mann_whitney
+
+    rng = random.Random(seed)
+    # heavy ties: integer metric on a small domain; planted shift on b
+    units = [
+        (v, rng.randrange(0, 12) + (3 if v else 0))
+        for v in (rng.randrange(2) for _ in range(400))
+    ]
+    df = spark.createDataFrame(units, "variant long, metric long")
+    r = ab_mann_whitney(df).collect()[0]
+    a = sorted(m for v, m in units if v == 0)
+    b = sorted(m for v, m in units if v == 1)
+    n_a, n_b = len(a), len(b)
+    n = n_a + n_b
+    # exact 2U by pair counting (ties count 1 = half of 2)
+    u2 = 0
+    for x in b:
+        for y in a:
+            u2 += 2 if x > y else (1 if x == y else 0)
+    from collections import Counter
+
+    ties = Counter(m for _, m in units)
+    tie_sum = sum(t ** 3 - t for t in ties.values())
+    assert (r.n_a, r.n_b, r.u2, r.tie_sum) == (n_a, n_b, u2, tie_sum)
+    assert r.prob_b_gt_a_ppm == 1000000 * u2 // (2 * n_a * n_b)
+    var4 = (
+        float(n_a) * float(n_b) / 3.0
+        * (float(n + 1) - float(tie_sum) / (float(n) * float(n - 1)))
+    )
+    z = float(u2 - n_a * n_b) / math.sqrt(var4)
+    assert r.z == z
+    # the planted +3 shift must be detected
+    assert r.significant == 1 and z > 0
+    assert r.prob_b_gt_a_ppm > 600000
+
+
+def test_ab_mann_whitney_null_under_no_effect(spark):
+    from cosmos_xenna_spark.operators.stats import ab_mann_whitney
+
+    # identical constant metric in both arms: all ties -> U = n_a*n_b
+    # exactly (every pair a half-win), z is 0/0 -> NULL, not a crash
+    df = spark.createDataFrame(
+        [(0, 5)] * 20 + [(1, 5)] * 20, "variant long, metric long"
+    )
+    r = ab_mann_whitney(df).collect()[0]
+    assert r.u2 == 2 * 20 * 20 // 2 * 1  # 2U = n_a*n_b on all-ties
+    assert r.prob_b_gt_a_ppm == 500000
+    assert r.z is None and r.significant == 0
+
+
+@pytest.mark.parametrize("seed", [93, 163])
+def test_doc_keywords_matches_python(spark, seed):
+    import re
+    from collections import Counter
+
+    from cosmos_xenna_spark.operators.retrieval import doc_keywords
+    from cosmos_xenna_spark.operators.text import TOKEN_REGEX
+
+    rng = random.Random(seed)
+    common = ["the", "data", "spark"]
+    # pure-letter rare terms: the tokenizer splits letter/digit runs,
+    # so "kw39" would tokenize as "kw" + "39" and stop being rare
+    rare = [f"kw{c1}{c2}" for c1 in "abcdefgh" for c2 in "abcde"]
+    docs = []
+    for i in range(60):
+        words = [rng.choice(common) for _ in range(15)]
+        words += [rng.choice(rare) for _ in range(rng.randrange(1, 5))]
+        rng.shuffle(words)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 3
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.score_micro)
+        for r in doc_keywords(df, n_docs=len(docs), k=k).collect()
+    }
+    tok = re.compile(TOKEN_REGEX)
+    tfs = {i: Counter(tok.findall(t.lower())) for i, t in docs}
+    dfs: Counter = Counter()
+    for c in tfs.values():
+        dfs.update(c.keys())
+    n = len(docs)
+    want = {}
+    for i, c in tfs.items():
+        scored = sorted(
+            ((-(1000000 * tf * n // dfs[t]), t, tf) for t, tf in c.items()),
+        )
+        for rank, (neg, t, tf) in enumerate(scored[:k], start=1):
+            want[(i, rank)] = (t, tf, dfs[t], -neg)
+    assert got == want
+    # rare distinctive terms dominate rank 1 (a stopword can still win
+    # a doc where its tf is extreme relative to the rare term's df —
+    # lift is tf*N/df, not a hard gate)
+    top1 = [t for (_i, rank), (t, *_rest) in got.items() if rank == 1]
+    n_rare = sum(1 for t in top1 if t.startswith("kw"))
+    assert n_rare >= int(0.8 * len(top1))
