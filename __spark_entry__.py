@@ -328,7 +328,56 @@ _R12_QUEUE: tuple[str, ...] = (
     "q_doc_keywords",
 )
 
-# r11 window = all 30 r10-session additions (_R11_QUEUE) + the fixed
+# Operators added during the r12 session queue here for the r13 window.
+_R13_QUEUE: tuple[str, ...] = ()
+
+# r12 window = all 14 r11-session additions (_R12_QUEUE) + 36
+# re-verification slots: the 24 remaining r5-era rows plus the 12
+# alphabetically-first r6-era TPC-H rows (ledger order at r12 open).
+# Closing this window makes the cumulative ledger 337/337 oracle-able.
+_R12_PROMOTIONS = _R12_QUEUE + (
+    # re-verification — the 24 remaining r5-era rows
+    "q_repetition_signals",
+    "q_robust_scale",
+    "q_salted_agg",
+    "q_sample_deterministic",
+    "q_sample_fixed_size",
+    "q_sample_holdout",
+    "q_sample_split_weighted",
+    "q_semantic_dedup_keep",
+    "q_semantic_dedup_srp",
+    "q_session_window",
+    "q_shard_assign",
+    "q_sliding_window",
+    "q_srp_lsh",
+    "q_subquery_exists",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_tfidf",
+    "q_transition_matrix",
+    "q_triangle_count",
+    "q_union_by_name",
+    "q_union_distinct",
+    "q_weighted_median",
+    "q_window_range_frame",
+    "q_window_running",
+    # re-verification — the 12 alphabetically-first r6-era rows
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_excess_suppliers",
+)
+
+# r11 window (historical; kept for the ledger's alias-map replay) =
+# all 30 r10-session additions (_R11_QUEUE) + the fixed
 # q_embedding_quantize (r10's one red row; surface fix only) + 19
 # re-verification slots for the oldest cumulative rows (see ledger).
 _R11_PROMOTIONS = _R11_QUEUE + (
@@ -356,9 +405,14 @@ _R11_PROMOTIONS = _R11_QUEUE + (
     "q_predicates_json_extra",
 )
 
-DRIVER_PRIORITY: dict[str, str] = {
-    name: f"q0_{name[2:]}" for name in _R11_PROMOTIONS
-}
+def _alias(name: str) -> str:
+    # q_foo -> q0_foo; TPC-H q10_returned_items -> q0_q10_returned_items
+    # (any "q0" prefix sorts before every unaliased "q1".."q9"/"q_" name,
+    # keeping the whole window inside the driver's first-50 check).
+    return f"q0_{name[2:]}" if name.startswith("q_") else f"q0_{name}"
+
+
+DRIVER_PRIORITY: dict[str, str] = {name: _alias(name) for name in _R12_PROMOTIONS}
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 
