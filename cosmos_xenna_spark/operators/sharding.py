@@ -175,4 +175,3 @@ def shard_rebalance_report_sql(
            CAST(1000000 * n_moved // n_keys AS BIGINT) AS moved_ppm
     FROM (SELECT * FROM mod UNION ALL SELECT * FROM hrw)
     """
-

@@ -1797,8 +1797,12 @@ def ab_test_two_proportion(
 
     Scale shape: one partial-aggregated agg (global or keyed) — no
     shuffle wider than four counters per group. NULL z (a variant with
-    zero units) is the caller's data bug; ANSI division will say so
-    loudly in the global form, NULLIF-silently per segment.
+    zero units) is the caller's data bug; every denominator is
+    NULLIF-guarded in BOTH the global and per-segment forms, so a
+    degenerate arm yields NULL rates/z and ``significant = 0`` (CASE
+    WHEN NULL falls through to ELSE) rather than an ANSI error —
+    matching the streaming twin's 0 bit-for-bit (pinned by
+    ``tests/test_streaming.py::test_streaming_ab_monitor_degenerate_arm``).
     """
     aggs = (
         F.sum(F.when(F.col(variant_col) == 0, 1).otherwise(0))

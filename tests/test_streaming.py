@@ -1458,3 +1458,39 @@ def test_streaming_ab_monitor_matches_batch(spark, sf_dir, tmp_path):
     )
     assert final.z == want.z  # identical IEEE sequence, bit-equal
     assert final.significant == want.significant
+
+
+def test_streaming_ab_monitor_degenerate_arm(spark, tmp_path):
+    """Degenerate-arm parity (advisor r11): with a whole variant arm
+    empty, the batch operator's CASE WHEN ABS(NULL) falls through to
+    ELSE 0 — it emits z = NULL, significant = 0 — and the streaming
+    twin's (None, 0) matches it exactly. Pins the advisor's claimed
+    NULL-vs-0 divergence as a non-divergence in both engines."""
+    from cosmos_xenna_spark.operators.stats import ab_test_two_proportion
+    from cosmos_xenna_spark.streaming import streaming_ab_monitor
+
+    units = spark.createDataFrame(
+        [("exp1", 1, 1), ("exp1", 1, 0), ("exp1", 1, 1)],
+        "experiment string, variant long, converted long",
+    )
+    want = ab_test_two_proportion(units).collect()[0]
+    assert want.z is None and want.significant == 0
+
+    d = str(tmp_path / "units_degenerate")
+    units.repartition(2).write.parquet(d)
+    stream = (
+        spark.readStream.schema("experiment string, variant long, converted long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = to_memory_sink(streaming_ab_monitor(stream), "t_ab_deg", "update")
+    _drain(q)
+    final = spark.sql(
+        "SELECT * FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY experiment ORDER BY n_a + n_b DESC) AS rn"
+        "  FROM t_ab_deg) WHERE rn = 1"
+    ).collect()[0]
+    assert (final.n_a, final.n_b) == (0, 3)
+    assert final.rate_a_ppm is None and final.z is None
+    assert final.significant == 0 == want.significant
