@@ -157,6 +157,24 @@ HEADLINE = [
 ]
 
 
+# Historical idle sentinel floor (seconds): r9's committed idle run
+# measured 0.641, r9/r10 idle controls 0.63-0.69, and contended rounds
+# read 0.80-0.90+. A run whose sentinel exceeds the floor by >15% is
+# contended and its per-query numbers are noise (VERDICT r11 #2: the
+# r10/r11 artifacts were both taken under contention and needed
+# forensic normalization to read) — refuse to publish, exit nonzero.
+IDLE_SENTINEL_FLOOR = 0.64
+SENTINEL_GATE = 1.15
+# Upfront gate: attempts and the pause between them, so a transient
+# burst (another build finishing) doesn't kill the whole run.
+_GATE_ATTEMPTS = 5
+_GATE_SLEEP_SEC = 20.0
+# The driver captures a fixed ~2000-char tail of stdout; the final
+# line must fit completely or the driver records parsed=null (this
+# silently broke BENCH_r10/r11). Budget with headroom.
+_MAX_LINE_CHARS = 1900
+
+
 def _sentinel(spark) -> None:
     """Fixed-overhead calibration query (VERDICT r7 #3): a constant
     CPU+shuffle workload independent of sf_dir and of the registry, so
@@ -175,6 +193,27 @@ def _sentinel(spark) -> None:
         .mode("overwrite")
         .save()
     )
+
+
+def _sentinel_sample(spark) -> float:
+    """One sentinel MEASUREMENT = min of two consecutive runs after a
+    JVM GC kick. The naive single-run sample is not an ambient-only
+    probe: taken right after a heavy suite pass it reads 0.9-1.0 s on
+    an otherwise idle machine (residual GC debt from 85 queries' worth
+    of garbage), which is indistinguishable from real host contention.
+    A GC kick clears the self-inflicted part, and min-of-2 drops the
+    transient; sustained ambient contention inflates both runs and
+    still reads high."""
+    try:
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+    except Exception:  # noqa: BLE001
+        pass
+    best = math.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _sentinel(spark)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -197,6 +236,43 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — warm-up is best-effort
         pass
 
+    # Contention gate, upfront (VERDICT r11 #2): sample the sentinel
+    # before spending ten minutes measuring; a contended machine gets
+    # a few chances to go quiet, then the run refuses. Override with
+    # SPARK_GRAFT_BENCH_FORCE=1 (forensic runs on a busy box).
+    force = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
+    gate = IDLE_SENTINEL_FLOOR * SENTINEL_GATE
+    if not force:
+        best = math.inf
+        for attempt in range(_GATE_ATTEMPTS):
+            try:
+                best = min(best, _sentinel_sample(spark))
+            except Exception:  # noqa: BLE001
+                break
+            if best <= gate:
+                break
+            if attempt < _GATE_ATTEMPTS - 1:
+                time.sleep(_GATE_SLEEP_SEC)
+        if best > gate:
+            _refuse(spark, best, sf, upfront=True)
+
+    # Untimed warm-up pass over the WHOLE headline set (VERDICT r11
+    # #2a): the first execution of a query pays one-time costs the
+    # steady state never sees again (executor-side Python imports per
+    # worker thread, codegen compilation, parquet footer+page caches —
+    # q_image_phash_pairs measured 74 s cold vs 2.3 s warm), and with
+    # 3 timed passes a cold first sample lands in the median whenever
+    # ambient noise inflates either of the other two. One full
+    # discarded pass makes every timed sample a warm sample.
+    warm_errors: dict[str, str] = {}
+    for name in HEADLINE:
+        try:
+            reg[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            warm_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
     # Median of 3 runs per query, taken in INTERLEAVED passes (run the
     # whole suite, then again, then again) rather than back-to-back:
     # single-machine noise arrives in multi-second bursts (host CPU
@@ -211,14 +287,13 @@ def main() -> None:
     # benchmark to a single AnalysisException at build time).
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     sentinel_samples: list[float] = []
-    errors: dict[str, str] = {}
+    errors: dict[str, str] = dict(warm_errors)
     for _pass in range(3):
-        # One sentinel sample per pass, interleaved like the queries,
-        # so it sees the same ambient-noise distribution.
+        # One sentinel measurement per pass, interleaved like the
+        # queries, so it sees the same ambient-noise distribution
+        # (GC-kicked min-of-2: see _sentinel_sample).
         try:
-            t0 = time.perf_counter()
-            _sentinel(spark)
-            sentinel_samples.append(time.perf_counter() - t0)
+            sentinel_samples.append(_sentinel_sample(spark))
         except Exception:  # noqa: BLE001 — calibration is best-effort
             pass
         for name in HEADLINE:
@@ -252,6 +327,23 @@ def main() -> None:
         if sentinel_samples
         else None
     )
+    # Final gate: contention that arrived mid-run still poisons the
+    # medians — refuse to publish them (detail stays on disk for
+    # forensics; the refusal line itself is parseable).
+    if (
+        not os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
+        and sentinel_med is not None
+        and sentinel_med > IDLE_SENTINEL_FLOOR * SENTINEL_GATE
+    ):
+        detail = {
+            "samples": {k: [round(s, 3) for s in v] for k, v in samples.items()},
+            "sentinel_samples": [round(s, 3) for s in sentinel_samples],
+            "errors": errors,
+        }
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+        _refuse(spark, sentinel_med, sf, upfront=False)
     payload = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -298,7 +390,53 @@ def main() -> None:
     # Final stdout line, after Spark is fully shut down so no executor
     # logging can interleave with or follow it.
     sys.stdout.flush()
+    print(json.dumps(_fit_line(payload), separators=(",", ":")), flush=True)
+
+
+def _fit_line(payload: dict) -> dict:
+    """Shrink the stdout payload until its serialization fits the
+    driver's ~2000-char tail capture. BENCH_r10/r11 grew past it (85
+    headline queries ≈ 2900 chars) and the driver recorded
+    parsed=null for two straight rounds. Values round to 2 decimals
+    first; if still over budget, the smallest-valued queries fold into
+    ``omitted_n``/``omitted_sec`` (the full map is always in
+    BENCH_DETAIL.json, which is committed alongside)."""
+    out = dict(payload)
+    out["queries"] = {k: round(v, 2) for k, v in payload["queries"].items()}
+    while len(json.dumps(out, separators=(",", ":"))) > _MAX_LINE_CHARS:
+        q = out["queries"]
+        if len(q) <= 10:
+            break
+        drop = min(q, key=q.get)
+        out["omitted_n"] = out.get("omitted_n", 0) + 1
+        out["omitted_sec"] = round(out.get("omitted_sec", 0.0) + q.pop(drop), 2)
+    return out
+
+
+def _refuse(spark, sentinel: float, sf: float, upfront: bool) -> None:
+    """Print a parseable refusal line and exit nonzero (VERDICT r11
+    #2b): a contended machine produces numbers that cost more forensic
+    work than they carry information. The line deliberately has NO
+    "queries" map, so _vs_prev in a later round skips it the same way
+    it skips the round-3 crash artifact."""
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": None,
+        "unit": "sec",
+        "sf": sf,
+        "sentinel": round(sentinel, 3),
+        "contended": True,
+        "sentinel_gate": round(IDLE_SENTINEL_FLOOR * SENTINEL_GATE, 3),
+        "stage": "upfront" if upfront else "final",
+        "note": "sentinel above idle floor; rerun idle or set SPARK_GRAFT_BENCH_FORCE=1",
+    }
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    sys.stdout.flush()
     print(json.dumps(payload, separators=(",", ":")), flush=True)
+    raise SystemExit(1)
 
 
 def _vs_prev(

@@ -32,6 +32,7 @@ read the typed columns without touching bytes.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import struct
 from collections.abc import Iterator
@@ -44,8 +45,14 @@ from pyspark.sql import functions as F
 _MAGIC = b"FAKEIMG1"
 
 
+@functools.lru_cache(maxsize=4096)
 def fake_image(width: int, height: int, seed: int = 0) -> bytes:
-    """Deterministic stand-in payload: header + pseudo-pixel bytes."""
+    """Deterministic stand-in payload: header + pseudo-pixel bytes.
+
+    Cached: corpus attachers call this once per row but derive the
+    arguments from small moduli (seed = id % 32, dims from id % 16),
+    so a 600k-row corpus has only dozens of distinct payloads — the
+    cache turns 600k sha256+packs per pass into dozens."""
     body = hashlib.sha256(f"{width}x{height}:{seed}".encode()).digest()
     n = width * height
     pixels = (body * (n // len(body) + 1))[:n]
@@ -854,22 +861,39 @@ def image_ahash(
     schema = "id long, ahash long" + "".join(f", {c} {dtypes[c]}" for c in extras)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Byte-identical payloads hash identically, and real corpora
+        # carry exact-duplicate mega-clusters (blank frames, logo
+        # tiles — the same premise image_hash_pairs' cluster rollup is
+        # built on), so memoize hash-by-payload per worker. Bounded:
+        # a diverse corpus evicts by wholesale reset rather than LRU
+        # bookkeeping per hit (dict hit is the hot path).
+        memo: dict[bytes, int] = {}
+
+        def one(payload: bytes) -> int:
+            v = memo.get(payload)
+            if v is not None:
+                return v
+            w, h, pixels = decode(payload)
+            g = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+            sy = np.minimum((np.arange(grid) * h) // grid, h - 1)
+            sx = np.minimum((np.arange(grid) * w) // grid, w - 1)
+            cells = g[sy][:, sx].astype(np.int64).ravel()
+            bits = (n_cells * cells) > int(cells.sum())
+            v = 0
+            for b in np.nonzero(bits)[0]:
+                v |= 1 << int(b)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            if len(memo) >= 65536:
+                memo.clear()
+            memo[payload] = v
+            return v
+
         for pdf in batches:
             ids, hashes = [], []
             for i, payload in zip(pdf[id_col], pdf[image_col]):
-                w, h, pixels = decode(bytes(payload))
-                g = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
-                sy = np.minimum((np.arange(grid) * h) // grid, h - 1)
-                sx = np.minimum((np.arange(grid) * w) // grid, w - 1)
-                cells = g[sy][:, sx].astype(np.int64).ravel()
-                bits = (n_cells * cells) > int(cells.sum())
-                v = 0
-                for b in np.nonzero(bits)[0]:
-                    v |= 1 << int(b)
-                if v >= 1 << 63:
-                    v -= 1 << 64
                 ids.append(i)
-                hashes.append(v)
+                hashes.append(one(bytes(payload)))
             out = {"id": ids, "ahash": pd.array(hashes, dtype="int64")}
             for c in extras:
                 out[c] = list(pdf[c])

@@ -75,6 +75,13 @@ def get_spark(
         # as parsed:null because of it). Nothing local needs the bar.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Preload pandas/numpy/pyarrow in the worker daemon so forked
+        # Python workers inherit them copy-on-write instead of each
+        # importing cold on its first task — the dominant term of any
+        # first mapInPandas query in a fresh session (~5 s across 32
+        # workers on local[32]; per executor on a cluster). See
+        # cosmos_xenna_spark/daemon.py.
+        .config("spark.python.daemon.module", "cosmos_xenna_spark.daemon")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
