@@ -329,7 +329,10 @@ _R12_QUEUE: tuple[str, ...] = (
 )
 
 # Operators added during the r12 session queue here for the r13 window.
-_R13_QUEUE: tuple[str, ...] = ()
+_R13_QUEUE: tuple[str, ...] = (
+    "q_ab_sequential_looks",
+    "q_power_mde",
+)
 
 # r12 window = all 14 r11-session additions (_R12_QUEUE) + 36
 # re-verification slots: the 24 remaining r5-era rows plus the 12

@@ -1882,6 +1882,256 @@ def ab_test_two_proportion_sql(
     """
 
 
+# O'Brien-Fleming-shaped group-sequential boundary (Lan-DeMets
+# approximation): at interim look k of K the |z| threshold is
+# z_{alpha/2} * sqrt(K / k) — very conservative early, converging to
+# the fixed-horizon gate at the final look. Shared as literal doubles
+# + SQRT over exact integers, so both engines and the streaming twin
+# compute the identical IEEE value.
+_OBF_BOUNDARY_EXPR = (
+    "1.959963984540054"
+    " * SQRT(CAST({k_looks} AS DOUBLE) / CAST(look AS DOUBLE))"
+)
+
+_SEQ_CUM = (
+    "SUM({c}) OVER (ORDER BY look"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
+def _seq_finish_exprs(k_looks: int) -> list[str]:
+    """The shared per-look finish over the K-row look table: cumulative
+    counters, the pooled z over them (the verbatim _AB_Z_EXPR), the OBF
+    boundary, the crossing bit, and the cumulative stopped bit. One
+    string list, selected on Spark and spliced into the DuckDB mirror —
+    the shared-engine-SQL-text convention."""
+    cum = {
+        c: f"CAST({_SEQ_CUM.format(c=c)} AS BIGINT)"
+        for c in ("n_a", "n_b", "conv_a", "conv_b")
+    }
+    z = _AB_Z_EXPR
+    for c, e in cum.items():
+        z = z.replace(c, e)
+    boundary = _OBF_BOUNDARY_EXPR.format(k_looks=k_looks)
+    crossed = (
+        f"CAST(CASE WHEN ABS({z}) >= {boundary} THEN 1 ELSE 0 END AS BIGINT)"
+    )
+    return [
+        "CAST(look AS BIGINT) AS look",
+        f"{cum['n_a']} AS n_a",
+        f"{cum['n_b']} AS n_b",
+        f"{cum['conv_a']} AS conv_a",
+        f"{cum['conv_b']} AS conv_b",
+        f"{z} AS z",
+        f"{boundary} AS boundary",
+        f"{crossed} AS crossed",
+    ]
+
+
+# Second window layer (a window over `crossed` cannot nest inside the
+# same SELECT that computes it): the cumulative early-stop flag.
+_SEQ_STOPPED_EXPR = (
+    "CAST(MAX(crossed) OVER (ORDER BY look"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    " AS BIGINT) AS stopped"
+)
+
+
+def sequential_ab_looks(
+    units: DataFrame,
+    ts_us_min: int,
+    ts_us_max: int,
+    k_looks: int = 8,
+    ts_us_col: str = "ts_us",
+    variant_col: str = "variant",
+    convert_col: str = "converted",
+) -> DataFrame:
+    """Group-sequential A/B monitoring table: the experiment's span is
+    split into ``k_looks`` calendar interim analyses (the scheduled
+    looks an experimentation platform actually runs), and each look
+    reports the CUMULATIVE per-variant counters, the pooled
+    two-proportion z over them, the O'Brien-Fleming-shaped
+    alpha-spending boundary ``z_.025 * sqrt(K/k)``, whether this look
+    crosses it, and the cumulative early-stop flag — the guardrail
+    that makes peeking at a running experiment statistically legal.
+
+    ``ts_us_min`` / ``ts_us_max`` are driver literals (epoch micros of
+    the observation span — the gains_table bounded-scalar pattern;
+    scalar subqueries in the oracle). Look assignment is pure integer
+    arithmetic per unit: ``least(K, 1 + (ts - min) * K DIV span)`` —
+    cross-engine exact, no global sort. Everything downstream of the
+    one keyed aggregation is a window over the K-row look table
+    (allowlisted bounded frame); z and boundary are fixed IEEE double
+    sequences over exact integers shared as SQL text with the oracle
+    AND with the streaming twin
+    (:func:`cosmos_xenna_spark.streaming.streaming_sequential_ab`).
+
+    Scale shape: one map-side-combined groupBy to <= K rows, then
+    K-row windows — nothing wider than four counters per look ever
+    shuffles, at any corpus size.
+    """
+    span = int(ts_us_max) - int(ts_us_min) + 1
+    look = (
+        f"LEAST(CAST({k_looks} AS BIGINT), 1 + (({ts_us_col} -"
+        f" ({int(ts_us_min)})) * {k_looks}) DIV {span})"
+    )
+    per_look = (
+        units.selectExpr(
+            f"{look} AS look",
+            f"{variant_col} AS __v",
+            f"{convert_col} AS __c",
+        )
+        .groupBy("look")
+        .agg(
+            F.sum(F.when(F.col("__v") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("__v") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("__v") == 0, F.col("__c")).otherwise(0))
+            .cast("bigint")
+            .alias("conv_a"),
+            F.sum(F.when(F.col("__v") == 1, F.col("__c")).otherwise(0))
+            .cast("bigint")
+            .alias("conv_b"),
+        )
+    )
+    return per_look.selectExpr(*_seq_finish_exprs(k_looks)).selectExpr(
+        "*", _SEQ_STOPPED_EXPR
+    )
+
+
+def sequential_ab_looks_sql(
+    units_sql: str,
+    ts_us_min_sql: str,
+    ts_us_max_sql: str,
+    k_looks: int = 8,
+    ts_us_col: str = "ts_us",
+    variant_col: str = "variant",
+    convert_col: str = "converted",
+) -> str:
+    """DuckDB mirror — identical counting, the VERBATIM cumulative-z /
+    boundary finish (``//`` for ``DIV``), span bounds as scalar
+    subqueries where the Spark side bakes driver literals."""
+    finish = ",\n           ".join(
+        e.replace(" DIV ", " // ") for e in _seq_finish_exprs(k_looks)
+    )
+    return f"""
+    WITH bounds AS (
+      SELECT ({ts_us_min_sql}) AS mn, ({ts_us_max_sql}) AS mx
+    ),
+    per_look AS (
+      SELECT LEAST(CAST({k_looks} AS BIGINT),
+                   1 + (({ts_us_col} - mn) * {k_looks}) // (mx - mn + 1))
+               AS look,
+             CAST(SUM(CASE WHEN {variant_col} = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN {variant_col} = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN {variant_col} = 0 THEN {convert_col}
+                      ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN {variant_col} = 1 THEN {convert_col}
+                      ELSE 0 END) AS BIGINT) AS conv_b
+      FROM ({units_sql}), bounds
+      GROUP BY 1
+    )
+    SELECT *, {_SEQ_STOPPED_EXPR.replace(" DIV ", " // ")}
+    FROM (SELECT {finish} FROM per_look)
+    """
+
+
+# Fixed-horizon power constants as exact shared double literals:
+# two-sided alpha = 0.05 and power = 0.80 (z_{0.975}, z_{0.80}).
+_Z_ALPHA_2 = "1.959963984540054"
+_Z_BETA = "0.8416212335729143"
+
+
+def _mde_exprs(rel_lift_ppm: int) -> list[str]:
+    """Shared finish for the power/MDE planning table: baseline rate,
+    the absolute + relative minimum detectable effect at the observed
+    per-arm size, and the required per-arm n to detect a
+    ``rel_lift_ppm`` relative lift — all fixed IEEE double sequences
+    over the exact (n, conv) integers."""
+    p = "(CAST(conv AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0.0))"
+    n_arm = "CAST(n DIV 2 AS BIGINT)"
+    mde = (
+        f"(({_Z_ALPHA_2} + {_Z_BETA})"
+        f" * SQRT(2.0 * {p} * (1.0 - {p})"
+        f" / NULLIF(CAST({n_arm} AS DOUBLE), 0.0)))"
+    )
+    delta = f"({p} * ({rel_lift_ppm}.0 / 1000000.0))"
+    n_req = (
+        f"(({_Z_ALPHA_2} + {_Z_BETA}) * ({_Z_ALPHA_2} + {_Z_BETA})"
+        f" * 2.0 * {p} * (1.0 - {p})"
+        f" / NULLIF({delta} * {delta}, 0.0))"
+    )
+    return [
+        "CAST(n AS BIGINT) AS n",
+        "CAST(conv AS BIGINT) AS conv",
+        "CAST(1000000 * conv DIV NULLIF(n, 0) AS BIGINT) AS rate_ppm",
+        f"{n_arm} AS n_arm",
+        f"{mde} AS mde_abs",
+        f"({mde} / NULLIF({p}, 0.0)) AS mde_rel",
+        # ceil as -floor(-x): FLOOR yields an exact-integer double, so
+        # the BIGINT cast agrees across engines (DuckDB's double cast
+        # rounds, Spark's truncates — identical on integer values).
+        f"CAST(0.0 - FLOOR(0.0 - {n_req}) AS BIGINT) AS n_req_per_arm",
+    ]
+
+
+def power_mde_table(
+    units: DataFrame,
+    group_cols: list[str] | None = None,
+    convert_col: str = "converted",
+    rel_lift_ppm: int = 50_000,
+) -> DataFrame:
+    """Experiment planning table: per segment (or globally), from the
+    observed unit count and baseline conversion rate, the minimum
+    detectable effect of a 50/50 two-proportion test at two-sided
+    alpha 0.05 / power 0.80 — ``mde_abs = (z_a + z_b) *
+    sqrt(2 p (1-p) / n_arm)`` — plus the required per-arm sample size
+    to detect a ``rel_lift_ppm`` relative lift. The "is this segment
+    even worth experimenting on" readout that precedes every A/B test.
+
+    One map-side-combined aggregation to (n, conv) per group; the
+    finish is a fixed IEEE double sequence over those exact integers,
+    shared as SQL text with the oracle. Degenerate segments (n = 0,
+    p = 0, p = 1) yield NULL MDE via NULLIF, never an ANSI crash.
+    """
+    aggs = (
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(convert_col).cast("bigint").alias("conv"),
+    )
+    one = units.groupBy(*group_cols).agg(*aggs) if group_cols else units.agg(*aggs)
+    return one.selectExpr(*(group_cols or []), *_mde_exprs(rel_lift_ppm))
+
+
+def power_mde_table_sql(
+    units_sql: str,
+    group_cols: list[str] | None = None,
+    convert_col: str = "converted",
+    rel_lift_ppm: int = 50_000,
+) -> str:
+    """DuckDB mirror — identical counting and the verbatim MDE finish
+    (``//`` for ``DIV``)."""
+    g = ", ".join(group_cols) + ", " if group_cols else ""
+    gby = f"GROUP BY {', '.join(group_cols)}" if group_cols else ""
+    finish = ",\n           ".join(
+        e.replace(" DIV ", " // ") for e in _mde_exprs(rel_lift_ppm)
+    )
+    return f"""
+    WITH one AS (
+      SELECT {g}
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM({convert_col}) AS BIGINT) AS conv
+      FROM ({units_sql}) {gby}
+    )
+    SELECT {g}{finish}
+    FROM one
+    """
+
+
 def cuped_moments(
     units: DataFrame,
     pre_col: str,

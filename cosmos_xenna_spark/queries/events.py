@@ -1327,3 +1327,109 @@ def q_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
     )
     return ab_mann_whitney(units)
+
+
+from cosmos_xenna_spark.operators.stats import (  # noqa: E402
+    power_mde_table,
+    power_mde_table_sql,
+    sequential_ab_looks,
+    sequential_ab_looks_sql,
+)
+
+# Unit grain for the sequential monitor: one row per user with the
+# user's FIRST event timestamp as the arrival time (epoch micros —
+# when the unit ENTERED the experiment), the md5-bit variant, and the
+# scale-stable first-event-is-purchase conversion.
+_SEQ_UNITS_SQL = f"""
+    SELECT {md5_long63_sql("CAST(user_id AS STRING)", prefix="ab|")} % 2
+             AS variant,
+           CASE WHEN MIN_BY(event_type, event_id) = 'purchase'
+                THEN 1 ELSE 0 END AS converted,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS ts_us
+    FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "q_ab_sequential_looks",
+    oracle=sequential_ab_looks_sql(
+        _SEQ_UNITS_SQL,
+        f"SELECT MIN(ts_us) FROM ({_SEQ_UNITS_SQL})",
+        f"SELECT MAX(ts_us) FROM ({_SEQ_UNITS_SQL})",
+        k_looks=8,
+    ),
+    description="group-sequential A/B guardrail: the experiment span "
+    "split into 8 calendar looks, cumulative per-variant counters per "
+    "look, the pooled z over them, and the O'Brien-Fleming-shaped "
+    "alpha-spending boundary z_.025*sqrt(K/k) with crossing + "
+    "cumulative early-stop flags — the machinery that makes peeking "
+    "legal; look assignment is row-local integer arithmetic (no "
+    "global sort), span bounds are driver literals (scalar subqueries "
+    "in the oracle), all windows on the 8-row look table",
+)
+def q_ab_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(F.min_by("event_type", "event_id") == "purchase", 1)
+            .otherwise(0)
+            .alias("converted"),
+            F.min(F.expr("unix_micros(ts)")).cast("bigint").alias("ts_us"),
+        )
+        .select(
+            (md5_long63(F.col("user_id").cast("string"), prefix="ab|") % 2)
+            .alias("variant"),
+            "converted",
+            "ts_us",
+        )
+        # Feeds the bounds job AND the main plan: checkpoint eagerly or
+        # the user-grain agg executes once per consumer (the roc_auc /
+        # DSIR totals-branch lesson).
+        .localCheckpoint(eager=True)
+    )
+    lo, hi = units.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    ).collect()[0]
+    return sequential_ab_looks(units, int(lo), int(hi), k_looks=8)
+
+
+_MDE_UNITS_SQL = """
+    SELECT s.segment,
+           CASE WHEN u.first_type = 'purchase' THEN 1 ELSE 0 END AS converted
+    FROM (SELECT user_id, MIN_BY(event_type, event_id) AS first_type
+          FROM events GROUP BY user_id) u
+    JOIN (SELECT c_custkey, c_mktsegment AS segment FROM customer) s
+      ON u.user_id = s.c_custkey
+"""
+
+
+@register(
+    "q_power_mde",
+    oracle=power_mde_table_sql(
+        _MDE_UNITS_SQL, group_cols=["segment"], rel_lift_ppm=50_000
+    ),
+    description="experiment planning table per market segment: from "
+    "the observed unit count and baseline conversion rate, the minimum "
+    "detectable absolute/relative effect of a 50/50 two-proportion "
+    "test at alpha .05 / power .80, and the required per-arm n to "
+    "detect a 5% relative lift — one keyed agg to (n, conv) integers, "
+    "fixed IEEE double finish shared as SQL text, NULLIF-guarded "
+    "degenerate segments",
+)
+def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(F.min_by("event_type", "event_id") == "purchase", 1)
+            .otherwise(0)
+            .alias("converted")
+        )
+        .join(F.broadcast(cust), F.col("user_id") == cust.c_custkey)
+        .select("segment", "converted")
+    )
+    return power_mde_table(units, group_cols=["segment"], rel_lift_ppm=50_000)

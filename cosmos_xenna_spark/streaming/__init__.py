@@ -1767,3 +1767,126 @@ def streaming_ab_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sequential_ab(
+    stream_df: DataFrame,
+    ts_us_min: int,
+    ts_us_max: int,
+    k_looks: int = 8,
+    experiment_col: str = "experiment",
+    variant_col: str = "variant",
+    convert_col: str = "converted",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """Live group-sequential guardrail: the streaming twin of
+    ``operators.stats.sequential_ab_looks`` — per experiment, K
+    PER-LOOK counter quadruples (units/conversions per variant per
+    interim look) held as keyed state, and on every micro-batch that
+    touches the experiment the full K-row look table re-emitted:
+    cumulative counters, pooled z, the O'Brien-Fleming-shaped boundary
+    ``z_.025 * sqrt(K/k)``, crossing bit, cumulative early-stop flag.
+
+    Look assignment is the batch operator's integer arithmetic
+    verbatim (``min(K, 1 + (ts - min) * K // span)`` on nonnegative
+    ints, where ``//`` == SQL ``DIV``); per-look counter addition is
+    order-insensitive (the HLL-twin contract), so after full replay
+    the emitted table equals the batch query's bit-for-bit under
+    ARBITRARY cross-batch arrival order. The z / boundary finish
+    mirrors the shared SQL expression's IEEE op sequence exactly.
+    State is ``4 * k_looks`` bigints per experiment — constant in
+    stream length. Looks whose own bucket is empty emit no row,
+    matching the batch groupBy.
+    """
+    import math
+
+    span = int(ts_us_max) - int(ts_us_min) + 1
+    mn = int(ts_us_min)
+    kk = int(k_looks)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            (joined,) = state.get
+            counts = [int(x) for x in joined.split(",")]
+        else:
+            counts = [0] * (4 * kk)
+        for pdf in pdfs:
+            for t, v, c in zip(
+                pdf[ts_us_col], pdf[variant_col], pdf[convert_col]
+            ):
+                look = min(kk, 1 + (int(t) - mn) * kk // span)
+                base = (look - 1) * 4
+                if int(v) == 0:
+                    counts[base] += 1
+                    counts[base + 1] += int(c)
+                else:
+                    counts[base + 2] += 1
+                    counts[base + 3] += int(c)
+        state.update((",".join(str(x) for x in counts),))
+
+        looks, nas, nbs, cas, cbs = [], [], [], [], []
+        zs, bounds, crosseds, stoppeds = [], [], [], []
+        n_a = n_b = c_a = c_b = 0
+        stopped = 0
+        for k in range(1, kk + 1):
+            base = (k - 1) * 4
+            own = (
+                counts[base] + counts[base + 1]
+                + counts[base + 2] + counts[base + 3]
+            )
+            n_a += counts[base]
+            c_a += counts[base + 1]
+            n_b += counts[base + 2]
+            c_b += counts[base + 3]
+            if own == 0:
+                continue  # batch per_look groupBy has no row here
+            z = None
+            if n_a and n_b:
+                pp = float(c_a + c_b) / float(n_a + n_b)
+                se = math.sqrt(
+                    pp * (1.0 - pp)
+                    * (1.0 / float(n_a) + 1.0 / float(n_b))
+                )
+                z = (
+                    (float(c_b) / float(n_b) - float(c_a) / float(n_a)) / se
+                    if se != 0.0
+                    else None
+                )
+            boundary = 1.959963984540054 * math.sqrt(float(kk) / float(k))
+            crossed = 1 if z is not None and abs(z) >= boundary else 0
+            stopped = max(stopped, crossed)
+            looks.append(k)
+            nas.append(n_a)
+            nbs.append(n_b)
+            cas.append(c_a)
+            cbs.append(c_b)
+            zs.append(z)
+            bounds.append(boundary)
+            crosseds.append(crossed)
+            stoppeds.append(stopped)
+        yield pd.DataFrame(
+            {
+                "experiment": [str(key[0])] * len(looks),
+                "look": looks,
+                "n_a": nas,
+                "n_b": nbs,
+                "conv_a": cas,
+                "conv_b": cbs,
+                "z": zs,
+                "boundary": bounds,
+                "crossed": crosseds,
+                "stopped": stoppeds,
+            }
+        )
+
+    return stream_df.groupBy(experiment_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "experiment string, look long, n_a long, n_b long,"
+            " conv_a long, conv_b long, z double, boundary double,"
+            " crossed long, stopped long"
+        ),
+        stateStructType="counts string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

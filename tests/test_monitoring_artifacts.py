@@ -118,3 +118,47 @@ def test_verified_ledger_is_fresh():
     assert committed["oracle_able"] == rebuilt["oracle_able"]
     assert committed["verified"] == rebuilt["verified"]
     assert committed["queries"] == rebuilt["queries"]
+
+
+def test_plan_audit_artifact_is_fresh():
+    """PLANS.json must cover the registry exactly (VERDICT r11 #4: the
+    5 late-r11 queries landed with no committed plan-audit rows — the
+    live lints covered them but the auditable artifact lagged). A
+    registry change without a plan_audit.py re-run in the same commit
+    fails here."""
+    import json
+    import os
+
+    from cosmos_xenna_spark.queries import load_registry
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "PLANS.json")) as f:
+        plans = json.load(f)["plans"]
+    reg = set(load_registry())
+    missing = reg - set(plans)
+    extra = set(plans) - reg
+    assert not missing and not extra, (
+        f"PLANS.json stale: missing={sorted(missing)} extra={sorted(extra)}"
+        " — run `python scripts/plan_audit.py` in the same commit"
+    )
+
+
+def test_metrics_audit_artifact_is_fresh():
+    """METRICS.json must cover the bench headline set exactly — same
+    freshness contract as PLANS.json, for the runtime shuffle/spill
+    ledger."""
+    import json
+    import os
+
+    import bench
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "METRICS.json")) as f:
+        metrics = json.load(f)["metrics"]
+    head = set(bench.HEADLINE)
+    missing = head - set(metrics)
+    extra = set(metrics) - head
+    assert not missing and not extra, (
+        f"METRICS.json stale: missing={sorted(missing)} extra={sorted(extra)}"
+        " — run `python scripts/metrics_audit.py` in the same commit"
+    )

@@ -4019,3 +4019,126 @@ def test_doc_keywords_matches_python(spark, seed):
     top1 = [t for (_i, rank), (t, *_rest) in got.items() if rank == 1]
     n_rare = sum(1 for t in top1 if t.startswith("kw"))
     assert n_rare >= int(0.8 * len(top1))
+
+
+@pytest.mark.parametrize("seed", [7, 77])
+def test_sequential_ab_looks_matches_python(spark, seed):
+    import math
+
+    from cosmos_xenna_spark.operators.stats import sequential_ab_looks
+
+    rng = random.Random(seed)
+    K = 8
+    mn, mx = 1_000_000, 9_999_999
+    units = [
+        (
+            rng.randrange(2),
+            1 if rng.random() < 0.25 else 0,
+            rng.randrange(mn, mx + 1),
+        )
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(units, "variant long, converted long, ts_us long")
+    got = {r.look: r for r in sequential_ab_looks(df, mn, mx, k_looks=K).collect()}
+
+    # full python replay of the shared SQL text
+    span = mx - mn + 1
+    per = {k: [0, 0, 0, 0] for k in range(1, K + 1)}
+    for v, c, t in units:
+        k = min(K, 1 + (t - mn) * K // span)
+        if v == 0:
+            per[k][0] += 1
+            per[k][2] += c
+        else:
+            per[k][1] += 1
+            per[k][3] += c
+    n_a = n_b = c_a = c_b = 0
+    stopped = 0
+    seen = 0
+    for k in range(1, K + 1):
+        own = sum(per[k])
+        n_a += per[k][0]
+        n_b += per[k][1]
+        c_a += per[k][2]
+        c_b += per[k][3]
+        if own == 0:
+            assert k not in got
+            continue
+        seen += 1
+        r = got[k]
+        assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (n_a, n_b, c_a, c_b)
+        pp = float(c_a + c_b) / float(n_a + n_b)
+        se = math.sqrt(pp * (1.0 - pp) * (1.0 / float(n_a) + 1.0 / float(n_b)))
+        z = (float(c_b) / float(n_b) - float(c_a) / float(n_a)) / se
+        boundary = 1.959963984540054 * math.sqrt(float(K) / float(k))
+        assert r.z == z and r.boundary == boundary  # bit-equal
+        crossed = 1 if abs(z) >= boundary else 0
+        stopped = max(stopped, crossed)
+        assert (r.crossed, r.stopped) == (crossed, stopped)
+    assert seen == len(got) >= 2
+
+
+def test_sequential_ab_looks_empty_look_and_degenerate_arm(spark):
+    from cosmos_xenna_spark.operators.stats import sequential_ab_looks
+
+    K = 4
+    mn, mx = 0, 399
+    # look 2 (ts 100-199) has NO units; look 1 has only variant 1 ->
+    # NULL z, crossed 0 (CASE WHEN NULL -> ELSE), no ANSI crash
+    units = [(1, 1, 10), (1, 0, 50), (0, 1, 250), (1, 0, 350), (0, 0, 399)]
+    df = spark.createDataFrame(units, "variant long, converted long, ts_us long")
+    got = {r.look: r for r in sequential_ab_looks(df, mn, mx, k_looks=K).collect()}
+    assert set(got) == {1, 3, 4}
+    assert got[1].z is None and got[1].crossed == 0 and got[1].stopped == 0
+    assert (got[3].n_a, got[3].n_b) == (1, 2)
+    assert (got[4].n_a, got[4].n_b) == (2, 3)
+
+
+@pytest.mark.parametrize("seed", [13, 113])
+def test_power_mde_table_matches_python(spark, seed):
+    import math
+
+    from cosmos_xenna_spark.operators.stats import power_mde_table
+
+    rng = random.Random(seed)
+    units = [
+        (rng.choice(["s1", "s2", "s3"]), 1 if rng.random() < 0.2 else 0)
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(units, "segment string, converted long")
+    got = {
+        r.segment: r
+        for r in power_mde_table(
+            df, group_cols=["segment"], rel_lift_ppm=50_000
+        ).collect()
+    }
+    za, zb = 1.959963984540054, 0.8416212335729143
+    for seg in ("s1", "s2", "s3"):
+        n = sum(1 for s, _ in units if s == seg)
+        conv = sum(c for s, c in units if s == seg)
+        r = got[seg]
+        assert (r.n, r.conv, r.rate_ppm, r.n_arm) == (
+            n, conv, 1000000 * conv // n, n // 2,
+        )
+        p = float(conv) / float(n)
+        mde = (za + zb) * math.sqrt(2.0 * p * (1.0 - p) / float(n // 2))
+        assert r.mde_abs == mde and r.mde_rel == mde / p  # bit-equal
+        delta = p * (50000.0 / 1000000.0)
+        n_req = (za + zb) * (za + zb) * 2.0 * p * (1.0 - p) / (delta * delta)
+        assert r.n_req_per_arm == -math.floor(-n_req)
+
+
+def test_power_mde_table_degenerate_segments(spark):
+    from cosmos_xenna_spark.operators.stats import power_mde_table
+
+    # p = 0 and p = 1 segments: MDE 0-variance -> mde_abs 0.0 but
+    # mde_rel NULL at p=0; no ANSI crash anywhere
+    df = spark.createDataFrame(
+        [("z0", 0)] * 4 + [("z1", 1)] * 4, "segment string, converted long"
+    )
+    got = {
+        r.segment: r for r in power_mde_table(df, group_cols=["segment"]).collect()
+    }
+    assert got["z0"].mde_abs == 0.0 and got["z0"].mde_rel is None
+    assert got["z1"].mde_abs == 0.0 and got["z1"].mde_rel == 0.0
+    assert got["z0"].n_req_per_arm is None

@@ -158,6 +158,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "q_gains_table",
     # same n_tiles-row tile frame, treatment/control cumulative sums
     "q_qini_uplift",
+    # cumulative counters + early-stop flag over the K-row look table
+    # (K=8 BY CONSTRUCTION — interim analyses, never corpus rows)
+    "q_ab_sequential_looks",
 }
 
 

@@ -1494,3 +1494,72 @@ def test_streaming_ab_monitor_degenerate_arm(spark, tmp_path):
     assert (final.n_a, final.n_b) == (0, 3)
     assert final.rate_a_ppm is None and final.z is None
     assert final.significant == 0 == want.significant
+
+
+def test_streaming_sequential_ab_matches_batch(spark, sf_dir, tmp_path):
+    """Group-sequential boundary twin: per-look counter addition is
+    order-insensitive, so after a full replay (3 files -> cross-batch
+    arrival) the final emitted K-row look table — cumulative counters,
+    pooled z, OBF boundary, crossing and early-stop flags — equals the
+    batch operator's bit-for-bit."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.functions import md5_long63
+    from cosmos_xenna_spark.operators.stats import sequential_ab_looks
+    from cosmos_xenna_spark.streaming import streaming_sequential_ab
+
+    ev = load_table(spark, sf_dir, "events")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(F.min_by("event_type", "event_id") == "purchase", 1)
+            .otherwise(0)
+            .alias("converted"),
+            F.min(F.expr("unix_micros(ts)")).cast("bigint").alias("ts_us"),
+        )
+        .select(
+            F.lit("exp1").alias("experiment"),
+            (md5_long63(F.col("user_id").cast("string"), prefix="ab|") % 2)
+            .alias("variant"),
+            "converted",
+            "ts_us",
+        )
+        .localCheckpoint(eager=True)
+    )
+    lo, hi = units.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    want = {
+        r.look: r
+        for r in sequential_ab_looks(units, int(lo), int(hi), k_looks=8).collect()
+    }
+
+    d = str(tmp_path / "seq_units")
+    units.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema(
+            "experiment string, variant long, converted long, ts_us long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = to_memory_sink(
+        streaming_sequential_ab(stream, int(lo), int(hi), k_looks=8),
+        "t_seq",
+        "update",
+    )
+    _drain(q)
+    # Per (experiment, look), the LAST emission (largest cumulative
+    # total) is the final state's readout.
+    final = spark.sql(
+        "SELECT * FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY look ORDER BY n_a + n_b DESC) AS rn"
+        "  FROM t_seq) WHERE rn = 1"
+    ).collect()
+    got = {r.look: r for r in final}
+    assert set(got) == set(want) and len(want) >= 2
+    for k, w in want.items():
+        g = got[k]
+        assert (g.n_a, g.n_b, g.conv_a, g.conv_b) == (
+            w.n_a, w.n_b, w.conv_a, w.conv_b,
+        ), k
+        assert g.z == w.z and g.boundary == w.boundary, k  # bit-equal
+        assert (g.crossed, g.stopped) == (w.crossed, w.stopped), k
