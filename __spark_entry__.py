@@ -332,6 +332,8 @@ _R12_QUEUE: tuple[str, ...] = (
 _R13_QUEUE: tuple[str, ...] = (
     "q_ab_sequential_looks",
     "q_power_mde",
+    "q_embedding_dim_variance",
+    "q_embedding_truncation_recall",
 )
 
 # r12 window = all 14 r11-session additions (_R12_QUEUE) + 36

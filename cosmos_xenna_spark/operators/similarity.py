@@ -606,3 +606,232 @@ def centroid_outliers_sql(
       FROM per_id
     ) WHERE rank <= {k}
     """
+
+
+def embedding_dim_variance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    grid: int = 1000,
+) -> DataFrame:
+    """Per-dimension variance profile of an embedding column — the
+    "which dimensions carry signal" readout behind truncation /
+    matryoshka decisions and PCA-lite dimensionality audits: for each
+    dimension, exact integer moments over the ``floor(x * grid)``
+    quantized values (the label-centroids fixed-point convention —
+    float sums are banned in cross-engine aggregates) yield
+    ``mean_q_milli`` (mean in milli-grid-units) and ``var_q`` (the
+    population variance numerator ``n*Sxx - Sx^2`` over ``n^2``, in
+    grid-units squared), plus the variance rank across dimensions.
+
+    Scale shape: one posexplode + map-side-combined groupBy to DIM
+    rows (64 here), moments in DECIMAL(38) (the CUPED convention —
+    exact to ~1e9 rows at |x| <= 1 before the documented overflow
+    line); the rank window runs on the DIM-row frame only.
+    """
+    dims = emb.select(
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * float(grid)).cast("bigint"),
+            )
+        ).alias("dim", "q")
+    )
+    mom = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("q").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("q") * F.col("q")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return mom.selectExpr(
+        "CAST(dim AS BIGINT) AS dim",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(1000 * sx DIV n AS BIGINT) AS mean_q_milli",
+        "CAST((n * sxx - sx * sx) DIV (n * n) AS BIGINT) AS var_q",
+    ).selectExpr(
+        "*",
+        "CAST(row_number() OVER (ORDER BY var_q DESC, dim) AS BIGINT)"
+        " AS var_rank",
+    )
+
+
+def embedding_dim_variance_sql(
+    table_sql: str, vec_col: str = "embedding", grid: int = 1000
+) -> str:
+    """DuckDB mirror — generate_subscripts + UNNEST for posexplode
+    (0-based to match; this DuckDB lacks WITH ORDINALITY), HUGEINT
+    moments (``//`` on HUGEINT truncates like Spark's decimal DIV;
+    on DECIMAL operands DuckDB's ``//`` ROUNDS — the cuped_moments
+    convention)."""
+    return f"""
+    WITH dims AS (
+      SELECT generate_subscripts({vec_col}, 1) - 1 AS dim,
+             CAST(FLOOR(CAST(UNNEST({vec_col}) AS DOUBLE) * {grid}.0)
+                  AS BIGINT) AS q
+      FROM ({table_sql})
+    ),
+    mom AS (
+      SELECT dim,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(q) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sxx
+      FROM dims GROUP BY dim
+    )
+    SELECT *,
+           CAST(row_number() OVER (ORDER BY var_q DESC, dim) AS BIGINT)
+             AS var_rank
+    FROM (
+      SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(n AS BIGINT) AS n,
+             CAST(1000 * sx // n AS BIGINT) AS mean_q_milli,
+             CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS var_q
+      FROM mom
+    )
+    """
+
+
+def truncation_recall(
+    emb: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 64),
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+) -> DataFrame:
+    """Matryoshka/truncation quality eval: for each probe vector and
+    each prefix length d, the top-k neighbors by integer dot product
+    over the first d quantized dimensions, scored against the full-
+    dimension top-k — ``(query_id, d, hits, recall_ppm)``. The
+    measurement behind "can we serve the ANN index at d=16 of 64"
+    (Kusupati et al., Matryoshka Representation Learning).
+
+    Exactness: values quantize to ``floor(x*grid)`` ints; a 64-term
+    integer dot stays under 2^53, so scores are exact and ranking
+    (score DESC, neighbor_id) is deterministic on both engines. The
+    full-dimension ranking is the baseline; recall = |topk_d ∩
+    topk_full| / k in exact ppm.
+
+    Scale shape: probes × prefix-lengths broadcast (|dims| * n_queries
+    rows) against the corpus — one scored pass, top-k per (query, d)
+    window on corpus-sized partitions, then a k-row equi-join per
+    (query, d) for the hit count. Never an all-pairs join.
+    """
+    maxd = max(dims)
+    qv = F.transform(
+        F.slice(F.col(vec_col), 1, maxd),
+        lambda x: F.floor(x.cast("double") * float(grid)).cast("bigint"),
+    )
+    base = emb.select(F.col(id_col).alias("__id"), qv.alias("__q"))
+    probes = base.filter(F.col("__id") < n_queries).select(
+        F.col("__id").alias("query_id"), F.col("__q").alias("__pq")
+    )
+    spark = emb.sparkSession
+    dframe = spark.createDataFrame([(int(d),) for d in dims], "d long")
+    probes_d = probes.crossJoin(F.broadcast(dframe))
+    scored = base.join(
+        F.broadcast(probes_d), F.col("__id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "d",
+        F.col("__id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(
+                F.slice("__q", F.lit(1), F.col("d").cast("int")),
+                F.slice("__pq", F.lit(1), F.col("d").cast("int")),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id", "d").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("query_id", "d", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    full = topk.filter(F.col("d") == maxd).select(
+        F.col("query_id").alias("__full_q"),
+        F.col("neighbor_id").alias("__full_nb"),
+    )
+    # LEFT join: a (query, d) whose truncated top-k shares nothing
+    # with the full-dimension top-k must still report hits = 0 —
+    # zero recall is the finding, not a missing row.
+    hits = (
+        topk.join(
+            full,
+            (F.col("query_id") == F.col("__full_q"))
+            & (F.col("neighbor_id") == F.col("__full_nb")),
+            "left",
+        )
+        .groupBy("query_id", "d")
+        .agg(
+            F.sum(F.when(F.col("__full_nb").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits")
+        )
+    )
+    return hits.selectExpr(
+        "query_id",
+        "d",
+        "hits",
+        f"CAST(1000000 * hits DIV {k} AS BIGINT) AS recall_ppm",
+    )
+
+
+def truncation_recall_sql(
+    table_sql: str,
+    dims: tuple[int, ...] = (8, 16, 64),
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+) -> str:
+    """DuckDB mirror — identical quantization, integer dot via
+    list_dot_product on exact-integer doubles (64 terms of |q| <= grid
+    stay far under 2^53), the same deterministic ranking."""
+    maxd = max(dims)
+    dvals = ", ".join(f"({int(d)})" for d in dims)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id,
+             list_transform({vec_col}[1:{maxd}],
+                 x -> FLOOR(CAST(x AS DOUBLE) * {grid}.0)) AS q
+      FROM ({table_sql})
+    ),
+    dlist(d) AS (VALUES {dvals}),
+    probes AS (
+      SELECT id AS query_id, q AS pq FROM base WHERE id < {n_queries}
+    ),
+    scored AS (
+      SELECT p.query_id, d.d, b.id AS neighbor_id,
+             CAST(list_dot_product(b.q[1:CAST(d.d AS INTEGER)],
+                                   p.pq[1:CAST(d.d AS INTEGER)])
+                  AS BIGINT) AS score
+      FROM base b, probes p, dlist d
+      WHERE b.id <> p.query_id
+    ),
+    topk AS (
+      SELECT query_id, d, neighbor_id FROM (
+        SELECT query_id, d, neighbor_id,
+               row_number() OVER (PARTITION BY query_id, d
+                                  ORDER BY score DESC, neighbor_id) AS r
+        FROM scored
+      ) WHERE r <= {k}
+    ),
+    full_k AS (
+      SELECT query_id, neighbor_id FROM topk WHERE d = {maxd}
+    )
+    SELECT t.query_id, CAST(t.d AS BIGINT) AS d,
+           CAST(SUM(CASE WHEN f.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS hits,
+           CAST(1000000 * SUM(CASE WHEN f.neighbor_id IS NULL
+                              THEN 0 ELSE 1 END) // {k} AS BIGINT)
+             AS recall_ppm
+    FROM topk t LEFT JOIN full_k f
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY t.query_id, t.d
+    """

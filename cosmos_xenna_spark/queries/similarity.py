@@ -401,3 +401,45 @@ from cosmos_xenna_spark.operators.similarity import (  # noqa: E402
 def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return centroid_outliers(emb, k=5)
+
+
+from cosmos_xenna_spark.operators.similarity import (  # noqa: E402
+    embedding_dim_variance,
+    embedding_dim_variance_sql,
+    truncation_recall,
+    truncation_recall_sql,
+)
+
+
+@register(
+    "q_embedding_dim_variance",
+    oracle=embedding_dim_variance_sql("SELECT embedding FROM embeddings"),
+    description="per-dimension variance profile of the embedding corpus "
+    "(the truncation / matryoshka / PCA-lite dimensionality audit): exact "
+    "integer moments over floor(x*1000) quantized values per dimension — "
+    "mean in milli-grid-units, population variance numerator over n^2 in "
+    "grid-units squared, variance rank; one posexplode + map-side-combined "
+    "64-group agg, DECIMAL(38) moments (the CUPED convention), rank window "
+    "on the 64-row dim frame only",
+)
+def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    return embedding_dim_variance(emb)
+
+
+@register(
+    "q_embedding_truncation_recall",
+    oracle=truncation_recall_sql(
+        "SELECT vec_id, embedding FROM embeddings", dims=(8, 16, 64)
+    ),
+    description="matryoshka truncation-quality eval (Kusupati et al.): for "
+    "8 probe vectors and prefix lengths d in {8,16,64}, top-5 neighbors by "
+    "exact integer dot product over floor(x*1000) quantized prefixes, "
+    "recall vs the full-dimension top-5 in exact ppm — the 'can we serve "
+    "the index at d=16' measurement; probes x prefix-lengths broadcast "
+    "against the corpus, one scored pass + per-(query,d) top-k windows, "
+    "never an all-pairs join",
+)
+def q_embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return truncation_recall(emb, dims=(8, 16, 64))

@@ -4142,3 +4142,89 @@ def test_power_mde_table_degenerate_segments(spark):
     assert got["z0"].mde_abs == 0.0 and got["z0"].mde_rel is None
     assert got["z1"].mde_abs == 0.0 and got["z1"].mde_rel == 0.0
     assert got["z0"].n_req_per_arm is None
+
+
+@pytest.mark.parametrize("seed", [3, 33])
+def test_embedding_dim_variance_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.similarity import embedding_dim_variance
+
+    rng = random.Random(seed)
+    dim = 6
+    vecs = [
+        [rng.uniform(-1.2, 1.2) for _ in range(dim)] for _ in range(300)
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], "embedding array<float>")
+    got = {r.dim: r for r in embedding_dim_variance(df).collect()}
+
+    import struct as _s
+
+    def f32(x):  # the parquet/createDataFrame float32 the engine sees
+        return _s.unpack("f", _s.pack("f", x))[0]
+
+    import math
+
+    per = {d: [] for d in range(dim)}
+    for v in vecs:
+        for d, x in enumerate(v):
+            per[d].append(math.floor(f32(x) * 1000.0))
+    def tdiv(a, b):  # truncate toward zero: Spark DIV == DuckDB //
+        return -((-a) // b) if (a < 0) != (b < 0) else a // b
+
+    stats = {}
+    for d, qs in per.items():
+        n, sx, sxx = len(qs), sum(qs), sum(q * q for q in qs)
+        stats[d] = (n, tdiv(1000 * sx, n), (n * sxx - sx * sx) // (n * n))
+    order = sorted(stats, key=lambda d: (-stats[d][2], d))
+    for rank, d in enumerate(order, 1):
+        r = got[d]
+        n, mean_q_milli, var_q = stats[d]
+        assert (r.n, r.mean_q_milli, r.var_q, r.var_rank) == (
+            n, mean_q_milli, var_q, rank,
+        ), d
+
+
+@pytest.mark.parametrize("seed", [9, 99])
+def test_truncation_recall_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.similarity import truncation_recall
+
+    rng = random.Random(seed)
+    dim, n_q, k = 16, 4, 3
+    vecs = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(dim)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    dims = (4, 8, 16)
+    got = {
+        (r.query_id, r.d): r
+        for r in truncation_recall(
+            df, dims=dims, n_queries=n_q, k=k
+        ).collect()
+    }
+
+    import math
+    import struct as _s
+
+    def q(v):
+        return [
+            math.floor(_s.unpack("f", _s.pack("f", x))[0] * 1000.0) for x in v
+        ]
+
+    qv = {i: q(v) for i, v in vecs}
+    want = {}
+    for qid in range(n_q):
+        tops = {}
+        for d in dims:
+            scored = sorted(
+                (
+                    (-sum(a * b for a, b in zip(qv[i][:d], qv[qid][:d])), i)
+                    for i, _ in vecs
+                    if i != qid
+                ),
+            )[:k]
+            tops[d] = {i for _, i in scored}
+        for d in dims:
+            hits = len(tops[d] & tops[max(dims)])
+            want[(qid, d)] = (hits, 1000000 * hits // k)
+    assert set(got) == set(want)
+    for key, (hits, ppm) in want.items():
+        assert (got[key].hits, got[key].recall_ppm) == (hits, ppm), key

@@ -161,6 +161,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # cumulative counters + early-stop flag over the K-row look table
     # (K=8 BY CONSTRUCTION — interim analyses, never corpus rows)
     "q_ab_sequential_looks",
+    # variance rank over the 64-row dimension frame (embedding width
+    # BY CONSTRUCTION, never corpus rows)
+    "q_embedding_dim_variance",
 }
 
 
