@@ -334,6 +334,12 @@ _R13_QUEUE: tuple[str, ...] = (
     "q_power_mde",
     "q_embedding_dim_variance",
     "q_embedding_truncation_recall",
+    "q_conformal_coverage",
+    "q_geo_radius_pairs",
+    "q_geo_hotspots",
+    "q_label_noise_matrix",
+    "q_geo_nn_histogram",
+    "q_isotonic_calibration",
 )
 
 # r12 window = all 14 r11-session additions (_R12_QUEUE) + 36

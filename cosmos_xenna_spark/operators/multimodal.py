@@ -117,55 +117,20 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL compressed-image decode for 8-bit non-interlaced PNG using
-    only stdlib ``zlib`` + numpy — gray / RGB / palette / gray+alpha /
-    RGBA (color types 0/2/3/4/6).
-
-    Full pipeline: chunk walk -> concatenated-IDAT zlib inflate ->
-    per-scanline unfiltering (None/Sub/Up/Average/Paeth per the PNG
-    spec) -> channel reduction to grayscale with the same integer
-    ITU-R 601 luma as :func:`decode_bmp` (alpha ignored; palette
-    indices map through PLTE).  Filters 0/1/2 are vectorized (Sub is a
+def _unfilter_scanlines(raw: bytes, height: int, stride: int, bpp: int) -> "np.ndarray":
+    """Unfilter one PNG (sub-)image: ``height`` scanlines of ``stride``
+    bytes each, preceded by a filter-type byte (None/Sub/Up/Average/
+    Paeth per the PNG spec).  Filters 0/1/2 are vectorized (Sub is a
     per-residue-class prefix sum — mod-256 cumsum in uint8); Average
     and Paeth are inherently sequential in the left neighbor and run
     as scalar loops, the accepted cost of a dependency-free decoder.
-    """
-    import zlib
-
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, plte, ihdr = 8, [], None, None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + crc
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    width, height, depth, color, _comp, _filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None or interlace != 0:
-        raise NotImplementedError(
-            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
-            f"color_type={color}, interlace={interlace})"
-        )
-    raw = zlib.decompress(b"".join(idat))
-    stride = width * channels
+    Each Adam7 pass is filtered as an independent image, so this is
+    the unit both the sequential and interlaced paths share."""
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters, scan = rows[:, 0], rows[:, 1:]
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(height):
         f, cur = filters[y], scan[y]
         prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
@@ -192,7 +157,84 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
                 row[i] = (int(cur[i]) + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {f} on row {y}")
-    px = out.reshape(height, width, channels)
+    return out
+
+
+# Adam7 pass grid: (x_origin, y_origin, x_step, y_step), spec order.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL compressed-image decode for 8-bit PNG using only stdlib
+    ``zlib`` + numpy — gray / RGB / palette / gray+alpha / RGBA (color
+    types 0/2/3/4/6), sequential AND Adam7-interlaced (interlace
+    method 1: seven passes, each an independently-filtered sub-image
+    whose pixels scatter back onto the ``(x0 + i*dx, y0 + j*dy)``
+    lattice per the spec's pass grid).
+
+    Full pipeline: chunk walk -> concatenated-IDAT zlib inflate ->
+    per-scanline unfiltering (:func:`_unfilter_scanlines`, shared by
+    both layouts) -> channel reduction to grayscale with the same
+    integer ITU-R 601 luma as :func:`decode_bmp` (alpha ignored;
+    palette indices map through PLTE).
+    """
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"only 8-bit PNG, interlace 0/1 supported (depth={depth}, "
+            f"color_type={color}, interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if interlace == 0:
+        px = _unfilter_scanlines(raw, height, stride, channels).reshape(
+            height, width, channels
+        )
+    else:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty at this image size: zero bytes
+            nbytes = ph * (pw * channels + 1)
+            sub = _unfilter_scanlines(
+                raw[pos : pos + nbytes], ph, pw * channels, channels
+            )
+            pos += nbytes
+            px[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+        if pos != len(raw):
+            raise ValueError("PNG interlaced payload size mismatch")
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

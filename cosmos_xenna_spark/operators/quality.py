@@ -1717,3 +1717,500 @@ def qini_table_sql(
              AS cum_qini_milli
     FROM tiles
     """
+
+
+def conformal_split(
+    scored: DataFrame,
+    alpha_ppm: int = 100_000,
+    cal_mod: int = 3,
+    id_col: str = "doc_id",
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> DataFrame:
+    """Split-conformal prediction audit (class-conditional / Mondrian):
+    the distribution-free coverage machinery (Vovk et al.; Angelopoulos
+    & Bates 2021 survey) computed as data, engine-exact.
+
+    The corpus splits by hash parity: rows with ``pmod(id, cal_mod) ==
+    0`` calibrate, the rest evaluate.  Per true class ``c`` the
+    nonconformity is integer (``-score`` for class 1, ``score`` for
+    class 0), the calibration threshold is the ``k``-th smallest
+    nonconformity with ``k = ceil((n_cal+1) * (1-alpha))`` (exact ppm
+    integer ceiling — the finite-sample-correct split-conformal rank),
+    and the eval rows report achieved coverage (true class inside the
+    prediction set) plus the singleton rate (set exactly ``{c}`` — the
+    efficiency metric).  ``k > n_cal`` (tiny calibration classes)
+    yields a NULL threshold meaning "always contain", the conformal
+    convention, handled identically in both engines.
+
+    Scale shape: one pass splits and scores (eagerly checkpointed —
+    it feeds the calibration frame AND the eval pass); the calibration
+    side aggregates to the bounded score-VALUE frame per class (scores
+    are bucketed by construction), the rank-selection window runs on
+    that bounded frame only (partitioned by class — never a corpus
+    sort); thresholds are a 2-row broadcast into a single eval
+    aggregation.  No floats anywhere.
+    """
+    base = scored.select(
+        F.col(id_col).cast("bigint").alias("__id"),
+        F.col(score_col).cast("bigint").alias("__s"),
+        F.col(label_col).cast("bigint").alias("__y"),
+        (F.pmod(F.col(id_col).cast("bigint"), F.lit(int(cal_mod))) == 0).alias(
+            "__cal"
+        ),
+    ).localCheckpoint(eager=True)
+
+    nc = "CASE WHEN __y = 1 THEN -__s ELSE __s END"
+    cal = base.filter(F.col("__cal")).select(
+        "__y", F.expr(nc).cast("bigint").alias("nc")
+    )
+    vf = cal.groupBy("__y", "nc").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = (
+        Window.partitionBy("__y")
+        .orderBy("nc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # the cum frame is bounded (distinct score values per class) and
+    # feeds BOTH the per-class total (max cum == n_cal — the corpus is
+    # never re-aggregated) and the rank selection, so checkpoint it.
+    cum = vf.withColumn("cum", F.sum("cnt").over(w)).localCheckpoint(eager=True)
+    kframe = (
+        cum.groupBy("__y")
+        .agg(F.max("cum").cast("bigint").alias("n_cal"))
+        .withColumn(
+            "k_cal",
+            F.expr(
+                f"((n_cal + 1) * {1_000_000 - int(alpha_ppm)} + 999999)"
+                " DIV 1000000"
+            ).cast("bigint"),
+        )
+    )
+    thr = (
+        cum.join(F.broadcast(kframe), "__y")
+        .filter(F.col("cum") >= F.col("k_cal"))
+        .groupBy("__y")
+        .agg(F.min("nc").cast("bigint").alias("threshold"))
+    )
+    classes = kframe.join(F.broadcast(thr), "__y", "left")
+
+    onerow = classes.groupBy().agg(
+        F.max(F.when(F.col("__y") == 0, F.col("threshold"))).alias("t0"),
+        F.max(F.when(F.col("__y") == 1, F.col("threshold"))).alias("t1"),
+        # distinguish "threshold unattainable -> always contain" (class
+        # calibrated, k > n_cal) from "class absent from calibration"
+        # (also always-contain); both flags collapse to the same rule,
+        # so only the thresholds cross this boundary.
+    )
+    ev = base.filter(~F.col("__cal")).select("__y", "__s")
+    per = ev.crossJoin(F.broadcast(onerow)).select(
+        "__y",
+        F.expr("CASE WHEN t0 IS NULL OR __s <= t0 THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("in0"),
+        F.expr("CASE WHEN t1 IS NULL OR -__s <= t1 THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("in1"),
+    )
+    agg = per.groupBy("__y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.expr("CASE WHEN __y = 1 THEN in1 ELSE in0 END"))
+        .cast("bigint")
+        .alias("covered"),
+        F.sum(
+            F.expr(
+                "CASE WHEN __y = 1 THEN in1 * (1 - in0)"
+                " ELSE in0 * (1 - in1) END"
+            )
+        )
+        .cast("bigint")
+        .alias("singleton"),
+    )
+    return (
+        classes.join(F.broadcast(agg), "__y", "left")
+        .select(
+            F.col("__y").alias("label_class"),
+            "n_cal",
+            "k_cal",
+            "threshold",
+            F.coalesce(F.col("n_eval"), F.lit(0)).cast("bigint").alias("n_eval"),
+            F.coalesce(F.col("covered"), F.lit(0)).cast("bigint").alias("covered"),
+            F.expr(
+                "CAST(1000000 * COALESCE(covered, 0) DIV NULLIF(n_eval, 0)"
+                " AS BIGINT)"
+            ).alias("coverage_ppm"),
+            F.expr(
+                "CAST(1000000 * COALESCE(singleton, 0) DIV NULLIF(n_eval, 0)"
+                " AS BIGINT)"
+            ).alias("singleton_ppm"),
+        )
+    )
+
+
+def conformal_split_sql(
+    scored_sql: str,
+    alpha_ppm: int = 100_000,
+    cal_mod: int = 3,
+    id_col: str = "doc_id",
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> str:
+    """DuckDB mirror — identical split parity, nonconformity signs,
+    ceiling-rank arithmetic and NULL-threshold always-contain rule.
+    Every division's operands are non-negative, so DuckDB's floor
+    ``//`` and Spark's truncating ``DIV`` agree everywhere."""
+    q = 1_000_000 - int(alpha_ppm)
+    return f"""
+    WITH base AS (
+      SELECT CAST({id_col} AS BIGINT) AS id,
+             CAST({score_col} AS BIGINT) AS s,
+             CAST({label_col} AS BIGINT) AS y,
+             ((CAST({id_col} AS BIGINT) % {int(cal_mod)}) + {int(cal_mod)})
+               % {int(cal_mod)} = 0 AS is_cal
+      FROM ({scored_sql})
+    ),
+    cal AS (
+      SELECT y, CASE WHEN y = 1 THEN -s ELSE s END AS nc
+      FROM base WHERE is_cal
+    ),
+    cum AS (
+      SELECT y, nc, COUNT(*) AS cnt,
+             SUM(COUNT(*)) OVER (PARTITION BY y ORDER BY nc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cal GROUP BY y, nc
+    ),
+    kframe AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS n_cal,
+             CAST(((COUNT(*) + 1) * {q} + 999999) // 1000000 AS BIGINT)
+               AS k_cal
+      FROM cal GROUP BY y
+    ),
+    classes AS (
+      SELECT k.y, k.n_cal, k.k_cal, t.threshold
+      FROM kframe k
+      LEFT JOIN (SELECT c.y, CAST(MIN(c.nc) AS BIGINT) AS threshold
+                 FROM cum c JOIN kframe k2 ON c.y = k2.y
+                 WHERE c.cum >= k2.k_cal GROUP BY c.y) t
+        ON k.y = t.y
+    ),
+    onerow AS (
+      SELECT MAX(CASE WHEN y = 0 THEN threshold END) AS t0,
+             MAX(CASE WHEN y = 1 THEN threshold END) AS t1
+      FROM classes
+    ),
+    per AS (
+      SELECT b.y,
+             CASE WHEN o.t0 IS NULL OR b.s <= o.t0 THEN 1 ELSE 0 END AS in0,
+             CASE WHEN o.t1 IS NULL OR -b.s <= o.t1 THEN 1 ELSE 0 END AS in1
+      FROM base b CROSS JOIN onerow o
+      WHERE NOT b.is_cal
+    ),
+    agg AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN y = 1 THEN in1 ELSE in0 END) AS BIGINT)
+               AS covered,
+             CAST(SUM(CASE WHEN y = 1 THEN in1 * (1 - in0)
+                           ELSE in0 * (1 - in1) END) AS BIGINT) AS singleton
+      FROM per GROUP BY y
+    )
+    SELECT c.y AS label_class, c.n_cal, c.k_cal, c.threshold,
+           CAST(COALESCE(a.n_eval, 0) AS BIGINT) AS n_eval,
+           CAST(COALESCE(a.covered, 0) AS BIGINT) AS covered,
+           CAST(1000000 * COALESCE(a.covered, 0) // NULLIF(a.n_eval, 0)
+                AS BIGINT) AS coverage_ppm,
+           CAST(1000000 * COALESCE(a.singleton, 0) // NULLIF(a.n_eval, 0)
+                AS BIGINT) AS singleton_ppm
+    FROM classes c LEFT JOIN agg a ON c.y = a.y
+    """
+
+
+def label_noise_matrix(
+    scored: DataFrame,
+    lo: int,
+    hi: int,
+    id_col: str = "doc_id",
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> DataFrame:
+    """Confident-learning label-noise matrix (Northcutt et al. 2021,
+    binary form, engine-exact): estimate which GIVEN labels are
+    probably wrong by comparing each item's mapped model confidence
+    against per-class mean-confidence thresholds.
+
+    Confidence for class 1 is the clamped linear ppm map of the score
+    over ``[lo, hi)`` (the calibration-bin map); class 0 is its
+    complement.  The class-``j`` threshold ``t_j`` is the exact
+    integer mean confidence over items GIVEN label ``j`` — the CL
+    self-confidence cutoff.  An item is ASSIGNED the qualifying class
+    (``conf_j >= t_j``) with the larger confidence (tie -> class 0,
+    deterministic); qualifying for neither leaves assignment NULL.
+    Off-diagonal (given != assigned) cells are the suspected noise.
+
+    Scale shape: one scoring pass feeds the 2-row threshold agg and
+    the assignment pass (eagerly checkpointed); thresholds broadcast
+    as a single pivoted row; one final aggregation on the <= 6-key
+    (given, assigned) frame.  All integer arithmetic.
+    """
+    span = int(hi) - int(lo)
+    conf1 = (
+        f"LEAST(1000000, GREATEST(0,"
+        f" CAST(({score_col} - {lo}) * 1000000 AS BIGINT) DIV {span}))"
+    )
+    base = scored.select(
+        F.col(label_col).cast("bigint").alias("given"),
+        F.expr(conf1).cast("bigint").alias("c1"),
+    ).withColumn("c0", F.lit(1_000_000) - F.col("c1")).localCheckpoint(eager=True)
+
+    thr = base.groupBy().agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN given = 0 THEN c0 END)"
+            " DIV NULLIF(SUM(CASE WHEN given = 0 THEN 1 END), 0) AS BIGINT)"
+        ).alias("t0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN given = 1 THEN c1 END)"
+            " DIV NULLIF(SUM(CASE WHEN given = 1 THEN 1 END), 0) AS BIGINT)"
+        ).alias("t1"),
+    )
+    assigned = base.crossJoin(F.broadcast(thr)).select(
+        "given",
+        F.expr(
+            "CASE"
+            " WHEN t1 IS NOT NULL AND c1 >= t1"
+            "  AND t0 IS NOT NULL AND c0 >= t0"
+            "  THEN CASE WHEN c1 > c0 THEN 1 ELSE 0 END"
+            " WHEN t1 IS NOT NULL AND c1 >= t1 THEN 1"
+            " WHEN t0 IS NOT NULL AND c0 >= t0 THEN 0"
+            " END"
+        )
+        .cast("bigint")
+        .alias("assigned"),
+    )
+    cells = assigned.groupBy("given", "assigned").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = assigned.groupBy("given").agg(
+        F.count(F.lit(1)).cast("bigint").alias("given_total")
+    )
+    return cells.join(totals, "given").select(
+        "given",
+        "assigned",
+        "n",
+        "given_total",
+        F.expr("CAST(1000000 * n DIV given_total AS BIGINT)").alias("share_ppm"),
+        F.expr(
+            "CAST(CASE WHEN assigned IS NOT NULL AND assigned <> given"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("suspect"),
+    )
+
+
+def label_noise_matrix_sql(
+    scored_sql: str,
+    lo: int,
+    hi: int,
+    id_col: str = "doc_id",
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> str:
+    """DuckDB mirror — identical confidence map, mean thresholds,
+    qualify/argmax rule and tie-break; every division's operands are
+    non-negative, so floor ``//`` and truncating ``DIV`` agree."""
+    span = int(hi) - int(lo)
+    conf1 = (
+        f"LEAST(1000000, GREATEST(0,"
+        f" CAST(({score_col} - {lo}) * 1000000 AS BIGINT) // {span}))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT CAST({label_col} AS BIGINT) AS given,
+             CAST({conf1} AS BIGINT) AS c1,
+             1000000 - CAST({conf1} AS BIGINT) AS c0
+      FROM ({scored_sql})
+    ),
+    thr AS (
+      SELECT CAST(SUM(CASE WHEN given = 0 THEN c0 END)
+               // NULLIF(SUM(CASE WHEN given = 0 THEN 1 END), 0) AS BIGINT)
+               AS t0,
+             CAST(SUM(CASE WHEN given = 1 THEN c1 END)
+               // NULLIF(SUM(CASE WHEN given = 1 THEN 1 END), 0) AS BIGINT)
+               AS t1
+      FROM base
+    ),
+    assigned AS (
+      SELECT b.given,
+             CAST(CASE
+               WHEN t.t1 IS NOT NULL AND b.c1 >= t.t1
+                AND t.t0 IS NOT NULL AND b.c0 >= t.t0
+                 THEN CASE WHEN b.c1 > b.c0 THEN 1 ELSE 0 END
+               WHEN t.t1 IS NOT NULL AND b.c1 >= t.t1 THEN 1
+               WHEN t.t0 IS NOT NULL AND b.c0 >= t.t0 THEN 0
+             END AS BIGINT) AS assigned
+      FROM base b CROSS JOIN thr t
+    ),
+    cells AS (
+      SELECT given, assigned, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assigned GROUP BY given, assigned
+    ),
+    totals AS (
+      SELECT given, CAST(COUNT(*) AS BIGINT) AS given_total
+      FROM assigned GROUP BY given
+    )
+    SELECT c.given, c.assigned, c.n, t.given_total,
+           CAST(1000000 * c.n // t.given_total AS BIGINT) AS share_ppm,
+           CAST(CASE WHEN c.assigned IS NOT NULL AND c.assigned <> c.given
+                THEN 1 ELSE 0 END AS BIGINT) AS suspect
+    FROM cells c JOIN totals t ON c.given = t.given
+    """
+
+
+def isotonic_calibration(
+    scored: DataFrame,
+    lo: int,
+    hi: int,
+    n_bins: int = 512,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact isotonic calibration (pool-adjacent-violators fit) of a
+    scored binary corpus, computed DISTRIBUTED and engine-exact via
+    the minimax characterization of L2 isotonic regression:
+
+        iso(k) = max_{i<=k} min_{j>=k} mean(y over bins i..j)
+
+    (Ayer et al. 1955; Robertson-Wright-Dykstra) — the closed form of
+    what the sequential PAV stack computes, chosen here because every
+    term is a rational of two integer prefix sums and the whole fit
+    becomes windows over a BOUNDED frame.  Scores bin into ``n_bins``
+    fixed-width bands (clamped, the calibration-bin map), so the
+    corpus touches only ONE aggregation; the interval frame is
+    B(B+1)/2 rows of the occupied-bin count, never corpus-sized.
+
+    Means are compared and emitted as exact floor-scaled integers
+    ``mean_q18 = (10^18 * pos) DIV cnt`` (DECIMAL(38) product, BIGINT
+    quotient <= 10^18).  Floor is monotone, and min/max commute with
+    monotone maps on finite sets, so the floored minimax IS the floor
+    of the true minimax — no ordering ambiguity enters, and both
+    engines agree bit-for-bit.  Output per occupied bin: size, raw
+    positive rate (ppm) and the monotone calibrated probability
+    ``iso_q18`` — the production calibrator PAV would give, as data.
+    """
+    span = int(hi) - int(lo)
+    bin_expr = (
+        f"LEAST({n_bins - 1}, GREATEST(0,"
+        f" CAST(({score_col} - {lo}) * {n_bins} AS BIGINT) DIV {span}))"
+    )
+    bins = (
+        scored.select(
+            F.expr(bin_expr).cast("bigint").alias("bin"),
+            F.col(label_col).cast("bigint").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("__y").cast("bigint").alias("pos"),
+        )
+    )
+    w_ord = Window.orderBy("bin")
+    prefix = bins.select(
+        "bin",
+        "cnt",
+        "pos",
+        F.row_number().over(w_ord).cast("bigint").alias("k"),
+        F.sum("cnt").over(w_ord).cast("bigint").alias("ccnt"),
+        F.sum("pos").over(w_ord).cast("bigint").alias("cpos"),
+    ).localCheckpoint(eager=True)  # bounded frame, feeds 3 consumers
+
+    lo_side = prefix.select(
+        F.col("k").alias("i"),
+        (F.col("ccnt") - F.col("cnt")).alias("ccnt_lo"),
+        (F.col("cpos") - F.col("pos")).alias("cpos_lo"),
+    )
+    hi_side = prefix.select(
+        F.col("k").alias("j"), F.col("ccnt").alias("ccnt_hi"), F.col("cpos").alias("cpos_hi")
+    )
+    intervals = (
+        lo_side.join(F.broadcast(hi_side), F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "(CAST(cpos_hi - cpos_lo AS DECIMAL(19,0))"
+                " * CAST(1000000000000000000 AS DECIMAL(19,0)))"
+                " DIV (ccnt_hi - ccnt_lo)"
+            )
+            .cast("bigint")
+            .alias("mean_q18"),
+        )
+    )
+    # R(i,k) = min_{j>=k} mean(i..j): suffix min per anchor i
+    w_sfx = (
+        Window.partitionBy("i")
+        .orderBy(F.col("j").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    suffix = intervals.select(
+        "i", F.col("j").alias("k"), F.min("mean_q18").over(w_sfx).alias("r")
+    )
+    iso = suffix.groupBy("k").agg(F.max("r").cast("bigint").alias("iso_q18"))
+    return prefix.join(iso, "k").select(
+        "bin",
+        F.col("cnt").alias("n"),
+        "pos",
+        F.expr("CAST(1000000 * pos DIV cnt AS BIGINT)").alias("rate_ppm"),
+        "iso_q18",
+    )
+
+
+def isotonic_calibration_sql(
+    scored_sql: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 512,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+) -> str:
+    """DuckDB mirror — HUGEINT product, identical floor division,
+    identical minimax windows; every division operand non-negative."""
+    span = int(hi) - int(lo)
+    bin_expr = (
+        f"LEAST({n_bins - 1}, GREATEST(0,"
+        f" CAST(({score_col} - {lo}) * {n_bins} AS BIGINT) // {span}))"
+    )
+    return f"""
+    WITH bins AS (
+      SELECT CAST({bin_expr} AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST({label_col} AS BIGINT)) AS BIGINT) AS pos
+      FROM ({scored_sql}) GROUP BY 1
+    ),
+    prefix AS (
+      SELECT bin, cnt, pos,
+             CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS k,
+             CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS ccnt,
+             CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cpos
+      FROM bins
+    ),
+    intervals AS (
+      SELECT l.i, h.j,
+             CAST((CAST(h.cpos_hi - l.cpos_lo AS HUGEINT)
+                   * 1000000000000000000)
+                  // (h.ccnt_hi - l.ccnt_lo) AS BIGINT) AS mean_q18
+      FROM (SELECT k AS i, ccnt - cnt AS ccnt_lo, cpos - pos AS cpos_lo
+            FROM prefix) l
+      JOIN (SELECT k AS j, ccnt AS ccnt_hi, cpos AS cpos_hi
+            FROM prefix) h
+        ON l.i <= h.j
+    ),
+    suffix AS (
+      SELECT i, j AS k,
+             MIN(mean_q18) OVER (PARTITION BY i ORDER BY j DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      FROM intervals
+    ),
+    iso AS (
+      SELECT k, CAST(MAX(r) AS BIGINT) AS iso_q18 FROM suffix GROUP BY k
+    )
+    SELECT p.bin, p.cnt AS n, p.pos,
+           CAST(1000000 * p.pos // p.cnt AS BIGINT) AS rate_ppm,
+           s.iso_q18
+    FROM prefix p JOIN iso s ON p.k = s.k
+    """

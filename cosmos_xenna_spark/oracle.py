@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime as dt
 import hashlib
 import math
+import os
 from dataclasses import dataclass
 from decimal import Decimal
 
@@ -23,7 +24,13 @@ from cosmos_xenna_spark.catalog import TABLES
 def make_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; derived corpora
+        # (scripts/gen_sf1.py) are Spark-written DIRECTORIES of part
+        # files — glob those so either layout oracles identically.
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 

@@ -73,6 +73,7 @@ _MODULES = (
     "sharding",
     "timeseries",
     "basket",
+    "spatial",
 )
 
 

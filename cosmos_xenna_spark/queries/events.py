@@ -35,7 +35,7 @@ from cosmos_xenna_spark.queries import register
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS v_sum
     FROM events
     GROUP BY 1, 2
     """,
@@ -59,7 +59,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events, (SELECT UNNEST([0, 5]) AS off) o
     )
     SELECT w_start, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS v_sum
     FROM expanded
     GROUP BY w_start
     """,
@@ -145,7 +145,7 @@ def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_static_join",
     oracle="""
     SELECT c_mktsegment, event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS v_sum
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY 1, 2
     """,

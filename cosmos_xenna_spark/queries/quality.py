@@ -577,3 +577,69 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _scored(spark, sf_dir)
     n_total = sc.count()
     return gains_table(sc, n_total=n_total, n_tiles=10)
+
+
+from cosmos_xenna_spark.operators.quality import (  # noqa: E402
+    conformal_split,
+    conformal_split_sql,
+)
+
+
+@register(
+    "q_conformal_coverage",
+    oracle=conformal_split_sql(_SCORED_SQL, alpha_ppm=100_000, cal_mod=3),
+    description="split-conformal prediction audit (class-conditional): "
+    "hash-parity calibration/eval split, per-class threshold as the "
+    "ceil((n+1)(1-alpha))-th smallest integer nonconformity selected on "
+    "the bounded score-VALUE frame (rank window never touches the "
+    "corpus), 2-row threshold broadcast into one eval aggregation; "
+    "reports achieved coverage and singleton-set rate in exact ppm — "
+    "the distribution-free guarantee a quality-gate threshold ships "
+    "with; NULL threshold = always-contain on unattainable ranks",
+)
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conformal_split(_scored(spark, sf_dir), alpha_ppm=100_000, cal_mod=3)
+
+
+from cosmos_xenna_spark.operators.quality import (  # noqa: E402
+    label_noise_matrix,
+    label_noise_matrix_sql,
+)
+
+
+@register(
+    "q_label_noise_matrix",
+    oracle=label_noise_matrix_sql(_SCORED_SQL, lo=-500000, hi=250000),
+    description="confident-learning label-noise matrix (Northcutt-style "
+    "binary CL): clamped ppm confidence map, per-class mean-confidence "
+    "thresholds as exact integer division, qualify/argmax assignment "
+    "with deterministic tie-break, off-diagonal cells = suspected "
+    "mislabels; one scoring pass (checkpointed), 1-row threshold "
+    "broadcast, final agg on the <=6-key (given, assigned) frame — "
+    "the label-audit stage before training on weak labels",
+)
+def q_label_noise_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_noise_matrix(_scored(spark, sf_dir), lo=-500000, hi=250000)
+
+
+from cosmos_xenna_spark.operators.quality import (  # noqa: E402
+    isotonic_calibration,
+    isotonic_calibration_sql,
+)
+
+
+@register(
+    "q_isotonic_calibration",
+    oracle=isotonic_calibration_sql(_SCORED_SQL, lo=-500000, hi=250000, n_bins=256),
+    description="exact distributed isotonic calibration (PAV fit) via "
+    "the minimax closed form max_i<=k min_j>=k mean(i..j): one corpus "
+    "aggregation to <=256 occupied score bins, B(B+1)/2 interval means "
+    "as floor-scaled q18 integers (DECIMAL38 product, BIGINT quotient; "
+    "floor commutes with min/max so the floored minimax IS the floor "
+    "of the true PAV fit), suffix-min + prefix-max windows on the "
+    "bounded frame only — the monotone calibrator as data",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return isotonic_calibration(
+        _scored(spark, sf_dir), lo=-500000, hi=250000, n_bins=256
+    )

@@ -39,8 +39,8 @@ _Q1_CUTOFF = "2000-09-02 00:00:00"
     SELECT l_returnflag, l_linestatus,
            {dsum_sql('l_quantity')} AS sum_qty,
            {dsum_sql('l_extendedprice')} AS sum_base_price,
-           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM({REVENUE_SQL}) AS STRING) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM({CHARGE_SQL}) AS STRING) AS DOUBLE) AS sum_charge,
            {davg_sql('l_quantity')} AS avg_qty,
            {davg_sql('l_extendedprice')} AS avg_price,
            {davg_sql('l_discount')} AS avg_disc,
@@ -73,7 +73,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM({REVENUE_SQL}) AS STRING) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -109,7 +109,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle=f"""
     SELECT n_name,
-           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+           CAST(CAST(SUM({REVENUE_SQL}) AS STRING) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey  = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -368,7 +368,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM({REVENUE_SQL}) AS STRING) AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -406,7 +406,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT c_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -439,9 +439,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle=f"""
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN rev
-                         ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
-             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN rev
+                         ELSE CAST(0 AS DECIMAL(16,4)) END) AS STRING) AS DOUBLE)
+             / CAST(CAST(SUM(rev) AS STRING) AS DOUBLE) AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
              {REVENUE_SQL} AS rev,
@@ -531,9 +531,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     oracle=f"""
     SELECT CAST(100.0 AS DOUBLE)
-             * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL}
-                             ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
-             / CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS promo_revenue
+             * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL}
+                             ELSE CAST(0 AS DECIMAL(14,4)) END) AS STRING) AS DOUBLE)
+             / CAST(CAST(SUM({REVENUE_SQL}) AS STRING) AS DOUBLE) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
     """,
@@ -602,13 +602,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE)
              / 7.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN (
       SELECT l_partkey AS a_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS STRING) AS DOUBLE)
                / COUNT(*) AS avg_qty
       FROM lineitem GROUP BY l_partkey
     ) ON a_partkey = l_partkey
@@ -638,7 +638,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle=f"""
-    SELECT CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+    SELECT CAST(CAST(SUM({REVENUE_SQL}) AS STRING) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 11)
@@ -668,10 +668,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_dormant_customers",
     oracle="""
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (
-            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+            SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS STRING) AS DOUBLE) / COUNT(*)
             FROM customer WHERE c_acctbal > 0.0
           )
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -705,7 +705,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(rev) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(rev) AS STRING) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,

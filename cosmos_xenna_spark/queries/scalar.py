@@ -164,7 +164,7 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'high' END AS bucket,
            nullif(event_type, 'click') AS type_nc,
            COUNT(*) AS n,
-           CAST(SUM(CAST(coalesce(value, -1.0) AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+           CAST(CAST(SUM(CAST(coalesce(value, -1.0) AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS v_sum
     FROM events
     GROUP BY 1, 2
     """,

@@ -51,7 +51,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_oracle() -> str:
     cent_sums = ",\n             ".join(
-        f"CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m{i}"
+        f"CAST(CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(28,12))) AS STRING) AS DOUBLE) / COUNT(*) AS m{i}"
         for i in range(_DIM)
     )
     cent_array = ", ".join(f"m{i}" for i in range(_DIM))
@@ -120,7 +120,7 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_stats",
     oracle="""
     SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
-           CAST(SUM(CAST(v[1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_d0,
+           CAST(CAST(SUM(CAST(v[1] AS DECIMAL(28,12))) AS STRING) AS DOUBLE) / COUNT(*) AS mean_d0,
            MIN(len(v)) AS min_dim, MAX(len(v)) AS max_dim
     FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     GROUP BY label
@@ -280,7 +280,7 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
            LATERAL (SELECT UNNEST(e) AS x, generate_subscripts(e, 1) AS i) d
     )
     SELECT label, dim,
-           CAST(SUM(v_fp) AS DOUBLE) / (1000000000.0 * COUNT(*)) AS centroid_v,
+           CAST(CAST(SUM(v_fp) AS STRING) AS DOUBLE) / (1000000000.0 * COUNT(*)) AS centroid_v,
            COUNT(*) AS n
     FROM dims GROUP BY label, dim
     """,

@@ -57,7 +57,7 @@ class DeriveRevenueBucket(Stage):
     "q_stage_pipeline",
     oracle="""
     SELECT l_returnflag, bucket, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_qty
     FROM (
       SELECT l_returnflag,
              CAST(CASE WHEN l_extendedprice * (1 - l_discount) >= 60000 THEN 3

@@ -67,7 +67,7 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_subquery_scalar",
     oracle="""
     SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size FROM part
-    WHERE p_size > (SELECT CAST(SUM(p_size) AS DOUBLE) / COUNT(*) FROM part)
+    WHERE p_size > (SELECT CAST(CAST(SUM(p_size) AS STRING) AS DOUBLE) / COUNT(*) FROM part)
     """,
     description="uncorrelated scalar subquery (broadcast single value)",
 )
@@ -76,7 +76,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size FROM part
-        WHERE p_size > (SELECT CAST(SUM(p_size) AS DOUBLE) / COUNT(*) FROM part)
+        WHERE p_size > (SELECT CAST(CAST(SUM(p_size) AS STRING) AS DOUBLE) / COUNT(*) FROM part)
         """
     )
 
@@ -86,7 +86,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer c1
     WHERE CAST(c_acctbal AS DECIMAL(18,2)) * 2 >
-          (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(*)
            FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
     """,
     description="correlated scalar subquery: customers above 0.5x their "
@@ -98,7 +98,7 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer c1
         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * 2 >
-              (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+              (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(*)
                FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
         """
     )

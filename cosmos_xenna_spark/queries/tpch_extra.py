@@ -92,7 +92,7 @@ _Q9_AMOUNT = (
 )
 
 _Q9_SQL = f"""
-    SELECT nation, o_year, CAST(SUM(CAST(amount AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year, CAST(CAST(SUM(CAST(amount AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(year(l_shipdate) AS BIGINT) AS o_year,

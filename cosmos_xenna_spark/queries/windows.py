@@ -72,16 +72,16 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running",
     oracle=f"""
     SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
                 OVER (PARTITION BY l_orderkey
                       ORDER BY l_linenumber, l_partkey, l_suppkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_qty,
-           CAST(SUM({REVENUE_SQL})
+                AS STRING) AS DOUBLE) AS running_qty,
+           CAST(CAST(SUM({REVENUE_SQL})
                 OVER (PARTITION BY l_orderkey
                       ORDER BY l_linenumber, l_partkey, l_suppkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_rev
+                AS STRING) AS DOUBLE) AS running_rev
     FROM lineitem
     """,
     description="running (cumulative) decimal-exact sums per order",
@@ -108,9 +108,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_suppkey, l_partkey, part_rev, CAST(rn AS BIGINT) AS rn FROM (
       SELECT l_suppkey, l_partkey,
-             CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS part_rev,
+             CAST(CAST(SUM({REVENUE_SQL}) AS STRING) AS DOUBLE) AS part_rev,
              row_number() OVER (PARTITION BY l_suppkey
-                                ORDER BY CAST(SUM({REVENUE_SQL}) AS DOUBLE) DESC,
+                                ORDER BY CAST(CAST(SUM({REVENUE_SQL}) AS STRING) AS DOUBLE) DESC,
                                          l_partkey) AS rn
       FROM lineitem GROUP BY l_suppkey, l_partkey
     ) WHERE rn <= 3
@@ -161,10 +161,10 @@ def q_window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
                           RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
                                     AND CURRENT ROW) AS n_last_10m,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
                 OVER (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
-                                AND CURRENT ROW) AS DOUBLE) AS v_last_10m
+                                AND CURRENT ROW) AS STRING) AS DOUBLE) AS v_last_10m
     FROM events
     """,
     description="time-range window frame: trailing 10-minute count/sum per user",
@@ -177,10 +177,10 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
                               RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
                                         AND CURRENT ROW) AS n_last_10m,
-               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
                     OVER (PARTITION BY user_id ORDER BY ts
                           RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
-                                    AND CURRENT ROW) AS DOUBLE) AS v_last_10m
+                                    AND CURRENT ROW) AS STRING) AS DOUBLE) AS v_last_10m
         FROM events
         """
     )
@@ -190,9 +190,9 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_rows_frame",
     oracle="""
     SELECT o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (ORDER BY o_orderkey
-                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE)
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS STRING) AS DOUBLE)
              / COUNT(*) OVER (ORDER BY o_orderkey
                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
              AS centered_avg,
@@ -242,7 +242,7 @@ def q_window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     """,

@@ -595,3 +595,134 @@ def test_image_hash_pairs_mega_cluster_streams(spark):
     assert out.count() == n * (n - 1) // 2
     row = out.agg(F.max("hamming").alias("m"), F.min("hamming").alias("lo")).first()
     assert (row.m, row.lo) == (0, 0)
+
+
+def _filter_rows(arr, channels, filters):
+    """Encoder-side filtering of one (sub-)image — mirror of the
+    decoder's unfilter, shared by the sequential and Adam7 builders."""
+    height, stride = arr.shape
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        cur, f = arr[y], filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            left = np.concatenate([np.zeros(channels, np.uint8), cur[:-channels]])
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = np.zeros(stride, np.uint8)
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                enc[i] = (int(cur[i]) - (a + int(prev[i])) // 2) & 0xFF
+        else:
+            enc = np.zeros(stride, np.uint8)
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (int(cur[i]) - pred) & 0xFF
+        raw += enc.tobytes()
+        prev = cur
+    return bytes(raw)
+
+
+def _make_png_adam7(width, height, pixels, color_type, filters=(0, 1, 2, 3, 4)):
+    """Hand-pack a REAL Adam7-interlaced PNG: the seven spec passes,
+    each filtered as an independent sub-image (cycling filter types so
+    every unfilter path runs inside passes too)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from cosmos_xenna_spark.operators.multimodal import _ADAM7
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(height, width, channels)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx, :]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue
+        raw += _filter_rows(
+            sub.reshape(ph, pw * channels).copy(), channels, filters
+        )
+
+    def chunk(ctype, data):
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data))
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(
+        b"IHDR", _struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    )
+    out += chunk(b"IDAT", _zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+@pytest.mark.parametrize(
+    "width,height", [(8, 8), (5, 3), (13, 9), (1, 1), (2, 2), (3, 10)]
+)
+def test_decode_png_adam7_matches_sequential(width, height):
+    """Interlaced and sequential encodings of the same pixels must
+    decode identically — including sizes where some Adam7 passes are
+    empty (1x1 has six empty passes)."""
+    from cosmos_xenna_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(width * 100 + height)
+    px = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    seq = _make_png(
+        width, height, px, color_type=2, filters=([0, 1, 2, 3, 4] * height)[:height]
+    )
+    il = _make_png_adam7(width, height, px, color_type=2)
+    assert decode_png(il) == decode_png(seq)
+    w, h, gray = decode_png(il)
+    assert (w, h) == (width, height)
+    rgb = px.astype(np.uint32)
+    want = (
+        (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+    ).astype(np.uint8)
+    assert gray == want.tobytes()
+
+
+def test_decode_png_adam7_gray_paeth_only():
+    from cosmos_xenna_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(11, 7, 1), dtype=np.uint8)
+    il = _make_png_adam7(7, 11, px, color_type=0, filters=(4,))
+    w, h, gray = decode_png(il)
+    assert (w, h, gray) == (7, 11, px.tobytes())
+
+
+def test_decode_png_adam7_truncated_payload_raises():
+    from cosmos_xenna_spark.operators.multimodal import decode_png
+
+    px = np.zeros((8, 8, 1), dtype=np.uint8)
+    il = bytearray(_make_png_adam7(8, 8, px, color_type=0, filters=(0,)))
+    # corrupt the IHDR height upward so the pass arithmetic expects
+    # more bytes than the IDAT stream carries
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 8, 16, 8, 0, 0, 0, 1)
+    new_chunk = (
+        _struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr))
+    )
+    il[8 : 8 + len(new_chunk)] = new_chunk
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(bytes(il))

@@ -4228,3 +4228,300 @@ def test_truncation_recall_matches_python(spark, seed):
     assert set(got) == set(want)
     for key, (hits, ppm) in want.items():
         assert (got[key].hits, got[key].recall_ppm) == (hits, ppm), key
+
+
+@pytest.mark.parametrize("seed", [11, 111])
+def test_conformal_split_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.quality import conformal_split
+
+    rng = random.Random(seed)
+    ALPHA_PPM, MOD = 100_000, 3
+    rows = [
+        (i, rng.randrange(-500, 501), rng.randrange(2)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, label long")
+    got = {
+        r.label_class: r
+        for r in conformal_split(df, alpha_ppm=ALPHA_PPM, cal_mod=MOD).collect()
+    }
+
+    cal = [(y, -s if y == 1 else s) for i, s, y in rows if i % MOD == 0]
+    ev = [(y, s) for i, s, y in rows if i % MOD != 0]
+    thr: dict[int, int | None] = {}
+    info: dict[int, tuple[int, int]] = {}
+    for c in (0, 1):
+        ncs = sorted(nc for y, nc in cal if y == c)
+        k = ((len(ncs) + 1) * (1_000_000 - ALPHA_PPM) + 999_999) // 1_000_000
+        info[c] = (len(ncs), k)
+        thr[c] = ncs[k - 1] if k <= len(ncs) else None
+
+    def contains(c: int, s: int) -> bool:
+        t = thr.get(c)
+        nc = -s if c == 1 else s
+        return t is None or nc <= t
+
+    for c in (0, 1):
+        n_eval = sum(1 for y, _s in ev if y == c)
+        covered = sum(1 for y, s in ev if y == c and contains(c, s))
+        single = sum(
+            1 for y, s in ev if y == c and contains(c, s) and not contains(1 - c, s)
+        )
+        r = got[c]
+        assert (r.n_cal, r.k_cal) == info[c]
+        assert r.threshold == thr[c]
+        assert (r.n_eval, r.covered) == (n_eval, covered)
+        assert r.coverage_ppm == 1_000_000 * covered // n_eval
+        assert r.singleton_ppm == 1_000_000 * single // n_eval
+        # the split-conformal finite-sample guarantee: coverage >= 1-alpha
+        # in expectation; with 500 rows allow sampling slack
+        assert r.coverage_ppm >= 1_000_000 - ALPHA_PPM - 80_000
+
+
+def test_conformal_split_unattainable_rank_always_contains(spark):
+    from cosmos_xenna_spark.operators.quality import conformal_split
+
+    # class 1 has so few calibration rows that k > n_cal -> NULL
+    # threshold -> every eval row's set contains class 1.
+    rows = [(i, i * 7 % 101, 0) for i in range(60)] + [(3, 5, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, label long")
+    got = {r.label_class: r for r in conformal_split(df, cal_mod=3).collect()}
+    assert got[1].threshold is None
+    # class-0 eval rows can therefore never be singletons of class 0
+    assert got[0].singleton_ppm == 0
+    assert got[1].coverage_ppm in (None, 1_000_000)
+
+
+@pytest.mark.parametrize("seed", [5, 55])
+def test_grid_radius_pairs_matches_bruteforce(spark, seed):
+    from cosmos_xenna_spark.operators.spatial import grid_radius_pairs
+
+    rng = random.Random(seed)
+    CELL = RADIUS = 100
+    BOX = 1000
+    pts = [(i, rng.randrange(BOX), rng.randrange(BOX)) for i in range(300)]
+    df = spark.createDataFrame(pts, "point_id long, x long, y long")
+    got = {
+        (r.cell_x, r.cell_y): r
+        for r in grid_radius_pairs(df, cell=CELL, radius=RADIUS).collect()
+    }
+
+    # brute force over ALL pairs — the grid must lose nothing when
+    # cell >= radius (the completeness property the assert guards)
+    want_pairs: dict[tuple[int, int], list[int]] = {}
+    counts: dict[tuple[int, int], int] = {}
+    for i, x, y in pts:
+        counts[(x // CELL, y // CELL)] = counts.get((x // CELL, y // CELL), 0) + 1
+    for a in range(len(pts)):
+        for b in range(a + 1, len(pts)):
+            ia, xa, ya = pts[a]
+            ib, xb, yb = pts[b]
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= RADIUS * RADIUS:
+                lo = min((ia, (xa, ya)), (ib, (xb, yb)))[1]
+                anchor = (lo[0] // CELL, lo[1] // CELL)
+                want_pairs.setdefault(anchor, []).append(d2)
+    assert set(got) == set(counts)
+    for cell_key, r in got.items():
+        assert r.n_points == counts[cell_key]
+        ds = want_pairs.get(cell_key, [])
+        assert r.n_pairs == len(ds)
+        assert r.min_d2 == (min(ds) if ds else None)
+    # sanity: the randomized box is dense enough that pairs exist
+    assert sum(r.n_pairs for r in got.values()) > 50
+
+
+def test_grid_radius_pairs_rejects_undersized_cell(spark):
+    from cosmos_xenna_spark.operators.spatial import grid_radius_pairs
+
+    df = spark.createDataFrame([(1, 0, 0)], "point_id long, x long, y long")
+    with pytest.raises(ValueError, match="3x3 incomplete"):
+        grid_radius_pairs(df, cell=10, radius=11)
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_grid_hotspots_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.spatial import grid_hotspots
+
+    rng = random.Random(seed)
+    CELL, BOX = 50, 500
+    pts = [(i, rng.randrange(BOX), rng.randrange(BOX)) for i in range(400)]
+    # plant a hotspot: 80 extra points inside one cell
+    pts += [(1000 + j, 120 + j % 40, 120 + j // 40) for j in range(80)]
+    df = spark.createDataFrame(pts, "point_id long, x long, y long")
+    got = {
+        (r.cell_x, r.cell_y): r for r in grid_hotspots(df, cell=CELL).collect()
+    }
+
+    counts: dict[tuple[int, int], int] = {}
+    for _i, x, y in pts:
+        k = (x // CELL, y // CELL)
+        counts[k] = counts.get(k, 0) + 1
+    assert set(got) == set(counts)
+    for (cx, cy), r in got.items():
+        hood = sum(
+            counts.get((cx + dx, cy + dy), 0)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        assert (r.n, r.hood_n) == (counts[(cx, cy)], hood)
+        assert r.share_ppm == 1_000_000 * counts[(cx, cy)] // hood
+    # the planted cell dominates its neighborhood
+    assert got[(2, 2)].share_ppm > 300_000
+
+
+@pytest.mark.parametrize("seed", [17, 71])
+def test_label_noise_matrix_matches_python(spark, seed):
+    from cosmos_xenna_spark.operators.quality import label_noise_matrix
+
+    rng = random.Random(seed)
+    LO, HI = -400, 400
+    rows = [
+        (i, rng.randrange(LO, HI + 1), rng.randrange(2)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, label long")
+    got = {
+        (r.given, r.assigned): r
+        for r in label_noise_matrix(df, lo=LO, hi=HI).collect()
+    }
+
+    span = HI - LO
+
+    def conf1(s: int) -> int:
+        return min(1_000_000, max(0, (s - LO) * 1_000_000 // span))
+
+    sums = {0: [0, 0], 1: [0, 0]}  # class -> [sum own-conf, count]
+    for _i, s, y in rows:
+        own = conf1(s) if y == 1 else 1_000_000 - conf1(s)
+        sums[y][0] += own
+        sums[y][1] += 1
+    t = {c: sums[c][0] // sums[c][1] for c in (0, 1) if sums[c][1]}
+
+    want: dict[tuple[int, int | None], int] = {}
+    totals = {0: 0, 1: 0}
+    for _i, s, y in rows:
+        c1, c0 = conf1(s), 1_000_000 - conf1(s)
+        q1 = 1 in t and c1 >= t[1]
+        q0 = 0 in t and c0 >= t[0]
+        if q1 and q0:
+            a = 1 if c1 > c0 else 0
+        elif q1:
+            a = 1
+        elif q0:
+            a = 0
+        else:
+            a = None
+        want[(y, a)] = want.get((y, a), 0) + 1
+        totals[y] += 1
+    assert set(got) == set(want)
+    for key, n in want.items():
+        r = got[key]
+        assert r.n == n and r.given_total == totals[key[0]]
+        assert r.share_ppm == 1_000_000 * n // totals[key[0]]
+        assert r.suspect == (
+            1 if key[1] is not None and key[1] != key[0] else 0
+        )
+    # both off-diagonal cells exist in a random-score corpus
+    assert got[(0, 1)].suspect == 1 and got[(1, 0)].suspect == 1
+
+
+@pytest.mark.parametrize("seed", [23])
+def test_grid_nn_histogram_matches_bruteforce(spark, seed):
+    from cosmos_xenna_spark.operators.spatial import grid_nn_histogram
+
+    rng = random.Random(seed)
+    CELL = RADIUS = 120
+    B = 16
+    pts = [(i, rng.randrange(800), rng.randrange(800)) for i in range(250)]
+    # plant an isolated point far outside everything
+    pts.append((9999, 5000, 5000))
+    df = spark.createDataFrame(pts, "point_id long, x long, y long")
+    got = {
+        r.bucket: r
+        for r in grid_nn_histogram(df, cell=CELL, radius=RADIUS, n_buckets=B).collect()
+    }
+
+    r2 = RADIUS * RADIUS
+    nn: dict[int, int | None] = {}
+    for i, x, y in pts:
+        best = None
+        for j, x2, y2 in pts:
+            if i == j:
+                continue
+            d2 = (x - x2) ** 2 + (y - y2) ** 2
+            if d2 <= r2 and (best is None or d2 < best):
+                best = d2
+        nn[i] = best
+    want: dict[int | None, list[int]] = {}
+    for _i, d2 in nn.items():
+        b = None if d2 is None else min(B - 1, d2 * B // r2)
+        want.setdefault(b, []).append(d2)
+    assert set(got) == set(want)
+    for b, ds in want.items():
+        r = got[b]
+        assert r.n_points == len(ds)
+        if b is None:
+            assert r.min_d2 is None and r.max_d2 is None
+        else:
+            assert (r.min_d2, r.max_d2) == (min(ds), max(ds))
+    assert got[None].n_points >= 1  # the planted isolate
+
+
+@pytest.mark.parametrize("seed", [29, 92])
+def test_isotonic_calibration_matches_sequential_pav(spark, seed):
+    """The distributed minimax form must equal the classic sequential
+    pool-adjacent-violators stack, floored to q18."""
+    from cosmos_xenna_spark.operators.quality import isotonic_calibration
+
+    rng = random.Random(seed)
+    LO, HI, B = 0, 1000, 32
+    rows = []
+    for i in range(600):
+        s = rng.randrange(LO, HI)
+        # correlation with noise so PAV has real pools to merge
+        y = 1 if rng.random() < s / HI * 0.8 + 0.1 else 0
+        rows.append((i, s, y))
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, label long")
+    got = {
+        r.bin: r for r in isotonic_calibration(df, lo=LO, hi=HI, n_bins=B).collect()
+    }
+
+    # python: bin identically, then sequential PAV over occupied bins
+    from fractions import Fraction
+
+    agg: dict[int, list[int]] = {}
+    span = HI - LO
+    for _i, s, y in rows:
+        b = min(B - 1, max(0, (s - LO) * B // span))
+        agg.setdefault(b, [0, 0])
+        agg[b][0] += 1
+        agg[b][1] += y
+    order = sorted(agg)
+    stack: list[list] = []  # [cnt, pos, n_bins_in_pool]
+    for b in order:
+        cnt, pos = agg[b]
+        stack.append([cnt, pos, 1])
+        while len(stack) >= 2 and Fraction(stack[-1][1], stack[-1][0]) <= Fraction(
+            stack[-2][1], stack[-2][0]
+        ):
+            c2, p2, m2 = stack.pop()
+            stack[-1][0] += c2
+            stack[-1][1] += p2
+            stack[-1][2] += m2
+    fitted: list[int] = []
+    for cnt, pos, m in stack:
+        fitted.extend([10**18 * pos // cnt] * m)
+    want = dict(zip(order, fitted))
+
+    assert set(got) == set(want)
+    for b in order:
+        r = got[b]
+        assert r.iso_q18 == want[b], (b, r.iso_q18, want[b])
+        assert (r.n, r.pos) == tuple(agg[b])
+        assert r.rate_ppm == 1_000_000 * agg[b][1] // agg[b][0]
+    # monotone non-decreasing over bins
+    seq = [got[b].iso_q18 for b in order]
+    assert seq == sorted(seq)
+    # pool-mean preservation: total weighted fit == total positives (q18)
+    tot = sum(got[b].iso_q18 * got[b].n for b in order)
+    n_pools = len(stack)
+    assert abs(tot - 10**18 * sum(a[1] for a in agg.values())) < n_pools * 10**6

@@ -277,6 +277,16 @@ _BNLJ_ALLOWED = {
     # G-row broadcast group-pair spine (the q_kmv_set_ops contract,
     # shared _kmv_pair_base builder)
     "q_kmv_anotb",
+    # single-row broadcast (t0, t1) conformal-threshold frame attached
+    # to the eval pass (the heavy-hitters pattern)
+    "q_conformal_coverage",
+    # single-row broadcast (t0, t1) mean-confidence threshold frame
+    # attached to the assignment pass (the heavy-hitters pattern)
+    "q_label_noise_matrix",
+    # <=B-row (256) prefix-frame self-join on i <= j — the PAV
+    # interval triangle; both sides bounded by the bin count, never
+    # the corpus (the audience_overlap_sketch bounded-frame contract)
+    "q_isotonic_calibration",
 }
 
 
