@@ -340,6 +340,7 @@ _R13_QUEUE: tuple[str, ...] = (
     "q_label_noise_matrix",
     "q_geo_nn_histogram",
     "q_isotonic_calibration",
+    "q_dbscan_classify",
 )
 
 # r12 window = all 14 r11-session additions (_R12_QUEUE) + 36

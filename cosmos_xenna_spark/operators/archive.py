@@ -73,12 +73,22 @@ def tar_header(name: str, size: int, typeflag: bytes = b"0") -> bytes:
 
 
 def build_tar(members: list[tuple[str, bytes]]) -> bytes:
-    """Assemble a ustar archive from (name, payload) pairs — the
+    """Assemble a tar archive from (name, payload) pairs — the
     corpus-synthesizer half (readable by Python ``tarfile``; pinned in
-    tests)."""
+    tests).  Names over the 100-byte ustar field emit a GNU longname
+    (``L``) entry ahead of the real header (the ``tar(1)`` default),
+    so WebDataset shards with deep key paths round-trip."""
     out = bytearray()
     for name, payload in members:
-        out += tar_header(name, len(payload))
+        nb = name.encode()
+        if len(nb) > 100:
+            link = nb + b"\x00"
+            out += tar_header("././@LongLink", len(link), typeflag=b"L")
+            out += link + b"\x00" * (-len(link) % _BLOCK)
+            header_name = nb[:100].decode(errors="ignore")
+        else:
+            header_name = name
+        out += tar_header(header_name, len(payload))
         out += payload
         pad = -len(payload) % _BLOCK
         out += b"\x00" * pad
@@ -86,14 +96,43 @@ def build_tar(members: list[tuple[str, bytes]]) -> bytes:
     return bytes(out)
 
 
+def _parse_pax_records(data: bytes) -> dict[str, str]:
+    """PAX extended-header records: ``"<len> <key>=<value>\\n"`` where
+    ``len`` is the DECIMAL byte length of the whole record including
+    itself, the space, the newline (POSIX.1-2001 pax(1) format)."""
+    out: dict[str, str] = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.index(b" ", pos)
+        reclen = int(data[pos:sp])
+        rec = data[pos + (sp - pos) + 1 : pos + reclen - 1]  # strip len+sp and \n
+        key, _, val = rec.partition(b"=")
+        out[key.decode()] = val.decode()
+        pos += reclen
+    return out
+
+
 def parse_tar_members(payload: bytes) -> list[tuple[str, int, int, str]]:
-    """Pure-Python ustar walk: (name, size, data_offset, typeflag) per
+    """Pure-Python tar walk: (name, size, data_offset, typeflag) per
     member. Stops at the zero block; skips data by size rounded up to
-    the 512-byte block (the only two rules a sequential tar reader
-    needs)."""
+    the 512-byte block.  All three long-name mechanisms real tar
+    writers use are handled:
+
+    - POSIX ustar prefix field (offset 345, 155 bytes): full name is
+      ``prefix + '/' + name`` when the prefix is non-empty;
+    - GNU longname (typeflag ``L``): the entry's data is the NEXT
+      member's name (NUL-terminated); the ``L`` entry itself is
+      consumed, not emitted;
+    - PAX extended header (typeflag ``x``): decimal-length
+      ``key=value`` records; ``path`` overrides the next member's
+      name, ``size`` its size (the >8GB escape hatch).  Global ``g``
+      headers are skipped.
+    """
     out = []
     pos = 0
     n = len(payload)
+    pending_name: str | None = None
+    pending_size: int | None = None
     while pos + _BLOCK <= n:
         block = payload[pos : pos + _BLOCK]
         if block.count(0) == _BLOCK:  # zero block: end of archive
@@ -102,8 +141,36 @@ def parse_tar_members(payload: bytes) -> list[tuple[str, int, int, str]]:
         size_field = block[124:136].split(b"\x00", 1)[0].strip(b" \x00")
         size = int(size_field or b"0", 8)
         typeflag = chr(block[156]) if block[156] else "0"
-        out.append((raw_name.decode(), size, pos + _BLOCK, typeflag))
+        data_off = pos + _BLOCK
         pos += _BLOCK + (size + _BLOCK - 1) // _BLOCK * _BLOCK
+        if typeflag == "L":  # GNU longname: data names the NEXT member
+            pending_name = (
+                payload[data_off : data_off + size].split(b"\x00", 1)[0].decode()
+            )
+            continue
+        if typeflag == "x":  # PAX extended header for the NEXT member
+            pax = _parse_pax_records(payload[data_off : data_off + size])
+            if "path" in pax:
+                pending_name = pax["path"]
+            if "size" in pax:
+                pending_size = int(pax["size"])
+            continue
+        if typeflag in ("g", "K"):  # global PAX / GNU longlink: skip
+            continue
+        if pending_name is not None:
+            name = pending_name
+        else:
+            name = raw_name.decode()
+            prefix = block[345:500].split(b"\x00", 1)[0]
+            if prefix:
+                name = prefix.decode() + "/" + name
+        if pending_size is not None:
+            # recompute the skip with the PAX-overridden size
+            pos = data_off + (pending_size + _BLOCK - 1) // _BLOCK * _BLOCK
+            size = pending_size
+        out.append((name, size, data_off, typeflag))
+        pending_name = None
+        pending_size = None
     return out
 
 

@@ -400,3 +400,180 @@ def grid_nn_histogram_sql(
            CAST(MAX(nn_d2) AS BIGINT) AS max_d2
     FROM with_nn GROUP BY 1
     """
+
+
+def grid_dbscan_classify(
+    points: DataFrame,
+    cell: int,
+    radius: int,
+    min_pts: int,
+    id_col: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """DBSCAN point classification (Ester et al. 1996) over the grid:
+    a point is CORE when its eps-neighborhood (itself included, the
+    DBSCAN convention) holds at least ``min_pts`` points, BORDER when
+    non-core but within ``radius`` of a core point, NOISE otherwise.
+    Output is the per-cell (n_core, n_border, n_noise) profile —
+    bounded by grid geometry.
+
+    This is the two-round shape every distributed DBSCAN uses: round
+    one counts neighbors over the grid-complete candidate pairs
+    (cell edge >= radius, 3x3 fan-out, one cell-keyed shuffle); round
+    two re-walks the SAME pair list against the core flags.  The pair
+    list is checkpointed as bare (id_a, id_b) — 16 bytes/pair, the
+    geometry never re-joins — because it feeds both rounds.  Cluster
+    ASSIGNMENT (connected components over core-core pairs) is the
+    existing `operators/graph.py` CC operator composed downstream;
+    this operator is the density-classification stage.
+    """
+    if cell < radius:
+        raise ValueError(f"cell edge {cell} < radius {radius}: 3x3 incomplete")
+    pts = points.select(
+        F.col(id_col).cast("bigint").alias("pid"),
+        F.col(x_col).cast("bigint").alias("px"),
+        F.col(y_col).cast("bigint").alias("py"),
+        F.expr(f"CAST(CAST({x_col} AS BIGINT) DIV {int(cell)} AS BIGINT)").alias(
+            "cx"
+        ),
+        F.expr(f"CAST(CAST({y_col} AS BIGINT) DIV {int(cell)} AS BIGINT)").alias(
+            "cy"
+        ),
+    ).localCheckpoint(eager=True)
+
+    offsets = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in _OFFSETS]
+    )
+    anchors = pts.select(
+        F.col("pid").alias("id_a"),
+        F.col("px").alias("xa"),
+        F.col("py").alias("ya"),
+        F.col("cx").alias("ca_x"),
+        F.col("cy").alias("ca_y"),
+        F.explode(offsets).alias("o"),
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    ).select("id_a", "xa", "ya", "ca_x", "ca_y", "nx", "ny")
+    probes = pts.select(
+        F.col("pid").alias("id_b"),
+        F.col("px").alias("xb"),
+        F.col("py").alias("yb"),
+        F.col("cx").alias("nx"),
+        F.col("cy").alias("ny"),
+    )
+    r2 = int(radius) * int(radius)
+    pairs = (
+        anchors.join(probes, ["nx", "ny"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            <= F.lit(r2)
+        )
+        .select("id_a", "ca_x", "ca_y", "id_b")
+        .localCheckpoint(eager=True)  # feeds BOTH classification rounds
+    )
+    # round 1: neighbor counts -> core flags (self-inclusive min_pts)
+    cores = pairs.groupBy(F.col("id_a").alias("pid")).agg(
+        ((F.count(F.lit(1)) + 1) >= F.lit(int(min_pts))).alias("is_core")
+    )
+    # round 2: ONE pass re-walks the pair list against the core flags
+    # (pairs are symmetric by construction, so every id_b has a cores
+    # row and the inner join is lossless); points with zero neighbors
+    # never reach this frame and are counted as noise by subtraction.
+    flags = (
+        pairs.join(cores.withColumnRenamed("pid", "id_b"), "id_b")
+        .groupBy("id_a", "ca_x", "ca_y")
+        .agg(
+            ((F.count(F.lit(1)) + 1) >= F.lit(int(min_pts))).alias("self_core"),
+            F.max("is_core").alias("has_core_nbr"),
+        )
+    )
+    per_cell_cls = flags.groupBy(
+        F.col("ca_x").alias("cell_x"), F.col("ca_y").alias("cell_y")
+    ).agg(
+        F.sum(F.expr("CASE WHEN self_core THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_core"),
+        F.sum(
+            F.expr("CASE WHEN NOT self_core AND has_core_nbr THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("n_border"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classified"),
+    )
+    per_cell = pts.groupBy(
+        F.col("cx").alias("cell_x"), F.col("cy").alias("cell_y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    return per_cell.join(per_cell_cls, ["cell_x", "cell_y"], "left").select(
+        "cell_x",
+        "cell_y",
+        F.coalesce(F.col("n_core"), F.lit(0)).cast("bigint").alias("n_core"),
+        F.coalesce(F.col("n_border"), F.lit(0)).cast("bigint").alias("n_border"),
+        (
+            F.col("n_points")
+            - F.coalesce(F.col("n_core"), F.lit(0))
+            - F.coalesce(F.col("n_border"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_noise"),
+    )
+
+
+def grid_dbscan_classify_sql(
+    points_sql: str,
+    cell: int,
+    radius: int,
+    min_pts: int,
+    id_col: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB mirror — identical candidate set, self-inclusive core
+    rule, border = non-core with a core neighbor within radius."""
+    offsets = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFSETS)
+    r2 = int(radius) * int(radius)
+    return f"""
+    WITH pts AS (
+      SELECT CAST({id_col} AS BIGINT) AS pid,
+             CAST({x_col} AS BIGINT) AS px, CAST({y_col} AS BIGINT) AS py,
+             CAST(CAST({x_col} AS BIGINT) // {int(cell)} AS BIGINT) AS cx,
+             CAST(CAST({y_col} AS BIGINT) // {int(cell)} AS BIGINT) AS cy
+      FROM ({points_sql})
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.pid AS id_a, b.pid AS id_b
+      FROM pts a
+      CROSS JOIN (VALUES {offsets}) AS o(dx, dy)
+      JOIN pts b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+               AND a.pid <> b.pid
+      WHERE (a.px - b.px) * (a.px - b.px)
+              + (a.py - b.py) * (a.py - b.py) <= {r2}
+    ),
+    cores AS (
+      SELECT id_a AS pid, COUNT(*) + 1 >= {int(min_pts)} AS is_core
+      FROM pairs GROUP BY id_a
+    ),
+    near_core AS (
+      SELECT DISTINCT p.id_a AS pid
+      FROM pairs p JOIN cores c ON p.id_b = c.pid AND c.is_core
+    ),
+    labeled AS (
+      SELECT t.cx, t.cy,
+             CASE WHEN COALESCE(c.is_core, FALSE) THEN 'core'
+                  WHEN n.pid IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS cls
+      FROM pts t
+      LEFT JOIN cores c ON t.pid = c.pid
+      LEFT JOIN near_core n ON t.pid = n.pid
+    )
+    SELECT cx AS cell_x, cy AS cell_y,
+           CAST(SUM(CASE WHEN cls = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_core,
+           CAST(SUM(CASE WHEN cls = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_border,
+           CAST(SUM(CASE WHEN cls = 'noise' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_noise
+    FROM labeled GROUP BY cx, cy
+    """

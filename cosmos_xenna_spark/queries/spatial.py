@@ -93,3 +93,29 @@ from cosmos_xenna_spark.operators.spatial import (  # noqa: E402
 )
 def q_geo_nn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_nn_histogram(_points(spark, sf_dir), cell=_CELL, radius=_RADIUS)
+
+
+from cosmos_xenna_spark.operators.spatial import (  # noqa: E402
+    grid_dbscan_classify,
+    grid_dbscan_classify_sql,
+)
+
+_MIN_PTS = 4
+
+
+@register(
+    "q_dbscan_classify",
+    oracle=grid_dbscan_classify_sql(
+        _POINTS_SQL, cell=_CELL, radius=_RADIUS, min_pts=_MIN_PTS
+    ),
+    description="DBSCAN density classification (core / border / noise, "
+    "self-inclusive min_pts) over the radius-sized grid: the standard "
+    "two-round distributed shape — one cell-keyed candidate join, the "
+    "bare (id_a, id_b) pair list checkpointed and re-walked against "
+    "the core flags; per-cell class counts out (bounded by geometry); "
+    "cluster assignment composes with the graph CC operator downstream",
+)
+def q_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grid_dbscan_classify(
+        _points(spark, sf_dir), cell=_CELL, radius=_RADIUS, min_pts=_MIN_PTS
+    )

@@ -1890,3 +1890,51 @@ def streaming_sequential_ab(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_grid_cells(
+    stream_df: DataFrame,
+    cell: int,
+    id_col: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Live spatial cell counts: the streaming half of
+    ``operators.spatial.grid_hotspots`` — per grid cell, the running
+    point count as ONE integer of keyed state (O(1) per cell, the
+    strongest state contract a twin can have; counts are
+    order-insensitive, so parity holds under ARBITRARY cross-batch
+    arrival, the HLL-twin property).
+
+    The 3x3 neighborhood share is deliberately NOT computed here:
+    cross-key state is the wrong streaming shape.  Exactly like the
+    KMV/HLL twins, the stream accumulates the sufficient statistic
+    and the bounded batch finish (``grid_hotspots``'s cell-frame join,
+    grid-geometry-sized) composes on the final state — the parity
+    test drives both halves.
+    """
+    pts = stream_df.select(
+        F.expr(f"CAST(CAST({x_col} AS BIGINT) DIV {int(cell)} AS BIGINT)").alias(
+            "cx"
+        ),
+        F.expr(f"CAST(CAST({y_col} AS BIGINT) DIV {int(cell)} AS BIGINT)").alias(
+            "cy"
+        ),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame(
+            {"cell_x": [int(key[0])], "cell_y": [int(key[1])], "n": [n]}
+        )
+
+    return pts.groupBy("cx", "cy").applyInPandasWithState(
+        update,
+        outputStructType="cell_x long, cell_y long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

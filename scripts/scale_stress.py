@@ -377,6 +377,25 @@ R11_QUERIES = [
     "q_doc_keywords",
 ]
 
+# Round-12 session additions: the spatial grid family (pair working
+# set grows ~linearly with density x copies at fixed grid), the
+# document-scored model-eval shapes (one corpus aggregation each:
+# conformal, label-noise, isotonic's bounded-triangle finish), the
+# experiment-planning aggregations, and the embedding-frame analytics.
+R12_QUERIES = [
+    "q_geo_radius_pairs",
+    "q_geo_hotspots",
+    "q_geo_nn_histogram",
+    "q_dbscan_classify",
+    "q_conformal_coverage",
+    "q_label_noise_matrix",
+    "q_isotonic_calibration",
+    "q_ab_sequential_looks",
+    "q_power_mde",
+    "q_embedding_dim_variance",
+    "q_embedding_truncation_recall",
+]
+
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cxs_scale10"
@@ -453,6 +472,9 @@ def main() -> None:
     if len(sys.argv) > 3 and sys.argv[3] == "r11":
         qset = "r11"
         QUERIES = R11_QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "r12":
+        qset = "r12"
+        QUERIES = R12_QUERIES
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     # 100x on one node needs headroom a production DRIVER never would
     # (local mode = driver heap IS the executor heap x32 threads), and
@@ -480,11 +502,11 @@ def main() -> None:
         t0 = time.time()
         generate_lineitem(spark, out_dir)
         print(f"generated {COPIES}x lineitem in {time.time() - t0:.0f}s")
-    if qset in ("r10f", "r10g", "r10h", "r11") and not os.path.exists(f"{out_dir}/events.parquet"):
+    if qset in ("r10f", "r10g", "r10h", "r11", "r12") and not os.path.exists(f"{out_dir}/events.parquet"):
         t0 = time.time()
         generate_events(spark, out_dir)
         print(f"generated {COPIES}x events in {time.time() - t0:.0f}s")
-    if qset == "r11" and not os.path.exists(f"{out_dir}/customer.parquet"):
+    if qset in ("r11", "r12") and not os.path.exists(f"{out_dir}/customer.parquet"):
         t0 = time.time()
         generate_customer(spark, out_dir)
         print(f"generated {COPIES}x customer in {time.time() - t0:.0f}s")

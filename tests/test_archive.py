@@ -314,3 +314,83 @@ def test_zip_extract_unknown_method_raises():
 
     with pytest.raises(NotImplementedError, match="method 12"):
         zip_extract_member(b"\x00" * 64, 12, 8, 0)
+
+
+def test_tar_gnu_longname_roundtrip_and_tarfile_parity():
+    """Names over the 100-byte ustar field: build_tar emits a GNU 'L'
+    entry, parse_tar_members consumes it and names the next member —
+    and Python's tarfile agrees on the member list."""
+    import io
+    import tarfile
+
+    from cosmos_xenna_spark.operators.archive import build_tar, parse_tar_members
+
+    long_name = "a/" + "deep/" * 30 + "sample_000001.features.json"  # > 150 bytes
+    assert len(long_name.encode()) > 100
+    members = [("short.txt", b"hello"), (long_name, b"x" * 700), ("tail.bin", b"z")]
+    blob = build_tar(members)
+    got = parse_tar_members(blob)
+    assert [(m[0], m[1]) for m in got] == [(n, len(p)) for n, p in members]
+    # payload addressable at the reported offset
+    for (name, size, off, _tf), (_n, payload) in zip(got, members):
+        assert blob[off : off + size] == payload
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        assert [m.name for m in tf.getmembers()] == [n for n, _p in members]
+
+
+def test_tar_ustar_prefix_field():
+    """POSIX split long names: prefix (345, 155 bytes) + '/' + name."""
+    from cosmos_xenna_spark.operators.archive import (
+        _BLOCK,
+        parse_tar_members,
+        tar_header,
+    )
+
+    prefix, base = "some/long/prefix/path", "file.txt"
+    h = bytearray(tar_header(base, 3))
+    h[345 : 345 + len(prefix)] = prefix.encode()
+    # re-checksum after editing the prefix field
+    h[148:156] = b" " * 8
+    h[148:156] = f"{sum(h):06o}".encode() + b"\x00 "
+    blob = bytes(h) + b"abc" + b"\x00" * (-3 % _BLOCK) + b"\x00" * (2 * _BLOCK)
+    got = parse_tar_members(blob)
+    assert got == [(f"{prefix}/{base}", 3, _BLOCK, "0")]
+
+
+def test_tar_pax_path_and_size_override():
+    """PAX 'x' header: decimal-length records override the next
+    member's path and size (tarfile cross-checked)."""
+    import io
+    import tarfile
+
+    from cosmos_xenna_spark.operators.archive import (
+        _BLOCK,
+        parse_tar_members,
+        tar_header,
+    )
+
+    pax_path = "pax/" + "p" * 120 + "/payload.bin"
+    payload = b"q" * 1234
+
+    def rec(k: str, v: str) -> bytes:
+        body = f" {k}={v}\n"
+        n = len(body) + 1
+        while len(str(n)) + len(body) != n:
+            n = len(str(n)) + len(body)
+        return f"{n}{body}".encode()
+
+    pax_data = rec("path", pax_path) + rec("size", str(len(payload)))
+    blob = bytearray()
+    blob += tar_header("PaxHeaders.0/x", len(pax_data), typeflag=b"x")
+    blob += pax_data + b"\x00" * (-len(pax_data) % _BLOCK)
+    blob += tar_header("truncated-name.bin", len(payload))
+    blob += payload + b"\x00" * (-len(payload) % _BLOCK)
+    blob += b"\x00" * (2 * _BLOCK)
+    got = parse_tar_members(bytes(blob))
+    assert len(got) == 1
+    name, size, off, _tf = got[0]
+    assert (name, size) == (pax_path, len(payload))
+    assert bytes(blob[off : off + size]) == payload
+    with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+        m = tf.getmembers()
+        assert [x.name for x in m] == [pax_path] and m[0].size == len(payload)

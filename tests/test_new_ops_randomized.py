@@ -4525,3 +4525,51 @@ def test_isotonic_calibration_matches_sequential_pav(spark, seed):
     tot = sum(got[b].iso_q18 * got[b].n for b in order)
     n_pools = len(stack)
     assert abs(tot - 10**18 * sum(a[1] for a in agg.values())) < n_pools * 10**6
+
+
+@pytest.mark.parametrize("seed", [31, 63])
+def test_grid_dbscan_classify_matches_bruteforce(spark, seed):
+    from cosmos_xenna_spark.operators.spatial import grid_dbscan_classify
+
+    rng = random.Random(seed)
+    CELL = RADIUS = 90
+    MIN_PTS = 4
+    pts = [(i, rng.randrange(700), rng.randrange(700)) for i in range(220)]
+    # plant a dense blob (all core) and a far isolate (noise)
+    pts += [(500 + j, 350 + j % 5, 350 + j // 5) for j in range(25)]
+    pts.append((9000, 5000, 5000))
+    df = spark.createDataFrame(pts, "point_id long, x long, y long")
+    got = {
+        (r.cell_x, r.cell_y): (r.n_core, r.n_border, r.n_noise)
+        for r in grid_dbscan_classify(
+            df, cell=CELL, radius=RADIUS, min_pts=MIN_PTS
+        ).collect()
+    }
+
+    r2 = RADIUS * RADIUS
+    nbrs = {i: 0 for i, _x, _y in pts}
+    for a in range(len(pts)):
+        for b in range(a + 1, len(pts)):
+            ia, xa, ya = pts[a]
+            ib, xb, yb = pts[b]
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= r2:
+                nbrs[ia] += 1
+                nbrs[ib] += 1
+    core = {i for i, n in nbrs.items() if n + 1 >= MIN_PTS}
+    border = set()
+    for i, x, y in pts:
+        if i in core:
+            continue
+        for j, x2, y2 in pts:
+            if j in core and j != i and (x - x2) ** 2 + (y - y2) ** 2 <= r2:
+                border.add(i)
+                break
+    want: dict[tuple[int, int], list[int]] = {}
+    for i, x, y in pts:
+        k = (x // CELL, y // CELL)
+        want.setdefault(k, [0, 0, 0])
+        want[k][0 if i in core else (1 if i in border else 2)] += 1
+    assert got == {k: tuple(v) for k, v in want.items()}
+    # the planted blob cell is all-core; the isolate is noise
+    assert got[(5000 // CELL, 5000 // CELL)] == (0, 0, 1)
+    assert sum(1 for i in core if i >= 500) == 25

@@ -1563,3 +1563,66 @@ def test_streaming_sequential_ab_matches_batch(spark, sf_dir, tmp_path):
         ), k
         assert g.z == w.z and g.boundary == w.boundary, k  # bit-equal
         assert (g.crossed, g.stopped) == (w.crossed, w.stopped), k
+
+
+def test_streaming_grid_cells_matches_batch_hotspots(spark, sf_dir, events_dir):
+    """O(1)-state spatial cell-count parity: the live per-cell counter's
+    final emission equals the batch cell frame, and composing the
+    bounded 3x3 batch finish on the streamed counts reproduces
+    grid_hotspots exactly (the KMV/HLL sufficient-statistic split)."""
+    from cosmos_xenna_spark.catalog import load_table
+    from cosmos_xenna_spark.functions import md5_long63
+    from cosmos_xenna_spark.operators.spatial import grid_hotspots
+    from cosmos_xenna_spark.streaming import streaming_grid_cells
+
+    CELL, BOX = 25_000, 1_000_000
+
+    def derive(df):
+        return df.select(
+            F.col("event_id").alias("point_id"),
+            (md5_long63(F.col("event_id").cast("string"), prefix="gx|") % BOX).alias("x"),
+            (md5_long63(F.col("event_id").cast("string"), prefix="gy|") % BOX).alias("y"),
+        )
+
+    stream = derive(events_file_stream(spark, events_dir))
+    q = to_memory_sink(streaming_grid_cells(stream, cell=CELL), "t_cells", "update")
+    _drain(q)
+    rows = spark.sql(
+        "SELECT cell_x, cell_y, n FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY cell_x, cell_y ORDER BY n DESC) AS rn"
+        "  FROM t_cells) WHERE rn = 1"
+    ).collect()
+    got_counts = sorted((r.cell_x, r.cell_y, r.n) for r in rows)
+
+    pts = derive(load_table(spark, sf_dir, "events"))
+    batch = grid_hotspots(pts, cell=CELL)
+    want_counts = sorted(
+        (r.cell_x, r.cell_y, r.n) for r in batch.collect()
+    )
+    assert got_counts == want_counts and len(got_counts) > 0
+
+    # bounded finish composed on the STREAMED state == batch hotspots
+    streamed_cells = spark.createDataFrame(
+        [(a, b, n) for a, b, n in got_counts], "cx long, cy long, n long"
+    )
+    hood = (
+        streamed_cells.selectExpr("cx", "cy", "n")
+        .selectExpr(
+            "cx", "cy", "n",
+            "explode(array" + str(tuple(
+                f"struct({dx} AS dx, {dy} AS dy)" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            )).replace("'", "") + ") AS o",
+        )
+        .selectExpr("cx + o.dx AS cx", "cy + o.dy AS cy", "n AS contrib")
+        .groupBy("cx", "cy")
+        .agg(F.sum("contrib").alias("hood_n"))
+    )
+    composed = (
+        streamed_cells.join(hood, ["cx", "cy"])
+        .selectExpr("cx", "cy", "n", "hood_n",
+                    "CAST(1000000 * n DIV hood_n AS BIGINT) AS share_ppm")
+    )
+    got_h = sorted(tuple(r) for r in composed.collect())
+    want_h = sorted(tuple(r) for r in batch.collect())
+    assert got_h == want_h
