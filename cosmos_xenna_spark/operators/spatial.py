@@ -144,7 +144,7 @@ def grid_radius_pairs_sql(
     offsets = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFSETS)
     r2 = int(radius) * int(radius)
     return f"""
-    WITH pts AS (
+    WITH pts AS MATERIALIZED (
       SELECT CAST({id_col} AS BIGINT) AS pid,
              CAST({x_col} AS BIGINT) AS px, CAST({y_col} AS BIGINT) AS py,
              CAST(CAST({x_col} AS BIGINT) // {int(cell)} AS BIGINT) AS cx,
@@ -371,7 +371,7 @@ def grid_nn_histogram_sql(
     offsets = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFSETS)
     r2 = int(radius) * int(radius)
     return f"""
-    WITH pts AS (
+    WITH pts AS MATERIALIZED (
       SELECT CAST({id_col} AS BIGINT) AS pid,
              CAST({x_col} AS BIGINT) AS px, CAST({y_col} AS BIGINT) AS py,
              CAST(CAST({x_col} AS BIGINT) // {int(cell)} AS BIGINT) AS cx,
@@ -535,7 +535,7 @@ def grid_dbscan_classify_sql(
     offsets = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFSETS)
     r2 = int(radius) * int(radius)
     return f"""
-    WITH pts AS (
+    WITH pts AS MATERIALIZED (
       SELECT CAST({id_col} AS BIGINT) AS pid,
              CAST({x_col} AS BIGINT) AS px, CAST({y_col} AS BIGINT) AS py,
              CAST(CAST({x_col} AS BIGINT) // {int(cell)} AS BIGINT) AS cx,

@@ -1439,10 +1439,13 @@ def gini_concentration(
     bigint.  Ties broken deterministically by ``order_tiebreak`` so
     ranks (and thus the exact result) are partition-invariant; the
     Gini VALUE is tie-order-independent anyway (equal x swap freely).
-    Groups with sum(x) = 0 or n < 2 are dropped.  Contract at 10^8+
-    rows/group: sum(i * x) can overflow int64 (n^2 * max_x) — switch
-    the two products to decimal(38,0) then; at the tested scales
-    bigint is exact.
+    Groups with sum(x) = 0 or n < 2 are dropped.  The rank-weighted
+    sum and the finish products run in DECIMAL(38,0) on the Spark side
+    (sum(i * x) ~ n^2 * max_x and n * sum(x) both cross int64 at
+    sf1.0-scale groups — the 10x differential sweep hit the ANSI
+    overflow); DuckDB's SUM(BIGINT) is already HUGEINT, so the two
+    engines stay exact and equal.  The ppm quotient is <= 10^6 and
+    returns to BIGINT.
     """
     w = Window.partitionBy(*group_cols).orderBy(value_col, order_tiebreak)
     ranked = df.select(
@@ -1453,8 +1456,8 @@ def gini_concentration(
     return (
         ranked.groupBy(*group_cols)
         .agg(
-            F.sum(F.col("__i") * F.col("__x")).alias("__ix"),
-            F.sum("__x").alias("__sx"),
+            F.sum((F.col("__i") * F.col("__x")).cast("decimal(38,0)")).alias("__ix"),
+            F.sum(F.col("__x").cast("decimal(38,0)")).alias("__sx"),
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         )
         .filter((F.col("__sx") > 0) & (F.col("n_rows") >= 2))
@@ -1463,7 +1466,9 @@ def gini_concentration(
             "n_rows",
             F.col("__sx").cast("bigint").alias("total"),
             F.expr(
-                "1000000 * (2 * __ix - (n_rows + 1) * __sx) div (n_rows * __sx)"
+                "CAST(1000000 AS DECIMAL(38,0))"
+                " * (2 * __ix - (n_rows + 1) * __sx)"
+                " div (CAST(n_rows AS DECIMAL(38,0)) * __sx)"
             )
             .cast("bigint")
             .alias("gini_ppm"),

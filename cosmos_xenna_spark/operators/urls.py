@@ -193,10 +193,15 @@ def with_parsed_ips_sql(table_sql: str, ip_col: str) -> str:
     """DuckDB mirror — identical regex and arithmetic."""
     rx = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
     octs = [f"regexp_extract({ip_col}, '{rx}', {i})" for i in (1, 2, 3, 4)]
+    # TRY_CAST, not CAST: DuckDB's vectorized AND does NOT short-circuit
+    # per row, so CAST('') can evaluate for non-matching rows even
+    # behind the <> '' guard (surfaced by the sf1.0 sweep's multi-part
+    # parquet batching; NULL <= 255 is NULL -> CASE falls through
+    # exactly like the old guard intended).
     valid = f"({octs[0]} <> ''" + "".join(
-        f" AND CAST({o} AS INTEGER) <= 255" for o in octs
+        f" AND TRY_CAST({o} AS INTEGER) <= 255" for o in octs
     ) + ")"
-    a, b, c, d = [f"CAST({o} AS BIGINT)" for o in octs]
+    a, b, c, d = [f"TRY_CAST({o} AS BIGINT)" for o in octs]
     u32 = f"{a} * 16777216 + {b} * 65536 + {c} * 256 + {d}"
     private = (
         f"({a} = 10 OR ({a} = 172 AND {b} >= 16 AND {b} <= 31)"

@@ -24,24 +24,46 @@ from cosmos_xenna_spark.operators.spatial import (
 )
 from cosmos_xenna_spark.queries import register
 
-_BOX = 1_000_000  # coordinate range [0, _BOX) in micro-degrees
-_CELL = 25_000  # grid edge == radius -> 40x40 grid
+_CELL = 25_000  # grid edge == radius
 _RADIUS = 25_000
+
+# SCALE-STABLE fixture (the conversion-rate lesson: fixtures must keep
+# their density constant across sf, or the pair working set grows
+# quadratically with the corpus and the differential oracle drowns):
+# the box side grows as 10,000 * isqrt(n_events), so box AREA is
+# proportional to the corpus and points-per-cell stays ~constant at
+# every scale — exactly how a fixed-radius grid join behaves on a
+# geographically growing corpus. Spark bakes the driver-literal
+# math.isqrt(n); the oracle computes the identical corrected integer
+# sqrt as a scalar subquery (the q_gains_table pattern; isqrt recipe
+# from operators/curation.py).
+_S = "CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)"
+_ISQRT_N_EVENTS = (
+    f"(SELECT CASE WHEN ({_S} + 1) * ({_S} + 1) <= n THEN {_S} + 1"
+    f" WHEN {_S} * {_S} > n THEN {_S} - 1 ELSE {_S} END"
+    f" FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events))"
+)
+_BOX_SQL = f"(10000 * {_ISQRT_N_EVENTS})"
 
 _POINTS_SQL = f"""
     SELECT event_id AS point_id,
-           {md5_long63_sql("CAST(event_id AS STRING)", prefix="gx|")} % {_BOX} AS x,
-           {md5_long63_sql("CAST(event_id AS STRING)", prefix="gy|")} % {_BOX} AS y
+           {md5_long63_sql("CAST(event_id AS STRING)", prefix="gx|")} % {_BOX_SQL}
+             AS x,
+           {md5_long63_sql("CAST(event_id AS STRING)", prefix="gy|")} % {_BOX_SQL}
+             AS y
     FROM events
 """
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     ev = load_table(spark, sf_dir, "events")
+    box = 10_000 * math.isqrt(ev.count())
     return ev.select(
         F.col("event_id").alias("point_id"),
-        (md5_long63(F.col("event_id").cast("string"), prefix="gx|") % _BOX).alias("x"),
-        (md5_long63(F.col("event_id").cast("string"), prefix="gy|") % _BOX).alias("y"),
+        (md5_long63(F.col("event_id").cast("string"), prefix="gx|") % box).alias("x"),
+        (md5_long63(F.col("event_id").cast("string"), prefix="gy|") % box).alias("y"),
     )
 
 
