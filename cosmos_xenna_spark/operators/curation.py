@@ -398,15 +398,26 @@ def skyline2d(
 
 
 def skyline2d_sql(table_sql: str, x_col: str, y_col: str) -> str:
-    """DuckDB mirror: the quadratic NOT EXISTS dominance definition —
-    the oracle certifies the two-phase staircase exactly."""
+    """DuckDB mirror of the dominance definition in window form (the
+    r12 sf1.0 sweep retired the quadratic NOT-EXISTS original: DuckDB
+    plans it as an O(n^2)-ish inequality join, unusable at 1.5M rows).
+
+    A point survives iff no point with strictly greater x has y >= its
+    own (``MAX(y) OVER (x DESC RANGE UNBOUNDED..1 PRECEDING)`` — the
+    strictly-higher-x running max) AND no point with the SAME x has
+    strictly greater y (``y = MAX(y) OVER (PARTITION BY x)``).  The
+    two conditions together are exactly "no b with b.x >= a.x, b.y >=
+    a.y, strict in one": equal (x, y) duplicates survive together,
+    matching the NOT-EXISTS semantics tie for tie."""
     return f"""
-    SELECT * FROM ({table_sql}) a
-    WHERE NOT EXISTS (
-      SELECT 1 FROM ({table_sql}) b
-      WHERE b.{x_col} >= a.{x_col} AND b.{y_col} >= a.{y_col}
-        AND (b.{x_col} > a.{x_col} OR b.{y_col} > a.{y_col})
+    SELECT * EXCLUDE (__hix, __samx) FROM (
+      SELECT a.*,
+             MAX({y_col}) OVER (ORDER BY {x_col} DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS __hix,
+             MAX({y_col}) OVER (PARTITION BY {x_col}) AS __samx
+      FROM ({table_sql}) a
     )
+    WHERE (__hix IS NULL OR __hix < {y_col}) AND {y_col} = __samx
     """
 
 
