@@ -341,6 +341,7 @@ _R13_QUEUE: tuple[str, ...] = (
     "q_geo_nn_histogram",
     "q_isotonic_calibration",
     "q_dbscan_classify",
+    "q_cramers_v",
 )
 
 # r12 window = all 14 r11-session additions (_R12_QUEUE) + 36

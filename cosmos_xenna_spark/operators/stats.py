@@ -2663,3 +2663,97 @@ def ab_mann_whitney_sql(
                 THEN 1 ELSE 0 END AS BIGINT) AS significant
     FROM base
     """
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cramer's V association strength between two categoricals — the
+    single-number summary :func:`chi_squared` deliberately withholds
+    (its float TOTAL is order-dependent), made engine-exact by flooring
+    each cell's contribution to an integer BEFORE the sum:
+
+        chi2_milli = SUM_cells  (1000 * (o*N - r*c)^2) DIV (r*c*N)
+
+    Each term is exact DECIMAL(38)/HUGEINT arithmetic and the floor
+    makes it an integer, so the total is an order-independent integer
+    sum — deterministic under any partitioning, identical in both
+    engines (the per-cell-floor convention; the true chi2 differs by
+    < #cells/1000).  The V finish
+    ``sqrt((chi2_milli/1000) / (N * min(|A|-1, |B|-1)))`` is one fixed
+    IEEE sequence on integers (the dstddev convention).  Contract:
+    (o*N - r*c)^2 * 1000 needs N^4 * 1000 < 10^38 — fine through
+    N ~ 10^8; route through higher-scale decimals beyond.
+
+    Scale shape: ONE fact aggregation to the domain-bounded cells
+    frame; marginals are windows over that frame; single-row output.
+    """
+    cells = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    total = df.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    withm = (
+        cells.withColumn("r", F.sum("o").over(wa).cast("bigint"))
+        .withColumn("c", F.sum("o").over(wb).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+    )
+    term = F.expr(
+        "(CAST(1000 AS DECIMAL(38,0))"
+        " * (o * CAST(n_total AS DECIMAL(19,0)) - r * CAST(c AS DECIMAL(19,0)))"
+        " * (o * CAST(n_total AS DECIMAL(19,0)) - r * CAST(c AS DECIMAL(19,0))))"
+        " DIV (r * CAST(c AS DECIMAL(19,0)) * n_total)"
+    ).cast("bigint")
+    summary = withm.groupBy().agg(
+        F.sum(term).cast("bigint").alias("chi2_milli"),
+        F.countDistinct("a").cast("bigint").alias("n_a"),
+        F.countDistinct("b").cast("bigint").alias("n_b"),
+        F.max("n_total").cast("bigint").alias("n_total"),
+    )
+    return summary.select(
+        "n_total",
+        "n_a",
+        "n_b",
+        F.expr("CAST((n_a - 1) * (n_b - 1) AS BIGINT)").alias("dof"),
+        "chi2_milli",
+        F.expr(
+            "SQRT((CAST(chi2_milli AS DOUBLE) / 1000.0)"
+            " / (CAST(n_total AS DOUBLE)"
+            "    * CAST(LEAST(n_a - 1, n_b - 1) AS DOUBLE)))"
+        ).alias("cramers_v"),
+    )
+
+
+def cramers_v_sql(table: str, a_col: str, b_col: str) -> str:
+    """DuckDB mirror — HUGEINT per-cell floors, identical IEEE finish."""
+    return f"""
+    WITH cells AS (
+      SELECT {a_col} AS a, {b_col} AS b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM {table} GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM {table}),
+    m AS (
+      SELECT a, b, o,
+             CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+             CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+             n_total
+      FROM cells CROSS JOIN tot
+    ),
+    s AS (
+      SELECT CAST(SUM(
+               (1000 * (o * CAST(n_total AS HUGEINT) - r * CAST(c AS HUGEINT))
+                     * (o * CAST(n_total AS HUGEINT) - r * CAST(c AS HUGEINT)))
+               // (r * CAST(c AS HUGEINT) * n_total)
+             ) AS BIGINT) AS chi2_milli,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+             CAST(MAX(n_total) AS BIGINT) AS n_total
+      FROM m
+    )
+    SELECT n_total, n_a, n_b,
+           CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+           chi2_milli,
+           SQRT((CAST(chi2_milli AS DOUBLE) / 1000.0)
+                / (CAST(n_total AS DOUBLE)
+                   * CAST(LEAST(n_a - 1, n_b - 1) AS DOUBLE))) AS cramers_v
+    FROM s
+    """

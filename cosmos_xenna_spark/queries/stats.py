@@ -613,3 +613,22 @@ from cosmos_xenna_spark.operators.hll import (  # noqa: E402
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     return hll_rollup(ev, "event_type", "user_id")
+
+
+from cosmos_xenna_spark.operators.stats import cramers_v, cramers_v_sql  # noqa: E402
+
+
+@register(
+    "q_cramers_v",
+    oracle=cramers_v_sql("documents", "lang", "source"),
+    description="Cramer's V association strength (lang x source) — the "
+    "chi-squared total q_chi_squared withholds, made order-independent "
+    "by flooring each cell's milli-contribution to an integer BEFORE "
+    "the sum (exact DECIMAL38/HUGEINT per cell, deterministic under "
+    "any partitioning); single fixed-IEEE sqrt finish; one fact "
+    "aggregation, windows on the domain-bounded cells frame, "
+    "single-row output",
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cramers_v(docs, "lang", "source")

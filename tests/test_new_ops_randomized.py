@@ -4573,3 +4573,54 @@ def test_grid_dbscan_classify_matches_bruteforce(spark, seed):
     # the planted blob cell is all-core; the isolate is noise
     assert got[(5000 // CELL, 5000 // CELL)] == (0, 0, 1)
     assert sum(1 for i in core if i >= 500) == 25
+
+
+@pytest.mark.parametrize("seed", [37, 73])
+def test_cramers_v_matches_python(spark, seed):
+    import math
+
+    from cosmos_xenna_spark.operators.stats import cramers_v
+
+    rng = random.Random(seed)
+    # correlated categoricals so V is well away from 0
+    rows = []
+    for i in range(500):
+        a = rng.randrange(4)
+        b = a if rng.random() < 0.5 else rng.randrange(5)
+        rows.append((i, f"a{a}", f"b{b}"))
+    df = spark.createDataFrame(rows, "id long, x string, y string")
+    r = cramers_v(df, "x", "y").collect()[0]
+
+    from collections import Counter
+
+    cells = Counter((x, y) for _i, x, y in rows)
+    ra = Counter(x for _i, x, _y in rows)
+    cb = Counter(y for _i, _x, y in rows)
+    N = len(rows)
+    chi2_milli = sum(
+        1000 * (o * N - ra[x] * cb[y]) ** 2 // (ra[x] * cb[y] * N)
+        for (x, y), o in cells.items()
+    )
+    assert (r.n_total, r.n_a, r.n_b) == (N, len(ra), len(cb))
+    assert r.dof == (len(ra) - 1) * (len(cb) - 1)
+    assert r.chi2_milli == chi2_milli
+    want_v = math.sqrt((chi2_milli / 1000.0) / (N * min(len(ra) - 1, len(cb) - 1)))
+    assert r.cramers_v == want_v  # bit-equal IEEE finish
+    # the planted association is strong enough to clear 0.3
+    assert r.cramers_v > 0.3
+    # floored-milli total is within #cells of the float chi2 x1000
+    float_chi2 = sum(
+        (o - ra[x] * cb[y] / N) ** 2 / (ra[x] * cb[y] / N)
+        for (x, y), o in cells.items()
+    )
+    assert abs(chi2_milli - 1000 * float_chi2) < len(cells) + 1
+
+
+def test_cramers_v_independent_near_zero(spark):
+    from cosmos_xenna_spark.operators.stats import cramers_v
+
+    rows = [(i, f"a{i % 3}", f"b{i % 4}") for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, x string, y string")
+    r = cramers_v(df, "x", "y").collect()[0]
+    # perfectly balanced independent margins -> chi2 exactly 0
+    assert r.chi2_milli == 0 and r.cramers_v == 0.0

@@ -227,6 +227,8 @@ _BNLJ_ALLOWED = {
     # single-row broadcast grand total attached to the domain-bounded
     # contingency cells
     "q_chi_squared",
+    # same single-row grand-total attach (shared contingency frame)
+    "q_cramers_v",
     # single-row broadcast basket total attached to the frequent pairs
     "q_market_basket",
     # intentional bounded brute-force candidate generation (300-vector
