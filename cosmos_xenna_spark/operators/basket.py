@@ -72,24 +72,25 @@ def frequent_item_pairs(
     if oversize_policy not in ("drop", "sample"):
         raise ValueError(f"oversize_policy must be drop|sample, got {oversize_policy!r}")
 
-    b = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
-    # One collect_list shuffle builds the size-filtered basket table;
-    # item counts and the basket total are DERIVED from it (not from
-    # the raw stream) so dropped mega-baskets don't contribute to the
-    # lift denominators either. The frame feeds three consumers —
-    # persist scoped to the result's lifetime.
+    b = df.select(F.col(basket_col).alias("basket"), F.col(item_col).alias("item"))
+    # ONE basket-keyed collect_set shuffle builds the deduped,
+    # size-filtered basket table (collect_set subsumes the former
+    # standalone DISTINCT pass — that was a second full shuffle of the
+    # fact table on (basket, item) for nothing); item counts and the
+    # basket total are DERIVED from it (not from the raw stream) so
+    # dropped mega-baskets don't contribute to the lift denominators
+    # either. The frame feeds three consumers — persist scoped to the
+    # result's lifetime.
     if oversize_policy == "drop":
         baskets = (
             b.groupBy("basket")
-            .agg(F.array_sort(F.collect_list("item")).alias("items"))
+            .agg(F.array_sort(F.collect_set("item")).alias("items"))
             .filter(F.size("items") <= max_basket_size)
         )
     else:
-        # Collect (hash, item) structs, sort by the hash, keep the
-        # first max_basket_size, then re-sort by item for the ordered
-        # combination explode. All array ops are row-local.
+        # Collect deduped (hash, item) structs, sort by the hash, keep
+        # the first max_basket_size, then re-sort by item for the
+        # ordered combination explode. All array ops are row-local.
         keyed = b.select(
             "basket",
             F.struct(F.xxhash64("basket", "item").alias("h"), "item").alias("hi"),
@@ -100,7 +101,7 @@ def frequent_item_pairs(
                 F.array_sort(
                     F.transform(
                         F.slice(
-                            F.array_sort(F.collect_list("hi")),
+                            F.array_sort(F.collect_set("hi")),
                             1,
                             max_basket_size,
                         ),

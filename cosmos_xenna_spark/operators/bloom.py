@@ -15,8 +15,8 @@ Results are EXACT — the Bloom filter only prunes definite non-members;
 the exact join removes false positives — so the SQL oracle is the
 plain semi/anti join.
 
-Hashing: ``num_hashes`` independent salted ``md5_long63`` probes (the
-engine's portable hash), positions into a ``num_bits`` bitset packed
+Hashing: Kirsch-Mitzenmacher double hashing from two salted
+``xxhash64`` probes, positions into a ``num_bits`` bitset packed
 as ``num_bits/64`` longs.  Building the bitset is one aggregation over
 the key side (explode k positions -> bit_or per word); the packed
 words come back to the driver (at most ``num_bits/64`` rows — 16 KiB
@@ -36,22 +36,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
-from cosmos_xenna_spark.functions import md5_long63
 
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     """Kirsch-Mitzenmacher double hashing: ``pos_i = (h1 + i*h2) % m``
-    from ONE md5 evaluation instead of ``num_hashes`` — per-row
-    hashing cost is constant in ``num_hashes`` (the dominant cost for
-    long keys like document text), with the same false-positive
-    behavior.  ``h1``/``h2`` are the two 60-bit halves of the single
-    digest (common-subexpression elimination computes the md5 once);
-    ``h2`` is reduced mod ``m`` first so ``i*h2`` cannot overflow, and
-    forced odd so it cycles all of a power-of-two ``m``."""
-    digest = F.md5(F.concat(F.lit("bloom:"), key.cast("string")))
-    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % F.lit(num_bits)
-    h2 = (
-        F.conv(F.substring(digest, 16, 15), 16, 10).cast("bigint") % F.lit(num_bits)
+    from two salted ``xxhash64`` evaluations — per-row hashing cost is
+    constant in ``num_hashes`` (the dominant cost for long keys like
+    document text), with the standard false-positive behavior.
+
+    The hash is NOT oracle-visible: the SQL oracle for every consumer
+    is the plain semi/anti join (the bitset is exactness-preserving
+    pruning for ANY hash), so the probes use Spark's codegen-native
+    xxhash64 instead of the portable-but-cryptographic md5 path (one
+    md5 + hex conv over full document text per row dominated the
+    decontamination queries; measured in round 12).  ``h2`` is reduced
+    mod ``m`` first so ``i*h2`` cannot overflow, and forced odd so it
+    cycles all of a power-of-two ``m``.  ``pmod`` (not ``%``) because
+    xxhash64 is signed."""
+    h1 = F.pmod(F.xxhash64(F.lit("bloom1"), key.cast("string")), F.lit(num_bits))
+    h2 = F.pmod(
+        F.xxhash64(F.lit("bloom2"), key.cast("string")), F.lit(num_bits)
     ).bitwiseOR(F.lit(1))
     return [(h1 + F.lit(i) * h2) % F.lit(num_bits) for i in range(num_hashes)]
 

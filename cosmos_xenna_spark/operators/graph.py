@@ -123,6 +123,13 @@ def pagerank_fixed(
             )
         )
         summed = contrib.groupBy("node").agg(F.sum("give").alias("got"))
+        # The zero-fill left join pairs two node-sized frames; under the
+        # same memory condition that lets ranks broadcast into the SpMV
+        # join, `summed` broadcasts here — without the hint Spark picks
+        # an SMJ (two exchanges + sorts per iteration on the checkpointed
+        # node frame).
+        if broadcast_ranks:
+            summed = F.broadcast(summed)
         ranks = (
             nodes.join(summed, on="node", how="left")
             .select(
@@ -402,12 +409,19 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("degree"))
         .filter(F.col("degree") >= k)
     )
+    prev: DataFrame | None = None
     for _ in range(n_sweeps):
         # eager per-sweep checkpoint of the node-sized survivor table:
         # without it the static plan compounds to 2 joins x n_sweeps
         # branches (the PageRank loop-invariant lesson; the plan lint
-        # measured 28 shuffles for 4 un-checkpointed sweeps).
+        # measured 28 shuffles for 4 un-checkpointed sweeps). Sweep
+        # k-1's checkpoint is dead once sweep k's materializes —
+        # release it promptly (the SCC discipline); the final one
+        # backs the lazy return.
         surv = surv.localCheckpoint(eager=True)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = surv
         alive = e.join(
             surv.select(F.col("node").alias("a")), "a"
         ).join(surv.select(F.col("node").alias("b")), "b")
@@ -480,11 +494,16 @@ def bfs_hops(
     dist = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
         "hops", F.lit(0).cast("bigint")
     )
+    prev: DataFrame | None = None
     for _ in range(n_hops):
         # eager per-hop checkpoint (same discipline as k_core): the
         # frontier is node-sized, and an un-checkpointed loop re-plans
-        # the seed derivation once per hop branch.
+        # the seed derivation once per hop branch. Superseded hop
+        # checkpoints are released promptly (the SCC discipline).
         dist = dist.localCheckpoint(eager=True)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = dist
         step = e.join(
             dist.select(F.col("node").alias("b"), "hops"), "b"
         ).select(F.col("a").alias("node"), (F.col("hops") + 1).alias("hops"))
@@ -563,6 +582,14 @@ def k_truss(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Early fixed-point exit: peeling only REMOVES edges, so an
+    # unchanged edge COUNT means an unchanged edge SET, and every
+    # remaining sweep would recompute bit-identical supports over the
+    # same survivors — skip them. The count is a one-scan scalar over
+    # the just-checkpointed frame; results are provably identical to
+    # running all n_sweeps.
+    n_edges = e.count()
+    prev = e
     for _ in range(n_sweeps):
         cur = e.select("a", "b")
         sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -582,6 +609,15 @@ def k_truss(
             .filter(F.col("support") >= k - 2)
             .localCheckpoint(eager=True)
         )
+        # Sweep k-1's edge checkpoint is dead once sweep k's has
+        # materialized — release it promptly (SCC discipline); the
+        # final one backs the lazy return.
+        release_local_checkpoint(prev)
+        prev = e
+        new_count = e.count()
+        if new_count == n_edges:
+            break
+        n_edges = new_count
     return e.select(
         F.col("a").alias("src"),
         F.col("b").alias("dst"),
@@ -700,6 +736,12 @@ def hits_fixed(
         # checkpoint), and without the cache the join+agg subplan
         # executes twice per half-step (measured ~2x wall on the
         # bench graph).
+        # Intermediate score frames carry ONLY nodes with a nonzero raw
+        # sum: a node absent from a_raw would zero-fill to a == 0 and
+        # contribute exactly 0 to every downstream sum, so the per-half-
+        # step nodes LEFT JOIN (an SMJ — two exchanges + sorts per half-
+        # step, 12 exchanges per 3-iteration run) is deferred to one
+        # zero-fill of the FINAL frames below. Values are bit-identical.
         h_side = hubs.withColumnRenamed("node", "src")
         a_raw = (
             e.join(F.broadcast(h_side) if broadcast_scores else h_side, "src")
@@ -710,11 +752,7 @@ def hits_fixed(
         amax = a_raw.agg(F.max("raw")).collect()[0][0] or HITS_ONE
         ad = max(1, amax // HITS_ONE)
         auths = (
-            nodes.join(a_raw, "node", "left")
-            .select(
-                "node",
-                F.expr(f"coalesce(raw, 0L) div {ad}L").alias("a"),
-            )
+            a_raw.select("node", F.expr(f"raw div {ad}L").alias("a"))
             .localCheckpoint(eager=True)
         )
         a_raw.unpersist()
@@ -731,21 +769,26 @@ def hits_fixed(
         hmax = h_raw.agg(F.max("raw")).collect()[0][0] or HITS_ONE
         hd = max(1, hmax // HITS_ONE)
         hubs = (
-            nodes.join(h_raw, "node", "left")
-            .select(
-                "node",
-                F.expr(f"coalesce(raw, 0L) div {hd}L").alias("h"),
-            )
+            h_raw.select("node", F.expr(f"raw div {hd}L").alias("h"))
             .localCheckpoint(eager=True)
         )
         h_raw.unpersist()
         if h_holder is not None:
             release_local_checkpoint(h_holder)
         h_holder = hubs
-    out = auths.join(hubs, "node").select(
-        "node",
-        F.col("a").cast("bigint").alias("auth_fp"),
-        F.col("h").cast("bigint").alias("hub_fp"),
+    # One zero-fill at the end recovers the all-nodes contract (auth/hub
+    # = 0 for nodes the raw sums never reached). The node-sized score
+    # frames broadcast under the same condition as the SpMV joins.
+    a_fin = F.broadcast(auths) if broadcast_scores else auths
+    h_fin = F.broadcast(hubs) if broadcast_scores else hubs
+    out = (
+        nodes.join(a_fin, "node", "left")
+        .join(h_fin, "node", "left")
+        .select(
+            "node",
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("auth_fp"),
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub_fp"),
+        )
     )
     release_local_checkpoint(e)
     return out
@@ -961,15 +1004,44 @@ def scc_labels(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    fwd = nodes.withColumn("reach", F.col("node"))
-    bwd = nodes.withColumn("reach", F.col("node"))
-    for _ in range(n_hops):
-        fwd = fwd.localCheckpoint(eager=True)
-        bwd = bwd.localCheckpoint(eager=True)
-        fstep = fwd.join(e, fwd.reach == e.src).select("node", F.col("dst").alias("reach"))
-        bstep = bwd.join(e, bwd.reach == e.dst).select("node", F.col("src").alias("reach"))
-        fwd = fwd.union(fstep).distinct()
-        bwd = bwd.union(bstep).distinct()
+
+    def _sweep(forward: bool) -> DataFrame:
+        # One direction's n_hops closure. The per-hop checkpoint
+        # truncates lineage; hop k-1's blocks are dead once hop k has
+        # materialized and are released promptly (they used to pile up
+        # in the block manager until ContextCleaner got to them).
+        cur = nodes.withColumn("reach", F.col("node"))
+        prev: DataFrame | None = None
+        for _ in range(n_hops):
+            cur = cur.localCheckpoint(eager=True)
+            if prev is not None:
+                release_local_checkpoint(prev)
+            prev = cur
+            if forward:
+                step = cur.join(e, cur.reach == e.src).select(
+                    "node", F.col("dst").alias("reach")
+                )
+            else:
+                step = cur.join(e, cur.reach == e.dst).select(
+                    "node", F.col("src").alias("reach")
+                )
+            cur = cur.union(step).distinct()
+        return cur
+
+    # The forward and backward sweeps are INDEPENDENT job chains until
+    # the final intersection — submit them from two driver threads so
+    # one sweep's stragglers back-fill with the other sweep's tasks
+    # (guide: overlap independent jobs) instead of serializing 2 *
+    # n_hops checkpoint actions.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    wrap = inheritable_thread_target(edges.sparkSession)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fut = pool.submit(wrap(lambda: _sweep(True)))
+        b_fut = pool.submit(wrap(lambda: _sweep(False)))
+        fwd, bwd = f_fut.result(), b_fut.result()
     return (
         fwd.join(bwd, ["node", "reach"])
         .groupBy("node")
@@ -1046,8 +1118,14 @@ def sssp_weighted(
     dist = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
         "cost", F.lit(0).cast("bigint")
     )
+    prev: DataFrame | None = None
     for _ in range(n_sweeps):
+        # Superseded sweep checkpoints released promptly (SCC
+        # discipline); the final one backs the lazy return.
         dist = dist.localCheckpoint(eager=True)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = dist
         step = e.join(
             dist.select(F.col("node").alias("src"), "cost"), "src"
         ).select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
@@ -1430,8 +1508,14 @@ def dag_layers(
         .distinct()
         .withColumn("layer", F.lit(0).cast("bigint"))
     )
+    prev: DataFrame | None = None
     for _ in range(n_sweeps):
+        # Superseded sweep checkpoints released promptly (SCC
+        # discipline); the final one backs the lazy return.
         layer = layer.localCheckpoint(eager=True)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = layer
         step = e.join(
             layer.select(F.col("node").alias("src"), "layer"), "src"
         ).select(F.col("dst").alias("node"), (F.col("layer") + 1).alias("layer"))
@@ -1609,8 +1693,17 @@ def eccentricity_probes(
         .distinct()
         .select("s", F.col("s").alias("node"), F.lit(0).cast("bigint").alias("hops"))
     )
+    # Hop k-1's checkpoint is dead the moment hop k's has materialized —
+    # release it promptly (the SCC sweep discipline) instead of letting
+    # superseded distance tables pile up in the block manager until the
+    # JVM GC gets to them. The FINAL checkpoint stays: the returned
+    # frame plans against it lazily.
+    prev: DataFrame | None = None
     for _ in range(n_hops):
         dist = dist.localCheckpoint(eager=True)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = dist
         step = e.join(
             dist.select("s", F.col("node").alias("b"), "hops"), "b"
         ).select("s", F.col("a").alias("node"), (F.col("hops") + 1).alias("hops"))
@@ -1697,8 +1790,13 @@ def harmonic_centrality_probes(
         .distinct()
         .select("s", F.col("s").alias("node"), F.lit(0).cast("bigint").alias("hops"))
     )
+    # Same prompt per-hop checkpoint release as eccentricity_probes.
+    prev: DataFrame | None = None
     for _ in range(n_hops):
         dist = dist.localCheckpoint(eager=True)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = dist
         step = e.join(
             dist.select("s", F.col("node").alias("b"), "hops"), "b"
         ).select("s", F.col("a").alias("node"), (F.col("hops") + 1).alias("hops"))

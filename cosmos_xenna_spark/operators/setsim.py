@@ -16,11 +16,12 @@ candidate join runs on prefixes only and the long common-token tail
 never joins.
 
 Scale shape (100 TB):
-- token df counts: one explode + aggregation (the same shuffle the
-  MinHash shingle pass pays);
-- global ordering: a shuffle join of the token table against the df
-  relation (never broadcast — web-scale shingle vocabularies are far
-  beyond broadcast size) + one doc-keyed rank window;
+- token df counts: one token-keyed count window over the exploded
+  stream (no df-relation join — web-scale shingle vocabularies are far
+  beyond broadcast size, and the former aggregate-then-join form
+  re-exchanged the token stream a second time);
+- global ordering: one doc-keyed rank window over the df-annotated
+  stream;
 - the prefix table is ``localCheckpoint``-ed once: it feeds BOTH sides
   of the candidate self-join, and an un-checkpointed frame would
   re-execute the 3-shuffle subplan per side (the label-propagation
@@ -108,25 +109,41 @@ def prefix_filter_jaccard_join(
         )
         .localCheckpoint(eager=True)
     )
-    toks = sets.select("id", F.explode("sh").alias("w"))
-    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    wid = Window.partitionBy("id")
-    ranked = (
-        toks.join(dfreq, "w")
-        .withColumn("n", F.count(F.lit(1)).over(wid).cast("bigint"))
-        .withColumn("rn", F.row_number().over(wid.orderBy("df", "w")))
+    # n comes free from the MATERIALIZED shingle array (size() on a
+    # checkpoint column, no transform re-evaluation and no count
+    # window), and the document frequency is a count window over the
+    # token key — ONE token-keyed exchange where the former
+    # aggregate-then-join form exchanged the token stream twice
+    # (partial-agg exchange + the join's full re-exchange of toks).
+    toks = sets.select(
+        "id", F.size("sh").cast("bigint").alias("n"), F.explode("sh").alias("w")
+    )
+    ranked = toks.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("w"))
+    ).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("id").orderBy("df", "w"))
     )
     # prefix length p = n - ceil(t*n) + 1, all-integer
     p = F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) DIV {t_den}") + F.lit(1)
-    prefix = ranked.filter(F.col("rn") <= p).select("id", "n", "w")
+    # The candidate equi-join key is the token's xxhash64, not the
+    # token string: the checkpoint and the self-join shuffle carry 8
+    # bytes instead of the shingle text (guide: shuffle fewer bytes).
+    # A hash COLLISION can only ADD a candidate pair, and the exact
+    # array_intersect verify below removes every non-qualifying pair,
+    # so the result set is unchanged for ANY hash. The global token
+    # ORDER (df, w) is untouched — the prefix-filter recall proof needs
+    # a consistent total order, and the hash plays no part in it.
+    prefix = ranked.filter(F.col("rn") <= p).select(
+        "id", "n", F.xxhash64("w").alias("wh")
+    )
     # The prefix frame feeds both sides of the self-join: checkpoint it
-    # once so the 3-shuffle build is not re-executed per side.
+    # once so the 2-shuffle build is not re-executed per side.
     prefix = prefix.localCheckpoint(eager=True)
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(
             b,
-            (F.col("a.w") == F.col("b.w"))
+            (F.col("a.wh") == F.col("b.wh"))
             & (F.col("a.id") < F.col("b.id"))
             # length filter: Jaccard <= n_min/n_max, so qualifying pairs
             # need t_den * n_min >= t_num * n_max

@@ -330,8 +330,15 @@ def content_defined_chunks(
     (``functions.md5_long63``).
     """
     from cosmos_xenna_spark.functions import md5_long63
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
 
-    base = docs.select(
+    # ensure_parallelism BEFORE the per-position explode: the documents
+    # table is one input split at bench scale, and without the
+    # round-robin the whole corpus's window-hash pass (one md5 per
+    # character position) runs on a single core while the rest idle —
+    # the same fix repeated_substring_spans and every shingle operator
+    # already carries.
+    base = ensure_parallelism(docs).select(
         "doc_id", text_col, F.length(text_col).cast("int").alias("__len")
     )
     pos = base.select(
@@ -462,7 +469,11 @@ def winnow_fingerprints(
     cap one fine-grained aggregation.
     """
     from cosmos_xenna_spark.functions import md5_long63
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
 
+    # Same single-input-split hazard as content_defined_chunks: the
+    # per-position gram-hash pass must fan out BEFORE the explode.
+    docs = ensure_parallelism(docs)
     grams = docs.select(
         "doc_id",
         F.length(text_col).cast("int").alias("__len"),
@@ -503,6 +514,17 @@ def winnow_fingerprints(
             (-F.col("__sel.np")).cast("bigint").alias("pos"),
         )
         .distinct()
+        # The selected-fingerprint frame feeds TWO consumers (the
+        # doc-frequency cap aggregate and the capped join below), and
+        # downstream callers fan it out further (both sides of the
+        # shared-pair self-join) — without materialization the full
+        # per-position gram-hash + window-min pass re-executes once per
+        # consumer (the plan compiled to 4 Generate+Window subtrees /
+        # 4 parquet scans; ReuseExchange cannot dedupe them because the
+        # pushed-down IsNotNull filters differ per branch). One eager
+        # checkpoint of the ~2/(window+1)-of-grams frame makes the
+        # expensive pass single-execution at any scale.
+        .localCheckpoint(eager=True)
     )
     doc_freq = selected.groupBy("fp").agg(
         F.count_distinct("doc_id").alias("__nd")
@@ -568,7 +590,15 @@ def winnow_shared_pairs(
     the fingerprint hash (bounded per hash by the ``max_hash_docs``
     cap upstream) + one pair aggregation; never an all-pairs join.
     """
-    f = fingerprints.select("doc_id", "fp").distinct()
+    # The deduped (doc_id, fp) frame feeds both sides of the self-join;
+    # checkpoint it once so the upstream fingerprint build (cap join +
+    # distinct shuffle) is not re-executed per side — the PPJoin prefix
+    # table discipline (operators/setsim.py).
+    f = (
+        fingerprints.select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     a = f.select(F.col("doc_id").alias("doc_a"), "fp")
     b = f.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

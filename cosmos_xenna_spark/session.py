@@ -75,6 +75,26 @@ def get_spark(
         # as parsed:null because of it). Nothing local needs the bar.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Scan-parallelism FLOOR (guide: spark.sql.files.minPartitionNum
+        # sets a floor on scan parallelism): a single small parquet file
+        # otherwise becomes ONE input split (maxPartitionBytes=128MB)
+        # and every scan-rooted aggregation runs on one core while the
+        # rest idle.  The floor is scale-adaptive by construction — a
+        # 100 TB scan already has orders of magnitude more splits than
+        # cores, so the conf is a no-op there; locally it splits the
+        # file down to ~bytes/cores.  openCostInBytes drops from its
+        # HDD-era 4MB default so the floor can actually bite on
+        # sub-4MB files (it only weights small-file packing; large-file
+        # splitting at scale is governed by maxPartitionBytes).  Both
+        # env-overridable for cluster profiles.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", str(shuffle_partitions)),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "131072"),
+        )
         # Preload pandas/numpy/pyarrow in the worker daemon so forked
         # Python workers inherit them copy-on-write instead of each
         # importing cold on its first task — the dominant term of any
