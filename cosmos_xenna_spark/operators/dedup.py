@@ -53,9 +53,19 @@ def _mh_expr(a: int, b: int, c: int, h: str = "h") -> str:
     )
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    keys: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Repartition up to the cluster's default parallelism before a
     row-multiplying explode.
+
+    ``keys``: when given, hash-partition on those columns instead of
+    round-robin — hash exchanges skip round-robin's deterministic
+    local pre-sort (``spark.sql.execution.sortBeforeRepartition``),
+    so they are cheaper when a near-unique key (e.g. a candidate-pair
+    id) distributes evenly anyway.
 
     Catalyst sizes scans by input bytes, so a small file becomes one
     partition — and an explode that fans rows out 100-1000x right after
@@ -82,6 +92,8 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     target = min_partitions or sc.defaultParallelism
     if _estimated_splits(df, target) >= target:
         return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)
 
 
@@ -557,6 +569,17 @@ def jaccard_verify_pairs(
     toks = docs.select("doc_id", F.array_distinct(F.split(text_col, " ")).alias("ws"))
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    # When the (doc_id, text) sliver is itself broadcastable, the
+    # verify's array_intersect lands in the PAIR frame's stage — which
+    # AQE's byte-based coalescing collapses to 1-2 tasks (16 B/pair),
+    # one straggler task evaluating every intersection (measured 10-50x
+    # swings whenever the JIT ran that task cold). Fan the pairs out
+    # first: compute-per-row, not bytes, is what sizes this stage (the
+    # setsim verify lesson, round 12). Costs one hash exchange of
+    # 16-byte pair rows (keyed on the near-unique pair id, which skips
+    # round-robin's local pre-sort); bounds the verify's worst case at
+    # any scale.
+    pairs = ensure_parallelism(pairs, keys=("doc_a", "doc_b"))
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
@@ -652,6 +675,10 @@ def containment_verify_pairs(
     toks = docs.select("doc_id", F.array_distinct(F.split(text_col, " ")).alias("ws"))
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    # Same pair-stage fan-out as jaccard_verify_pairs (round 12): the
+    # per-row intersection must not run in a byte-coalesced 1-2 task
+    # stage.
+    pairs = ensure_parallelism(pairs, keys=("doc_a", "doc_b"))
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
@@ -690,6 +717,14 @@ def edit_distance_verify_pairs(
     on doc id.  Returns ``(doc_a, doc_b, dist, max_len,
     dist_per_100)``.
     """
+    # The levenshtein verify is compute-heavy per ROW while the pair
+    # frame is tiny in BYTES — when the text slivers broadcast, the
+    # verify runs in the pair frame's own stage, which AQE's byte-based
+    # coalescing (or an upstream localCheckpoint's materialized
+    # partitioning) can collapse to 1-2 tasks. Fan the pairs out first;
+    # the hash exchange moves only 16-byte pair rows (the setsim verify
+    # lesson, round 12).
+    pairs = ensure_parallelism(pairs, keys=("doc_a", "doc_b"))
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("__ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("__tb"))
     joined = pairs.join(ta, "doc_a").join(tb, "doc_b")

@@ -54,6 +54,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
 
 def _shingle_col(text_col: str, shingle_words: int):
     """Row-local word n-gram shingle array (distinct), from a hoisted
@@ -138,7 +140,15 @@ def prefix_filter_jaccard_join(
     )
     # The prefix frame feeds both sides of the self-join: checkpoint it
     # once so the 2-shuffle build is not re-executed per side.
-    prefix = prefix.localCheckpoint(eager=True)
+    # Repartition BEFORE the checkpoint: an eager localCheckpoint
+    # materializes the AQE-optimized plan, and AQE's byte-based
+    # coalescing collapses this small-bytes frame to 1-2 partitions —
+    # every downstream stage that STREAMS from the checkpoint (the
+    # candidate self-join probe) then runs on 1-2 tasks regardless of
+    # cluster size. Round-robin to the default parallelism pins the
+    # probe-side task count; at scale the frame has real volume and the
+    # explicit count is what the exchange would use anyway.
+    prefix = ensure_parallelism(prefix).localCheckpoint(eager=True)
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(
@@ -155,6 +165,16 @@ def prefix_filter_jaccard_join(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
+    # The verify below is compute-heavy per ROW (one hash-set
+    # intersection of two shingle arrays per pair) while the pair frame
+    # is tiny in BYTES (16 B/row) — exactly the shape AQE's byte-based
+    # coalescing collapses to one post-distinct partition, leaving a
+    # single task to evaluate every array_intersect while the rest of
+    # the cluster idles (measured: 4.6 s warm -> 15-55 s whenever the
+    # JIT ran that one task cold). Fan the pairs out first; the hash
+    # exchange (keyed on the near-unique pair id — skips round-robin's
+    # local pre-sort) moves only the 16-byte pair rows.
+    cands = ensure_parallelism(cands, keys=("doc_a", "doc_b"))
     sa = sets.select(F.col("id").alias("doc_a"), F.col("sh").alias("__sa"))
     sb = sets.select(F.col("id").alias("doc_b"), F.col("sh").alias("__sb"))
     verified = (

@@ -590,13 +590,19 @@ def winnow_shared_pairs(
     the fingerprint hash (bounded per hash by the ``max_hash_docs``
     cap upstream) + one pair aggregation; never an all-pairs join.
     """
+    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+
     # The deduped (doc_id, fp) frame feeds both sides of the self-join;
     # checkpoint it once so the upstream fingerprint build (cap join +
     # distinct shuffle) is not re-executed per side — the PPJoin prefix
     # table discipline (operators/setsim.py).
+    # Round-robin BEFORE the checkpoint: the eager localCheckpoint
+    # materializes the AQE-coalesced plan (1-2 partitions for this
+    # small-bytes frame), and the pair self-join's probe side would
+    # inherit that task count (the setsim prefix-table lesson, round
+    # 12).
     f = (
-        fingerprints.select("doc_id", "fp")
-        .distinct()
+        ensure_parallelism(fingerprints.select("doc_id", "fp").distinct())
         .localCheckpoint(eager=True)
     )
     a = f.select(F.col("doc_id").alias("doc_a"), "fp")
