@@ -61,11 +61,21 @@ def ensure_parallelism(
     """Repartition up to the cluster's default parallelism before a
     row-multiplying explode.
 
-    ``keys``: when given, hash-partition on those columns instead of
-    round-robin — hash exchanges skip round-robin's deterministic
-    local pre-sort (``spark.sql.execution.sortBeforeRepartition``),
-    so they are cheaper when a near-unique key (e.g. a candidate-pair
-    id) distributes evenly anyway.
+    ``keys``: when given, hash-partition on ``xxhash64(keys)`` instead
+    of round-robin — a hash exchange skips round-robin's deterministic
+    local pre-sort (``spark.sql.execution.sortBeforeRepartition``), so
+    it is cheaper when a near-unique key (e.g. a candidate-pair id)
+    distributes evenly anyway.  Partitioning on the HASH of the keys
+    rather than the keys themselves is load-bearing: a bare
+    ``repartition(n, *keys)`` whose keys match an upstream
+    aggregate/distinct's grouping collapses into that aggregate's
+    ENSURE_REQUIREMENTS exchange — which AQE's byte-based coalescing
+    is free to fold to one partition, silently undoing the fan-out
+    (jstack-verified in the r12 bench: one task in
+    ``ArrayIntersect.nullSafeEval`` for 30 s while 31 cores idled).
+    ``xxhash64(keys)`` is not semantically equal to any upstream
+    grouping, so the exchange survives as REPARTITION_BY_NUM, whose
+    explicit partition count AQE must honor.
 
     Catalyst sizes scans by input bytes, so a small file becomes one
     partition — and an explode that fans rows out 100-1000x right after
@@ -93,7 +103,7 @@ def ensure_parallelism(
     if _estimated_splits(df, target) >= target:
         return df
     if keys:
-        return df.repartition(target, *[F.col(k) for k in keys])
+        return df.repartition(target, F.xxhash64(*[F.col(k) for k in keys]))
     return df.repartition(target)
 
 
@@ -308,9 +318,20 @@ def connected_components(
     def ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable_checkpoint else df.localCheckpoint(eager=True)
 
+    # Repartition by src (REPARTITION_BY_COL — no explicit count, so
+    # AQE sizes it by BYTES) before materializing: the caller's pair
+    # frame often carries a compute-sized partitioning (e.g. the
+    # 32-way verify fan-out upstream), and the union doubles it — a
+    # checkpoint inheriting 64 near-empty partitions makes every
+    # label-propagation round pay 64-task stage overhead times the
+    # iteration count. Per-edge work here is a hash probe, so
+    # byte-based sizing is the correct regime (unlike the verify);
+    # locally AQE folds the tiny edge table to 1-2 partitions, at
+    # scale a big edge table keeps its width.
     edges = ckpt(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .repartition(F.col("src"))
     )
     labels = ckpt(
         edges.select("src")
