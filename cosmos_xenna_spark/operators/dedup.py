@@ -100,10 +100,18 @@ def ensure_parallelism(
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    if keys:
+        # The keyed mode guards a COMPUTE-sized stage (a pair-verify
+        # kernel), not a scan: the split estimate below counts leaf
+        # scan files, and a pair frame whose lineage reaches a
+        # many-file corpus scan would be declared "parallel enough"
+        # while AQE still byte-coalesces the post-aggregation verify
+        # stage to 1-2 tasks — the exact straggler this fan-out exists
+        # to bound. Always emit the hash repartition; it moves only
+        # the ~16-byte pair rows.
+        return df.repartition(target, F.xxhash64(*[F.col(k) for k in keys]))
     if _estimated_splits(df, target) >= target:
         return df
-    if keys:
-        return df.repartition(target, F.xxhash64(*[F.col(k) for k in keys]))
     return df.repartition(target)
 
 
@@ -318,29 +326,60 @@ def connected_components(
     def ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable_checkpoint else df.localCheckpoint(eager=True)
 
+    # Symmetrize with a row-local explode, NOT a union of two copies of
+    # the pair subtree: Spark does not dedupe identical subplans, so the
+    # former ``pairs.union(pairs.reversed)`` executed the ENTIRE
+    # upstream candidate chain twice inside this eager checkpoint — for
+    # the fuzzy-dedup/ER composites that is the full minhash+LSH+verify
+    # (or SNM+Fellegi-Sunter) pass, the dominant cost of the whole
+    # query. One explode of a 2-element struct array emits the same
+    # row multiset from a single execution of the subtree.
+    #
     # Repartition by src (REPARTITION_BY_COL — no explicit count, so
     # AQE sizes it by BYTES) before materializing: the caller's pair
     # frame often carries a compute-sized partitioning (e.g. the
-    # 32-way verify fan-out upstream), and the union doubles it — a
-    # checkpoint inheriting 64 near-empty partitions makes every
-    # label-propagation round pay 64-task stage overhead times the
+    # 32-way verify fan-out upstream), and the 2x explode widens it — a
+    # checkpoint inheriting near-empty partitions makes every
+    # label-propagation round pay per-task stage overhead times the
     # iteration count. Per-edge work here is a hash probe, so
     # byte-based sizing is the correct regime (unlike the verify);
     # locally AQE folds the tiny edge table to 1-2 partitions, at
     # scale a big edge table keeps its width.
     edges = ckpt(
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .repartition(F.col("src"))
     )
+    if max_iter < 1:  # degenerate contract: zero rounds = self labels
+        return edges.select("src").distinct().select(
+            F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
+        )
+    # Seed the label table with ROUND 1's result directly: the first
+    # propagation round of min-label iteration computes exactly
+    # ``min(id, min neighbor)`` (the jump term is the identity while
+    # labels are self), and that is one aggregation over the
+    # symmetrized edge checkpoint — the same single exchange the old
+    # ``edges.select(src).distinct()`` init paid, so the first (and
+    # busiest) join round of the loop comes free.
     labels = ckpt(
-        edges.select("src")
-        .distinct()
-        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        edges.groupBy(F.col("src").alias("id")).agg(
+            F.min(F.least("src", "dst")).alias("label")
+        )
     )
     null_label = F.lit(None).cast(dict(edges.dtypes)["src"])
     holder = labels  # the checkpoint backing the current label table
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         nbr = edges.join(labels, edges.dst == labels.id).select(
             F.col("src").alias("id"), F.col("label"), null_label.alias("old")
         )

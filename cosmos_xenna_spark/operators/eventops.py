@@ -1439,15 +1439,32 @@ def rfm_scores(
     frequent / highest spend — and combined as ``rfm_code = 100r +
     10f + m``, the classic marketing segmentation grid.
 
-    The tile assignment is a GLOBAL ranking: computed with
-    ``global_row_number`` (quantile bucketing + offset arithmetic),
+    The tile assignment is a GLOBAL ranking (quantile bucketing +
+    offset arithmetic — :func:`ranking.apply_global_row_number`),
     never a single-partition window — three ranked passes over the
     entity-level table, each a total order with the entity id as
     tiebreak, so the result is deterministic and equals
     ``NTILE``-free ``1 + n_tiles*(rank-1) div n`` arithmetic in the
     SQL oracle exactly.
+
+    The three rankings' driver-side stats (quantile cuts, bucket
+    offsets, total) all run against the entity CHECKPOINT from three
+    concurrent driver threads (guide §2.6): the former chained
+    ``global_row_number`` calls ran each tile's two stats jobs over
+    the PREVIOUS tiles' window plan — by the third tile every scalar
+    job re-executed two full rank windows — and attached the total via
+    a per-tile broadcast cross join. Stats depend only on column
+    values, so the scores are bit-identical; the total is the offsets'
+    own sum (one literal, zero extra jobs).
     """
-    from cosmos_xenna_spark.operators.ranking import global_row_number
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    from cosmos_xenna_spark.operators.ranking import (
+        apply_global_row_number,
+        global_rank_stats,
+    )
 
     day = F.expr(
         f"datediff(CAST({ts_col} AS DATE), DATE '1970-01-01')"
@@ -1473,23 +1490,29 @@ def rfm_scores(
         .localCheckpoint(eager=True)
     )
 
-    def tile(frame: DataFrame, order_cols: list[str], out: str) -> DataFrame:
-        ranked = global_row_number(frame, order_cols, out_col="__rn")
-        # total count attached with a single-row broadcast (the
-        # heavy-hitters pattern; allowlisted BNLJ)
-        total = frame.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
-        return (
-            ranked.crossJoin(F.broadcast(total))
-            .withColumn(
-                out,
-                F.expr(f"1 + {n_tiles} * (__rn - 1) div __n").cast("bigint"),
-            )
-            .drop("__rn", "__n")
+    metrics = [
+        ("last_day", "r_score"),
+        ("n_events", "f_score"),
+        ("spend_cents", "m_score"),
+    ]
+    wrap = inheritable_thread_target(df.sparkSession)
+    if not callable(wrap):  # PYSPARK_PIN_THREAD=false fallback (scc_labels)
+        wrap = inheritable_thread_target
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(wrap(lambda k=key: global_rank_stats(ent, k)))
+            for key, _ in metrics
+        ]
+        stats = [f.result() for f in futs]
+    total = stats[0][2]
+    for (key, out), (cuts, offsets, _) in zip(metrics, stats):
+        ent = apply_global_row_number(
+            ent, [key, "e"], cuts, offsets, out_col="__rn"
         )
-
-    ent = tile(ent, ["last_day", "e"], "r_score")
-    ent = tile(ent, ["n_events", "e"], "f_score")
-    ent = tile(ent, ["spend_cents", "e"], "m_score")
+        ent = ent.withColumn(
+            out,
+            F.expr(f"1 + {n_tiles} * (__rn - 1) div {total}L").cast("bigint"),
+        ).drop("__rn")
     return ent.select(
         F.col("e").cast("bigint").alias(entity_col),
         "last_day",

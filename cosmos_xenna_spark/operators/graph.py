@@ -34,6 +34,39 @@ SCALE = 12  # fixed-point decimal digits
 ONE = 10**SCALE
 
 
+def _sym_undirected_ckpt(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Symmetrized, self-loop-free, deduped undirected edge checkpoint —
+    the shared head of every undirected one-shot/loop kernel.
+
+    Symmetrizes with a row-local explode instead of
+    ``edges.union(edges.reversed)``: Spark does not dedupe identical
+    subplans, so the union form executed the caller's edge-derivation
+    subtree (a join chain or a pair-generation pass) TWICE inside this
+    eager checkpoint. The explode emits the same row multiset from one
+    execution.
+    """
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def pagerank_fixed(
     edges: DataFrame,
     src_col: str = "src",
@@ -64,11 +97,11 @@ def pagerank_fixed(
         raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
     weighted = weight_col is not None
     if not weighted:
-        e = edges.select(
+        e0 = edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         ).distinct()
     else:
-        e = (
+        e0 = (
             edges.select(
                 F.col(src_col).alias("src"),
                 F.col(dst_col).alias("dst"),
@@ -77,20 +110,28 @@ def pagerank_fixed(
             .groupBy("src", "dst")
             .agg(F.sum("w").alias("w"))
         )
+    # Checkpoint the deduped edge set FIRST: `e0` (often an expensive
+    # join/scan chain — q_pagerank derives it from a 4-table TPC-H
+    # join) feeds FOUR plan branches (both node unions, the out-degree
+    # aggregate, and the share join), and Spark does not dedupe
+    # identical subplans — un-materialized, the derivation executed
+    # four times across the two eager checkpoints below. After this
+    # leaf, those branches are cheap re-reads of resident blocks.
+    e0 = e0.localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
         .distinct()
     )
     if weighted:
-        out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-        e = e.join(out_w, "src").withColumn(
+        out_w = e0.groupBy("src").agg(F.sum("w").alias("out_w"))
+        e = e0.join(out_w, "src").withColumn(
             "share_ppm", F.expr("w * 1000000L div out_w")
         )
         give_expr = "rank_fp * share_ppm div 1000000"
     else:
-        out_w = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-        e = e.join(out_w, "src")
+        out_w = e0.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        e = e0.join(out_w, "src")
         give_expr = "rank_fp div out_deg"
     # Checkpoint the loop-invariant frames ONCE. Without this, every
     # iteration's plan re-derives `e` and `nodes` from the raw edge
@@ -103,6 +144,9 @@ def pagerank_fixed(
     # connected_components (operators/dedup.py).
     e = e.localCheckpoint(eager=True)
     nodes = nodes.localCheckpoint(eager=True)
+    # The raw-edge checkpoint is dead once the two derived checkpoints
+    # above have materialized.
+    release_local_checkpoint(e0)
     n_nodes = nodes.count()  # one tiny scalar job; the literal feeds every iteration
     base = (100 - damping_pct) * ONE // 100 // n_nodes
     init = ONE // n_nodes
@@ -313,13 +357,7 @@ def label_propagation(
     against the checkpoint, so its blocks are left to the JVM's
     ContextCleaner (same contract as PageRank's node frame).
     """
-    e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _sym_undirected_ckpt(edges, src_col, dst_col)
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -397,19 +435,14 @@ def k_core(
     one count aggregation — edges shuffle once per sweep on an
     endpoint key, the survivor table stays one row per node.
     """
-    e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _sym_undirected_ckpt(edges, src_col, dst_col)
     surv = (
         e.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
         .filter(F.col("degree") >= k)
     )
     prev: DataFrame | None = None
+    prev_n = -1
     for _ in range(n_sweeps):
         # eager per-sweep checkpoint of the node-sized survivor table:
         # without it the static plan compounds to 2 joins x n_sweeps
@@ -422,6 +455,15 @@ def k_core(
         if prev is not None:
             release_local_checkpoint(prev)
         prev = surv
+        # Early fixed-point exit (the k_truss precedent): peeling only
+        # REMOVES nodes, so an unchanged survivor COUNT means an
+        # unchanged survivor SET and every remaining sweep recomputes
+        # bit-identical degrees — skip them. One narrow scalar scan of
+        # the just-checkpointed frame per sweep.
+        n = surv.count()
+        if n == prev_n:
+            break
+        prev_n = n
         alive = e.join(
             surv.select(F.col("node").alias("a")), "a"
         ).join(surv.select(F.col("node").alias("b")), "b")
@@ -484,17 +526,12 @@ def bfs_hops(
     each hop is one join of that table onto the checkpointed edge list
     + a min aggregation. Unreached nodes never materialize.
     """
-    e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _sym_undirected_ckpt(edges, src_col, dst_col)
     dist = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
         "hops", F.lit(0).cast("bigint")
     )
     prev: DataFrame | None = None
+    prev_n = -1
     for _ in range(n_hops):
         # eager per-hop checkpoint (same discipline as k_core): the
         # frontier is node-sized, and an un-checkpointed loop re-plans
@@ -504,6 +541,16 @@ def bfs_hops(
         if prev is not None:
             release_local_checkpoint(prev)
         prev = dist
+        # Early fixed-point exit (the k_truss precedent): the reached
+        # set only GROWS, and a node's min-hop is exact the moment it
+        # first appears (BFS frontier property), so an unchanged row
+        # COUNT means an unchanged table and every remaining hop would
+        # recompute it bit-identically. One narrow scalar scan of the
+        # just-checkpointed frame per hop.
+        n = dist.count()
+        if n == prev_n:
+            break
+        prev_n = n
         step = e.join(
             dist.select(F.col("node").alias("b"), "hops"), "b"
         ).select(F.col("a").alias("node"), (F.col("hops") + 1).alias("hops"))
@@ -726,16 +773,33 @@ def hits_fixed(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Normalization WITHOUT a driver round-trip: the quantized max
+    # divisor rides along as a broadcast 1-row aggregate (a scalar-
+    # subquery cross join — the repo's heavy-hitters pattern), so the
+    # normalized frame is a LAZY select over the raw-sum checkpoint.
+    # The former per-half-step ``agg(max).collect()`` barrier cost one
+    # full extra job per half-step — 6 driver collects and 6 cached-
+    # frame re-reads per 3-iteration run (guide §5: no driver
+    # materialization in a query path). ``greatest(1, max(raw) div
+    # HITS_ONE)`` is the same int64 floor arithmetic the collect
+    # computed in Python, so every score stays bit-identical.
+    def _norm(raw: DataFrame, out: str) -> DataFrame:
+        d = raw.agg(
+            F.greatest(
+                F.lit(1).cast("bigint"), F.expr(f"max(raw) div {HITS_ONE}L")
+            ).alias("__d")
+        )
+        return raw.crossJoin(F.broadcast(d)).select(
+            "node", F.expr("raw div __d").alias(out)
+        )
+
     hubs = nodes.withColumn("h", F.lit(HITS_ONE).cast("bigint"))
     auths = nodes.withColumn("a", F.lit(HITS_ONE).cast("bigint"))
     h_holder: DataFrame | None = None
     a_holder: DataFrame | None = None
     for _ in range(n_iter):
-        # Persist each half-step's raw-score frame: it feeds TWO
-        # consumers (the driver-side max scalar and the normalized
-        # checkpoint), and without the cache the join+agg subplan
-        # executes twice per half-step (measured ~2x wall on the
-        # bench graph).
+        # One eager checkpoint per half-step (the join+agg raw sums) is
+        # the only materialization; normalization is lazy over it.
         # Intermediate score frames carry ONLY nodes with a nonzero raw
         # sum: a node absent from a_raw would zero-fill to a == 0 and
         # contribute exactly 0 to every downstream sum, so the per-half-
@@ -747,35 +811,26 @@ def hits_fixed(
             e.join(F.broadcast(h_side) if broadcast_scores else h_side, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("raw"))
-            .persist()
-        )
-        amax = a_raw.agg(F.max("raw")).collect()[0][0] or HITS_ONE
-        ad = max(1, amax // HITS_ONE)
-        auths = (
-            a_raw.select("node", F.expr(f"raw div {ad}L").alias("a"))
             .localCheckpoint(eager=True)
         )
-        a_raw.unpersist()
+        # The previous iteration's a_raw checkpoint is dead once this
+        # one has materialized (its lazy auths view fed exactly the
+        # h_raw checkpoint of that iteration).
         if a_holder is not None:
             release_local_checkpoint(a_holder)
-        a_holder = auths
+        a_holder = a_raw
+        auths = _norm(a_raw, "a")
         a_side = auths.withColumnRenamed("node", "dst")
         h_raw = (
             e.join(F.broadcast(a_side) if broadcast_scores else a_side, "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("raw"))
-            .persist()
-        )
-        hmax = h_raw.agg(F.max("raw")).collect()[0][0] or HITS_ONE
-        hd = max(1, hmax // HITS_ONE)
-        hubs = (
-            h_raw.select("node", F.expr(f"raw div {hd}L").alias("h"))
             .localCheckpoint(eager=True)
         )
-        h_raw.unpersist()
         if h_holder is not None:
             release_local_checkpoint(h_holder)
-        h_holder = hubs
+        h_holder = h_raw
+        hubs = _norm(h_raw, "h")
     # One zero-fill at the end recovers the all-nodes contract (auth/hub
     # = 0 for nodes the raw sums never reached). The node-sized score
     # frames broadcast under the same condition as the SpMV joins.
@@ -864,22 +919,29 @@ def personalized_pagerank(
     checkpointed once, rank frames rotated per iteration, node-sized
     rank frame broadcast into the SpMV join.
     """
-    e = edges.select(
+    # Checkpoint the deduped edge set first: it feeds four plan
+    # branches (both node unions, the out-degree aggregate, the share
+    # join) and would otherwise execute once per branch (the
+    # pagerank_fixed e0 discipline).
+    e0 = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
         .distinct()
     )
-    out_w = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    e = e.join(out_w, "src").localCheckpoint(eager=True)
+    out_w = e0.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e = e0.join(out_w, "src").localCheckpoint(eager=True)
     s = seeds.select(F.col(seed_col).alias("node")).distinct()
     nodes = (
         nodes.join(s.withColumn("__is_seed", F.lit(1)), "node", "left")
         .withColumn("__is_seed", F.coalesce(F.col("__is_seed"), F.lit(0)))
         .localCheckpoint(eager=True)
     )
+    # The raw-edge checkpoint is dead once both derived checkpoints
+    # (the share-join edge table and the seed-tagged node table) exist.
+    release_local_checkpoint(e0)
     n_seeds = nodes.agg(F.sum("__is_seed")).collect()[0][0] or 0
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs >= 1 seed present in the graph")
@@ -1010,13 +1072,21 @@ def scc_labels(
         # truncates lineage; hop k-1's blocks are dead once hop k has
         # materialized and are released promptly (they used to pile up
         # in the block manager until ContextCleaner got to them).
+        # Count-based early fixed-point exit (the k_truss precedent):
+        # the closure set only GROWS, so an unchanged (node, reach)
+        # count means every remaining hop recomputes it bit-identically.
         cur = nodes.withColumn("reach", F.col("node"))
         prev: DataFrame | None = None
+        prev_n = -1
         for _ in range(n_hops):
             cur = cur.localCheckpoint(eager=True)
             if prev is not None:
                 release_local_checkpoint(prev)
             prev = cur
+            n = cur.count()
+            if n == prev_n:
+                break
+            prev_n = n
             if forward:
                 step = cur.join(e, cur.reach == e.src).select(
                     "node", F.col("dst").alias("reach")
@@ -1038,6 +1108,12 @@ def scc_labels(
     from pyspark import inheritable_thread_target
 
     wrap = inheritable_thread_target(edges.sparkSession)
+    if not callable(wrap):
+        # With PYSPARK_PIN_THREAD=false, pyspark's non-pinned branch
+        # returns the session itself instead of a decorator; fall back
+        # to the classic form (inheritable_thread_target(fn) directly),
+        # which copies the driver thread-locals at submit time.
+        wrap = inheritable_thread_target
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_fut = pool.submit(wrap(lambda: _sweep(True)))
         b_fut = pool.submit(wrap(lambda: _sweep(False)))
@@ -1681,13 +1757,7 @@ def eccentricity_probes(
     serves every probe.  Bit-exact vs the unrolled SQL oracle for
     fixed ``n_hops``.
     """
-    e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _sym_undirected_ckpt(edges, src_col, dst_col)
     dist = (
         seeds.select(F.col(node_col).alias("s"))
         .distinct()
@@ -1699,11 +1769,21 @@ def eccentricity_probes(
     # JVM GC gets to them. The FINAL checkpoint stays: the returned
     # frame plans against it lazily.
     prev: DataFrame | None = None
+    prev_n = -1
     for _ in range(n_hops):
         dist = dist.localCheckpoint(eager=True)
         if prev is not None:
             release_local_checkpoint(prev)
         prev = dist
+        # Early fixed-point exit (the k_truss precedent): the reached
+        # (probe, node) set only GROWS and min-hops are exact on first
+        # appearance, so an unchanged count means every remaining hop
+        # recomputes the table bit-identically. One narrow scalar scan
+        # of the just-checkpointed frame per hop.
+        n = dist.count()
+        if n == prev_n:
+            break
+        prev_n = n
         step = e.join(
             dist.select("s", F.col("node").alias("b"), "hops"), "b"
         ).select("s", F.col("a").alias("node"), (F.col("hops") + 1).alias("hops"))
@@ -1778,25 +1858,26 @@ def harmonic_centrality_probes(
     merge per sweep); only the final aggregation differs.  Bit-exact
     vs the unrolled SQL oracle for fixed ``n_hops``.
     """
-    e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _sym_undirected_ckpt(edges, src_col, dst_col)
     dist = (
         seeds.select(F.col(node_col).alias("s"))
         .distinct()
         .select("s", F.col("s").alias("node"), F.lit(0).cast("bigint").alias("hops"))
     )
-    # Same prompt per-hop checkpoint release as eccentricity_probes.
+    # Same prompt per-hop checkpoint release AND count-based early
+    # fixed-point exit as eccentricity_probes (the reached set only
+    # grows, min-hops exact on first appearance).
     prev: DataFrame | None = None
+    prev_n = -1
     for _ in range(n_hops):
         dist = dist.localCheckpoint(eager=True)
         if prev is not None:
             release_local_checkpoint(prev)
         prev = dist
+        n = dist.count()
+        if n == prev_n:
+            break
+        prev_n = n
         step = e.join(
             dist.select("s", F.col("node").alias("b"), "hops"), "b"
         ).select("s", F.col("a").alias("node"), (F.col("hops") + 1).alias("hops"))

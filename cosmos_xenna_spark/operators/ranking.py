@@ -40,34 +40,49 @@ def _bucket_expr(key: str, cuts: list[float]):
     return F.when(F.col(key).isNull(), F.lit(-1)).otherwise(expr)
 
 
-def global_row_number(
-    df: DataFrame,
-    order_cols: list[str],
-    out_col: str = "rn",
+def global_rank_stats(
+    stats_df: DataFrame,
+    key: str,
     num_buckets: int | None = None,
-) -> DataFrame:
-    """Exact global row_number over a total order, never single-partition.
-
-    Equivalent to ``row_number() OVER (ORDER BY order_cols)`` with the
-    window's all-to-one-partition collapse replaced by quantile
-    bucketing + offset arithmetic. ``order_cols[0]`` must be numeric
-    (the bucketing key); the full column list defines the total order.
-    """
-    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
-    key = order_cols[0]
+) -> tuple[list[float], dict[int, int], int]:
+    """Driver-held ``(cuts, bucket offsets, total rows)`` for one
+    ranking key — the two small jobs behind :func:`global_row_number`,
+    exposed so composite callers (``rfm_scores``) can run them against
+    a cheap materialized frame (and from concurrent driver threads)
+    instead of the progressively deeper chained ranking plan. The stats
+    depend only on the key column's VALUES, so any frame with the same
+    rows yields identical cuts/offsets."""
+    n = num_buckets or stats_df.sparkSession.sparkContext.defaultParallelism
     probs = [i / n for i in range(1, n)]
-    cuts = sorted(set(df.approxQuantile(key, probs, 0.001))) if probs else []
+    cuts = (
+        sorted(set(stats_df.approxQuantile(key, probs, 0.001))) if probs else []
+    )
     bucket = _bucket_expr(key, cuts) if cuts else F.lit(0)
-
-    bucketed = df.withColumn("__b", bucket)
     counts = {
         r["__b"]: r["cnt"]
-        for r in bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in stats_df.withColumn("__b", bucket)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     }
     offsets, acc = {}, 0
     for b in sorted(counts):  # bucket -1 (nulls) first -> offset 0
         offsets[b] = acc
         acc += counts[b]
+    return cuts, offsets, acc
+
+
+def apply_global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    cuts: list[float],
+    offsets: dict[int, int],
+    out_col: str = "rn",
+) -> DataFrame:
+    """Attach the exact global row number given precomputed stats (the
+    plan-side half of :func:`global_row_number`)."""
+    bucket = _bucket_expr(order_cols[0], cuts) if cuts else F.lit(0)
+    bucketed = df.withColumn("__b", bucket)
     # Offsets as bigint literals: int32 row numbers overflow past 2^31
     # rows, which a global rank at scale will exceed.
     offset_col = F.element_at(
@@ -84,6 +99,23 @@ def global_row_number(
     return bucketed.withColumn(
         out_col, F.row_number().over(w).cast("bigint") + offset_col
     ).drop("__b")
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Exact global row_number over a total order, never single-partition.
+
+    Equivalent to ``row_number() OVER (ORDER BY order_cols)`` with the
+    window's all-to-one-partition collapse replaced by quantile
+    bucketing + offset arithmetic. ``order_cols[0]`` must be numeric
+    (the bucketing key); the full column list defines the total order.
+    """
+    cuts, offsets, _ = global_rank_stats(df, order_cols[0], num_buckets)
+    return apply_global_row_number(df, order_cols, cuts, offsets, out_col)
 
 
 def global_cumsum(

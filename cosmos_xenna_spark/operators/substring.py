@@ -515,15 +515,23 @@ def winnow_fingerprints(
         )
         .distinct()
         # The selected-fingerprint frame feeds TWO consumers (the
-        # doc-frequency cap aggregate and the capped join below), and
-        # downstream callers fan it out further (both sides of the
-        # shared-pair self-join) — without materialization the full
-        # per-position gram-hash + window-min pass re-executes once per
-        # consumer (the plan compiled to 4 Generate+Window subtrees /
-        # 4 parquet scans; ReuseExchange cannot dedupe them because the
-        # pushed-down IsNotNull filters differ per branch). One eager
-        # checkpoint of the ~2/(window+1)-of-grams frame makes the
-        # expensive pass single-execution at any scale.
+        # doc-frequency cap aggregate and the capped join below) —
+        # without materialization the full per-position gram-hash +
+        # window-min pass re-executes once per consumer (the plan
+        # compiled to 4 Generate+Window subtrees / 4 parquet scans;
+        # ReuseExchange cannot dedupe them because the pushed-down
+        # IsNotNull filters differ per branch). One eager checkpoint of
+        # the ~2/(window+1)-of-grams frame makes the expensive pass
+        # single-execution at any scale. LIFETIME (ADVICE r12): the
+        # returned frame plans against these blocks lazily, so they
+        # must outlive the call and cannot be tied to a Python handle —
+        # a released localCheckpoint is NOT recomputable (cache.py
+        # contract), and the scoped-persist alternative was measured
+        # 7x SLOWER here (18.5 s vs 2.5 s isolated median: the cached
+        # relation materializes AQE's byte-coalesced 1-2 partitions and
+        # every downstream stage inherits that task count). One
+        # selected-fingerprint table per call, node-sized — bounded;
+        # cleanup belongs to the JVM ContextCleaner.
         .localCheckpoint(eager=True)
     )
     doc_freq = selected.groupBy("fp").agg(
@@ -586,30 +594,39 @@ def winnow_shared_pairs(
 ) -> DataFrame:
     """Copy-detection pairs from winnowing fingerprints: documents
     sharing >= ``min_shared`` distinct fingerprint hashes, with the
-    shared count — the MOSS similarity report.  One self-equi-join on
-    the fingerprint hash (bounded per hash by the ``max_hash_docs``
-    cap upstream) + one pair aggregation; never an all-pairs join.
-    """
-    from cosmos_xenna_spark.operators.dedup import ensure_parallelism
+    shared count — the MOSS similarity report.
 
-    # The deduped (doc_id, fp) frame feeds both sides of the self-join;
-    # checkpoint it once so the upstream fingerprint build (cap join +
-    # distinct shuffle) is not re-executed per side — the PPJoin prefix
-    # table discipline (operators/setsim.py).
-    # Round-robin BEFORE the checkpoint: the eager localCheckpoint
-    # materializes the AQE-coalesced plan (1-2 partitions for this
-    # small-bytes frame), and the pair self-join's probe side would
-    # inherit that task count (the setsim prefix-table lesson, round
-    # 12).
-    f = (
-        ensure_parallelism(fingerprints.select("doc_id", "fp").distinct())
-        .localCheckpoint(eager=True)
+    Pair generation is BUCKET-LOCAL (the minhash_candidate_pairs
+    pattern): one fp-keyed aggregation collects each hash's distinct
+    doc set (``collect_set`` subsumes the former standalone
+    ``distinct`` shuffle — the market-basket fusion), pairs explode
+    row-locally from the sorted member array, and one pair-keyed count
+    finishes. Two exchanges total, no self-join and no checkpoint —
+    the former form paid a (doc_id, fp) distinct, a round-robin
+    fan-out, an eager checkpoint and TWO fp-keyed join exchanges for
+    the same result. Buckets are bounded by the upstream
+    ``max_hash_docs`` stop-fingerprint cap (callers passing uncapped
+    frames inherit the same quadratic-per-bucket contract LSH buckets
+    have); never an all-pairs join.
+    """
+    members = (
+        fingerprints.select("doc_id", "fp")
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    a = f.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = f.select(F.col("doc_id").alias("doc_b"), "fp")
+    combos = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        members.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -1031,20 +1031,28 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = winnow_fingerprints(
         docs.select("doc_id", "text"), k=8, window=5, max_hash_docs=32
     )
-    # checkpoint the (source, fp) frame: it feeds BOTH sides of the
-    # overlap self-join, and its upstream is the full per-position
-    # winnowing pass (plan lint: 11 shuffles / 6 scans without this)
-    tagged = (
+    # Bucket-local pair generation (the winnow_shared_pairs fusion):
+    # one fp-keyed collect_set subsumes the former (source, fp)
+    # distinct + eager checkpoint + two-sided fp self-join — sources
+    # per fp are bounded by the upstream max_hash_docs=32 doc cap.
+    members = (
         fps.join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "fp")
-        .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
     )
-    a = tagged.select(F.col("source").alias("source_a"), "fp")
-    b = tagged.select(F.col("source").alias("source_b"), "fp")
+    combos = F.flatten(
+        F.transform(
+            "srcs",
+            lambda x, i: F.transform(
+                F.slice("srcs", i + 2, F.size("srcs")),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("source_a") < F.col("source_b"))
+        members.select(F.explode(combos).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
         .filter(F.col("n_shared_fp") >= 3)

@@ -95,6 +95,19 @@ def get_spark(
             "spark.sql.files.openCostInBytes",
             os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "131072"),
         )
+        # Generated-class cache (STATIC conf, must be set at session
+        # build). The default is 100 entries — a multi-query session
+        # (the 75-query bench pass; any long-lived analytics service)
+        # cycles several hundred generated stages, so every pass
+        # re-compiles and re-warms its codegen, which is exactly the
+        # jstack-attributed 10-70 s cold-single-task spike class from
+        # the r12 analysis. Compiled classes are tens of KB; 2048
+        # entries is a few hundred MB worst case on a 16 GB driver and
+        # proportionally trivial on cluster executors. Env-overridable.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2048"),
+        )
         # Preload pandas/numpy/pyarrow in the worker daemon so forked
         # Python workers inherit them copy-on-write instead of each
         # importing cold on its first task — the dominant term of any

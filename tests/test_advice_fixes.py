@@ -558,3 +558,37 @@ def test_fellegi_sunter_unresolved_pairs_visible(spark, duck):
     assert {
         (a, b): (s, d) for a, b, s, d in duck.execute(sql).fetchall()
     } == got
+
+
+def test_scc_labels_without_pinned_thread_mode():
+    """ADVICE r12: with PYSPARK_PIN_THREAD=false, pyspark's non-pinned
+    branch makes inheritable_thread_target(session) return the session
+    itself, and scc_labels' two-thread sweep raised
+    "'SparkSession' object is not callable". The callable() guard must
+    keep the sweep working (and correct) in non-pinned mode."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = f"""
+import sys
+sys.path.insert(0, {here!r})
+from cosmos_xenna_spark.session import get_spark
+spark = get_spark(
+    app_name="scc_nonpinned", master="local[2]", shuffle_partitions=2
+)
+from cosmos_xenna_spark.operators.graph import scc_labels
+edges = spark.createDataFrame(
+    [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+)
+rows = {{(r["node"], r["scc_id"]) for r in scc_labels(edges, n_hops=3).collect()}}
+assert rows == {{(1, 1), (2, 1), (3, 1), (4, 4)}}, rows
+spark.stop()
+print("OK_NONPINNED")
+"""
+    env = dict(os.environ, PYSPARK_PIN_THREAD="false")
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "OK_NONPINNED" in proc.stdout, proc.stdout + proc.stderr

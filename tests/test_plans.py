@@ -245,8 +245,14 @@ _BNLJ_ALLOWED = {
     # cross-joined into the one-row kappa ledger
     "q_cohens_kappa",
     # single-row broadcast entity total attached per tile pass (the
-    # heavy-hitters pattern, three times)
+    # heavy-hitters pattern, three times; r13: the total is baked as a
+    # literal, entry kept for compatibility with older plans)
     "q_rfm_scores",
+    # single-row broadcast quantized-max divisor attached to each
+    # half-step's raw-sum checkpoint (replaced the per-half-step
+    # driver collect; the heavy-hitters pattern, final two half-steps
+    # visible in the output plan)
+    "q_hits",
     # group-pair spine: `a.g < b.g` self-join over the checkpointed
     # G-row signature table (one row per group BY CONSTRUCTION — the
     # upstream groupBy(g) guarantees it); broadcast side is G rows of
