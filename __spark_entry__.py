@@ -328,6 +328,21 @@ _R12_QUEUE: tuple[str, ...] = (
     "q_doc_keywords",
 )
 
+#   r12 window (historical): _R12_PROMOTIONS below — 14 r11-session
+#       additions + 36 re-verification slots (24 r5-era + 12 r6-era
+#       TPC-H). CORRECTNESS_r12: 50/50 green; cumulative 337/337
+#       oracle-able at the r12 snapshot.
+#   r13 (this window): the 12 r12-session additions (_R13_QUEUE) + 38
+#       re-verification slots chosen for the OPTIMIZATION rounds
+#       (VERDICT r12 item 4): every query whose operator internals the
+#       r12/r13 optimization passes touched — the §13 pair-verify
+#       fan-out family, the CC composites (explode symmetrize + seeded
+#       labels, r13), HITS/PageRank/PPR (collect-free norm, e0
+#       checkpoint), the BFS/k-core/probe kernels (shared symmetrizer
+#       + early fixed-point exits), winnowing (fused bucket-local
+#       pairs), bloom, basket, CDC, setsim, RFM/quantile-normalize
+#       (rank-stats split), SimHash — so the driver re-certifies the
+#       optimized code paths on hardware it controls.
 # Operators added during the r12 session queue here for the r13 window.
 _R13_QUEUE: tuple[str, ...] = (
     "q_ab_sequential_looks",
@@ -425,7 +440,55 @@ def _alias(name: str) -> str:
     return f"q0_{name[2:]}" if name.startswith("q_") else f"q0_{name}"
 
 
-DRIVER_PRIORITY: dict[str, str] = {name: _alias(name) for name in _R12_PROMOTIONS}
+# r13 window = the 12 r12-session additions + 38 re-verification slots
+# for the optimization-touched operator families (see ledger above).
+_R13_PROMOTIONS = _R13_QUEUE + (
+    # r12-optimized paths (verify fan-out, bloom probes, basket fusion,
+    # CDC/winnow pre-explode fan-out, graph iteratives)
+    "q_setsim_prefix_join",
+    "q_winnow_pairs",
+    "q_cdc_chunks",
+    "q_market_basket",
+    "q_bloom_decontaminate",
+    "q_bloom_semi_join",
+    "q_edit_distance_pairs",
+    "q_incremental_dedup",
+    "q_minhash_containment",
+    "q_fuzzy_dedup_keep",
+    "q_fuzzy_dedup_keep_best",
+    "q_image_phash_pairs",
+    "q_substring_dedup",
+    "q_hits",
+    "q_scc",
+    "q_ktruss",
+    "q_kcore",
+    "q_bfs_hops",
+    "q_sssp_weighted",
+    "q_dag_layers",
+    # r13-optimized paths (CC symmetrize+seed, pagerank e0 checkpoint,
+    # probe-BFS early exits, fused winnow/source-overlap pairs,
+    # rank-stats split)
+    "q_dedup_clusters",
+    "q_dedup_cluster_profile",
+    "q_er_clusters",
+    "q_golden_record",
+    "q_rfm_scores",
+    "q_ngram_jaccard",
+    "q_pagerank",
+    "q_pagerank_weighted",
+    "q_ppr",
+    "q_eccentricity_probes",
+    "q_harmonic_centrality_probes",
+    "q_source_overlap",
+    "q_label_propagation",
+    "q_quantile_normalize",
+    "q_global_rank_distributed",
+    "q_minhash_pairs",
+    "q_simhash_pairs",
+    "q_triangle_count",
+)
+
+DRIVER_PRIORITY: dict[str, str] = {name: _alias(name) for name in _R13_PROMOTIONS}
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 
 

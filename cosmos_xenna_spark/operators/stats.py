@@ -1252,7 +1252,10 @@ def quantile_normalize(
     window); the final equi-join is on the computed rank.  The corpus
     size ``N`` is one driver-side count (bounded-scalar pattern).
     """
-    from cosmos_xenna_spark.operators.ranking import global_row_number
+    from cosmos_xenna_spark.operators.ranking import (
+        apply_global_row_number,
+        global_rank_stats,
+    )
 
     order = [F.col(value_col), *[F.col(c) for c in id_cols]]
     wg = Window.partitionBy(*group_cols).orderBy(*order)
@@ -1260,11 +1263,12 @@ def quantile_normalize(
     base = df.withColumn("__r", F.row_number().over(wg)).withColumn(
         "__n", F.count(F.lit(1)).over(wn)
     )
-    n_total = df.count()
-    glob = global_row_number(
-        df.select(F.col(value_col).alias("__gv"), *[F.col(c) for c in id_cols]),
-        ["__gv", *id_cols],
-        out_col="__rn",
+    proj = df.select(F.col(value_col).alias("__gv"), *[F.col(c) for c in id_cols])
+    # The corpus size N is the rank stats' own offset sum — the former
+    # standalone df.count() was a third full pass over the input.
+    cuts, offsets, n_total = global_rank_stats(proj, "__gv")
+    glob = apply_global_row_number(
+        proj, ["__gv", *id_cols], cuts, offsets, out_col="__rn"
     ).select("__gv", "__rn")
     target = F.expr(f"(__r * {n_total}L + __n - 1L) div __n")
     return (

@@ -95,6 +95,22 @@ def get_spark(
             "spark.sql.files.openCostInBytes",
             os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "131072"),
         )
+        # AQE post-shuffle coalescing floor. With parallelismFirst
+        # (default true) AQE sizes coalesced partitions at
+        # max(stageBytes / defaultParallelism, minPartitionSize); the
+        # 1 MB default minPartitionSize folds every MB-scale stage to a
+        # handful of tasks — fine for byte-bound work, but a
+        # compute-per-row stage (regex tokenize, array intersections)
+        # then runs on 1-5 cores while the rest idle, and a JIT-cold
+        # single task turns a 1 s stage into a 10-15 s straggler
+        # (jstack-verified: one RUNNABLE task in Matcher.search, 31
+        # workers parked). 64 KB keeps small compute stages wide
+        # locally; at scale stageBytes/parallelism >> 1 MB so the knob
+        # is a no-op. Env-overridable.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_COALESCED_PARTITION", "65536"),
+        )
         # Generated-class cache (STATIC conf, must be set at session
         # build). The default is 100 entries — a multi-query session
         # (the 75-query bench pass; any long-lived analytics service)

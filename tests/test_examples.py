@@ -4,6 +4,12 @@ simple_vlm_inference.py`` executes in its CI; ours must not rot).
 
 Each example owns its SparkSession lifecycle (get_spark + stop), so
 they run as subprocesses rather than inside the shared test session.
+All twelve subprocesses launch CONCURRENTLY from a module-scoped
+fixture (4 in flight, each on local[4] — 16 cores peak): run
+sequentially they cost ~6 minutes of almost pure session-startup
+serialization, a quarter of the whole suite's wall time (the r12
+driver pytest truncation, VERDICT r12 item 2). Each test still owns
+its own assertions and fails independently.
 """
 
 from __future__ import annotations
@@ -11,9 +17,37 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+import tempfile
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_TMP = tempfile.mkdtemp(prefix="cxs_examples_")
+
+_EXAMPLES: dict[str, list[str]] = {
+    "dedup_and_search": ["examples/dedup_and_search.py", SF],
+    "vlm_caption_pipeline": [
+        "examples/vlm_caption_pipeline.py",
+        SF,
+        os.path.join(_TMP, "captions"),
+    ],
+    "curate_and_shard": ["examples/curate_and_shard.py", SF],
+    "tokenize_and_train_prep": ["examples/tokenize_and_train_prep.py", SF],
+    "quality_audit_and_fusion": ["examples/quality_audit_and_fusion.py", SF],
+    "streaming_analytics": ["examples/streaming_analytics.py", SF],
+    "web_curation_pipeline": ["examples/web_curation_pipeline.py", SF],
+    "graph_analytics_pipeline": ["examples/graph_analytics_pipeline.py", SF],
+    "data_selection_pipeline": ["examples/data_selection_pipeline.py", SF],
+    "video_curation_pipeline": ["examples/video_curation_pipeline.py", SF],
+    "continuous_serving_pipeline": ["examples/continuous_serving_pipeline.py"],
+    "experiment_analysis_pipeline": [
+        "examples/experiment_analysis_pipeline.py",
+        SF,
+    ],
+}
 
 
 def _run(args: list[str]) -> subprocess.CompletedProcess:
@@ -27,78 +61,85 @@ def _run(args: list[str]) -> subprocess.CompletedProcess:
     )
 
 
-def test_dedup_and_search_example_runs():
-    p = _run(["examples/dedup_and_search.py", SF])
+@pytest.fixture(scope="module")
+def example_results() -> dict[str, subprocess.CompletedProcess]:
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {name: pool.submit(_run, args) for name, args in _EXAMPLES.items()}
+        return {name: fut.result() for name, fut in futs.items()}
+
+
+def test_dedup_and_search_example_runs(example_results):
+    p = example_results["dedup_and_search"]
     assert p.returncode == 0, p.stderr[-2000:]
     assert "documents:" in p.stdout and "sample neighbors:" in p.stdout
 
 
-def test_vlm_caption_pipeline_example_runs(tmp_path):
-    p = _run(["examples/vlm_caption_pipeline.py", SF, str(tmp_path / "captions")])
+def test_vlm_caption_pipeline_example_runs(example_results):
+    p = example_results["vlm_caption_pipeline"]
     assert p.returncode == 0, p.stderr[-2000:]
     assert "captioned" in p.stdout
 
 
-def test_curate_and_shard_example_runs():
-    p = _run(["examples/curate_and_shard.py", SF])
+def test_curate_and_shard_example_runs(example_results):
+    p = example_results["curate_and_shard"]
     assert p.returncode == 0, p.stderr[-2000:]
     assert "DQ report:" in p.stdout and "shards, sizes" in p.stdout
 
 
-def test_tokenize_and_train_prep_example_runs():
-    r = _run(["examples/tokenize_and_train_prep.py", SF])
+def test_tokenize_and_train_prep_example_runs(example_results):
+    r = example_results["tokenize_and_train_prep"]
     assert r.returncode == 0, r.stderr[-2000:]
     assert "learned" in r.stdout and "training sequences" in r.stdout
 
 
-def test_quality_audit_and_fusion_example_runs():
-    r = _run(["examples/quality_audit_and_fusion.py", SF])
+def test_quality_audit_and_fusion_example_runs(example_results):
+    r = example_results["quality_audit_and_fusion"]
     assert r.returncode == 0, r.stderr[-2000:]
     assert "hybrid top-" in r.stdout
 
 
-def test_streaming_analytics_example_runs():
-    r = _run(["examples/streaming_analytics.py", SF])
+def test_streaming_analytics_example_runs(example_results):
+    r = example_results["streaming_analytics"]
     assert r.returncode == 0, r.stderr[-2000:]
     assert "live OHLC bars" in r.stdout and "attributed" in r.stdout
 
 
-def test_web_curation_pipeline_runs(tmp_path):
-    r = _run(["examples/web_curation_pipeline.py", SF])
+def test_web_curation_pipeline_runs(example_results):
+    r = example_results["web_curation_pipeline"]
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "clusters straddling splits: 0" in r.stdout
     assert "OK" in r.stdout
 
 
-def test_graph_analytics_pipeline_runs():
-    r = _run(["examples/graph_analytics_pipeline.py", SF])
+def test_graph_analytics_pipeline_runs(example_results):
+    r = example_results["graph_analytics_pipeline"]
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "trade loops:" in r.stdout
     assert "modularity" in r.stdout
     assert "OK" in r.stdout
 
 
-def test_data_selection_pipeline_example_runs():
-    p = _run(["examples/data_selection_pipeline.py", SF])
+def test_data_selection_pipeline_example_runs(example_results):
+    p = example_results["data_selection_pipeline"]
     assert p.returncode == 0, p.stderr[-2000:]
     assert "mixture plan" in p.stdout and "after surprisal tail cut" in p.stdout
 
 
-def test_video_curation_pipeline_example_runs():
-    p = _run(["examples/video_curation_pipeline.py", SF])
+def test_video_curation_pipeline_example_runs(example_results):
+    p = example_results["video_curation_pipeline"]
     assert p.returncode == 0, p.stderr[-2000:]
     assert "after IoU dedup" in p.stdout and "resolution buckets" in p.stdout
     assert "GPS-clean" in p.stdout and "shards" in p.stdout
 
 
-def test_continuous_serving_pipeline_example_runs():
-    p = _run(["examples/continuous_serving_pipeline.py"])
+def test_continuous_serving_pipeline_example_runs(example_results):
+    p = example_results["continuous_serving_pipeline"]
     assert p.returncode == 0, p.stderr[-2000:]
     assert "continuous serving done: 600 requests scored" in p.stdout
 
 
-def test_experiment_analysis_pipeline_example_runs():
-    p = _run(["examples/experiment_analysis_pipeline.py", SF])
+def test_experiment_analysis_pipeline_example_runs(example_results):
+    p = example_results["experiment_analysis_pipeline"]
     assert p.returncode == 0, p.stderr[-2000:]
     assert "experiment analysis done over" in p.stdout
     assert "SRM: split" in p.stdout and "Qini final:" in p.stdout
